@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.WordScore
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator gets a named entry in [[queries]]; batch
+  * SQL-expressible ones get matching DuckDB SQL in [[oracleSql]] over
+  * the same parquet tables (bare table names). Column names and types
+  * are aligned on both sides (the driver sorts columns by name and
+  * hash-compares values), and every query ends in a deterministic total
+  * order.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    WordScore.flagship(Tables.documents(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordscore" -> ((s, d) => WordScore.flagship(Tables.documents(s, d))),
+    "wordscore_salted" -> ((s, d) =>
+      WordScore.wordScoreSalted(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 5 + 1,
+        org.apache.spark.sql.functions.col("text"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "wordscore" -> WordScore.flagshipOracle(),
+    "wordscore_salted" -> WordScore.flagshipOracle(),
+  )
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the word-score flagship and the text-analysis
+  * operators.
+  *
+  * Tokenization reproduces the reference's `java.util.StringTokenizer`
+  * defaults (reference `ComputeWordScore.java:116-120`): delimiters are
+  * exactly {space, \t, \n, \r, \f}, empty tokens are never emitted, and
+  * there is NO case folding or punctuation stripping.
+  *
+  * `split` on the delimiter-class regex can produce ONE leading empty
+  * string (when the text starts with a delimiter) and — unlike
+  * StringTokenizer — a trailing empty string is already suppressed by
+  * Java's split semantics only for trailing case; we therefore filter
+  * empties explicitly after exploding. Everything here stays inside
+  * whole-stage codegen (built-in functions only).
+  */
+object Text {
+
+  /** Regex class matching StringTokenizer's default delimiters. */
+  val DelimRegex = "[ \\t\\n\\r\\f]+"
+
+  /** DuckDB-side equivalent used in oracle SQL (same RE2 pattern). */
+  val DelimRegexSql = "[ \\t\\n\\r\\f]+"
+
+  /** `text` → array<string> of tokens, empties removed.
+    * filter(..) is a higher-order function, codegen-friendly, and keeps
+    * the empty-drop INSIDE the array (no row explosion needed first).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, DelimRegex), t => length(t) > 0)
+
+  /** One row per token. Use after selecting the carry-along columns. */
+  def explodedWord(text: Column): Column = explode(tokens(text))
+
+  /** Word-level n-gram shingles of size n as space-joined strings.
+    * transform over a 0-based index sequence keeps this codegen'd.
+    * Documents shorter than n yield an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    transform(
+      sequence(lit(1), count),
+      i => concat_ws(" ", slice(toks, i, lit(n)))
+    )
+  }
+
+  /** The flagship modifier: stars → {1→-2, 2→-1, 3→0, 4→+1, 5→+2}.
+    * The reference's lookup table (`ComputeWordScore.java:86-93`) is
+    * exactly `stars - 3`; the double→int truncation at `:113`
+    * (Number.intValue) is `cast("int")` (both truncate toward zero).
+    */
+  def starsModifier(stars: Column): Column = stars.cast("int") - lit(3)
+}
