@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.WordScore
+import graft.operators.{Relational, WordScore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,14 +19,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     WordScore.flagship(Tables.documents(spark, "/root/testdata/sf0.001"))
 
+  type Query = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "wordscore" -> ((s, d) => WordScore.flagship(Tables.documents(s, d))),
-    "wordscore_salted" -> ((s, d) =>
-      WordScore.wordScoreSalted(Tables.documents(s, d),
-        org.apache.spark.sql.functions.col("doc_id") % 5 + 1,
-        org.apache.spark.sql.functions.col("text"))),
-  )
+  def queries: Map[String, Query] = {
+    val base: Map[String, Query] = Map(
+      "wordscore" -> ((s, d) => WordScore.flagship(Tables.documents(s, d))),
+      "wordscore_salted" -> ((s, d) =>
+        WordScore.wordScoreSalted(Tables.documents(s, d),
+          org.apache.spark.sql.functions.col("doc_id") % 5 + 1,
+          org.apache.spark.sql.functions.col("text"))),
+    )
+    base ++ Relational.queries.map { case (k, (fn, _)) => k -> fn }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +39,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "wordscore" -> WordScore.flagshipOracle(),
     "wordscore_salted" -> WordScore.flagshipOracle(),
-  )
+  ) ++ Relational.queries.map { case (k, (_, sql)) => k -> sql }
 }

@@ -1,0 +1,427 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator suite over the TPC-H-ish fixtures.
+  *
+  * The reference is a fixed-function pipeline with projection + sum-agg +
+  * sort only (SURVEY.md §2); this file supplies the full relational
+  * capability surface a user of a query engine needs: filters, all join
+  * shapes, multi/distinct aggregation, rollup/cube, window functions,
+  * top-k, set ops, and scalar function families — each as a named,
+  * DuckDB-oracle-checked query.
+  *
+  * Cross-engine determinism conventions (see FIXTURES.md §C):
+  *  - Money/quantity sums go through DECIMAL(12,2) so aggregation is
+  *    exact and order-independent (double sums are neither); results
+  *    cast to a fixed DECIMAL so Spark/DuckDB output types agree.
+  *  - Averages are one double division of exact decimal sums, rounded.
+  *  - Integer-ish results are cast to the same width on both sides
+  *    (DuckDB SUM(int)→HUGEINT, year()→BIGINT, Spark floor()→BIGINT…).
+  *  - Every query ends in a deterministic total ORDER BY.
+  *
+  * Scale notes (100 TB): dimension joins (region/nation/customer/
+  * supplier/part) are broadcast — they stay small relative to the fact
+  * tables at every SF. Fact-fact joins (lineitem⋈orders) shuffle on the
+  * join key and rely on AQE for skew splitting; aggregates are
+  * partial+final (map-side combine) automatically. Filters/projections
+  * sit directly on the parquet scan (PushedFilters — verified in
+  * PlanSpec).
+  */
+object Relational {
+
+  private val qtyDec  = col("l_quantity").cast("decimal(12,2)")
+  private val priceDec = col("l_extendedprice").cast("decimal(12,2)")
+  private val discDec = col("l_discount").cast("decimal(12,2)")
+  /** revenue item: exact decimal l_extendedprice * (1 - l_discount) */
+  private val revDec  = priceDec * (lit(1).cast("decimal(12,2)") - discDec)
+
+  private val REV_SQL =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  // ---------------------------------------------------------------- q1_agg
+  /** TPC-H Q1 shape: scan-filter → partial/final hash agg → sort. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qtyDec).cast("decimal(18,2)").as("sum_qty"),
+        sum(priceDec).cast("decimal(18,2)").as("sum_base_price"),
+        sum(revDec).cast("decimal(18,4)").as("sum_disc_price"),
+        round(sum(qtyDec).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       |  CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS sum_disc_price,
+       |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------- filter/project
+  /** Predicate + projection — both must reach the parquet scan. */
+  def qFilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — sort
+      // by every output column for a well-defined row order.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  val qFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+
+  // --------------------------------------------------------------- top-k
+  /** Global top-k: planned as TakeOrderedAndProject (no full sort). */
+  def qTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val qTopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------ broadcast join
+  /** Revenue by nation: fact table joins broadcast dimensions
+    * (customer/nation stay dimension-sized at every SF; explicit
+    * broadcast() hints keep the plan shuffle-free on the dim side).
+    */
+  def qJoinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revDec).cast("decimal(18,4)").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  val qJoinBroadcastSql: String =
+    s"""SELECT n_name, CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------- shuffle join
+  /** Fact-fact join: both sides large → shuffle hash / sort-merge on the
+    * key; AQE converts or splits at runtime. SHUFFLE_MERGE hint pins the
+    * scalable strategy (no broadcast of a 100 TB side).
+    */
+  def qJoinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .hint("SHUFFLE_MERGE")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(revDec).cast("decimal(18,4)").as("revenue"),
+           countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val qJoinShuffleSql: String =
+    s"""SELECT o_orderpriority, CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS revenue,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------- semi join
+  /** Customers with at least one open order (EXISTS → left_semi). */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+           sum(col("c_acctbal").cast("decimal(12,2)")).cast("decimal(18,2)").as("bal"))
+      .orderBy("c_mktsegment")
+
+  val qSemiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS bal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ----------------------------------------------------------- anti join
+  /** Customers with no large order (NOT EXISTS → left_anti). */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 250000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("n_name")
+
+  val qAntiJoinSql: String =
+    """SELECT n_name, COUNT(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------- rollup
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"),
+           sum(qtyDec).cast("decimal(18,2)").as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- cube
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("total"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------- distinct agg
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val qDistinctAggSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------- window: rank
+  /** Top-3 orders per customer — windowed row_number, the idiomatic
+    * per-group top-k (shuffles once on the partition key).
+    */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ----------------------------------------------- window: running frame
+  /** Cumulative daily revenue per supplier: aggregate to a UNIQUE
+    * (supplier, day) grain first, then an explicit ROWS frame — the
+    * base rows carry no unique key in the fixtures, so windowing over
+    * the raw table would be nondeterministic (FIXTURES.md §C).
+    */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_day"))
+      .agg(sum(revDec).cast("decimal(18,4)").as("day_rev"))
+    val w = Window.partitionBy("l_suppkey").orderBy("ship_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("l_suppkey"), col("ship_day"), col("day_rev"),
+              sum(col("day_rev")).over(w).cast("decimal(18,4)").as("cum_rev"))
+      .orderBy("l_suppkey", "ship_day")
+  }
+
+  val qWindowRunningSql: String =
+    s"""WITH daily AS (
+       |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
+       |    CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS day_rev
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT l_suppkey, ship_day, day_rev,
+       |  CAST(SUM(day_rev) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cum_rev
+       |FROM daily ORDER BY l_suppkey, ship_day""".stripMargin
+
+  // ---------------------------------------------------- window: lag/lead
+  /** Per-customer order-value delta — lag over a unique order. */
+  def qWindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(12,2)") -
+          coalesce(lag(col("o_totalprice").cast("decimal(12,2)"), 1).over(w),
+                   lit(0).cast("decimal(12,2)"))).cast("decimal(18,2)").as("delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) -
+      |    COALESCE(lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderkey),
+      |      CAST(0 AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS delta
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------- set ops
+  /** UNION / INTERSECT / EXCEPT over two customer-key sets. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val bigSpenders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k")).distinct()
+    val richCust = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k")).distinct()
+    val u = bigSpenders.union(richCust).distinct()
+      .agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+    val i = bigSpenders.intersect(richCust)
+      .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+    val e = bigSpenders.except(richCust)
+      .agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+    u.union(i).union(e).orderBy("op")
+  }
+
+  val qSetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+      |     b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'intersect', COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'except', COUNT(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |ORDER BY op""".stripMargin
+
+  // ------------------------------------------------------ scalar: dates
+  def qScalarDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+               month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(dayofmonth(col("o_orderdate"))).as("n_days"))
+      .orderBy("yr", "mo")
+
+  val qScalarDateSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo, COUNT(*) AS n,
+      |  COUNT(DISTINCT day(o_orderdate)) AS n_days
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------- scalar: strings
+  def qScalarString(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_name").like("%1%"))
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 9).as("prefix"),
+        length(col("c_name")).as("len"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"))
+      .orderBy("c_custkey")
+
+  val qScalarStringSql: String =
+    """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 9) AS prefix,
+      |  CAST(length(c_name) AS INT) AS len,
+      |  concat_ws('-', c_mktsegment, c_name) AS tagged
+      |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------- scalar: math
+  /** disc_amt rounds in the DECIMAL domain: Spark's round(double)
+    * re-parses the shortest decimal repr (HALF_UP on "623.295") while
+    * DuckDB rounds the raw binary double — they disagree on exactly
+    * the .xx5 boundaries. Exact decimals round identically everywhere.
+    */
+  def qScalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        round(priceDec * discDec, 2).cast("decimal(18,2)").as("disc_amt"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        abs(col("l_quantity") - 25.0).as("qty_dev"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pmod(col("l_orderkey"), lit(7)).as("mod7"))
+      // duplicate l_orderkey rows exist — total order over all columns.
+      .orderBy("l_orderkey", "disc_amt", "qty_floor", "qty_dev")
+
+  val qScalarMathSql: String =
+    """SELECT l_orderkey,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)), 2) AS DECIMAL(18,2)) AS disc_amt,
+      |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+      |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+      |  abs(l_quantity - 25.0) AS qty_dev, sqrt(l_quantity) AS qty_sqrt,
+      |  l_orderkey % 7 AS mod7
+      |FROM lineitem WHERE l_linenumber = 1
+      |ORDER BY l_orderkey, disc_amt, qty_floor, qty_dev""".stripMargin
+
+  // -------------------------------------------------------- CASE expr
+  /** The reference's lookup-table shape (`ComputeWordScore.java:86-93`)
+    * as a CASE over quantity bands.
+    */
+  def qCaseExpr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+      .orderBy("band")
+
+  val qCaseExprSql: String =
+    """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+      |            WHEN l_quantity < 30 THEN 'mid'
+      |            ELSE 'high' END AS band, COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** All queries + oracles, for SparkEntry registration. */
+  val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q1_agg"           -> (q1Agg _, q1AggSql),
+    "q_filter_project" -> (qFilterProject _, qFilterProjectSql),
+    "q_topk"           -> (qTopK _, qTopKSql),
+    "q_join_broadcast" -> (qJoinBroadcast _, qJoinBroadcastSql),
+    "q_join_shuffle"   -> (qJoinShuffle _, qJoinShuffleSql),
+    "q_semi_join"      -> (qSemiJoin _, qSemiJoinSql),
+    "q_anti_join"      -> (qAntiJoin _, qAntiJoinSql),
+    "q_rollup"         -> (qRollup _, qRollupSql),
+    "q_cube"           -> (qCube _, qCubeSql),
+    "q_distinct_agg"   -> (qDistinctAgg _, qDistinctAggSql),
+    "q_window_rank"    -> (qWindowRank _, qWindowRankSql),
+    "q_window_running" -> (qWindowRunning _, qWindowRunningSql),
+    "q_window_lag"     -> (qWindowLag _, qWindowLagSql),
+    "q_setops"         -> (qSetOps _, qSetOpsSql),
+    "q_scalar_date"    -> (qScalarDate _, qScalarDateSql),
+    "q_scalar_string"  -> (qScalarString _, qScalarStringSql),
+    "q_scalar_math"    -> (qScalarMath _, qScalarMathSql),
+    "q_case_expr"      -> (qCaseExpr _, qCaseExprSql),
+  )
+}

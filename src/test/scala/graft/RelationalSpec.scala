@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Sanity/semantics checks for the relational suite. Cross-engine value
+  * parity is enforced by the DuckDB oracle harness (tools/verify.sh);
+  * these specs pin the Spark-side semantics that the oracle can't see
+  * (plan shapes are covered separately in PlanSpec).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every relational query returns rows at sf0.001") {
+    Relational.queries.foreach { case (name, (fn, _)) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q_topk returns exactly k rows in descending price order") {
+    val prices = Relational.qTopK(spark, sf).select("o_totalprice").as[Double].collect()
+    assert(prices.length === 10)
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q_window_rank keeps at most 3 orders per customer") {
+    val perCust = Relational.qWindowRank(spark, sf)
+      .groupBy("o_custkey").count().select(max("count")).as[Long].head()
+    assert(perCust <= 3)
+  }
+
+  test("q_rollup grand total equals table count") {
+    val grand = Relational.qRollup(spark, sf)
+      .filter(col("gid") === 3).select("n").as[Long].head()
+    assert(grand === Tables.lineitem(spark, sf).count())
+  }
+
+  test("setops: |a except b| + |a intersect b| = |a|") {
+    val m = Relational.qSetOps(spark, sf).as[(String, Long)].collect().toMap
+    val a = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000)
+      .select("o_custkey").distinct().count()
+    assert(m("except") + m("intersect") === a)
+    assert(m("union") >= math.max(a, m("intersect")))
+  }
+
+  test("semi + anti partition the customer set per predicate") {
+    val withBig = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 250000),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val withoutBig = Relational.qAntiJoin(spark, sf)
+      .agg(sum("n_cust")).as[Long].head()
+    assert(withBig + withoutBig === Tables.customer(spark, sf).count())
+  }
+}
