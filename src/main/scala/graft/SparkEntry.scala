@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, WordScore}
+import graft.operators.{Relational, TextAnalysis, WordScore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("doc_id") % 5 + 1,
           org.apache.spark.sql.functions.col("text"))),
     )
-    base ++ Relational.queries.map { case (k, (fn, _)) => k -> fn }
+    base ++
+      Relational.queries.map { case (k, (fn, _)) => k -> fn } ++
+      TextAnalysis.queries.map { case (k, (fn, _)) => k -> fn }
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +41,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "wordscore" -> WordScore.flagshipOracle(),
     "wordscore_salted" -> WordScore.flagshipOracle(),
-  ) ++ Relational.queries.map { case (k, (_, sql)) => k -> sql }
+  ) ++ Relational.queries.map { case (k, (_, sql)) => k -> sql } ++
+    TextAnalysis.queries.map { case (k, (_, sql)) => k -> sql }
 }

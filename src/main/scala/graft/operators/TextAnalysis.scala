@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token/ngram statistics, TF-IDF, language ID, quality scoring, token
+  * counting, and document fingerprinting — all over the `documents`
+  * fixture, all DuckDB-oracle-checked.
+  *
+  * Everything is built from codegen'd built-ins (split/filter/transform/
+  * aggregate higher-order functions, regexp, md5) — no UDFs, so the whole
+  * pipeline stays inside whole-stage codegen and scales by partitioning
+  * alone (documents are independent rows; no shuffle until the final
+  * aggregation, which is tiny because the vocabulary, not the corpus,
+  * bounds the key space).
+  *
+  * Cross-engine notes: md5 hex (lowercase) is identical in Spark and
+  * DuckDB, which makes fingerprints and (later) MinHash signatures
+  * oracle-checkable; ratios are one double division rounded to 6 dp;
+  * int-ish outputs are cast to INT on both sides (DuckDB length()/len()
+  * return BIGINT).
+  */
+object TextAnalysis {
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("toks", Text.tokens(col("text")))
+
+  /** DuckDB fragment: empty-filtered whitespace tokens, as a list. */
+  private val TOKS_SQL =
+    s"list_filter(string_split_regex(text, '${Text.DelimRegexSql}'), x -> length(x) > 0)"
+
+  // ------------------------------------------------------- token counts
+  /** Term + document frequency per word — the inverted-index statistics
+    * backbone (reference op #5 + #8 generalized to two frequencies).
+    */
+  def tTokenCounts(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy("word")
+
+  val tTokenCountsSql: String =
+    s"""SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest($TOKS_SQL) AS word FROM documents)
+       |GROUP BY word ORDER BY word""".stripMargin
+
+  // ------------------------------------------------------------- ngrams
+  /** Word bigram counts via array shingling (stays codegen'd; the
+    * explode only doubles row count transiently before the partial agg).
+    */
+  def tNgrams(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(explode(Text.shingles(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+
+  val tNgramsSql: String =
+    s"""WITH t AS (SELECT $TOKS_SQL AS toks FROM documents),
+       |i AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+       |SELECT toks[i] || ' ' || toks[i + 1] AS bigram, COUNT(*) AS n
+       |FROM i GROUP BY bigram ORDER BY n DESC, bigram""".stripMargin
+
+  // -------------------------------------------------------------- tfidf
+  /** Smoothed TF-IDF per (doc, word): tf · (ln((N+1)/(df+1)) + 1).
+    * Two aggregations + a broadcast join of the tiny df/N side; the
+    * fact-side explode never shuffles document text itself.
+    */
+  def tTfidf(s: SparkSession, d: String): DataFrame = {
+    val words = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  val tTfidfSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest($TOKS_SQL) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, word, tf,
+       |  round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+       |FROM tf JOIN df USING (word) CROSS JOIN n
+       |ORDER BY doc_id, word""".stripMargin
+
+  // ------------------------------------------------------------ lang id
+  /** Marker-word language ID heuristic: count hits in per-language
+    * marker sets, pick the max (alphabetical tie-break). Deterministic
+    * and fully expressible on both engines; the real-world analog swaps
+    * the marker sets for character-n-gram profiles.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("batch", "stream", "group"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("spark", "vector", "hash"))
+
+  def tLangId(s: SparkSession, d: String): DataFrame = {
+    val base = docsWithTokens(s, d)
+    val counted = LangMarkers.foldLeft(base) { case (df0, (lang, words)) =>
+      df0.withColumn(s"c_$lang",
+        size(filter(col("toks"), t => t.isin(words: _*))))
+    }
+    val m = greatest(LangMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+    // CASE evaluates top-down: first (alphabetically smallest) language
+    // reaching the max wins — same tie-break as the oracle SQL.
+    val predOrdered = LangMarkers.map { case (lang, _) =>
+      (col(s"c_$lang") === m, lit(lang))
+    }.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (cond, v)) => when(cond, v).otherwise(acc)
+    }
+    counted.select(col("doc_id"), predOrdered.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val tLangIdSql: String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val cols = LangMarkers.map { case (l, ws) => s"${hits(ws)} AS c_$l" }.mkString(",\n  ")
+    val m = s"GREATEST(${LangMarkers.map { case (l, _) => s"c_$l" }.mkString(", ")})"
+    val cases = LangMarkers.map { case (l, _) => s"WHEN c_$l = $m THEN '$l'" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |  $cols
+       |FROM t)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ quality
+  /** Document quality metrics: token count, mean token length, stopword
+    * ratio, alpha-char ratio, and a composite score — the standard
+    * pre-training corpus filters (length/punct/stopword heuristics).
+    */
+  def tQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = col("toks")
+    val nToks = size(toks)
+    val charLen = length(col("text"))
+    val sumLen = aggregate(toks, lit(0), (acc, x) => acc + length(x))
+    val stopHits = size(filter(toks, x => x.isin("the", "a")))
+    val alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    // Raw ratios feed the composite; rounding happens exactly ONCE per
+    // output column. Rounding twice (composite over rounded inputs)
+    // manufactures exact .xxx5 boundaries where Spark (shortest-repr
+    // HALF_UP) and DuckDB (raw-binary) disagree.
+    val stopRaw = when(nToks === 0, 0.0).otherwise(stopHits.cast("double") / nToks)
+    val alphaRaw = when(charLen === 0, 0.0).otherwise(alphaChars.cast("double") / charLen)
+    docsWithTokens(s, d).select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      when(nToks === 0, 0.0)
+        .otherwise(round(sumLen.cast("double") / nToks, 6)).as("avg_token_len"),
+      round(stopRaw, 6).as("stopword_ratio"),
+      round(alphaRaw, 6).as("alpha_ratio"),
+      round(least(nToks.cast("double") / lit(100.0), lit(1.0)) * 0.5
+        + alphaRaw * 0.3 + (lit(1.0) - stopRaw) * 0.2, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val tQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, text, $TOKS_SQL AS toks FROM documents),
+       |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) END AS stop_raw,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_raw,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) END AS avg_token_len
+       |FROM t)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, avg_token_len,
+       |  round(stop_raw, 6) AS stopword_ratio, round(alpha_raw, 6) AS alpha_ratio,
+       |  round(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+       |    + alpha_raw * 0.3 + (1.0 - stop_raw) * 0.2, 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- token count
+  /** Whitespace vs BPE-ish regex token counts (letters runs / digit runs
+    * / single non-alnum — the pre-tokenizer shape of byte-pair models).
+    */
+  def tTokenCountBpe(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d).select(
+      col("doc_id"),
+      size(col("toks")).as("n_ws"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe"))
+      .orderBy("doc_id")
+
+  val tTokenCountBpeSql: String =
+    s"""SELECT doc_id, CAST(len($TOKS_SQL) AS INT) AS n_ws,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- fingerprints
+  /** Document fingerprints: md5 of the canonical token stream, plus the
+    * min-shingle-hash (the 1-hash MinHash special case — the full
+    * signature lives in Dedup). md5 hex is identical across engines.
+    */
+  def tFingerprint(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d).select(
+      col("doc_id"),
+      md5(concat_ws(" ", col("toks")).cast("binary")).as("fp_full"),
+      coalesce(
+        array_min(transform(Text.shingles(col("toks"), 4), x => md5(x.cast("binary")))),
+        md5(concat_ws(" ", col("toks")).cast("binary"))).as("fp_minshingle"))
+      .orderBy("doc_id")
+
+  val tFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 4 THEN
+       |    list_min(list_transform(range(1, len(toks) - 2),
+       |      i -> md5(array_to_string(toks[i:i+3], ' '))))
+       |  ELSE NULL END AS fp_min, toks FROM t)
+       |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_full,
+       |  COALESCE(fp_min, md5(array_to_string(toks, ' '))) AS fp_minshingle
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_token_counts" -> (tTokenCounts _, tTokenCountsSql),
+    "t_ngrams"       -> (tNgrams _, tNgramsSql),
+    "t_tfidf"        -> (tTfidf _, tTfidfSql),
+    "t_langid"       -> (tLangId _, tLangIdSql),
+    "t_quality"      -> (tQuality _, tQualitySql),
+    "t_token_bpe"    -> (tTokenCountBpe _, tTokenCountBpeSql),
+    "t_fingerprint"  -> (tFingerprint _, tFingerprintSql),
+  )
+}

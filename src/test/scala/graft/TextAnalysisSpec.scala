@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Spark-side semantics for the text-analysis operators (value parity
+  * with DuckDB is covered by tools/verify.sh).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: tf sums to the corpus token count, df <= n_docs") {
+    val tc = TextAnalysis.tTokenCounts(spark, sf)
+    val totalTf = tc.agg(sum("tf")).as[Long].head()
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Text.tokens(col("text")))).count()
+    assert(totalTf === corpusTokens)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(tc.filter(col("df") > nDocs).count() === 0)
+  }
+
+  test("bigram count per doc is max(n_tokens - 1, 0) in total") {
+    val bigramTotal = TextAnalysis.tNgrams(spark, sf).agg(sum("n")).as[Long].head()
+    val expected = Tables.documents(spark, sf)
+      .select(greatest(size(graft.functions.Text.tokens(col("text"))) - 1, lit(0)).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(bigramTotal === expected)
+  }
+
+  test("tfidf matches the smoothed formula recomputed from its own output") {
+    val rows = TextAnalysis.tTfidf(spark, sf)
+      .select("doc_id", "word", "tf", "tfidf")
+      .as[(Long, String, Long, Double)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val df = rows.groupBy(_._2).map { case (w, rs) => w -> rs.length.toLong }
+    rows.foreach { case (_, w, tf, tfidf) =>
+      val expected = BigDecimal(tf * (math.log((nDocs + 1.0) / (df(w) + 1.0)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(tfidf - expected) < 1e-9, s"word=$w tf=$tf")
+    }
+  }
+
+  test("langid predicts a known language label for every doc") {
+    val langs = TextAnalysis.tLangId(spark, sf).select("pred_lang").distinct()
+      .as[String].collect().toSet
+    assert(langs.subsetOf(TextAnalysis.LangMarkers.map(_._1).toSet + "und"))
+  }
+
+  test("quality metrics stay in range") {
+    val bad = TextAnalysis.tQuality(spark, sf)
+      .filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("alpha_ratio") < 0 || col("alpha_ratio") > 1 ||
+        col("quality") < 0 || col("quality") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("fingerprints are stable md5 hex and unique per distinct text") {
+    val fp = TextAnalysis.tFingerprint(spark, sf)
+    assert(fp.filter(!col("fp_full").rlike("^[0-9a-f]{32}$")).count() === 0)
+    val docs = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(fp.select("fp_full").distinct().count() === docs)
+  }
+}
