@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, rare-shingle Jaccard, and embedding-cosine near-dup — every one
+  * DuckDB-oracle-checked.
+  *
+  * Design for 100 TB:
+  *  - Exact dedup hashes the text ONCE map-side and groups on the 16-byte
+  *    digest, never shuffling document bodies.
+  *  - MinHash/LSH turns all-pairs O(n²) into per-bucket joins: signatures
+  *    are computed scan-side (no shuffle), the only shuffles are the
+  *    band-bucket join (keys ≈ uniformly distributed md5s, no skew) and
+  *    the candidate-pair signature join.
+  *  - SimHash is a pure per-row map — embarrassingly parallel.
+  *  - Jaccard verification restricts candidate generation to rare
+  *    shingles (df-bounded), which caps the self-join fan-out at
+  *    Σ df² ≤ maxDf · |shingles| regardless of corpus size.
+  *  - Embedding near-dup blocks on (label, quantized first component)
+  *    so the pair join is per-block, not global.
+  *
+  * Cross-engine parity: md5 hex is identical in Spark/DuckDB; string mins
+  * of md5s are order-isomorphic to uniform hash mins (so they ARE MinHash
+  * permutation mins); double dot products are computed in the same
+  * sequential order on both engines (Spark `aggregate` folds left with
+  * 0.0 init; DuckDB `list_reduce` folds left from the first element —
+  * 0.0 + p1 ≡ p1 exactly), making cosines bit-identical.
+  */
+object Dedup {
+
+  private val TOKS_SQL =
+    s"list_filter(string_split_regex(text, '${Text.DelimRegexSql}'), x -> length(x) > 0)"
+
+  // --------------------------------------------------------- exact dedup
+  /** Exact duplicate groups keyed by content digest: keeper = min doc_id,
+    * n = group size. Downstream "deduplicate" = semi-join on keeper.
+    */
+  def dExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .orderBy("fp")
+
+  val dExactSql: String =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // -------------------------------------------------------- MinHash+LSH
+  val MinhashK = 12      // signature length
+  val Bands = 4          // LSH bands
+  val RowsPerBand = 3    // K / Bands
+
+  /** Per-doc MinHash signature columns sig_0..sig_{K-1} over distinct
+    * word 3-shingles. Hash family: md5 with a per-component salt prefix;
+    * min over the hex strings (uniform, order-isomorphic to numeric min).
+    */
+  private def withSignature(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    (0 until MinhashK).foldLeft(base) { (df, j) =>
+      df.withColumn(s"sig_$j",
+        array_min(transform(col("sh"), x => md5(concat(lit(s"$j|"), x).cast("binary")))))
+    }.drop("sh")
+  }
+
+  /** LSH candidate pairs + estimated similarity (fraction of agreeing
+    * signature components). A pair surfaces iff some band's R components
+    * all agree; est >= 0.5 keeps probable near-dups.
+    */
+  def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = withSignature(Tables.documents(s, d))
+    val bands = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)
+          .cast("binary")).as("bucket"))
+    }: _*)
+    val banded = sigs.select(col("doc_id"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+    val agree = (0 until MinhashK)
+      .map(j => when(col(s"a_sig_$j") === col(s"b_sig_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sa, col("a") === col("a_doc_id"))
+      .join(sb, col("b") === col("b_doc_id"))
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / MinhashK, 6).as("est_sim"))
+      .filter(col("est_sim") >= 0.5)
+      .orderBy("a", "b")
+  }
+
+  val dMinhashLshSql: String = {
+    val sigExprs = (0 until MinhashK).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS sig_$j").mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"sig_${b * RowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until MinhashK)
+      .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |sigs AS (SELECT doc_id,
+       |  $sigExprs
+       |FROM sh3 WHERE len(sh) > 0),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+       |SELECT a, b, round(CAST($agree AS DOUBLE) / $MinhashK, 6) AS est_sim
+       |FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b
+       |WHERE round(CAST($agree AS DOUBLE) / $MinhashK, 6) >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ SimHash
+  /** 16-bit SimHash from token-multiset md5s: bit i is set iff the
+    * majority of token hashes have the top bit of hex digit i set.
+    * Pure per-row computation (no shuffle); equal/near simhash =
+    * duplicate cluster. A 64-bit native-codegen variant lives in
+    * graft.functions (perf path); this one is oracle-checkable.
+    */
+  def dSimhash(s: SparkSession, d: String): DataFrame = {
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(Text.tokens(col("text")), x => md5(x.cast("binary"))).as("h"))
+    val bits: Column = (1 to 16).map { i =>
+      val si = aggregate(col("h"), lit(0),
+        (acc, x) => acc + when(substring(x, i, 1).isin(high: _*), 1).otherwise(-1))
+      when(si > 0, lit(1 << (16 - i))).otherwise(lit(0))
+    }.reduce(_ + _)
+    base.select(col("doc_id"), bits.cast("int").as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  val dSimhashSql: String = {
+    val highSql = "('8','9','a','b','c','d','e','f')"
+    val bits = (1 to 16).map { i =>
+      val si = s"list_sum(list_transform(h, x -> CASE WHEN substr(x, $i, 1) IN $highSql THEN 1 ELSE -1 END))"
+      s"CASE WHEN $si > 0 THEN ${1 << (16 - i)} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform($TOKS_SQL, x -> md5(x)) AS h FROM documents)
+       |SELECT doc_id, CAST($bits AS INT) AS simhash16
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- rare-shingle Jaccard
+  val JaccardMaxDf = 10
+
+  /** N-gram (3-shingle) Jaccard near-dup: candidate pairs must share a
+    * RARE shingle (df <= JaccardMaxDf), which bounds the self-join
+    * fan-out at any scale; numerator counts shared rare shingles,
+    * denominators are full shingle-set sizes (both engines compute the
+    * identical restricted metric). Injected near-dups share df≈2
+    * shingles, so recall on them is exact.
+    */
+  def dJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= JaccardMaxDf)
+    val rareSh = sh.join(broadcast(rare.select("sh")), "sh")
+    val inter = rareSh.toDF("sh", "a").join(rareSh.toDF("sh", "b"),
+        Seq("sh")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 6).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .orderBy("a", "b")
+  }
+
+  val dJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+       |shl AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shl GROUP BY 1),
+       |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM shl GROUP BY 1)
+       |  WHERE df <= $JaccardMaxDf),
+       |rsh AS (SELECT doc_id, sh FROM shl JOIN rare USING (sh)),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM rsh x JOIN rsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, inter,
+       |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.6
+       |ORDER BY a, b""".stripMargin
+
+  // -------------------------------------- embedding cosine near-dup
+  /** Blocked cosine near-dup over embeddings: block on (label, quantized
+    * first component) — a deliberate approximate-blocking scheme both
+    * engines compute identically — then exact cosine within blocks.
+    */
+  def dEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val dbl: Column => Column = _.cast("double")
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      sqrt(aggregate(transform(col("embedding"), x => dbl(x) * dbl(x)),
+        lit(0.0), (a, x) => a + x)).as("nrm"),
+      floor(element_at(col("embedding"), 1).cast("double") * 10).cast("int").as("bkt"))
+    val a = emb.toDF("a_id", "label", "a_emb", "a_nrm", "bkt")
+    val b = emb.toDF("b_id", "label", "b_emb", "b_nrm", "bkt")
+    val dot = aggregate(
+      zip_with(col("a_emb"), col("b_emb"), (x, y) => dbl(x) * dbl(y)),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, Seq("label", "bkt")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot / (col("a_nrm") * col("b_nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .orderBy("a_id", "b_id")
+  }
+
+  val dEmbeddingNearDupSql: String =
+    """WITH n AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_reduce(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)) AS nrm,
+      |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS INT) AS bkt
+      |FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.bkt = b.bkt
+      |  AND a.vec_id < b.vec_id
+      |WHERE round(list_reduce(list_transform(range(1, 65),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |    (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.25
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d_exact"       -> (dExact _, dExactSql),
+    "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
+    "d_simhash"     -> (dSimhash _, dSimhashSql),
+    "d_jaccard"     -> (dJaccard _, dJaccardSql),
+    "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Semantics checks for the dedup suite (cross-engine parity is the
+  * oracle harness's job). Focus: recall of injected near-dups, agreement
+  * between the independent near-dup detectors, and structural invariants.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup partitions all docs; keeper is the min doc_id") {
+    val groups = Dedup.dExact(spark, sf)
+    assert(groups.agg(sum("n")).as[Long].head() ===
+      Tables.documents(spark, sf).count())
+    assert(groups.filter(col("keeper") < 0).count() === 0)
+  }
+
+  test("minhash-LSH and rare-shingle jaccard find the same near-dup pairs") {
+    val lsh = Dedup.dMinhashLsh(spark, sf).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    val jac = Dedup.dJaccard(spark, sf).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    // high-jaccard pairs (>= 0.6) should essentially all be caught by LSH
+    // with 4 bands of 3 rows (P(catch) = 1-(1-j^3)^4 ≈ 0.94 at j=0.6,
+    // > 0.999 at j=0.9, and injected dups sit near 0.99)
+    val missed = jac -- lsh
+    assert(missed.size <= jac.size / 10, s"LSH missed too many: $missed")
+    assert(lsh.nonEmpty && jac.nonEmpty)
+  }
+
+  test("simhash of near-dup pairs is closer than random pairs (hamming)") {
+    val sh = Dedup.dSimhash(spark, sf).as[(Long, Int)].collect().toMap
+    def ham(x: Int, y: Int) = Integer.bitCount(x ^ y)
+    val dupPairs = Dedup.dJaccard(spark, sf).select("a", "b").as[(Long, Long)].collect()
+    val dupHam = dupPairs.map { case (a, b) => ham(sh(a), sh(b)) }
+    val rng = new scala.util.Random(42)
+    val ids = sh.keys.toArray
+    val randHam = Array.fill(500) {
+      val a = ids(rng.nextInt(ids.length)); val b = ids(rng.nextInt(ids.length))
+      ham(sh(a), sh(b))
+    }
+    assert(dupHam.sum.toDouble / dupHam.length <
+      randHam.sum.toDouble / randHam.length)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.dEmbeddingNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.25 })
+    assert(rows.map { case (a, b, _) => (a, b) }.distinct.length === rows.length)
+  }
+}
