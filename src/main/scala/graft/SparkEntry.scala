@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, TextAnalysis, WordScore}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WordScore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,8 @@ object SparkEntry {
     base ++
       Relational.queries.map { case (k, (fn, _)) => k -> fn } ++
       TextAnalysis.queries.map { case (k, (fn, _)) => k -> fn } ++
-      Dedup.queries.map { case (k, (fn, _)) => k -> fn }
+      Dedup.queries.map { case (k, (fn, _)) => k -> fn } ++
+      Similarity.queries.map { case (k, (fn, _)) => k -> fn }
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
     "wordscore_salted" -> WordScore.flagshipOracle(),
   ) ++ Relational.queries.map { case (k, (_, sql)) => k -> sql } ++
     TextAnalysis.queries.map { case (k, (_, sql)) => k -> sql } ++
-    Dedup.queries.map { case (k, (_, sql)) => k -> sql }
+    Dedup.queries.map { case (k, (_, sql)) => k -> sql } ++
+    Similarity.queries.map { case (k, (_, sql)) => k -> sql }
 }

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over ArrayType(FloatType) embedding columns.
+  *
+  * Products and sums are computed in DOUBLE, folding left in index
+  * order — `aggregate` with a 0.0 init adds terms sequentially, which
+  * both matches DuckDB's `list_reduce` fold (0.0 + p1 ≡ p1) and keeps
+  * results reproducible regardless of partitioning (no tree-reduction
+  * reordering). float×float→double is exact, so the only rounding is
+  * the unavoidable sequential-sum rounding, identical everywhere.
+  *
+  * All higher-order built-ins — codegen-friendly, no UDF serialization.
+  * A native Catalyst Expression variant (fused dot/norm loop, doGenCode)
+  * lives in graft.plans for the perf path; these are the portable
+  * reference forms.
+  */
+object Vectors {
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Σ aᵢ·bᵢ, sequential double sum. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ (sequential double sum of squares). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => dbl(x) * dbl(x)), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity with precomputed norms (callers precompute norms
+    * once per vector instead of per pair).
+    */
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+}
