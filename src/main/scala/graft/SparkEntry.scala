@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WordScore}
+import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, WordScore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,9 @@ object SparkEntry {
       Relational.queries.map { case (k, (fn, _)) => k -> fn } ++
       TextAnalysis.queries.map { case (k, (fn, _)) => k -> fn } ++
       Dedup.queries.map { case (k, (fn, _)) => k -> fn } ++
-      Similarity.queries.map { case (k, (fn, _)) => k -> fn }
+      Similarity.queries.map { case (k, (fn, _)) => k -> fn } ++
+      Events.queries.map { case (k, (fn, _)) => k -> fn } ++
+      Multimodal.queries.map { case (k, (fn, _)) => k -> fn }
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +48,7 @@ object SparkEntry {
   ) ++ Relational.queries.map { case (k, (_, sql)) => k -> sql } ++
     TextAnalysis.queries.map { case (k, (_, sql)) => k -> sql } ++
     Dedup.queries.map { case (k, (_, sql)) => k -> sql } ++
-    Similarity.queries.map { case (k, (_, sql)) => k -> sql }
+    Similarity.queries.map { case (k, (_, sql)) => k -> sql } ++
+    Events.queries.map { case (k, (_, sql)) => k -> sql } ++
+    Multimodal.queries.collect { case (k, (_, Some(sql))) => k -> sql }
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Batch analytics over the `events` fixture: time-bucketed aggregation,
+  * sessionization, and JSON-property extraction — the batch twins of the
+  * Structured Streaming pipelines in graft.streaming (same semantics,
+  * verified equivalent in StreamingSpec; these have DuckDB oracles).
+  *
+  * Timestamp handling: events.ts is parquet TIMESTAMP(NANOS), which
+  * Spark 4 refuses by default — we read it via
+  * `spark.sql.legacy.parquet.nanosAsLong` as epoch-nanos LONG and
+  * convert to a microsecond TimestampType column explicitly. All oracle
+  * outputs are epoch-second BIGINTs (never raw timestamps), so Spark's
+  * µs truncation vs DuckDB's native ns can't skew the compare.
+  */
+object Events {
+
+  /** events with `ts` as TimestampType (µs, truncated from ns) plus the
+    * raw epoch-nano long as `ts_ns`.
+    */
+  def load(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, d)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  private val valDec = col("value").cast("decimal(12,2)")
+
+  // --------------------------------------------------- tumbling window
+  /** Hourly tumbling-window counts per event type (Spark `window()`;
+    * output keyed by epoch seconds of the bucket start).
+    */
+  def eTumbling(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(valDec).cast("decimal(18,2)").as("total"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("bucket_start", "event_type")
+
+  val eTumblingSql: String =
+    """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+
+  // ------------------------------------------------------ sessionization
+  /** Gap-based sessions per user (5-minute gap) via Spark's
+    * session_window in batch mode; the oracle rebuilds the identical
+    * sessions with the classic gaps-and-islands construction over
+    * microsecond epochs.
+    */
+  def eSession(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(valDec).cast("decimal(18,2)").as("total"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n"), col("total"))
+      .orderBy("user_id", "session_start")
+
+  val eSessionSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+      |flag AS (SELECT user_id, us, value,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
+      |       OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |isl AS (SELECT user_id, us, value,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flag)
+      |SELECT user_id, MIN(us) // 1000000 AS session_start, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      |FROM isl GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ------------------------------------------------------- JSON props
+  /** Semi-structured extraction: parse the `props` JSON column with an
+    * explicit schema (FAILFAST-adjacent: nulls only for absent keys).
+    */
+  def eJsonProps(s: SparkSession, d: String): DataFrame = {
+    val propSchema = StructType(Seq(StructField("k", LongType)))
+    load(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), propSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy("event_type")
+  }
+
+  val eJsonPropsSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_tumbling"   -> (eTumbling _, eTumblingSql),
+    "e_session"    -> (eSession _, eSessionSql),
+    "e_json_props" -> (eJsonProps _, eJsonPropsSql),
+  )
+}

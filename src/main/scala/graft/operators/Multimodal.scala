@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as
+  * opaque BINARY columns with typed metadata alongside.
+  *
+  * The container has no media codecs, so the payload here is the
+  * document text re-encoded as bytes (a deterministic stand-in with the
+  * same Spark-side shape: BinaryType column + metadata), and the
+  * "decoder" in [[Multimodal.decodeStub]] is a clearly-marked
+  * deterministic fake. Everything around the decode — schema, binary
+  * column flow, per-partition batched iteration, generator-shaped frame
+  * sampling — is real and tested.
+  *
+  * Scale notes: binary payloads ride in the row (parquet BYTE_ARRAY);
+  * metadata extraction is a pure map, frame sampling is a bounded
+  * generator (explode of a capped sequence), and the decode stub runs
+  * per-partition so a real decoder would amortize codec init per task,
+  * not per row. None of these shuffle the payload bytes.
+  */
+object Multimodal {
+
+  /** documents + fake binary payload column. */
+  private def withPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  // ------------------------------------------------------- binary meta
+  /** Metadata extraction over a binary column: size, content digest,
+    * magic-bytes prefix, and decoded fake dimensions (pure arithmetic
+    * on the byte length so both engines agree).
+    */
+  def mBinaryMeta(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d).select(
+      col("doc_id"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      substring(hex(col("payload")), 1, 8).as("magic"),
+      (lit(1) + pmod(length(col("payload")), lit(64))).as("fake_w"),
+      (lit(1) + (length(col("payload")) - pmod(length(col("payload")), lit(64))) / lit(64))
+        .cast("int").as("fake_h"))
+      .orderBy("doc_id")
+
+  val mBinaryMetaSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS content_md5, hex(encode(text))[1:8] AS magic,
+      |  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS fake_w,
+      |  CAST(1 + octet_length(encode(text)) // 64 AS INT) AS fake_h
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ frame sample
+  /** Frame sampling as a generator: up to 8 evenly-spaced "frames" per
+    * payload, each with a derived frame id — the video-keyframe /
+    * audio-chunk extraction shape (1 row in → N bounded rows out).
+    */
+  def mFrameSample(s: SparkSession, d: String): DataFrame = {
+    val nFrames = least(length(col("payload")).cast("long") / 64L, lit(8L)).cast("int")
+    withPayload(s, d)
+      .select(col("doc_id"), md5(col("payload")).as("fp"), nFrames.as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("fp"), lit("|"), col("frame_idx").cast("string")).cast("binary")).as("frame_id"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mFrameSampleSql: String =
+    """WITH p AS (SELECT doc_id, md5(text) AS fp,
+      |  CAST(LEAST(octet_length(encode(text)) // 64, 8) AS INT) AS nf
+      |  FROM documents),
+      |f AS (SELECT doc_id, fp, CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+      |  FROM p WHERE nf > 0)
+      |SELECT doc_id, frame_idx, md5(fp || '|' || frame_idx) AS frame_id
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------- decode stub
+  /** Output of the fake decoder: byte-level features standing in for
+    * pixel/sample statistics.
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      brightness: Double, histogram: Seq[Int])
+
+  /** Per-partition "decode": iterates payload batches the way a real
+    * codec binding would (amortizing decoder init per partition, not per
+    * row). The decode itself is a STUB — deterministic byte statistics
+    * instead of image decoding, since no codec libraries exist in this
+    * environment; swap `decodeOne` for a real binding without touching
+    * the plan shape. Not SQL-expressible → registered without an oracle
+    * (rows-only driver check); covered by MultimodalSpec instead.
+    */
+  def decodeStub(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    withPayload(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoder init would happen HERE, once per partition
+        def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
+          val hist = new Array[Int](16)
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            hist(bytes(i) & 0x0f) += 1
+            sum += (bytes(i) & 0xff)
+            i += 1
+          }
+          MediaFeatures(id, bytes.length,
+            if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+            hist.toSeq)
+        }
+        it.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  def mDecodeStub(s: SparkSession, d: String): DataFrame =
+    decodeStub(s, d).toDF().orderBy("doc_id")
+
+  val queries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m_binary_meta"  -> (mBinaryMeta _, Some(mBinaryMetaSql)),
+    "m_frame_sample" -> (mFrameSample _, Some(mFrameSampleSql)),
+    "m_decode_stub"  -> (mDecodeStub _, None),
+  )
+}

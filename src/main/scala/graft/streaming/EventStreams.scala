@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over event streams.
+  *
+  * Each transformation takes a DataFrame that may be BATCH or STREAMING —
+  * the plan is identical either way (watermarks are no-ops in batch), and
+  * StreamingSpec proves stream-fed results equal the batch run. The
+  * reference is strictly batch (two blocking MR jobs); this is the
+  * engine's streaming extension surface: windowed aggregation with
+  * watermarked late-data handling, gap sessionization, stateful dedup,
+  * and arbitrary user state via flatMapGroupsWithState.
+  *
+  * Scale notes: all state here is keyed and watermark-bounded — state
+  * store size is O(active windows × types), O(open sessions), and
+  * O(in-watermark event ids) respectively; nothing grows with total
+  * stream length. Shuffles are on the grouping keys only.
+  */
+object EventStreams {
+
+  /** Hourly tumbling counts per event type; 10-minute watermark drops
+    * late data and lets window state be evicted.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  /** Sliding 30-minute windows every 10 minutes (each event lands in 3). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  /** Gap-based sessions (5 min) per user. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"))
+
+  /** Stateful exactly-once-style dedup on event_id, state bounded by the
+    * watermark (at-least-once source → effectively-once downstream).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserStats(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary stateful processing: running per-user count/total via
+    * flatMapGroupsWithState (Update mode) — the escape hatch for
+    * semantics windows can't express. State is one small struct per user.
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserStats(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Convenience: file-stream reader over a fixture directory with the
+    * events schema (ts as µs timestamp), for driving these pipelines
+    * from parquet drops. maxFilesPerTrigger bounds per-batch work.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}

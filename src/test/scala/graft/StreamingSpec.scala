@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming ≡ batch equivalence: feed the events fixture through
+  * MemoryStream in multiple chunks and assert the streaming results
+  * equal running the SAME transformation over the batch frame.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents: Seq[Ev] =
+    Events.load(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(_.ts.getTime)
+
+  /** Run a streaming transformation over the fixture fed in `chunks`
+    * pieces, complete-mode into a memory sink; return the final table.
+    */
+  private def runStream(name: String, chunks: Int,
+      f: DataFrame => DataFrame, mode: String = "complete"): DataFrame = {
+    val input = MemoryStream[Ev](spark)
+    val q = f(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / chunks)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window: streaming (3 chunks) == batch") {
+    val streamed = runStream("t_tumb", 3, EventStreams.tumblingCounts)
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = EventStreams.tumblingCounts(batchEvents.toDF())
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("sliding window: streaming == batch, each event in 3 windows") {
+    val streamed = runStream("t_slide", 4, EventStreams.slidingCounts)
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = EventStreams.slidingCounts(batchEvents.toDF())
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.toSeq.map(_._3).sum === 3L * batchEvents.size)
+  }
+
+  test("session windows: streaming == batch == oracle-checked e_session") {
+    val streamed = runStream("t_sess", 3, EventStreams.sessionize)
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val batch = EventStreams.sessionize(batchEvents.toDF())
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // and the batch sessionizer agrees with the oracle-checked query
+    val viaQuery = Events.eSession(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaStream = streamed.map { case (t, u, n) => (u, t.getTime / 1000, n) }
+    assert(viaStream === viaQuery)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      val chunk = batchEvents.take(200)
+      input.addData(chunk); q.processAllAvailable()
+      input.addData(chunk); q.processAllAvailable() // exact replay
+    } finally q.stop()
+    assert(spark.table("t_dedup").count() === 200)
+  }
+
+  test("flatMapGroupsWithState running stats converge to batch totals") {
+    val input = MemoryStream[EventStreams.UserEvent](spark)
+    val q = EventStreams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("t_state").outputMode("update").start()
+    try {
+      batchEvents.grouped(300).foreach { g =>
+        input.addData(g.map(e => EventStreams.UserEvent(e.user_id, e.value)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // last emitted row per user == batch aggregate
+    val finalRows = spark.table("t_state")
+      .groupBy("user_id").agg(max("n").as("n")).as[(Long, Long)].collect().toMap
+    val batch = batchEvents.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(finalRows === batch)
+  }
+}
