@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -8,10 +9,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory. Reads stay lazy; Catalyst pushes projection/predicates
   * into the vectorized parquet scan, so callers should NOT pre-select
   * columns here — declare what they need and let pruning do its job.
+  *
+  * The documents/embeddings/events fixtures are each a SINGLE small
+  * parquet file, which Spark scans as one split — so without help,
+  * every CPU-heavy per-row derivation (shingling, MinHash, cosine)
+  * runs on one core. [[spread]] hash-repartitions on the row key right
+  * after the scan: a sub-millisecond shuffle of kilobytes that unlocks
+  * full parallelism. On a real multi-file/100 TB layout the scan
+  * produces thousands of splits and the same repartition is a no-op
+  * cost-wise (or can be dropped); results are identical either way
+  * because every downstream computation is a deterministic function of
+  * the rows, never of their placement.
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col(key))
 
   def region(s: SparkSession, d: String)    = table(s, d, "region")
   def nation(s: SparkSession, d: String)    = table(s, d, "nation")
@@ -20,7 +35,7 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = table(s, d, "events")
-  def documents(s: SparkSession, d: String) = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+  def events(s: SparkSession, d: String)    = spread(s, table(s, d, "events"), "event_id")
+  def documents(s: SparkSession, d: String) = spread(s, table(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String) = spread(s, table(s, d, "embeddings"), "vec_id")
 }

@@ -34,11 +34,17 @@ object Similarity {
   val IvfK = 16         // centroids: vec_id < IvfK
   val NumProbes = 2
 
-  /** embeddings + precomputed norm. */
+  /** embeddings + precomputed norm, pinned behind an exchange so every
+    * consumer (query side, corpus side, centroids, assignment) reuses
+    * ONE norm computation via ReuseExchange instead of re-deriving it,
+    * and so downstream projections can't inline the norm fold into each
+    * reference.
+    */
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"), col("embedding"),
       Vectors.norm(col("embedding")).as("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
 
   // --------------------------------------------------- brute-force top-k
   def sCosineTopK(s: SparkSession, d: String): DataFrame = {
