@@ -20,12 +20,22 @@ import org.apache.spark.sql.functions._
 object Vectors {
   private def dbl(c: Column): Column = c.cast("double")
 
-  /** Σ aᵢ·bᵢ, sequential double sum. */
+  /** Σ aᵢ·bᵢ — native codegen'd Catalyst expression (hot path). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.floatDot(a, b)
+
+  /** Portable higher-order-function form of [[dot]]; bit-identical
+    * results (same fold order), kept as the reference implementation
+    * and exercised against the native one in VectorExprSpec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0), (acc, x) => acc + x)
 
-  /** ‖a‖₂ (sequential double sum of squares). */
-  def norm(a: Column): Column =
+  /** ‖a‖₂ (sequential double sum of squares, codegen'd). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Portable reference form of [[norm]]. */
+  def normHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => dbl(x) * dbl(x)), lit(0.0), (acc, x) => acc + x))
 
   /** Cosine similarity with precomputed norms (callers precompute norms

@@ -245,19 +245,15 @@ object Dedup {
     * engines compute identically — then exact cosine within blocks.
     */
   def dEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val dbl: Column => Column = _.cast("double")
     val emb = Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding"),
-      sqrt(aggregate(transform(col("embedding"), x => dbl(x) * dbl(x)),
-        lit(0.0), (a, x) => a + x)).as("nrm"),
+      graft.functions.Vectors.norm(col("embedding")).as("nrm"),
       floor(element_at(col("embedding"), 1).cast("double") * 10).cast("int").as("bkt"))
       // one exchange = norms computed once, reused by both join sides
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val a = emb.toDF("a_id", "label", "a_emb", "a_nrm", "bkt")
     val b = emb.toDF("b_id", "label", "b_emb", "b_nrm", "bkt")
-    val dot = aggregate(
-      zip_with(col("a_emb"), col("b_emb"), (x, y) => dbl(x) * dbl(y)),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = graft.functions.Vectors.dot(col("a_emb"), col("b_emb"))
     a.join(b, Seq("label", "bkt")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(dot / (col("a_nrm") * col("b_nrm")), 6).as("cos"))

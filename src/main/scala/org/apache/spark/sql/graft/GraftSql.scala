@@ -1,0 +1,30 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+import graft.plans.FloatDotProduct
+
+/** Bridge into Spark's private[sql] surface (hence the package): builds
+  * Columns from custom Catalyst Expressions and registers them as SQL
+  * functions on an arbitrary session.
+  *
+  * Registration is per-session and idempotent, so query functions can
+  * call [[ensureRegistered]] defensively — they receive the session from
+  * the driver and cannot assume SparkSessionExtensions were installed.
+  */
+object GraftSql {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Codegen'd float-array dot product (see graft.plans.FloatDotProduct). */
+  def floatDot(a: Column, b: Column): Column =
+    column(FloatDotProduct(expression(a), expression(b)))
+
+  /** Expose the custom expressions to SQL: `SELECT float_dot(a, b)`. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Relational, Similarity, WordScore}
+
+/** Physical-plan shape assertions: these pin the properties that make
+  * the operators scale — pushdown reaching the parquet scan, broadcast
+  * on dimension joins, partial aggregation, top-k without a full sort,
+  * and whole-stage codegen coverage. A refactor that silently loses one
+  * of these still passes value checks; it fails here.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Executed (post-AQE-final) plan: run the frame first so adaptive
+    * stages materialize — the initial AQE plan hides codegen spans.
+    */
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val p = plan(Relational.qFilterProject(spark, sf))
+    assert(p.contains("PushedFilters:"), p.take(500))
+    // plan dumps truncate long filter lists — match stable prefixes
+    assert(p.contains("GreaterThan(l_quantity,45.0)") &&
+      p.contains("EqualTo(l_returnfl"), "filters not pushed:\n" + p.take(1500))
+    // pruned read schema: only the needed columns reach the scan
+    assert(!p.contains("l_tax"), "column pruning lost: l_tax read but unused")
+  }
+
+  test("dimension joins broadcast; fact-fact join does not") {
+    assert(plan(Relational.qJoinBroadcast(spark, sf)).contains("BroadcastHashJoin"))
+    val shuffleJoin = plan(Relational.qJoinShuffle(spark, sf))
+    assert(shuffleJoin.contains("SortMergeJoin") ||
+      shuffleJoin.contains("ShuffledHashJoin"), shuffleJoin.take(800))
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan(Relational.qTopK(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("flagship word-score runs inside whole-stage codegen") {
+    val p = plan(WordScore.flagship(Tables.documents(spark, sf)))
+    // AQE final plans mark WholeStageCodegen stages as "*(n)"
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined)
+    // exactly the two semantic exchanges (agg shuffle + sort range
+    // exchange) plus the deliberate scan-spread — no accidental extras.
+    // (AQE dumps repeat the initial plan below the final one — count
+    // only the final section.)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange ".r.findAllIn(finalSection).length
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n" + finalSection.take(1200))
+  }
+
+  test("similarity queries use the native float_dot expression") {
+    assert(plan(Similarity.sCosineTopK(spark, sf)).contains("float_dot"))
+    assert(plan(graft.operators.Dedup.dEmbeddingNearDup(spark, sf)).contains("float_dot"))
+  }
+
+  test("window rank pre-filters with WindowGroupLimit") {
+    // Spark 3.5+ pushes the rn <= k predicate into a group-limit below
+    // the window — without it every (customer, order) row sorts fully
+    assert(plan(Relational.qWindowRank(spark, sf)).contains("WindowGroupLimit"))
+  }
+}
