@@ -278,10 +278,28 @@ object Dedup {
       |    (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.25
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------ SimHash64 custom aggregate
+  /** 64-bit SimHash via the typed custom Aggregator (graft.functions.
+    * SimHash64) — exercises the engine's user-defined-aggregation
+    * surface with partial+final merge; oracle is 64 generated SUM(CASE)
+    * bit counters over the same md5 bits.
+    */
+  def dSimhash64(s: SparkSession, d: String): DataFrame = {
+    val sim64 = udaf(graft.functions.SimHash64)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("doc_id")
+      .agg(sim64(col("word")).as("simhash64"))
+      .orderBy("doc_id")
+  }
+
+  val dSimhash64Sql: String = graft.functions.SimHash64.oracleSql(TOKS_SQL)
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
     "d_simhash"     -> (dSimhash _, dSimhashSql),
+    "d_simhash64"   -> (dSimhash64 _, dSimhash64Sql),
     "d_jaccard"     -> (dJaccard _, dJaccardSql),
     "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),
   )

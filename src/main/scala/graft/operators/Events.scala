@@ -103,9 +103,51 @@ object Events {
       |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------- as-of join
+  /** As-of join — an operator Spark lacks natively, composed per the
+    * preference order (a): for every event, the LATEST order of the same
+    * customer with o_orderdate <= event time. Left join on the
+    * inequality + per-event row_number(1) keeps exactly one row per
+    * event (nulls preserved for events with no matching order).
+    *
+    * Scale note: the inequality join fans out to (event × orders of
+    * that customer) before the group-limit; Spark plans it as a
+    * broadcast/shuffle join on the equality key (user = custkey) with
+    * the range predicate as a post-filter, and WindowGroupLimit caps
+    * the per-event buffering. For time-series-scale data the same
+    * composition applies per time-bucketed key.
+    */
+  def eAsofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = load(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    ev.join(ord, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"))
+      .orderBy("event_id")
+  }
+
+  val eAsofJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM ev e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND epoch(o.o_orderdate) * 1000000 <= e.us)
+      |SELECT event_id, user_id, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_tumbling"   -> (eTumbling _, eTumblingSql),
     "e_session"    -> (eSession _, eSessionSql),
     "e_json_props" -> (eJsonProps _, eJsonPropsSql),
+    "e_asof_join"  -> (eAsofJoin _, eAsofJoinSql),
   )
 }

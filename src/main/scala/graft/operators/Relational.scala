@@ -403,6 +403,31 @@ object Relational {
       |            ELSE 'high' END AS band, COUNT(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin
 
+  // ------------------------------------------------------ SQL interface
+  /** The engine's SQL front door: the same catalog/AST path a user's
+    * ad-hoc ANSI SQL takes (`spark.sql` over registered views) — proving
+    * the library surface and the SQL surface plan identically.
+    */
+  def qSqlInterface(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders_v o
+      WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  val qSqlInterfaceSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg"           -> (q1Agg _, q1AggSql),
@@ -423,5 +448,20 @@ object Relational {
     "q_scalar_string"  -> (qScalarString _, qScalarStringSql),
     "q_scalar_math"    -> (qScalarMath _, qScalarMathSql),
     "q_case_expr"      -> (qCaseExpr _, qCaseExprSql),
+    "q_sql_interface"  -> (qSqlInterface _, qSqlInterfaceSql),
   )
+
+  // ------------------------------------------------ approximate distinct
+  /** HLL++ sketch cardinalities next to the exact answer (sketch
+    * internals are implementation-specific → no cross-engine oracle;
+    * RelationalSpec bounds the relative error instead). At 100 TB the
+    * sketch is the difference between a mergeable fixed-size state and
+    * an unbounded distinct shuffle.
+    */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
 }

@@ -52,4 +52,17 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall { case (a, b, c) => a < b && c >= 0.25 })
     assert(rows.map { case (a, b, _) => (a, b) }.distinct.length === rows.length)
   }
+
+  test("simhash64 aggregator: order- and partition-insensitive") {
+    val base = Dedup.dSimhash64(spark, sf).as[(Long, String)].collect().toMap
+    val sim64 = org.apache.spark.sql.functions.udaf(graft.functions.SimHash64)
+    val docs = Tables.documents(spark, sf).orderBy(rand(11))
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("word"))
+      .repartition(3)
+      .groupBy("doc_id")
+      .agg(sim64(col("word")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(docs === base)
+    assert(base.values.forall(_.matches("[0-9a-f]{16}")))
+  }
 }

@@ -52,4 +52,21 @@ class RelationalSpec extends SparkSpec {
       .agg(sum("n_cust")).as[Long].head()
     assert(withBig + withoutBig === Tables.customer(spark, sf).count())
   }
+
+  test("approx distinct stays within 5% of exact") {
+    val rows = Relational.qApproxDistinct(spark, sf)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+    }
+  }
+
+  test("sql interface result equals the DataFrame-API semi join shape") {
+    val viaSql = Relational.qSqlInterface(spark, sf).as[(String, Long)].collect().toMap
+    val viaApi = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf).filter(col("l_quantity") > 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").count().as[(String, Long)].collect().toMap
+    assert(viaSql === viaApi)
+  }
 }
