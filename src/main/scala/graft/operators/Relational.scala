@@ -428,6 +428,30 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------- grouping sets
+  /** Explicit GROUPING SETS (the general form behind rollup/cube),
+    * through the SQL surface — Spark's DataFrame API exposes only
+    * rollup/cube; arbitrary set lists are a SQL-level feature.
+    */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      FROM lineitem_v
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg"           -> (q1Agg _, q1AggSql),
@@ -449,6 +473,7 @@ object Relational {
     "q_scalar_math"    -> (qScalarMath _, qScalarMathSql),
     "q_case_expr"      -> (qCaseExpr _, qCaseExprSql),
     "q_sql_interface"  -> (qSqlInterface _, qSqlInterfaceSql),
+    "q_grouping_sets"  -> (qGroupingSets _, qGroupingSetsSql),
   )
 
   // ------------------------------------------------ approximate distinct

@@ -90,7 +90,9 @@ object EventStreams {
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/events.parquet")
+      // glob form: FileStreamSource wants a directory or glob, and the
+      // fixture is a single file
+      .parquet(s"$dir/events*.parquet")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }

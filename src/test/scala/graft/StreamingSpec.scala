@@ -99,4 +99,16 @@ class StreamingSpec extends SparkSpec {
     val batch = batchEvents.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
     assert(finalRows === batch)
   }
+
+  test("parquet file-stream reader drives the tumbling pipeline") {
+    val q = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, sf))
+      .writeStream.format("memory").queryName("t_file").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_file")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = EventStreams.tumblingCounts(batchEvents.toDF())
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }
