@@ -228,7 +228,36 @@ object TextAnalysis {
        |  COALESCE(fp_min, md5(array_to_string(toks, ' '))) AS fp_minshingle
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- array/map functions
+  /** Array + map scalar-function family over the token arrays (the
+    * complex-type surface the reference never touches): sort, dedup,
+    * membership, indexing, reversal, and a map built from word counts.
+    */
+  def tArrayOps(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d).select(
+      col("doc_id"),
+      size(col("toks")).as("n"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      array_contains(col("toks"), "the").as("has_the"),
+      element_at(col("toks"), 1).as("first_tok"),
+      element_at(reverse(col("toks")), 1).as("last_tok"),
+      element_at(array_sort(col("toks")), 1).as("min_tok"),
+      array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), ",").as("top3_sorted"))
+      .orderBy("doc_id")
+
+  val tArrayOpsSql: String =
+    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n,
+       |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |  list_contains(toks, 'the') AS has_the,
+       |  toks[1] AS first_tok,
+       |  list_reverse(toks)[1] AS last_tok,
+       |  list_sort(toks)[1] AS min_tok,
+       |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_sorted
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_array_ops"    -> (tArrayOps _, tArrayOpsSql),
     "t_token_counts" -> (tTokenCounts _, tTokenCountsSql),
     "t_ngrams"       -> (tNgrams _, tNgramsSql),
     "t_tfidf"        -> (tTfidf _, tTfidfSql),
