@@ -80,6 +80,17 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: the streaming side joins a static
+    * dimension frame (broadcast — the static side is planned once per
+    * micro-batch, never shuffled with the stream). The standard shape
+    * for attaching reference data to an event stream.
+    */
+  def enrichedByUserSegment(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(userDim), col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+
   /** Convenience: file-stream reader over a fixture directory with the
     * events schema (ts as µs timestamp), for driving these pipelines
     * from parquet drops. maxFilesPerTrigger bounds per-batch work.

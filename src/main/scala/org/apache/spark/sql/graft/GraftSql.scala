@@ -28,3 +28,24 @@ object GraftSql {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
 }
+
+/** SparkSessionExtensions entry point — the config-driven registration
+  * path for clusters the library doesn't construct sessions for:
+  *
+  * {{{
+  * spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  * }}}
+  *
+  * Injects the same functions [[GraftSql.ensureRegistered]] adds
+  * programmatically. Query functions still call ensureRegistered
+  * defensively, so either path (or both) works.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatDotProduct(exprs.head, exprs(1))))
+}

@@ -111,4 +111,38 @@ class StreamingSpec extends SparkSpec {
       .as[(Timestamp, String, Long)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("stream-static broadcast enrichment join == batch") {
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.enrichedByUserSegment(input.toDF(), dim)
+      .writeStream.format("memory").queryName("t_enrich").outputMode("complete").start()
+    try {
+      batchEvents.grouped(400).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("t_enrich")
+      .as[(Option[String], Long)].collect().toSet
+    val batch = EventStreams.enrichedByUserSegment(batchEvents.toDF(), dim)
+      .as[(Option[String], Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("checkpointed file sink resumes exactly-once after restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    val input = MemoryStream[Ev](spark)
+    def start() = input.toDF().select(col("event_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val (c1, c2) = batchEvents.splitAt(batchEvents.size / 2)
+    val q1 = start()
+    try { input.addData(c1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // fresh query, same checkpoint -> resumes past c1
+    try { input.addData(c2); q2.processAllAvailable() } finally q2.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === batchEvents.size)
+    assert(out.select("event_id").distinct().count() === batchEvents.size)
+  }
 }
