@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: session bring-up, codegen compiler, parquet
+    // footer reads — keeps the first timed query comparable to the rest
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // fixed (sorted) execution order: stable warmup attribution and
     // directly comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

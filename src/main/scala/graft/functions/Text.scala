@@ -36,17 +36,19 @@ object Text {
   /** One row per token. Use after selecting the carry-along columns. */
   def explodedWord(text: Column): Column = explode(tokens(text))
 
-  /** Word-level n-gram shingles of size n as space-joined strings.
-    * transform over a 0-based index sequence keeps this codegen'd.
-    * Documents shorter than n yield an empty array.
+  /** Word-level n-gram shingles of size n as space-joined strings,
+    * via transform over an index sequence (stays codegen'd).
+    * Documents shorter than n yield an empty array — guarded
+    * explicitly, because `sequence(1, 0)` generates a DESCENDING
+    * [1, 0] sequence in Spark (it does not clamp), and slice with
+    * start 0 then throws at runtime.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(
-      sequence(lit(1), count),
-      i => concat_ws(" ", slice(toks, i, lit(n)))
-    )
-  }
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** The flagship modifier: stars → {1→-2, 2→-1, 3→0, 4→+1, 5→+2}.
     * The reference's lookup table (`ComputeWordScore.java:86-93`) is

@@ -69,4 +69,11 @@ class PlanSpec extends SparkSpec {
     // the window — without it every (customer, order) row sorts fully
     assert(plan(Relational.qWindowRank(spark, sf)).contains("WindowGroupLimit"))
   }
+
+  test("as-of join: equality hash join + residual range, group-limit 1") {
+    val p = plan(graft.operators.Events.eAsofJoin(spark, sf))
+    assert(p.contains("HashJoin"), p.take(800))
+    assert(!p.contains("NestedLoop"), "as-of join degenerated to nested loop")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
 }

@@ -61,4 +61,19 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf).select("text").distinct().count()
     assert(fp.select("fp_full").distinct().count() === docs)
   }
+
+  test("shingles equal a naive sliding-window ground truth (property)") {
+    import graft.functions.Text
+    val texts = Tables.documents(spark, sf).select("text").as[String].take(50) ++
+      Seq("", "one", "one two", "one two three", "a b c d e f")
+    val got = texts.toSeq.toDF("text")
+      .select(col("text"), Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+      .as[(String, Seq[String])].collect().toMap
+    texts.foreach { t =>
+      val toks = new java.util.StringTokenizer(t)
+      val words = Iterator.continually(toks).takeWhile(_.hasMoreTokens).map(_.nextToken()).toList
+      val expected = if (words.size < 3) Nil else words.sliding(3).map(_.mkString(" ")).toList
+      assert(got(t).toList === expected, s"text=$t")
+    }
+  }
 }
