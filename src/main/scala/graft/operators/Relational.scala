@@ -452,6 +452,72 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------- ordered-set aggs
+  /** Exact interpolated percentiles (ordered-set aggregate family).
+    * l_quantity values are small integers-as-doubles, so the linear
+    * interpolation is exact on both engines.
+    */
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+           min(col("l_quantity")).as("qmin"),
+           max(col("l_quantity")).as("qmax"))
+      .orderBy("l_returnflag")
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+      |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------- statistical aggs
+  /** Variance and correlation — computed from EXACT decimal sums with
+    * one double evaluation at the end, not via the native stddev/corr
+    * aggregates: those accumulate doubles in partition order, which is
+    * neither cross-engine nor cross-run reproducible at the ulp level
+    * (error ~1e-3 on 60k rows of 1e4-magnitude values — big enough to
+    * flip any rounding). Sum-of-products of DECIMAL(12,2) is exact and
+    * order-free; both engines then evaluate the same closed formula on
+    * identical inputs.
+    */
+  def qStats(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(12,2)")
+    val e = col("l_extendedprice").cast("decimal(12,2)")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum(q).as("sq"), sum(e).as("se"),
+           sum(q * q).as("sqq"), sum(e * e).as("see"), sum(q * e).as("sqe"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sqq").cast("double") - col("sq").cast("double") *
+          col("sq").cast("double") / col("n")) / (col("n") - 1), 4).as("var_qty"),
+        round((col("n") * col("sqe").cast("double") -
+            col("sq").cast("double") * col("se").cast("double")) /
+          sqrt((col("n") * col("sqq").cast("double") -
+              col("sq").cast("double") * col("sq").cast("double")) *
+            (col("n") * col("see").cast("double") -
+              col("se").cast("double") * col("se").cast("double"))), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val qStatsSql: String =
+    """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS se,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS see,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqe
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1), 4) AS var_qty,
+      |  round((n * CAST(sqe AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(se AS DOUBLE)) /
+      |    sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+      |         (n * CAST(see AS DOUBLE) - CAST(se AS DOUBLE) * CAST(se AS DOUBLE))), 6) AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg"           -> (q1Agg _, q1AggSql),
@@ -474,6 +540,8 @@ object Relational {
     "q_case_expr"      -> (qCaseExpr _, qCaseExprSql),
     "q_sql_interface"  -> (qSqlInterface _, qSqlInterfaceSql),
     "q_grouping_sets"  -> (qGroupingSets _, qGroupingSetsSql),
+    "q_percentile"     -> (qPercentile _, qPercentileSql),
+    "q_stats"          -> (qStats _, qStatsSql),
   )
 
   // ------------------------------------------------ approximate distinct
