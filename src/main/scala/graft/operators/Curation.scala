@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** End-to-end corpus curation: the composed training-data pipeline the
+  * individual operators exist for —
+  *
+  *   quality gate → language filter → exact dedup → near-dup removal →
+  *   tokenized output with stats.
+  *
+  * One lazy DAG: the quality/langid maps fuse into the scan stage, the
+  * dedup steps are the same digest-group and fingerprint-block shapes as
+  * Dedup (semi/anti joins against tiny keeper/victim sets), and nothing
+  * ever collects to the driver. Registered as an oracle-checked query
+  * (the whole pipeline is SQL-expressible), so the composition — not
+  * just the parts — is verified.
+  */
+object Curation {
+
+  private val TOKS_SQL =
+    s"list_filter(string_split_regex(text, '${Text.DelimRegexSql}'), x -> length(x) > 0)"
+
+  /** Curated corpus: docs that (1) have >= 20 tokens, (2) have stopword
+    * ratio < 0.2, (3) are the keeper (min doc_id) of their exact-text
+    * group, and (4) are not the HIGHER id of a near-dup pair (Jaccard >=
+    * 0.9 over 3-shingles within min-shingle blocks). Output: doc_id,
+    * n_tokens, lang.
+    */
+  def curate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("lang"),
+      Text.tokens(col("text")).as("toks"), col("text"))
+    val quality = base
+      .filter(size(col("toks")) >= 20)
+      .filter(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+        / size(col("toks")) < 0.2)
+
+    // exact dedup: keep min doc_id per text digest
+    val keepers = quality
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+    // near-dup victims: higher id of each high-jaccard pair
+    val victims = Dedup.dJaccard(s, d)
+      .filter(col("jac") >= 0.9)
+      .select(col("b").as("doc_id")).distinct()
+
+    quality
+      .join(keepers, "doc_id")
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val curateSql: String =
+    s"""WITH base AS (SELECT doc_id, lang, text, $TOKS_SQL AS toks FROM documents),
+       |quality AS (SELECT * FROM base
+       |  WHERE len(toks) >= 20
+       |    AND CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) < 0.2),
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, $TOKS_SQL AS toks FROM documents) WHERE len(toks) >= 3),
+       |blk AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS blk
+       |  FROM sh3 WHERE len(sh) > 0),
+       |victims AS (SELECT DISTINCT y.doc_id FROM blk x JOIN blk y
+       |  ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.9)
+       |SELECT q.doc_id, CAST(len(q.toks) AS INT) AS n_tokens, q.lang
+       |FROM quality q
+       |JOIN keepers k ON k.doc_id = q.doc_id
+       |WHERE q.doc_id NOT IN (SELECT doc_id FROM victims)
+       |ORDER BY q.doc_id""".stripMargin
+
+  val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_curate" -> (curate _, curateSql),
+  )
+}

@@ -80,6 +80,22 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream inner join: click events joined to the
+    * same user's purchase events within the following 30 minutes. Both
+    * sides buffer state bounded by watermark + time-range condition —
+    * the canonical funnel/attribution join. Works identically on batch
+    * frames (watermarks no-op) for the equivalence test.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes").alias("c")
+    val p = purchases.withWatermark("ts", "10 minutes").alias("p")
+    c.join(p, expr(
+        """c.user_id = p.user_id AND
+          |p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"), col("c.user_id").as("user_id"))
+  }
+
   /** Stream-static enrichment join: the streaming side joins a static
     * dimension frame (broadcast — the static side is planned once per
     * micro-batch, never shuffled with the stream). The standard shape

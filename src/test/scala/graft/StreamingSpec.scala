@@ -145,4 +145,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === batchEvents.size)
     assert(out.select("event_id").distinct().count() === batchEvents.size)
   }
+
+  test("watermarked stream-stream join == batch join") {
+    val clicksB = batchEvents.filter(_.event_type == "click")
+    val purchB = batchEvents.filter(_.event_type == "purchase")
+    val ci = MemoryStream[Ev](spark)
+    val pi = MemoryStream[Ev](spark)
+    val q = EventStreams.clickToPurchase(ci.toDF(), pi.toDF())
+      .writeStream.format("memory").queryName("t_ss").outputMode("append").start()
+    try {
+      clicksB.grouped(80).zipAll(purchB.grouped(80), Nil, Nil).foreach {
+        case (cg, pg) =>
+          if (cg.nonEmpty) ci.addData(cg)
+          if (pg.nonEmpty) pi.addData(pg)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_ss")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventStreams.clickToPurchase(clicksB.toDF(), purchB.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
 }
