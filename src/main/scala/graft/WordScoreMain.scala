@@ -29,15 +29,20 @@ object WordScoreMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      val scored = WordScore.score(
-        ReviewSource.reviews(spark, input), col("stars"), col("text"))
-      TsvSink.write(scored, output)
-      sys.exit(0)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"word-score failed: ${e.getMessage}")
-        sys.exit(1)
-    } finally spark.stop()
+    // compute the exit code first, stop the session, THEN exit —
+    // sys.exit inside try/catch would skip a finally entirely
+    val code =
+      try {
+        val scored = WordScore.score(
+          ReviewSource.reviews(spark, input), col("stars"), col("text"))
+        TsvSink.write(scored, output)
+        0
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"word-score failed: ${e.getMessage}")
+          1
+      }
+    spark.stop()
+    sys.exit(code)
   }
 }

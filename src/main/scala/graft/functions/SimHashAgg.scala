@@ -27,9 +27,14 @@ object SimHash64 extends Aggregator[String, Array[Int], String] {
 
   override def zero: Array[Int] = new Array[Int](64)
 
+  // one digest instance per thread, reset by digest() itself — the JCA
+  // provider lookup must not sit on the per-token hot path
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   override def reduce(buf: Array[Int], token: String): Array[Int] = {
-    val digest = MessageDigest.getInstance("MD5")
-      .digest(token.getBytes(StandardCharsets.UTF_8))
+    val digest = md5.get().digest(token.getBytes(StandardCharsets.UTF_8))
     var j = 0
     while (j < 64) {
       val bit = (digest(j / 8) >> (7 - (j % 8))) & 1

@@ -26,6 +26,13 @@ object Text {
   /** DuckDB-side equivalent used in oracle SQL (same RE2 pattern). */
   val DelimRegexSql = "[ \\t\\n\\r\\f]+"
 
+  /** DuckDB fragment producing the same empty-filtered token list as
+    * [[tokens]] — the single source of truth for oracle-side
+    * tokenization (referenced by every oracle that tokenizes).
+    */
+  val ToksSql: String =
+    s"list_filter(string_split_regex(text, '$DelimRegexSql'), x -> length(x) > 0)"
+
   /** `text` → array<string> of tokens, empties removed.
     * filter(..) is a higher-order function, codegen-friendly, and keeps
     * the empty-drop INSIDE the array (no row explosion needed first).

@@ -21,8 +21,6 @@ import graft.functions.Text
   */
 object Curation {
 
-  private val TOKS_SQL =
-    s"list_filter(string_split_regex(text, '${Text.DelimRegexSql}'), x -> length(x) > 0)"
 
   /** Curated corpus: docs that (1) have >= 20 tokens, (2) have stopword
     * ratio < 0.2, (3) are the keeper (min doc_id) of their exact-text
@@ -58,7 +56,7 @@ object Curation {
   }
 
   val curateSql: String =
-    s"""WITH base AS (SELECT doc_id, lang, text, $TOKS_SQL AS toks FROM documents),
+    s"""WITH base AS (SELECT doc_id, lang, text, ${Text.ToksSql} AS toks FROM documents),
        |quality AS (SELECT * FROM base
        |  WHERE len(toks) >= 20
        |    AND CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) < 0.2),
@@ -66,7 +64,7 @@ object Curation {
        |sh3 AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, $TOKS_SQL AS toks FROM documents) WHERE len(toks) >= 3),
+       |  FROM (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents) WHERE len(toks) >= 3),
        |blk AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS blk
        |  FROM sh3 WHERE len(sh) > 0),
        |victims AS (SELECT DISTINCT y.doc_id FROM blk x JOIN blk y

@@ -13,14 +13,14 @@ import graft.functions.Text
   * Design for 100 TB:
   *  - Exact dedup hashes the text ONCE map-side and groups on the 16-byte
   *    digest, never shuffling document bodies.
-  *  - MinHash/LSH turns all-pairs O(n²) into per-bucket joins: signatures
-  *    are computed scan-side (no shuffle), the only shuffles are the
-  *    band-bucket join (keys ≈ uniformly distributed md5s, no skew) and
-  *    the candidate-pair signature join.
+  *  - MinHash/LSH turns all-pairs O(n²) into per-bucket pair generation:
+  *    signatures are computed scan-side in ONE pass, and the only
+  *    shuffle is the group-by-band-bucket (keys ≈ uniformly distributed
+  *    md5s, no skew) — no self-join, no second signature pass.
   *  - SimHash is a pure per-row map — embarrassingly parallel.
-  *  - Jaccard verification restricts candidate generation to rare
-  *    shingles (df-bounded), which caps the self-join fan-out at
-  *    Σ df² ≤ maxDf · |shingles| regardless of corpus size.
+  *  - Jaccard blocks on the min-shingle fingerprint (1-hash MinHash, a
+  *    uniform scale-invariant key) and computes exact Jaccard only
+  *    within blocks.
   *  - Embedding near-dup blocks on (label, quantized first component)
   *    so the pair join is per-block, not global.
   *
@@ -33,8 +33,6 @@ import graft.functions.Text
   */
 object Dedup {
 
-  private val TOKS_SQL =
-    s"list_filter(string_split_regex(text, '${Text.DelimRegexSql}'), x -> length(x) > 0)"
 
   // --------------------------------------------------------- exact dedup
   /** Exact duplicate groups keyed by content digest: keeper = min doc_id,
@@ -125,7 +123,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     val agree = (0 until MinhashK)
       .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
        |sh3 AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -172,7 +170,7 @@ object Dedup {
       s"CASE WHEN $si > 0 THEN ${1 << (16 - i)} ELSE 0 END"
     }.mkString("\n    + ")
     s"""WITH t AS (SELECT doc_id,
-       |  list_transform($TOKS_SQL, x -> md5(x)) AS h FROM documents)
+       |  list_transform(${Text.ToksSql}, x -> md5(x)) AS h FROM documents)
        |SELECT doc_id, CAST($bits AS INT) AS simhash16
        |FROM t ORDER BY doc_id""".stripMargin
   }
@@ -221,7 +219,7 @@ object Dedup {
   }
 
   val dJaccardSql: String =
-    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
        |sh3 AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -293,7 +291,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val dSimhash64Sql: String = graft.functions.SimHash64.oracleSql(TOKS_SQL)
+  val dSimhash64Sql: String = graft.functions.SimHash64.oracleSql(Text.ToksSql)
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d_exact"       -> (dExact _, dExactSql),

@@ -29,9 +29,6 @@ object TextAnalysis {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("toks", Text.tokens(col("text")))
 
-  /** DuckDB fragment: empty-filtered whitespace tokens, as a list. */
-  private val TOKS_SQL =
-    s"list_filter(string_split_regex(text, '${Text.DelimRegexSql}'), x -> length(x) > 0)"
 
   // ------------------------------------------------------- token counts
   /** Term + document frequency per word — the inverted-index statistics
@@ -46,7 +43,7 @@ object TextAnalysis {
 
   val tTokenCountsSql: String =
     s"""SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
-       |FROM (SELECT doc_id, unnest($TOKS_SQL) AS word FROM documents)
+       |FROM (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents)
        |GROUP BY word ORDER BY word""".stripMargin
 
   // ------------------------------------------------------------- ngrams
@@ -61,7 +58,7 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
 
   val tNgramsSql: String =
-    s"""WITH t AS (SELECT $TOKS_SQL AS toks FROM documents),
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
        |i AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
        |SELECT toks[i] || ' ' || toks[i + 1] AS bigram, COUNT(*) AS n
        |FROM i GROUP BY bigram ORDER BY n DESC, bigram""".stripMargin
@@ -86,7 +83,7 @@ object TextAnalysis {
   }
 
   val tTfidfSql: String =
-    s"""WITH w AS (SELECT doc_id, unnest($TOKS_SQL) AS word FROM documents),
+    s"""WITH w AS (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents),
        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
@@ -132,7 +129,7 @@ object TextAnalysis {
     val cols = LangMarkers.map { case (l, ws) => s"${hits(ws)} AS c_$l" }.mkString(",\n  ")
     val m = s"GREATEST(${LangMarkers.map { case (l, _) => s"c_$l" }.mkString(", ")})"
     val cases = LangMarkers.map { case (l, _) => s"WHEN c_$l = $m THEN '$l'" }.mkString(" ")
-    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
        |c AS (SELECT doc_id,
        |  $cols
        |FROM t)
@@ -171,7 +168,7 @@ object TextAnalysis {
   }
 
   val tQualitySql: String =
-    s"""WITH t AS (SELECT doc_id, text, $TOKS_SQL AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, ${Text.ToksSql} AS toks FROM documents),
        |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
        |    CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) END AS stop_raw,
@@ -199,7 +196,7 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   val tTokenCountBpeSql: String =
-    s"""SELECT doc_id, CAST(len($TOKS_SQL) AS INT) AS n_ws,
+    s"""SELECT doc_id, CAST(len(${Text.ToksSql}) AS INT) AS n_ws,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe
        |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -218,7 +215,7 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   val tFingerprintSql: String =
-    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(toks) >= 4 THEN
        |    list_min(list_transform(range(1, len(toks) - 2),
@@ -246,7 +243,7 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   val tArrayOpsSql: String =
-    s"""WITH t AS (SELECT doc_id, $TOKS_SQL AS toks FROM documents)
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents)
        |SELECT doc_id, CAST(len(toks) AS INT) AS n,
        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
        |  list_contains(toks, 'the') AS has_the,

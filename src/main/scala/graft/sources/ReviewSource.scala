@@ -33,12 +33,14 @@ object ReviewSource {
   * (TextOutputFormat after the KV inversion, `ComputeWordScore.java:
   * 192,206-216`), one file (1 reducer, `:209-213`).
   *
-  * We keep the sort parallel (range-partitioned SortExec) and only
-  * collapse to a single file AT THE SINK — `coalesce(1)` after the
-  * sort preserves the global order while the expensive work stays
-  * distributed. At 100 TB one would drop the single-file requirement
-  * and write sorted part files instead (order within and across parts
-  * is preserved by the range exchange).
+  * `singleFile = true` reproduces the reference's one-file contract —
+  * and, like its single reducer, serializes the FINAL sort stage:
+  * `coalesce(1)` is a narrow dependency, so one task merges all range
+  * partitions. All upstream work (scan, tokenize, aggregate, shuffle)
+  * stays distributed. At 100 TB drop the single-file requirement
+  * (`singleFile = false`): the range exchange already orders part files
+  * within and across each other, so the sorted output is the
+  * lexicographic concatenation of parts.
   */
 object TsvSink {
   def write(scored: DataFrame, path: String, singleFile: Boolean = true): Unit = {

@@ -16,19 +16,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SequenceFiles {
 
-  /** Read a `SequenceFile<Text, IntWritable>` as (word, score) rows. */
+  /** Read a `SequenceFile<Text, IntWritable>` as (word, score) rows.
+    * Scores widen to LONG to match the engine's score type (sum over
+    * int), so read → write round-trips.
+    */
   def readWordScores(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext
       .sequenceFile(path, classOf[Text], classOf[IntWritable])
-      .map { case (k, v) => (k.toString, v.get()) }
+      .map { case (k, v) => (k.toString, v.get().toLong) }
       .toDF("word", "score")
   }
 
-  /** Write (word, score) rows in the reference's intermediate format. */
+  /** Write (word, score) rows in the reference's intermediate format.
+    * Accepts int or long score columns; fails loudly (like the
+    * reference's fail-fast stance) if a score exceeds IntWritable's
+    * range instead of silently truncating.
+    */
   def writeWordScores(df: DataFrame, path: String): Unit = {
     df.select("word", "score").rdd
-      .map(r => (new Text(r.getString(0)), new IntWritable(r.getLong(1).toInt)))
+      .map { r =>
+        val score = r.getAs[Number](1).longValue()
+        require(score >= Int.MinValue && score <= Int.MaxValue,
+          s"score $score for word '${r.getString(0)}' exceeds IntWritable range")
+        (new Text(r.getString(0)), new IntWritable(score.toInt))
+      }
       .saveAsSequenceFile(path)
   }
 }

@@ -16,9 +16,14 @@ class SequenceFileSpec extends SparkSpec {
     val scored = WordScore.flagship(Tables.documents(spark, sf))
     SequenceFiles.writeWordScores(scored, path)
     val back = SequenceFiles.readWordScores(spark, path)
-      .as[(String, Int)].collect().toMap
-    val expected = scored.as[(String, Long)].collect()
-      .map { case (w, s) => w -> s.toInt }.toMap
+      .as[(String, Long)].collect().toMap
+    val expected = scored.as[(String, Long)].collect().toMap
     assert(back === expected)
+
+    // and the read frame itself round-trips through write again
+    val path2 = path + "_2"
+    SequenceFiles.writeWordScores(SequenceFiles.readWordScores(spark, path), path2)
+    assert(SequenceFiles.readWordScores(spark, path2)
+      .as[(String, Long)].collect().toMap === expected)
   }
 }
