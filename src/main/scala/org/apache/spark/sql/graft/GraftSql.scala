@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.plans.FloatDotProduct
+import graft.plans.{FloatDotProduct, ShingleMinHash, ShingleSet}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -22,6 +22,14 @@ object GraftSql {
   /** Codegen'd float-array dot product (see graft.plans.FloatDotProduct). */
   def floatDot(a: Column, b: Column): Column =
     column(FloatDotProduct(expression(a), expression(b)))
+
+  /** Native MinHash signature mins (see graft.plans.ShingleMinHash). */
+  def shingleMinHash(toks: Column, n: Int, salts: Seq[String]): Column =
+    column(ShingleMinHash(expression(toks), n, salts))
+
+  /** Native distinct shingle set (see graft.plans.ShingleSet). */
+  def shingleSet(toks: Column, n: Int): Column =
+    column(ShingleSet(expression(toks), n))
 
   /** Expose the custom expressions to SQL: `SELECT float_dot(a, b)`. */
   def ensureRegistered(spark: SparkSession): Unit =

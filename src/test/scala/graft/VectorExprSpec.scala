@@ -66,4 +66,41 @@ class VectorExprSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("native ShingleMinHash == HOF minhash signature, exactly") {
+    import graft.functions.Text
+    val salts = (0 until 12).map(j => s"$j|")
+    val toks = Text.tokens(col("text"))
+    val hof = transform(sequence(lit(0), lit(11)), j =>
+      array_min(transform(array_distinct(Text.shingles(toks, 3)),
+        x => md5(concat(j.cast("string"), lit("|"), x).cast("binary")))))
+    val rows = Tables.documents(spark, sf)
+      .filter(size(toks) >= 3)
+      .select(org.apache.spark.sql.graft.GraftSql.shingleMinHash(toks, 3, salts).as("fast"),
+        hof.as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (fast, ref) => assert(fast === ref) }
+  }
+
+  test("ShingleMinHash: null for short docs, interpreted == codegen") {
+    import graft.functions.Text
+    val df = Seq("one two", "one two three four").toDF("text")
+      .select(org.apache.spark.sql.graft.GraftSql.shingleMinHash(
+        Text.tokens(col("text")), 3, Seq("", "1|")).as("sig"))
+    val got = df.as[Option[Seq[String]]].collect()
+    assert(got(0).isEmpty && got(1).exists(_.length == 2))
+  }
+
+  test("native ShingleSet == array_distinct(shingles) exactly") {
+    import graft.functions.Text
+    val toks = Text.tokens(col("text"))
+    val rows = (Tables.documents(spark, sf).select(col("text")).as[String].take(50) ++
+        Seq("", "one", "one two", "a b c a b c"))
+      .toSeq.toDF("text")
+      .select(org.apache.spark.sql.graft.GraftSql.shingleSet(toks, 3).as("fast"),
+        array_distinct(Text.shingles(toks, 3)).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (fast, ref) => assert(fast === ref) }
+  }
 }
