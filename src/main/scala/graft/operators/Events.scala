@@ -40,7 +40,7 @@ object Events {
     load(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(valDec).cast("decimal(18,2)").as("total"))
+           sum(valDec).cast("double").as("total"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n"), col("total"))
       .orderBy("bucket_start", "event_type")
@@ -48,7 +48,7 @@ object Events {
   val eTumblingSql: String =
     """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
 
   // ------------------------------------------------------ sessionization
@@ -61,7 +61,7 @@ object Events {
     load(s, d)
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-           sum(valDec).cast("decimal(18,2)").as("total"))
+           sum(valDec).cast("double").as("total"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n"), col("total"))
@@ -79,7 +79,7 @@ object Events {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM flag)
       |SELECT user_id, MIN(us) // 1000000 AS session_start, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM isl GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 

@@ -80,10 +80,14 @@ object Multimodal {
 
   // ------------------------------------------------------- decode stub
   /** Output of the fake decoder: byte-level features standing in for
-    * pixel/sample statistics.
+    * pixel/sample statistics. `histogram` is the 16-bin nibble
+    * histogram encoded as a comma-joined string — a scalar column so
+    * every downstream consumer (including the driver's pandas-side
+    * sort/hash compare) can order and hash rows; an array column is
+    * unhashable there.
     */
   case class MediaFeatures(doc_id: Long, n_bytes: Int,
-      brightness: Double, histogram: Seq[Int])
+      brightness: Double, histogram: String)
 
   /** Per-partition "decode": iterates payload batches the way a real
     * codec binding would (amortizing decoder init per partition, not per
@@ -110,7 +114,7 @@ object Multimodal {
           }
           MediaFeatures(id, bytes.length,
             if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-            hist.toSeq)
+            hist.mkString(","))
         }
         it.map { case (id, bytes) => decodeOne(id, bytes) }
       }

@@ -17,8 +17,11 @@ import graft.Tables
   *
   * Cross-engine determinism conventions (see FIXTURES.md §C):
   *  - Money/quantity sums go through DECIMAL(12,2) so aggregation is
-  *    exact and order-independent (double sums are neither); results
-  *    cast to a fixed DECIMAL so Spark/DuckDB output types agree.
+  *    exact and order-independent (double sums are neither); final
+  *    output columns are cast DOUBLE on BOTH engines — no DECIMAL in
+  *    the emitted schema (the driver's pandas hash treats decimals
+  *    engine-differently; decimal→double is one correctly-rounded op
+  *    on both sides, so exact-equal decimals give bit-equal doubles).
   *  - Averages are one double division of exact decimal sums, rounded.
   *  - Integer-ish results are cast to the same width on both sides
   *    (DuckDB SUM(int)→HUGEINT, year()→BIGINT, Spark floor()→BIGINT…).
@@ -50,18 +53,18 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(qtyDec).cast("decimal(18,2)").as("sum_qty"),
-        sum(priceDec).cast("decimal(18,2)").as("sum_base_price"),
-        sum(revDec).cast("decimal(18,4)").as("sum_disc_price"),
+        sum(qtyDec).cast("double").as("sum_qty"),
+        sum(priceDec).cast("double").as("sum_base_price"),
+        sum(revDec).cast("double").as("sum_disc_price"),
         round(sum(qtyDec).cast("double") / count(lit(1)), 6).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1AggSql: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       |  CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM($REV_SQL) AS DOUBLE) AS sum_disc_price,
        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        |  COUNT(*) AS count_order
        |FROM lineitem
@@ -107,12 +110,12 @@ object Relational {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(revDec).cast("decimal(18,4)").as("revenue"),
+      .agg(sum(revDec).cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
   val qJoinBroadcastSql: String =
-    s"""SELECT n_name, CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS revenue,
+    s"""SELECT n_name, CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_items
        |FROM lineitem
        |JOIN orders   ON l_orderkey = o_orderkey
@@ -130,12 +133,12 @@ object Relational {
       .hint("SHUFFLE_MERGE")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(sum(revDec).cast("decimal(18,4)").as("revenue"),
+      .agg(sum(revDec).cast("double").as("revenue"),
            countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy("o_orderpriority")
 
   val qJoinShuffleSql: String =
-    s"""SELECT o_orderpriority, CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS revenue,
+    s"""SELECT o_orderpriority, CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
        |  COUNT(DISTINCT o_orderkey) AS n_orders
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -148,12 +151,12 @@ object Relational {
             col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_cust"),
-           sum(col("c_acctbal").cast("decimal(12,2)")).cast("decimal(18,2)").as("bal"))
+           sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("bal"))
       .orderBy("c_mktsegment")
 
   val qSemiJoinSql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_cust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS bal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
@@ -182,7 +185,7 @@ object Relational {
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
       .agg(grouping_id().cast("int").as("gid"),
-           sum(qtyDec).cast("decimal(18,2)").as("sum_qty"),
+           sum(qtyDec).cast("double").as("sum_qty"),
            count(lit(1)).as("n"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first)
@@ -190,7 +193,7 @@ object Relational {
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -201,7 +204,7 @@ object Relational {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(grouping_id().cast("int").as("gid"),
            count(lit(1)).as("n"),
-           sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("total"))
+           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
                col("o_orderpriority").asc_nulls_first)
 
@@ -209,7 +212,7 @@ object Relational {
     """SELECT o_orderstatus, o_orderpriority,
       |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INT) AS gid,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
@@ -262,8 +265,9 @@ object Relational {
     val w = Window.partitionBy("l_suppkey").orderBy("ship_day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
-      .select(col("l_suppkey"), col("ship_day"), col("day_rev"),
-              sum(col("day_rev")).over(w).cast("decimal(18,4)").as("cum_rev"))
+      .select(col("l_suppkey"), col("ship_day"),
+              col("day_rev").cast("double").as("day_rev"),
+              sum(col("day_rev")).over(w).cast("double").as("cum_rev"))
       .orderBy("l_suppkey", "ship_day")
   }
 
@@ -272,9 +276,9 @@ object Relational {
        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
        |    CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS day_rev
        |  FROM lineitem GROUP BY 1, 2)
-       |SELECT l_suppkey, ship_day, day_rev,
+       |SELECT l_suppkey, ship_day, CAST(day_rev AS DOUBLE) AS day_rev,
        |  CAST(SUM(day_rev) OVER (PARTITION BY l_suppkey ORDER BY ship_day
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cum_rev
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
        |FROM daily ORDER BY l_suppkey, ship_day""".stripMargin
 
   // ---------------------------------------------------- window: lag/lead
@@ -285,7 +289,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         (col("o_totalprice").cast("decimal(12,2)") -
           coalesce(lag(col("o_totalprice").cast("decimal(12,2)"), 1).over(w),
-                   lit(0).cast("decimal(12,2)"))).cast("decimal(18,2)").as("delta"))
+                   lit(0).cast("decimal(12,2)"))).cast("double").as("delta"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -294,7 +298,7 @@ object Relational {
       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) -
       |    COALESCE(lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (
       |      PARTITION BY o_custkey ORDER BY o_orderkey),
-      |      CAST(0 AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS delta
+      |      CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS delta
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   // ------------------------------------------------------------- set ops
@@ -365,7 +369,7 @@ object Relational {
     Tables.lineitem(s, d)
       .filter(col("l_linenumber") === 1)
       .select(col("l_orderkey"),
-        round(priceDec * discDec, 2).cast("decimal(18,2)").as("disc_amt"),
+        round(priceDec * discDec, 2).cast("double").as("disc_amt"),
         floor(col("l_quantity")).as("qty_floor"),
         ceil(col("l_quantity")).as("qty_ceil"),
         abs(col("l_quantity") - 25.0).as("qty_dev"),
@@ -376,7 +380,7 @@ object Relational {
 
   val qScalarMathSql: String =
     """SELECT l_orderkey,
-      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)), 2) AS DECIMAL(18,2)) AS disc_amt,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)), 2) AS DOUBLE) AS disc_amt,
       |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
       |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
       |  abs(l_quantity - 25.0) AS qty_dev, sqrt(l_quantity) AS qty_sqrt,
@@ -438,7 +442,7 @@ object Relational {
     s.sql("""
       SELECT l_returnflag, l_linestatus,
         CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       FROM lineitem_v
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
@@ -447,7 +451,7 @@ object Relational {
   val qGroupingSetsSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin

@@ -27,7 +27,7 @@ class MultimodalSpec extends SparkSpec {
   test("decode stub: histogram mass equals byte count; deterministic") {
     val feats = Multimodal.decodeStub(spark, sf).collect()
     feats.foreach { f =>
-      assert(f.histogram.sum === f.n_bytes)
+      assert(f.histogram.split(',').map(_.toInt).sum === f.n_bytes)
       assert(f.brightness >= 0.0 && f.brightness <= 255.0)
     }
     val again = Multimodal.decodeStub(spark, sf).collect()

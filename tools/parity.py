@@ -18,8 +18,11 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
 def canon(v):
+    # exact compare, including floats: the driver's gate is a bit-level
+    # hash of the pandas frames, so a value that is only round-9 close
+    # would still fail there. Doubles must match bit-for-bit.
     if isinstance(v, float):
-        return round(v, 9)
+        return v.hex() if v == v else "nan"
     return v
 
 fails = []
