@@ -25,8 +25,11 @@ object Curation {
   /** Curated corpus: docs that (1) have >= 20 tokens, (2) have stopword
     * ratio < 0.2, (3) are the keeper (min doc_id) of their exact-text
     * group, and (4) are not the HIGHER id of a near-dup pair (Jaccard >=
-    * 0.9 over 3-shingles within min-shingle blocks). Output: doc_id,
-    * n_tokens, lang.
+    * 0.9 over 3-shingles within min-shingle blocks) AMONG the
+    * quality-surviving docs — near-dup removal applies to the corpus
+    * being kept, so the expensive shingle/pairing subplan runs once
+    * over the filtered set instead of a second full-corpus pass.
+    * Output: doc_id, n_tokens, lang.
     */
   def curate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -37,19 +40,23 @@ object Curation {
       .filter(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
         / size(col("toks")) < 0.2)
 
-    // exact dedup: keep min doc_id per text digest
+    // exact dedup: keep min doc_id per text digest — a window-min over
+    // the digest instead of groupBy+self-join, so the quality subplan
+    // feeds ONE chain here rather than being re-evaluated for a
+    // keepers relation and again for the join probe side.
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
     val keepers = quality
-      .groupBy(md5(col("text").cast("binary")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+      .withColumn("keep_min", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("keep_min"))
 
-    // near-dup victims: higher id of each high-jaccard pair
-    val victims = Dedup.dJaccard(s, d)
+    // near-dup victims: higher id of each high-jaccard pair among the
+    // quality survivors (shared subplan — Dedup.jaccardPairs)
+    val victims = Dedup.jaccardPairs(quality.select(col("doc_id"), col("toks")))
       .filter(col("jac") >= 0.9)
       .select(col("b").as("doc_id")).distinct()
 
-    quality
-      .join(keepers, "doc_id")
+    keepers
       .join(victims, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("lang"))
       .orderBy("doc_id")
@@ -64,7 +71,7 @@ object Curation {
        |sh3 AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents) WHERE len(toks) >= 3),
+       |  FROM quality WHERE len(toks) >= 3),
        |blk AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS blk
        |  FROM sh3 WHERE len(sh) > 0),
        |victims AS (SELECT DISTINCT y.doc_id FROM blk x JOIN blk y

@@ -33,6 +33,61 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Per-block member cap for pair generation — above this, a block is
+    * split into salt groups (see [[blockPairs]]).
+    */
+  val BlockCap = 32
+
+  /** Salted membership lists: every (block, salt-pair) sub-bucket with
+    * its collected members. Blocks of m ≤ cap rows keep a single
+    * (blk, 0, 0) bucket (today's shape, zero overhead). Larger blocks
+    * are split into G = ceil(m/cap) deterministic salt groups by
+    * xxhash64(doc_id); each row is replicated into the G sub-buckets
+    * {min(g,g2), max(g,g2)}, so any two members share exactly one
+    * sub-bucket. Expected members per sub-bucket ≈ 2·cap regardless of
+    * block size — the unbounded collect_list row (the 100 TB
+    * hot-block killer: one template-spam cluster = one O(m²) task)
+    * becomes G² bounded tasks. Exposed package-private for the
+    * bounded-state property test.
+    *
+    * Input: columns `blk` and `v` (struct; must contain `doc_id`).
+    */
+  private[graft] def saltedMembers(rows: DataFrame, cap: Int): DataFrame = {
+    // block size via window count, NOT a join against a separate
+    // groupBy("blk") aggregation: a join would evaluate the upstream
+    // subplan (shingle sets, quality filters — the expensive part)
+    // twice, once per join side. The window costs one partition-by-blk
+    // exchange over rows that were about to shuffle on blk anyway.
+    val wBlk = org.apache.spark.sql.expressions.Window.partitionBy("blk")
+    rows
+      .select(col("blk"), col("v"),
+        ceil(count(lit(1)).over(wBlk).cast("double") / cap).cast("int").as("ng"))
+      .withColumn("g", pmod(xxhash64(col("v.doc_id")), col("ng")).cast("int"))
+      .select(col("blk"), col("g"), col("v"),
+        explode(sequence(lit(0), col("ng") - 1)).as("g2"))
+      .groupBy(col("blk"),
+        least(col("g"), col("g2")).as("lg"),
+        greatest(col("g"), col("g2")).as("hg"))
+      .agg(collect_list(struct(col("g"), col("v"))).as("m"))
+      .filter(size(col("m")) >= 2)
+  }
+
+  /** All unordered member pairs sharing a block key, each pair emitted
+    * exactly once, with per-task state bounded by [[saltedMembers]]:
+    * within a (blk, lg, hg) sub-bucket only pairs whose salt set equals
+    * {lg, hg} are kept (an lg–lg pair belongs to the (lg, lg) bucket).
+    * Output: columns `x`, `y` — the two payload structs.
+    */
+  private[graft] def blockPairs(rows: DataFrame, cap: Int = BlockCap): DataFrame = {
+    val pairArr = flatten(transform(sequence(lit(1), size(col("m")) - 1), i =>
+      transform(sequence(i + 1, size(col("m"))), j =>
+        struct(element_at(col("m"), i).as("x"), element_at(col("m"), j).as("y")))))
+    saltedMembers(rows, cap)
+      .select(col("lg"), col("hg"), explode(pairArr).as("q"))
+      .filter(least(col("q.x.g"), col("q.y.g")) === col("lg") &&
+              greatest(col("q.x.g"), col("q.y.g")) === col("hg"))
+      .select(col("q.x.v").as("x"), col("q.y.v").as("y"))
+  }
 
   // --------------------------------------------------------- exact dedup
   /** Exact duplicate groups keyed by content digest: keeper = min doc_id,
@@ -69,8 +124,8 @@ object Dedup {
     *
     * 100 TB note: per-bucket pair generation is quadratic in bucket
     * size; uniform md5 buckets keep that tiny, and a degenerate hot
-    * bucket (all-identical spam docs) is capped in practice by slicing
-    * `m` before pairing — the structure stays one-shuffle either way.
+    * bucket (all-identical spam docs) is bounded by [[blockPairs]]'s
+    * salt-group split — per-task state stays ~2·[[BlockCap]] members.
     */
   def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
@@ -95,22 +150,14 @@ object Dedup {
           struct(sig.as("sig"), bucketOf(sig, b).as("bucket")))), 1)
     val banded = base
       .select(col("doc_id"), explode(bandArr).as("bb"))
-      .select(col("doc_id"), col("bb.sig").as("sig"), col("bb.bucket").as("bucket"))
-    val members = banded
-      .groupBy("bucket")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("m"))
-      .filter(size(col("m")) >= 2)
-    // all i<j pairs within a bucket
-    val pairArr = flatten(transform(sequence(lit(1), size(col("m")) - 1), i =>
-      transform(sequence(i + 1, size(col("m"))), j =>
-        struct(element_at(col("m"), i).as("x"), element_at(col("m"), j).as("y")))))
+      .select(col("bb.bucket").as("blk"),
+        struct(col("doc_id"), col("bb.sig").as("sig")).as("v"))
     val agree = size(filter(
-      zip_with(col("p.x.sig"), col("p.y.sig"), (x, y) => x === y), (b: Column) => b))
-    members
-      .select(explode(pairArr).as("p"))
+      zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y), (b: Column) => b))
+    blockPairs(banded)
       .select(
-        least(col("p.x.doc_id"), col("p.y.doc_id")).as("a"),
-        greatest(col("p.x.doc_id"), col("p.y.doc_id")).as("b"),
+        least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
         round(agree.cast("double") / MinhashK, 6).as("est_sim"))
       .filter(col("est_sim") >= 0.5)
       .distinct()
@@ -193,33 +240,35 @@ object Dedup {
     * loses all recall as the corpus grows and shared shingles stop
     * being rare: 28 detected pairs at 500 docs, 0 at 5000.)
     */
-  def dJaccard(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"),
-        org.apache.spark.sql.graft.GraftSql.shingleSet(
-          Text.tokens(col("text")), 3).as("sh"),
-        element_at(org.apache.spark.sql.graft.GraftSql.shingleMinHash(
-          Text.tokens(col("text")), 3, Seq("")), 1).as("blk"))
-      .filter(size(col("sh")) > 0)
-    val members = base
-      .groupBy("blk")
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("m"))
-      .filter(size(col("m")) >= 2)
-    val pairArr = flatten(transform(sequence(lit(1), size(col("m")) - 1), i =>
-      transform(sequence(i + 1, size(col("m"))), j =>
-        struct(element_at(col("m"), i).as("x"), element_at(col("m"), j).as("y")))))
-    val inter = size(array_intersect(col("p.x.sh"), col("p.y.sh")))
-    val uni = size(col("p.x.sh")) + size(col("p.y.sh")) - inter
-    members
-      .select(explode(pairArr).as("p"))
-      .select(
-        least(col("p.x.doc_id"), col("p.y.doc_id")).as("a"),
-        greatest(col("p.x.doc_id"), col("p.y.doc_id")).as("b"),
-        inter.cast("bigint").as("inter"),
-        round(inter.cast("double") / uni, 6).as("jac"))
+  def dJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks")))
       .filter(col("jac") >= 0.6)
       .distinct()
       .orderBy("a", "b")
+
+  /** Min-shingle-blocked exact-Jaccard pairs over any (doc_id, toks)
+    * frame — the shared subplan behind [[dJaccard]] and the curation
+    * pipeline's near-dup victim set (which runs it over the smaller
+    * quality-surviving corpus instead of twice over everything).
+    * Hot blocks are bounded by [[blockPairs]].
+    */
+  def jaccardPairs(docsWithToks: DataFrame): DataFrame = {
+    val base = docsWithToks
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftSql.shingleSet(col("toks"), 3).as("sh"),
+        element_at(org.apache.spark.sql.graft.GraftSql.shingleMinHash(
+          col("toks"), 3, Seq("")), 1).as("blk"))
+      .filter(size(col("sh")) > 0)
+      .select(col("blk"), struct(col("doc_id"), col("sh")).as("v"))
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+    val uni = size(col("x.sh")) + size(col("y.sh")) - inter
+    blockPairs(base)
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        inter.cast("bigint").as("inter"),
+        round(inter.cast("double") / uni, 6).as("jac"))
   }
 
   val dJaccardSql: String =

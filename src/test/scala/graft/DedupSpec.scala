@@ -53,6 +53,43 @@ class DedupSpec extends SparkSpec {
     assert(rows.map { case (a, b, _) => (a, b) }.distinct.length === rows.length)
   }
 
+  test("hot block: 1000-copy spam cluster yields bounded per-row state, all pairs once") {
+    // 1000 docs in ONE block (the template-spam shape that kills an
+    // unbounded collect_list design): per-bucket membership must stay
+    // ~2·BlockCap and every unordered pair must surface exactly once.
+    val m = 1000
+    val rows = (1L to m.toLong).toDF("id")
+      .select(lit("hot").as("blk"), struct(col("id").as("doc_id")).as("v"))
+    val buckets = Dedup.saltedMembers(rows, Dedup.BlockCap)
+      .select(size(col("m")).as("sz")).as[Int].collect()
+    assert(buckets.max <= 4 * Dedup.BlockCap,
+      s"unbounded bucket: max=${buckets.max}")
+    val pairs = Dedup.blockPairs(rows)
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")),
+        greatest(col("x.doc_id"), col("y.doc_id")))
+      .as[(Long, Long)].collect()
+    assert(pairs.length === m * (m - 1) / 2)        // every pair...
+    assert(pairs.distinct.length === pairs.length)  // ...exactly once
+  }
+
+  test("small blocks: salted pair generation equals naive all-pairs") {
+    // mixed block sizes below and above the cap
+    val data = (1L to 100L).map(i => (s"b${i % 7}", i))
+    val rows = data.toDF("blk", "id")
+      .select(col("blk"), struct(col("id").as("doc_id")).as("v"))
+    val got = Dedup.blockPairs(rows, cap = 8)
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")),
+        greatest(col("x.doc_id"), col("y.doc_id")))
+      .as[(Long, Long)].collect().toSet
+    val want = data.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(got === want)
+  }
+
   test("simhash64 aggregator: order- and partition-insensitive") {
     val base = Dedup.dSimhash64(spark, sf).as[(Long, String)].collect().toMap
     val sim64 = org.apache.spark.sql.functions.udaf(graft.functions.SimHash64)
