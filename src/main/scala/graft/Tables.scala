@@ -15,18 +15,24 @@ import org.apache.spark.sql.functions.col
   * every CPU-heavy per-row derivation (shingling, MinHash, cosine)
   * runs on one core. [[spread]] hash-repartitions on the row key right
   * after the scan: a sub-millisecond shuffle of kilobytes that unlocks
-  * full parallelism. On a real multi-file/100 TB layout the scan
-  * produces thousands of splits and the same repartition is a no-op
-  * cost-wise (or can be dropped); results are identical either way
-  * because every downstream computation is a deterministic function of
-  * the rows, never of their placement.
+  * full parallelism. The repartition is GATED on the scan's actual
+  * split count: on a real multi-file/100 TB layout the scan already
+  * produces thousands of splits and an unconditional repartition would
+  * be a gratuitous full shuffle of corpus bodies — there spread is a
+  * no-op. Results are identical either way because every downstream
+  * computation is a deterministic function of the rows, never of
+  * their placement.
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism, col(key))
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    // planning-time split inspection only — no job runs here
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
 
   def region(s: SparkSession, d: String)    = table(s, d, "region")
   def nation(s: SparkSession, d: String)    = table(s, d, "nation")

@@ -7,9 +7,13 @@ import graft.operators.WordScore
 import graft.sources.{ReviewSource, TsvSink}
 
 /** CLI twin of the reference's driver (`ComputeWordScore.run`,
-  * `ComputeWordScore.java:137-223`): `<input> <output>`, exit 2 on
-  * misuse, exit 0/1 on success/failure — so a user of the reference can
-  * run the same submission command shape against this engine.
+  * `ComputeWordScore.java:137-223`): `[-Dkey=value ...] <input>
+  * <output>`, exit 2 on misuse, exit 0/1 on success/failure — so a user
+  * of the reference can run the same submission command shape against
+  * this engine. `-D key=value` (separate tokens) is accepted too,
+  * matching Hadoop's `GenericOptionsParser`/`ToolRunner` handling
+  * (`ComputeWordScore.java:221-223`); each pair lands in the session
+  * conf before any query runs.
   *
   * Input: a file/dir of Yelp-style JSON-lines reviews (fail-fast on
   * malformed records, like the reference). Output: one tab-delimited
@@ -18,17 +22,48 @@ import graft.sources.{ReviewSource, TsvSink}
   * produced by a parallel range sort instead of its single reducer.
   */
 object WordScoreMain {
+
+  /** Splits argv into (-D conf pairs, positional args); None on a
+    * malformed `-D` (no '=' or empty key) or a dangling trailing `-D`.
+    */
+  private[graft] def parseArgs(args: Array[String]): Option[(Seq[(String, String)], Seq[String])] = {
+    val confs = Seq.newBuilder[(String, String)]
+    val positional = Seq.newBuilder[String]
+    var i = 0
+    def addConf(kv: String): Boolean = kv.indexOf('=') match {
+      case n if n > 0 => confs += kv.substring(0, n) -> kv.substring(n + 1); true
+      case _ => false
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "-D" if i + 1 < args.length => if (!addConf(args(i + 1))) return None; i += 2
+        case a if a.startsWith("-D") && a.length > 2 => if (!addConf(a.substring(2))) return None; i += 1
+        case "-D" => return None
+        case a => positional += a; i += 1
+      }
+    }
+    Some((confs.result(), positional.result()))
+  }
+
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("Usage: WordScoreMain <input> <output>")
+    val parsed = parseArgs(args).filter(_._2.length == 2)
+    if (parsed.isEmpty) {
+      System.err.println("Usage: WordScoreMain [-Dkey=value ...] <input> <output>")
       sys.exit(2)
     }
-    val Array(input, output) = args
-    val spark = SparkSession.builder()
+    val (confs, positional) = parsed.get
+    val (input, output) = (positional(0), positional(1))
+    val builder = SparkSession.builder()
       .appName("word-score")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+    val spark = confs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+    // an already-running session (tests) won't pick builder confs up —
+    // apply runtime-settable ones directly as well
+    confs.foreach { case (k, v) =>
+      try spark.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => }
+    }
     // compute the exit code first, stop the session, THEN exit —
     // sys.exit inside try/catch would skip a finally entirely
     val code =

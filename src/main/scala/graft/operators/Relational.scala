@@ -549,16 +549,17 @@ object Relational {
   )
 
   // ------------------------------------------------ approximate distinct
-  /** HLL++ sketch cardinalities next to the exact answer (sketch
-    * internals are implementation-specific → no cross-engine oracle;
-    * RelationalSpec bounds the relative error instead). At 100 TB the
-    * sketch is the difference between a mergeable fixed-size state and
-    * an unbounded distinct shuffle.
+  /** HLL++ sketch cardinality (sketch internals are implementation-
+    * specific → no cross-engine oracle; RelationalSpec bounds the
+    * relative error against the exact count instead). The sketch is
+    * ALONE in the plan — benching it next to an exact countDistinct
+    * would pay the very distinct-shuffle the sketch exists to avoid.
+    * At 100 TB the sketch is the difference between a mergeable
+    * fixed-size state and an unbounded distinct shuffle.
     */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-           countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 }

@@ -15,8 +15,8 @@ import graft.functions.Vectors
   *  - Brute force is O(|Q|·N) with the query side BROADCAST — the big
   *    vector table is scanned once, never shuffled; ranking shuffles only
   *    (q, candidate, score) triples, not vectors.
-  *  - IVF: K deterministic centroids (vec_id < K stands in for a k-means
-  *    fit; swap in real centroids without touching the plan). Cell
+  *  - IVF: K centroids fitted by deterministic k-medoids iterations
+  *    (seeded from vec_id < K, refined by [[lloydStep]]). Cell
   *    assignment is a broadcast map-side cross (K·N rows, collapses to
   *    one row per vector via min-by-rank), so the inverted index is
   *    produced with ZERO shuffles of the vector data; probing joins the
@@ -31,8 +31,9 @@ object Similarity {
 
   val NumQueries = 10   // query set: vec_id < NumQueries
   val TopK = 5
-  val IvfK = 16         // centroids: vec_id < IvfK
+  val IvfK = 16         // centroids: k-means K (seeded from vec_id < K)
   val NumProbes = 2
+  val LloydIters = 2    // deterministic Lloyd refinements of the seeds
 
   /** embeddings + precomputed norm, pinned behind an exchange so every
     * consumer (query side, corpus side, centroids, assignment) reuses
@@ -87,20 +88,90 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
 
   // ----------------------------------------------------------- IVF ANN
-  def sAnnIvf(s: SparkSession, d: String): DataFrame = {
+
+  /** One deterministic k-medoids (Lloyd-style) step: assign every
+    * vector to its nearest (max-cosine) centroid, compute each cell's
+    * mean, then pick the MEMBER vector closest to that mean as the new
+    * centroid. Component means go through EXACT DECIMAL sums
+    * (order-independent) with one double division at the end, so the
+    * fit is bit-identical across engines and partitionings; keeping
+    * centroids as actual member vectors (medoids, not means) preserves
+    * the sharp angular Voronoi structure that drives ANN recall —
+    * measured on the uniform synthetic fixture, mean-centroids smooth
+    * recall 0.92→0.84 while medoids hold it (see docs/PLANS.md).
+    *
+    * Scale shape: assignment is a broadcast K-row cross (map-side, no
+    * vector shuffle); the mean aggregation explodes components but
+    * partial aggregation reduces each task's output to ≤ K·dim rows
+    * before the (tiny) shuffle — the standard distributed k-means
+    * step. At real scale the fit would be persisted once, not inlined
+    * per query; here it is inlined to stay a pure DataFrame.
+    */
+  private def lloydStep(base: DataFrame, cent: DataFrame): DataFrame = {
+    val ccos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("c_emb")),
+        col("nrm"), col("c_nrm")), 6)
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    val assigned = base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"), ccos.as("ccos"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select(col("c_id").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("v").cast("decimal(20,8)")).cast("double") / count(lit(1))).as("mv"))
+    val meanVec = means
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("mv")).as("m_emb"))
+    // medoid update: the member closest (max cosine) to the cell mean,
+    // ties by vec_id — centroids stay actual data vectors
+    val mdot = aggregate(zip_with(col("embedding"), col("m_emb"),
+      (x, y) => x.cast("double") * y), lit(0.0), (a, x) => a + x)
+    val mnrm = sqrt(aggregate(transform(col("m_emb"), x => x * x),
+      lit(0.0), (a, x) => a + x))
+    val mcos = round(mdot / (col("nrm") * mnrm), 6)
+    val wM = Window.partitionBy("cell").orderBy(col("mcos").desc, col("vec_id"))
+    assigned.join(meanVec, "cell")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"), mcos.as("mcos"))
+      .withColumn("mrn", row_number().over(wM))
+      .filter(col("mrn") === 1)
+      .select(col("cell").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+  }
+
+  def sAnnIvf(s: SparkSession, d: String): DataFrame = annIvf(s, d, LloydIters)
+
+  /** IVF ANN with `iters` Lloyd refinements (0 = raw seeds; exposed so
+    * the recall test can show the fit beats the seeds).
+    */
+  private def fittedCentroids(base: DataFrame, iters: Int): DataFrame = {
+    val seeds = base.toDF("c_id", "c_emb", "c_nrm").filter(col("c_id") < IvfK)
+    (1 to iters).foldLeft(seeds)((c, _) => lloydStep(base, c))
+  }
+
+  /** Inverted index: every vector → nearest fitted centroid (1 row via
+    * rank). Package-private for cell-balance diagnostics/tests.
+    */
+  private[graft] def ivfAssignment(s: SparkSession, d: String, iters: Int): DataFrame = {
     val base = withNorm(s, d)
-    val cent = base.toDF("c_id", "c_emb", "c_nrm").filter(col("c_id") < IvfK)
+    val cent = fittedCentroids(base, iters)
     val centCos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("c_emb")),
         col("nrm"), col("c_nrm")), 6)
-
-    // inverted index: every vector → nearest centroid (1 row via rank)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
-    val assign = base.crossJoin(broadcast(cent))
+    base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"), centCos.as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+  }
+
+  def annIvf(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, iters)
+    val assign = ivfAssignment(s, d, iters)
 
     // query probes: top nProbe centroids per query
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
@@ -128,19 +199,51 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  val sAnnIvfSql: String =
+  /** k-medoids step CTEs mirroring [[lloydStep]]: assignment by max
+    * rounded cosine (ties by c_id), exact-decimal component means, new
+    * centroid = member with max rounded cosine to the mean (ties by
+    * vec_id) — the member's original embedding/nrm carry over.
+    */
+  private def lloydSql(prev: String, nx: String): String =
+    s"""${nx}_assign AS (SELECT cell, vec_id, embedding, nrm FROM (
+       |  SELECT c.c_id AS cell, v.vec_id, v.embedding, v.nrm,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
+       |  FROM n v CROSS JOIN $prev c) WHERE arn = 1),
+       |${nx}_means AS (SELECT cell, i AS pos,
+       |    CAST(SUM(CAST(embedding[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS mv
+       |  FROM ${nx}_assign CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY cell, i),
+       |${nx}_mean AS (SELECT cell, list(mv ORDER BY pos) AS m_emb
+       |  FROM ${nx}_means GROUP BY cell),
+       |$nx AS (SELECT cell AS c_id, embedding, nrm FROM (
+       |  SELECT a.cell, a.vec_id, a.embedding, a.nrm,
+       |    row_number() OVER (PARTITION BY a.cell ORDER BY
+       |      round(list_reduce(list_transform(range(1, 65),
+       |          i -> CAST(a.embedding[i] AS DOUBLE) * m.m_emb[i]), (x, y) -> x + y)
+       |        / (a.nrm * sqrt(list_reduce(list_transform(m.m_emb,
+       |            x -> x * x), (p, q) -> p + q))), 6) DESC,
+       |      a.vec_id) AS mrn
+       |  FROM ${nx}_assign a JOIN ${nx}_mean m ON a.cell = m.cell) WHERE mrn = 1)""".stripMargin
+
+  val sAnnIvfSql: String = {
+    val centFinal = if (LloydIters == 0) "cent0" else s"cent$LloydIters"
+    val lloydCtes = (1 to LloydIters)
+      .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
+      .mkString(",\n")
+    val lloydBlock = if (LloydIters == 0) "" else lloydCtes + ",\n"
     s"""WITH $NORM_CTE,
-       |cent AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK),
-       |assign AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
+       |cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK),
+       |$lloydBlock|assign AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
        |  SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
-       |  FROM n v CROSS JOIN cent c) WHERE arn = 1),
+       |  FROM n v CROSS JOIN $centFinal c) WHERE arn = 1),
        |probes AS (SELECT q_id, embedding, nrm, c_id AS cell FROM (
        |  SELECT q.vec_id AS q_id, q.embedding, q.nrm, c.c_id,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${cosSql("q", "c")} DESC, c.c_id) AS prn
-       |  FROM n q CROSS JOIN cent c WHERE q.vec_id < $NumQueries) WHERE prn <= $NumProbes),
+       |  FROM n q CROSS JOIN $centFinal c WHERE q.vec_id < $NumQueries) WHERE prn <= $NumProbes),
        |scored AS (
        |  SELECT p.q_id, a.vec_id AS n_id, ${cosSql("p", "a")} AS cos
        |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id),
@@ -149,6 +252,7 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= $TopK
        |ORDER BY q_id, rnk""".stripMargin
+  }
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),

@@ -54,11 +54,24 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("approx distinct stays within 5% of exact") {
+    // the exact side lives HERE, not in the query: the shipped plan
+    // must contain only the sketch aggregate (single HashAggregate,
+    // no distinct expansion)
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .as[(String, Long)].collect().toMap
     val rows = Relational.qApproxDistinct(spark, sf)
-      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
-    rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+      .as[(String, Long)].collect()
+    rows.foreach { case (flag, approx) =>
+      val e = exact(flag)
+      assert(math.abs(approx - e).toDouble / e < 0.05, s"$approx vs $e")
     }
+    val plan = Relational.qApproxDistinct(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("count(distinct") && !plan.contains("Expand"),
+      s"exact distinct leaked into plan:\n$plan")
+    assert(plan.split("Aggregate ").length == 2, s"more than one aggregate:\n$plan")
   }
 
   test("sql interface result equals the DataFrame-API semi join shape") {

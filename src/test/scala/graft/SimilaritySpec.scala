@@ -22,21 +22,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("IVF two-probe recall@5 vs brute force is reasonable") {
+  test("IVF two-probe recall@5 vs brute force; k-means beats raw seeds") {
     val exact = Similarity.sCosineTopK(spark, sf)
       .as[(Long, Long, Int, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = Similarity.sAnnIvf(spark, sf)
-      .as[(Long, Long, Int, Double)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = exact.map { case (q, e) =>
-      ivf.get(q).map(i => (e & i).size.toDouble / e.size).getOrElse(0.0)
+    def meanRecall(iters: Int): Double = {
+      val ivf = Similarity.annIvf(spark, sf, iters)
+        .as[(Long, Long, Int, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exact.map { case (q, e) =>
+        ivf.get(q).map(i => (e & i).size.toDouble / e.size).getOrElse(0.0)
+      }
+      recalls.sum / recalls.size
     }
-    val mean = recalls.sum / recalls.size
+    val seeded = meanRecall(0)
+    val fitted = meanRecall(Similarity.LloydIters)
     // 2/16 probes over random uniform vectors: recall is limited by cell
     // fragmentation; assert it clearly beats random-candidate recall
-    // (2/16 of corpus → expected random recall ≈ 0.125)
-    assert(mean > 0.25, s"mean recall@5 = $mean")
+    // (2/16 of corpus → expected random recall ≈ 0.125), and that the
+    // Lloyd-fitted centroids don't lose recall vs the raw seed picks
+    assert(fitted > 0.25, s"mean recall@5 = $fitted")
+    assert(fitted >= seeded - 1e-9, s"k-means recall $fitted < seed recall $seeded")
+    info(f"recall@5: seeds $seeded%.3f, k-means(${Similarity.LloydIters} iters) $fitted%.3f")
   }
 
   test("IVF searches fewer candidates than brute force") {

@@ -81,6 +81,20 @@ class WordScoreSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  test("CLI -D passthrough parses like ToolRunner/GenericOptionsParser") {
+    // -Dk=v attached and -D k=v detached forms, mixed with positionals
+    assert(WordScoreMain.parseArgs(Array("-Dspark.foo=1", "in", "out")) ===
+      Some((Seq("spark.foo" -> "1"), Seq("in", "out"))))
+    assert(WordScoreMain.parseArgs(Array("-D", "a.b=x=y", "in", "-Dc=2", "out")) ===
+      Some((Seq("a.b" -> "x=y", "c" -> "2"), Seq("in", "out"))))
+    assert(WordScoreMain.parseArgs(Array("in", "out")) ===
+      Some((Seq(), Seq("in", "out"))))
+    // malformed: missing '=', empty key, dangling -D → usage error (exit 2 path)
+    assert(WordScoreMain.parseArgs(Array("-Dnoequals", "in", "out")) === None)
+    assert(WordScoreMain.parseArgs(Array("-D", "=v", "in", "out")) === None)
+    assert(WordScoreMain.parseArgs(Array("in", "out", "-D")) === None)
+  }
+
   test("malformed JSON fails fast like the reference") {
     val dir = Files.createTempDirectory("badjson").toFile
     Files.writeString(new java.io.File(dir, "bad.json").toPath,
