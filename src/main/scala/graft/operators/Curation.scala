@@ -84,7 +84,27 @@ object Curation {
        |WHERE q.doc_id NOT IN (SELECT doc_id FROM victims)
        |ORDER BY q.doc_id""".stripMargin
 
+  /** Deterministic hash-based corpus subsample (~12.5%): keep docs whose
+    * content-independent key digest falls under a fixed hex threshold.
+    * The pipeline answer to "sample N% reproducibly on any cluster" —
+    * engine RNG sampling (TABLESAMPLE / df.sample) is neither
+    * cross-engine nor cross-run stable, a uniform digest of the key is
+    * both, and the predicate is a pure map (no shuffle, scan-pushable).
+    */
+  def sample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(concat(lit("smpl|"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 2) < "20")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val sampleSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE substr(md5('smpl|' || CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_curate" -> (curate _, curateSql),
+    "p_sample" -> (sample _, sampleSql),
   )
 }

@@ -144,10 +144,43 @@ object Events {
       |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------- range join
+  /** Interval/range self-join: for every event, how many same-user
+    * events follow within 10 minutes (burst/co-occurrence detection).
+    * Planned as an equality hash join on the user key with the time
+    * range as a residual filter — the scalable composition for banded
+    * interval joins: the range never drives the shuffle, and at
+    * time-series scale the same shape applies per time-bucketed key
+    * (bucket the equality key by coarse time so residual fan-out stays
+    * bounded).
+    */
+  def eRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d)
+    val a = ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val b = ev.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") > col("ts") &&
+        col("b_ts") <= col("ts") + expr("INTERVAL 10 MINUTES"), "left")
+      .groupBy("event_id", "event_type")
+      .agg(count(col("b_ts")).as("n_follow"))
+      .orderBy("event_id")
+  }
+
+  val eRangeJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |  epoch_ns(ts) // 1000 AS us FROM events)
+      |SELECT a.event_id, a.event_type, COUNT(b.us) AS n_follow
+      |FROM ev a LEFT JOIN ev b
+      |  ON b.user_id = a.user_id AND b.us > a.us
+      |  AND b.us <= a.us + 600000000
+      |GROUP BY a.event_id, a.event_type ORDER BY a.event_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_tumbling"   -> (eTumbling _, eTumblingSql),
     "e_session"    -> (eSession _, eSessionSql),
     "e_json_props" -> (eJsonProps _, eJsonPropsSql),
     "e_asof_join"  -> (eAsofJoin _, eAsofJoinSql),
+    "e_range_join" -> (eRangeJoin _, eRangeJoinSql),
   )
 }

@@ -522,6 +522,84 @@ object Relational {
       |         (n * CAST(see AS DOUBLE) - CAST(se AS DOUBLE) * CAST(se AS DOUBLE))), 6) AS corr_qty_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- pivot
+  /** Wide pivot: order counts by status × priority (explicit value list
+    * → deterministic output schema; nulls for absent combinations are
+    * coalesced to 0 so both engines emit the same zeros).
+    */
+  def qPivot(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    prios.zipWithIndex.foldLeft(wide) { case (df, (p, i)) =>
+      df.withColumn(s"p${i + 1}", coalesce(col(s"`$p`"), lit(0L)))
+    }.select(col("o_orderstatus") +: prios.indices.map(i => col(s"p${i + 1}")): _*)
+      .orderBy("o_orderstatus")
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+      |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+      |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+      |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+      |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------------- unpivot
+  /** Long unpivot (melt): per-flag measure totals as (flag, measure,
+    * total) rows — Dataset.unpivot, the inverse of [[qPivot]]'s shape.
+    */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(qtyDec).cast("double").as("qty"),
+           sum(priceDec).cast("double").as("price"),
+           sum(discDec).cast("double").as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "measure", "total")
+      .orderBy("l_returnflag", "measure")
+
+  val qUnpivotSql: String =
+    """WITH agg AS (SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, total FROM (
+      |  SELECT l_returnflag, 'qty' AS measure, qty AS total FROM agg
+      |  UNION ALL SELECT l_returnflag, 'price', price FROM agg
+      |  UNION ALL SELECT l_returnflag, 'disc', disc FROM agg)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ----------------------------------------------------- scalar subquery
+  /** Uncorrelated scalar subquery: orders above the global mean price
+    * (the mean is ONE exact-decimal sum + one double division, so the
+    * comparison threshold is bit-identical on both engines).
+    */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders_v
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM orders_v)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg"           -> (q1Agg _, q1AggSql),
@@ -546,6 +624,9 @@ object Relational {
     "q_grouping_sets"  -> (qGroupingSets _, qGroupingSetsSql),
     "q_percentile"     -> (qPercentile _, qPercentileSql),
     "q_stats"          -> (qStats _, qStatsSql),
+    "q_pivot"          -> (qPivot _, qPivotSql),
+    "q_unpivot"        -> (qUnpivot _, qUnpivotSql),
+    "q_scalar_subquery" -> (qScalarSubquery _, qScalarSubquerySql),
   )
 
   // ------------------------------------------------ approximate distinct

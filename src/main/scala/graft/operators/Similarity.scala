@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -254,8 +254,90 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ------------------------------------------------- LSH-bucketed ANN
+  val LshPlanes = 8     // sign-random-projection hyperplanes
+  val LshBands = 2      // 2 bands × 4 bits → 16 buckets per band
+
+  /** Signed projection of `emb` onto deterministic ±1 hyperplane j —
+    * the weights come from pure integer arithmetic (a Knuth-style
+    * multiplicative mix mod 97), so both engines derive bit-identical
+    * planes with no lookup table and no crypto in the per-row loop.
+    */
+  private def planeDot(emb: Column, j: Int): Column =
+    aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+      acc + element_at(emb, i).cast("double") *
+        when(pmod(pmod(i.cast("long") * 2654435761L + lit(j * 40503L), lit(97L)), lit(2L)) === 0,
+          lit(1.0)).otherwise(lit(-1.0)))
+
+  private def planeDotSql(j: Int): String =
+    s"""list_reduce(list_transform(range(1, 65), i ->
+       |        CAST(embedding[i] AS DOUBLE) *
+       |        (CASE WHEN ((i * 2654435761 + ${j * 40503}) % 97) % 2 = 0
+       |              THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)""".stripMargin
+
+  private def bandBucket(emb: Column, b: Int): Column =
+    concat((4 * b until 4 * b + 4).map(j =>
+      when(planeDot(emb, j) >= 0, "1").otherwise("0")): _*)
+
+  private def bandBucketSql(b: Int): String =
+    (4 * b until 4 * b + 4).map(j =>
+      s"(CASE WHEN ${planeDotSql(j)} >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** ANN via sign-random-projection LSH: vectors agreeing with the
+    * query on all 4 sign bits of either band are candidates; exact
+    * cosine ranks them. Scale shape: signatures are a pure per-row map
+    * (8 interpreted 64-term folds, no joins); the banded QUERY side is
+    * broadcast, so candidate generation is a map-side join — the corpus
+    * is scanned once and never shuffled, and only (q, n, cos) triples
+    * reach the top-k window. Complements [[sAnnIvf]]: no fit step, and
+    * adding bands/planes trades recall for candidates without touching
+    * the plan shape.
+    */
+  def sAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until LshBands).map(b =>
+          struct(lit(b).as("band"), bandBucket(col("embedding"), b).as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val qs = banded(base.filter(col("vec_id") < NumQueries))
+      .toDF("q_id", "q_emb", "q_nrm", "band", "bucket")
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")), 6)
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    banded(base).join(broadcast(qs), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .distinct()
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  val sAnnLshSql: String = {
+    val bandSelects = (0 until LshBands).map(b =>
+      s"SELECT vec_id, embedding, nrm, $b AS band, ${bandBucketSql(b)} AS bucket FROM n")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $NORM_CTE,
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${cosSql("q", "c")} AS cos
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |    AND q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (SELECT q_id, n_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM cand)
+       |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),
     "s_ann_ivf"     -> (sAnnIvf _, sAnnIvfSql),
+    "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),
   )
 }

@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall@5: seeds $seeded%.3f, k-means(${Similarity.LloydIters} iters) $fitted%.3f")
   }
 
+  test("LSH ANN recall@5 vs brute force beats random-candidate recall") {
+    val exact = Similarity.sCosineTopK(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.sAnnLsh(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, e) =>
+      lsh.get(q).map(i => (e & i).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // 2 bands × 4 sign bits ≈ 2/16 of corpus as candidates; random
+    // candidates of that size would recall ≈ 0.125
+    assert(mean > 0.25, s"mean LSH recall@5 = $mean")
+    info(f"LSH recall@5: $mean%.3f")
+  }
+
   test("IVF searches fewer candidates than brute force") {
     // structural: every IVF result must also be a valid vector id and
     // self-matches are excluded
