@@ -76,4 +76,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), "as-of join degenerated to nested loop")
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
+
+  test("range join: equality key drives the join, range stays residual") {
+    val p = plan(graft.operators.Events.eRangeJoin(spark, sf))
+    assert(p.contains("HashJoin"), p.take(800))
+    assert(!p.contains("NestedLoop"), "range join degenerated to nested loop")
+  }
+
+  test("LSH ANN: broadcast candidate join + group-limited top-k") {
+    val p = plan(Similarity.sAnnLsh(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("scalar subquery threshold is pushed into the parquet scan") {
+    val p = Relational.qScalarSubquery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThan(o_totalprice,ScalarSubquery"),
+      "scalar subquery not pushed:\n" + p.take(1200))
+  }
 }
