@@ -51,6 +51,29 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
 
+  // ---------------------------------------------------- sliding window
+  /** Sliding-window counts (30-minute windows every 10 minutes — each
+    * event lands in exactly 3 windows; Spark plans the window() slide
+    * as a bounded 3-row generator). Oracle reconstructs the identical
+    * windows: starts are the 10-minute grid points in (ts−30min, ts].
+    */
+  def eSliding(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(valDec).cast("double").as("total"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("bucket_start", "event_type")
+
+  val eSlidingSql: String =
+    """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events)
+      |SELECT (us // 600000000 - j) * 600 AS bucket_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM ev CROSS JOIN range(0, 3) t(j)
+      |GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+
   // ------------------------------------------------------ sessionization
   /** Gap-based sessions per user (5-minute gap) via Spark's
     * session_window in batch mode; the oracle rebuilds the identical
@@ -178,6 +201,7 @@ object Events {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_tumbling"   -> (eTumbling _, eTumblingSql),
+    "e_sliding"    -> (eSliding _, eSlidingSql),
     "e_session"    -> (eSession _, eSessionSql),
     "e_json_props" -> (eJsonProps _, eJsonPropsSql),
     "e_asof_join"  -> (eAsofJoin _, eAsofJoinSql),

@@ -335,9 +335,62 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ------------------------------------------------ int8 quantization
+  /** Per-vector affine int8 quantization — the storage-scale path for
+    * 100 TB of embeddings (4× smaller than float32, cheap SIMD dot):
+    * scale = (max−min)/255, q_i = floor((x_i−min)/scale + 0.5). Emits
+    * the dequantization params plus two integrity checks (sum of codes
+    * and a position-weighted checksum) rather than 64 code columns.
+    * Every step is closed-form double arithmetic — identical on both
+    * engines, no rounding mode ambiguity (floor(x+0.5) is explicit
+    * half-up). Pure per-row map, no shuffle.
+    */
+  def sQuantize(s: SparkSession, d: String): DataFrame = {
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    // let-bind (min, max) in a single-element transform and emit the
+    // result struct through a Generate — otherwise CollapseProject
+    // re-inlines the array_min/array_max folds into every downstream
+    // reference (4 output columns × 64 lambda elements)
+    val qrow = element_at(transform(
+      array(struct(array_min(xs).as("mn"), array_max(xs).as("mx"))), m => {
+        val mn = m.getField("mn")
+        val sc = greatest((m.getField("mx") - mn) / 255.0, lit(1e-12))
+        val codes = transform(col("embedding"), x =>
+          floor((x.cast("double") - mn) / sc + 0.5).cast("int"))
+        struct(
+          round(mn, 6).as("q_min"),
+          round(sc, 9).as("q_scale"),
+          aggregate(codes, lit(0L), (a, q) => a + q).as("q_sum"),
+          aggregate(zip_with(codes, sequence(lit(1), lit(64)),
+            (q, i) => q.cast("long") * i), lit(0L), (a, x) => a + x).as("q_check"))
+      }), 1)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(array(qrow)).as("q"))
+      .select(col("vec_id"), col("q.q_min"), col("q.q_scale"),
+        col("q.q_sum"), col("q.q_check"))
+      .orderBy("vec_id")
+  }
+
+  val sQuantizeSql: String =
+    """WITH q AS (SELECT vec_id,
+      |  list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+      |  GREATEST((list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |    - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0,
+      |    1e-12) AS scale,
+      |  embedding FROM embeddings)
+      |SELECT vec_id, round(mn, 6) AS q_min, round(scale, 9) AS q_scale,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding,
+      |    x -> CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) AS BIGINT))),
+      |    (a, b) -> a + b) AS q_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65),
+      |    i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - mn) / scale + 0.5) AS BIGINT) * i)),
+      |    (a, b) -> a + b) AS q_check
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),
     "s_ann_ivf"     -> (sAnnIvf _, sAnnIvfSql),
     "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),
+    "s_quantize"    -> (sQuantize _, sQuantizeSql),
   )
 }

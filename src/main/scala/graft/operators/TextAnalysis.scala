@@ -253,8 +253,39 @@ object TextAnalysis {
        |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_sorted
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ normalization
+  /** Text normalization — the canonical pre-dedup cleanup: lowercase,
+    * strip everything outside [a-z0-9] (one regex also collapses runs),
+    * trim, then fingerprint the normal form. Two docs differing only in
+    * case/punctuation/whitespace share `norm_fp` — feed it to the exact
+    * dedup instead of the raw digest for normalization-insensitive
+    * grouping. Pure per-row map, no shuffle.
+    */
+  def tNormalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        md5(col("norm").cast("binary")).as("norm_fp"),
+        length(col("norm")).as("n_norm_chars"),
+        when(col("norm") === "", 0)
+          .otherwise(size(split(col("norm"), " "))).as("n_norm_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tNormalizeSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS norm_fp,
+      |  CAST(length(norm) AS INT) AS n_norm_chars,
+      |  CASE WHEN norm = '' THEN 0
+      |       ELSE CAST(len(string_split(norm, ' ')) AS INT) END AS n_norm_tokens
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_array_ops"    -> (tArrayOps _, tArrayOpsSql),
+    "t_normalize"    -> (tNormalize _, tNormalizeSql),
     "t_token_counts" -> (tTokenCounts _, tTokenCountsSql),
     "t_ngrams"       -> (tNgrams _, tNgramsSql),
     "t_tfidf"        -> (tTfidf _, tTfidfSql),
