@@ -63,4 +63,18 @@ object Text {
     * (Number.intValue) is `cast("int")` (both truncate toward zero).
     */
   def starsModifier(stars: Column): Column = stars.cast("int") - lit(3)
+
+  /** [[starsModifier]] with the reference's fail-fast domain semantics:
+    * stars outside {1..5} kill the job (the reference's
+    * `SCORE_MODIFIERS.get` returns null there and the unboxing NPE
+    * fails the task, `ComputeWordScore.java:113`). Total-function
+    * scoring stays available via [[starsModifier]] for pipelines that
+    * prefer to pre-filter.
+    */
+  def starsModifierStrict(stars: Column): Column = {
+    val t = stars.cast("int")
+    when(t.between(1, 5), t - lit(3))
+      .otherwise(raise_error(concat(
+        lit("stars out of domain {1..5}: "), stars.cast("string"))))
+  }
 }

@@ -33,10 +33,12 @@ object WordScore {
 
   /** (stars, text) → (word, score), sorted score desc, word asc (the
     * deterministic tie-break the reference explicitly allows, `:56`).
+    * Fail-fast on stars outside {1..5}, matching the reference's NPE
+    * task failure (`ComputeWordScore.java:113`).
     */
   def score(reviews: DataFrame, stars: Column, text: Column): DataFrame =
     reviews
-      .select(Text.starsModifier(stars).as("modifier"),
+      .select(Text.starsModifierStrict(stars).as("modifier"),
               Text.explodedWord(text).as("word"))
       .groupBy("word")
       .agg(sum("modifier").as("score"))

@@ -95,6 +95,18 @@ class WordScoreSpec extends SparkSpec {
     assert(WordScoreMain.parseArgs(Array("in", "out", "-D")) === None)
   }
 
+  test("out-of-domain stars fail the job like the reference's NPE") {
+    val dir = Files.createTempDirectory("badstars").toFile
+    Files.writeString(new java.io.File(dir, "r.json").toPath,
+      "{\"stars\": 7.0, \"text\": \"off the scale\"}\n")
+    val bad = ReviewSource.reviews(spark, dir.getAbsolutePath)
+    val e = intercept[Exception] {
+      WordScore.score(bad, col("stars"), col("text")).collect()
+    }
+    assert(e.getMessage.contains("out of domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of domain")))
+  }
+
   test("malformed JSON fails fast like the reference") {
     val dir = Files.createTempDirectory("badjson").toFile
     Files.writeString(new java.io.File(dir, "bad.json").toPath,
