@@ -74,6 +74,46 @@ object Events {
       |FROM ev CROSS JOIN range(0, 3) t(j)
       |GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
 
+  // ------------------------------------------------------------ gap fill
+  /** Dense time series from sparse events: every (hour-bucket ×
+    * event_type) cell over the observed span, zero-filled where no
+    * events landed — the resample/gap-fill shape dashboards and
+    * training-cadence checks need. The bucket spine is generated with
+    * `sequence()` from the GLOBAL min/max (a 2-value broadcast scalar,
+    * not a driver collect), cross-joined with the distinct type dim,
+    * then left-joined to the per-bucket aggregates.
+    */
+  def eGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d)
+      .select(((unix_timestamp(col("ts")) / 3600).cast("long") * 3600).as("bucket_start"),
+        col("event_type"), col("value"))
+    val agg = ev.groupBy("bucket_start", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val span = ev.agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
+    val spine = span
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("bucket_start"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(agg, Seq("bucket_start", "event_type"), "left")
+      .select(col("bucket_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket_start", "event_type")
+  }
+
+  val eGapfillSql: String =
+    """WITH ev AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start,
+      |    event_type FROM events),
+      |agg AS (SELECT bucket_start, event_type, COUNT(*) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (SELECT unnest(range(
+      |    (SELECT MIN(bucket_start) FROM ev),
+      |    (SELECT MAX(bucket_start) FROM ev) + 3600, 3600)) AS bucket_start),
+      |grid AS (SELECT s.bucket_start, t.event_type
+      |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t)
+      |SELECT g.bucket_start, g.event_type, COALESCE(a.n, 0) AS n
+      |FROM grid g LEFT JOIN agg a
+      |  ON a.bucket_start = g.bucket_start AND a.event_type = g.event_type
+      |ORDER BY g.bucket_start, g.event_type""".stripMargin
+
   // ------------------------------------------------------ sessionization
   /** Gap-based sessions per user (5-minute gap) via Spark's
     * session_window in batch mode; the oracle rebuilds the identical
@@ -202,6 +242,7 @@ object Events {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_tumbling"   -> (eTumbling _, eTumblingSql),
     "e_sliding"    -> (eSliding _, eSlidingSql),
+    "e_gapfill"    -> (eGapfill _, eGapfillSql),
     "e_session"    -> (eSession _, eSessionSql),
     "e_json_props" -> (eJsonProps _, eJsonPropsSql),
     "e_asof_join"  -> (eAsofJoin _, eAsofJoinSql),

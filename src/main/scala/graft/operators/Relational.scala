@@ -600,6 +600,27 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------- string agg
+  /** Ordered string aggregation (LISTAGG / string_agg): region names
+    * per order-status band. Built as sort-then-join over a collected
+    * set — deterministic on both engines (bare listagg/string_agg
+    * order is engine-defined unless forced).
+    */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val qStringAggSql: String =
+    """SELECT o_orderstatus,
+      |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+      |  COUNT(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg"           -> (q1Agg _, q1AggSql),
@@ -627,6 +648,7 @@ object Relational {
     "q_pivot"          -> (qPivot _, qPivotSql),
     "q_unpivot"        -> (qUnpivot _, qUnpivotSql),
     "q_scalar_subquery" -> (qScalarSubquery _, qScalarSubquerySql),
+    "q_string_agg"     -> (qStringAgg _, qStringAggSql),
   )
 
   // ------------------------------------------------ approximate distinct
