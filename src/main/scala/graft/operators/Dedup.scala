@@ -346,6 +346,38 @@ object Dedup {
 
   val dSimhash64Sql: String = graft.functions.SimHash64.oracleSql(Text.ToksSql)
 
+  // ----------------------------------------------- near-dup clustering
+  /** Cluster ids for near-dup groups: every doc that appears in an LSH
+    * candidate pair gets `cluster = min(doc_id over its 1-hop
+    * neighborhood ∪ itself)`. Near-dup groups are cliques (every pair
+    * of near-identical docs collides in some band), so one pass
+    * assigns the whole group its minimum id — the keeper-selection
+    * step after pair generation. Chain-shaped components (rare for
+    * near-dup, common for e.g. link graphs) need the iterated version,
+    * which at scale runs as an EXTERNAL loop with persisted frontiers
+    * — an inline foldLeft of joins re-evaluates the pair subplan
+    * exponentially. The symmetric edge list is built with one explode
+    * so the (expensive) pair subplan is referenced exactly once.
+    */
+  def dCluster(s: SparkSession, d: String): DataFrame = {
+    val p = dMinhashLsh(s, d).select(col("a"), col("b"))
+    val sym = p.select(explode(array(
+        struct(col("a").as("id"), col("b").as("nbr")),
+        struct(col("b").as("id"), col("a").as("nbr")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
+    sym.groupBy("id")
+      .agg(min(least(col("id"), col("nbr"))).as("cluster"),
+           count(lit(1)).as("degree"))
+      .orderBy("id")
+  }
+
+  val dClusterSql: String =
+    s"""WITH p AS ($dMinhashLshSql),
+       |sym AS (SELECT a AS id, b AS nbr FROM p
+       |        UNION ALL SELECT b AS id, a AS nbr FROM p)
+       |SELECT id, MIN(LEAST(id, nbr)) AS cluster, COUNT(*) AS degree
+       |FROM sym GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
@@ -353,5 +385,6 @@ object Dedup {
     "d_simhash64"   -> (dSimhash64 _, dSimhash64Sql),
     "d_jaccard"     -> (dJaccard _, dJaccardSql),
     "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),
+    "d_cluster"     -> (dCluster _, dClusterSql),
   )
 }
