@@ -123,9 +123,45 @@ object Multimodal {
   def mDecodeStub(s: SparkSession, d: String): DataFrame =
     decodeStub(s, d).toDF().orderBy("doc_id")
 
+  // ------------------------------------------------------- resize stub
+  /** Output of the fake resizer: the downsampled payload's dimensions
+    * and digest (scalar columns only — see [[MediaFeatures]]).
+    */
+  case class ResizedMedia(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
+      factor: Int, resized_md5: String)
+
+  /** Per-partition "resize": keeps every `factor`-th byte of the
+    * payload — the downsample/thumbnail shape (decode → scale →
+    * re-encode) with the decode/encode STUBBED as byte sampling, since
+    * no codec libraries exist in this environment. The Spark-side
+    * plumbing is the real thing: binary column in, per-partition
+    * iteration amortizing codec init, new binary payload out (digested
+    * here so the emitted schema stays scalar/sortable). Swap the
+    * sampling loop for a real image scaler without touching the plan.
+    */
+  def resizeStub(s: SparkSession, d: String, factor: Int = 4): Dataset[ResizedMedia] = {
+    import s.implicits._
+    withPayload(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real scaler/codec init would happen HERE, once per partition
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val resized = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+          digest.reset()
+          val md5hex = digest.digest(resized).map("%02x".format(_)).mkString
+          ResizedMedia(id, bytes.length, resized.length, factor, md5hex)
+        }
+      }
+  }
+
+  def mResizeStub(s: SparkSession, d: String): DataFrame =
+    resizeStub(s, d).toDF().orderBy("doc_id")
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "m_binary_meta"  -> (mBinaryMeta _, Some(mBinaryMetaSql)),
     "m_frame_sample" -> (mFrameSample _, Some(mFrameSampleSql)),
     "m_decode_stub"  -> (mDecodeStub _, None),
+    "m_resize_stub"  -> (mResizeStub _, None),
   )
 }

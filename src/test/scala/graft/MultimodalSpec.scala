@@ -24,6 +24,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_id").distinct().count() === frames.count())
   }
 
+  test("resize stub: deterministic downsample, size ratio holds") {
+    val rows = Multimodal.resizeStub(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.resized_bytes === r.orig_bytes / r.factor)
+      assert(r.resized_md5.matches("[0-9a-f]{32}"))
+    }
+    val again = Multimodal.resizeStub(spark, sf).collect()
+    assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
   test("decode stub: histogram mass equals byte count; deterministic") {
     val feats = Multimodal.decodeStub(spark, sf).collect()
     feats.foreach { f =>
