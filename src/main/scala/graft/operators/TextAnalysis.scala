@@ -283,9 +283,62 @@ object TextAnalysis {
       |       ELSE CAST(len(string_split(norm, ' ')) AS INT) END AS n_norm_tokens
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- map family
+  /** MapType surface: per-doc token-frequency map built with
+    * map_from_entries, queried with element_at/cardinality. Only
+    * SCALAR lookups are emitted — map iteration order is
+    * engine-defined and must never reach the output (and the driver's
+    * compare can't hash dicts anyway).
+    */
+  def tMapOps(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        size(col("m")).as("n_unique"),
+        coalesce(element_at(col("m"), "the"), lit(0L)).as("n_the"),
+        coalesce(element_at(col("m"), "data"), lit(0L)).as("n_data"))
+      .orderBy("doc_id")
+  }
+
+  val tMapOpsSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |mp AS (SELECT doc_id, map_from_entries(list(ROW(tok, c))) AS m
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT doc_id, CAST(cardinality(m) AS INT) AS n_unique,
+       |  COALESCE(map_extract(m, 'the')[1], 0) AS n_the,
+       |  COALESCE(map_extract(m, 'data')[1], 0) AS n_data
+       |FROM mp ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- regex family
+  /** Regex scalar family: extraction with a capture group, global
+    * match counting, and a regex predicate — same RE2-compatible
+    * pattern syntax on both engines.
+    */
+  def tRegex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)a([a-z]+)", 1).as("before_a"),
+        regexp_count(col("text"), lit("data")).cast("int").as("n_data"),
+        col("text").rlike("stream.*batch").as("has_sb"))
+      .orderBy("doc_id")
+
+  val tRegexSql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '([a-z]+)a([a-z]+)', 1) AS before_a,
+      |  CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+      |  regexp_matches(text, 'stream.*batch') AS has_sb
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_array_ops"    -> (tArrayOps _, tArrayOpsSql),
     "t_normalize"    -> (tNormalize _, tNormalizeSql),
+    "t_map_ops"      -> (tMapOps _, tMapOpsSql),
+    "t_regex"        -> (tRegex _, tRegexSql),
     "t_token_counts" -> (tTokenCounts _, tTokenCountsSql),
     "t_ngrams"       -> (tNgrams _, tNgramsSql),
     "t_tfidf"        -> (tTfidf _, tTfidfSql),
