@@ -35,12 +35,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // stdout can be mangled by the build tool's logger ("[info] " prefixes
-    // broke the round-1 parse) — also persist to a known file the driver
-    // (or a human) can read back unambiguously.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    // stdout first — it must carry the result even if the file write
+    // fails (an unwritable path must not discard a finished run).
     println(json)
+    // stdout can also be mangled by a build tool's logger ("[info] "
+    // prefixes broke the round-1 parse) — so best-effort persist to a
+    // known file the driver (or a human) can read back unambiguously.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -26,7 +26,10 @@ object Profile {
     val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (r <- 1 to reps; n <- names) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
+      // full evaluation, NOT count(): under count() Catalyst prunes
+      // projections and drops sorts, so map-only queries (t_normalize,
+      // t_regex…) would time the bare scan instead of their expressions
+      SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       val dt = (System.nanoTime() - t0) / 1e9
       times(n) = dt :: times(n)
       println(f"[profile] $n%-20s rep$r%-3d $dt%7.3f s")

@@ -53,21 +53,26 @@ object WordScoreMain {
     }
     val (confs, positional) = parsed.get
     val (input, output) = (positional(0), positional(1))
-    val builder = SparkSession.builder()
-      .appName("word-score")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-    val spark = confs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
-      .getOrCreate()
-    // an already-running session (tests) won't pick builder confs up —
-    // apply runtime-settable ones directly as well
-    confs.foreach { case (k, v) =>
-      try spark.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => }
-    }
-    // compute the exit code first, stop the session, THEN exit —
-    // sys.exit inside try/catch would skip a finally entirely
+    // everything after arg validation — session startup (an invalid -D
+    // VALUE fails conf validation here), conf application, and the
+    // pipeline — lands in the documented exit-1 failure path; compute
+    // the exit code first, stop the session, THEN exit.
+    var spark: SparkSession = null
     val code =
       try {
+        val builder = SparkSession.builder()
+          .appName("word-score")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC")
+        spark = confs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+          .getOrCreate()
+        // an already-running session (tests) won't pick builder confs
+        // up — apply runtime-settable ones directly as well (static
+        // confs can't be set here; the builder above already took them)
+        confs.foreach { case (k, v) =>
+          try spark.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => }
+        }
         val scored = WordScore.score(
           ReviewSource.reviews(spark, input), col("stars"), col("text"))
         TsvSink.write(scored, output)
@@ -77,7 +82,7 @@ object WordScoreMain {
           System.err.println(s"word-score failed: ${e.getMessage}")
           1
       }
-    spark.stop()
+    if (spark != null) spark.stop()
     sys.exit(code)
   }
 }

@@ -347,13 +347,15 @@ object Dedup {
   val dSimhash64Sql: String = graft.functions.SimHash64.oracleSql(Text.ToksSql)
 
   // ----------------------------------------------- near-dup clustering
-  /** Cluster ids for near-dup groups: every doc that appears in an LSH
+  /** 1-hop min-label assignment over the LSH pair graph: every doc in a
     * candidate pair gets `cluster = min(doc_id over its 1-hop
-    * neighborhood ∪ itself)`. Near-dup groups are cliques (every pair
-    * of near-identical docs collides in some band), so one pass
-    * assigns the whole group its minimum id — the keeper-selection
-    * step after pair generation. Chain-shaped components (rare for
-    * near-dup, common for e.g. link graphs) need the iterated version,
+    * neighborhood ∪ itself)` — the FIRST superstep of min-label
+    * propagation, which fully labels clique components (mutually
+    * near-identical groups, where every pair collides in some band).
+    * Thresholded LSH can also produce chain components (a~b, b~c,
+    * a≁c); there this column is exactly the 1-hop minimum, NOT a
+    * connected-component id — two docs of one chain may carry
+    * different labels. Full components need the iterated propagation,
     * which at scale runs as an EXTERNAL loop with persisted frontiers
     * — an inline foldLeft of joins re-evaluates the pair subplan
     * exponentially. The symmetric edge list is built with one explode

@@ -163,7 +163,15 @@ object Similarity {
     */
   private[graft] def ivfAssignment(s: SparkSession, d: String, iters: Int): DataFrame = {
     val base = withNorm(s, d)
-    val cent = fittedCentroids(base, iters)
+    ivfAssignment(base, fittedCentroids(base, iters))
+  }
+
+  /** [[ivfAssignment]] over already-built base/centroid frames — the
+    * query path passes its own so the (expensive) fit subplan is
+    * referenced once, not re-derived per consumer (ReuseExchange does
+    * not fire across lambda-bearing subplans).
+    */
+  private def ivfAssignment(base: DataFrame, cent: DataFrame): DataFrame = {
     val centCos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("c_emb")),
         col("nrm"), col("c_nrm")), 6)
@@ -178,7 +186,7 @@ object Similarity {
   def annIvf(s: SparkSession, d: String, iters: Int): DataFrame = {
     val base = withNorm(s, d)
     val cent = fittedCentroids(base, iters)
-    val assign = ivfAssignment(s, d, iters)
+    val assign = ivfAssignment(base, cent)
 
     // query probes: top nProbe centroids per query
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
@@ -238,10 +246,15 @@ object Similarity {
     val lloydCtes = (1 to LloydIters)
       .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
       .mkString(",\n")
-    val lloydBlock = if (LloydIters == 0) "" else lloydCtes + ",\n"
-    s"""WITH $NORM_CTE,
-       |cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK),
-       |$lloydBlock|assign AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
+    // join the optional lloyd CTEs OUTSIDE the margin-stripped literal:
+    // an empty block inlined before a margin pipe would leave a stray
+    // "|" in the generated SQL (stripMargin strips only the first).
+    val withCtes = (Seq(
+      NORM_CTE,
+      s"cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK)")
+      ++ (if (LloydIters == 0) Nil else Seq(lloydCtes))).mkString(",\n")
+    s"""WITH $withCtes,
+       |assign AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
        |  SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
