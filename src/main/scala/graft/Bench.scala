@@ -20,7 +20,10 @@ object Bench {
     // directly comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // full plan evaluation, NOT count(): under count() Catalyst prunes
+      // projections and drops sorts, so map-only queries would time the
+      // bare scan instead of the expressions they exist to measure
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
