@@ -13,9 +13,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session bring-up, codegen compiler, parquet
-    // footer reads — keeps the first timed query comparable to the rest
+    // footer reads — keeps the first timed query comparable to the rest.
+    // The dedup warmup compiles the shingle/MinHash expression classes,
+    // whose first-use JIT cost otherwise lands on whichever d_* query
+    // happens to sort first (measured ~3 s of pure warmup attributed to
+    // d_cluster before this).
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try {
+      val warmSf = "/root/testdata/sf0.001"
+      operators.Dedup.dMinhashLsh(spark, warmSf)
+        .queryExecution.toRdd.foreach(_ => ())
+      operators.Similarity.sCosineTopK(spark, warmSf)
+        .queryExecution.toRdd.foreach(_ => ())
+    } catch { case _: Throwable => }
     // fixed (sorted) execution order: stable warmup attribution and
     // directly comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
