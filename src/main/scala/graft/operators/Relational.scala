@@ -621,6 +621,88 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------- window: distribution family
+  /** Rank-distribution window functions — ntile buckets, percent_rank,
+    * cume_dist — over the unique order key (deterministic ordering).
+    */
+  def qWindowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val qWindowDistSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ------------------------------------------- window: RANGE frame
+  /** Value-based (RANGE) window frame: for each supplier-day, revenue
+    * within the trailing 7 days — the time-decayed rolling aggregate.
+    * RANGE frames with interval bounds are a SQL-surface feature on
+    * both engines; sums stay in the exact decimal domain internally.
+    */
+  def qWindowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(s"""
+      WITH daily AS (
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
+          CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS day_rev
+        FROM lineitem_v GROUP BY 1, 2)
+      SELECT l_suppkey, ship_day,
+        CAST(SUM(day_rev) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+      FROM daily ORDER BY l_suppkey, ship_day""")
+  }
+
+  val qWindowRangeFrameSql: String =
+    s"""WITH daily AS (
+       |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
+       |    CAST(SUM($REV_SQL) AS DECIMAL(18,4)) AS day_rev
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT l_suppkey, ship_day,
+       |  CAST(SUM(day_rev) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+       |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+       |FROM daily ORDER BY l_suppkey, ship_day""".stripMargin
+
+  // -------------------------------------- correlated scalar subquery
+  /** Correlated scalar subquery (per-row dependent aggregate): orders
+    * priced above their own customer's exact-decimal mean. Catalyst
+    * decorrelates this into an aggregate + join — asserted green by the
+    * oracle rather than hand-written as a join, because the correlated
+    * form is what users write.
+    */
+  def qCorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders_v o
+      WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  val qCorrelatedSubquerySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg"           -> (q1Agg _, q1AggSql),
@@ -649,6 +731,9 @@ object Relational {
     "q_unpivot"        -> (qUnpivot _, qUnpivotSql),
     "q_scalar_subquery" -> (qScalarSubquery _, qScalarSubquerySql),
     "q_string_agg"     -> (qStringAgg _, qStringAggSql),
+    "q_window_dist"    -> (qWindowDist _, qWindowDistSql),
+    "q_window_range_frame" -> (qWindowRangeFrame _, qWindowRangeFrameSql),
+    "q_correlated_subquery" -> (qCorrelatedSubquery _, qCorrelatedSubquerySql),
   )
 
   // ------------------------------------------------ approximate distinct
@@ -664,5 +749,20 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Mergeable quantile sketch (percentile_approx) — the bounded-state
+    * companion to the exact ordered-set aggregates in [[qPercentile]]:
+    * at 100 TB the sketch keeps per-group state fixed-size where exact
+    * interpolation would buffer every value. Sketch internals are
+    * implementation-specific → rows-only driver check; RelationalSpec
+    * bounds the rank error against the exact percentiles.
+    */
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
       .orderBy("l_returnflag")
 }

@@ -74,6 +74,21 @@ class RelationalSpec extends SparkSpec {
     assert(plan.split("Aggregate ").length == 2, s"more than one aggregate:\n$plan")
   }
 
+  test("approx percentile stays close to exact interpolated percentile") {
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .as[(String, Double, Double)].collect()
+      .map { case (f, a, b) => f -> (a, b) }.toMap
+    Relational.qApproxPercentile(spark, sf).as[(String, Double, Double)].collect()
+      .foreach { case (flag, a50, a95) =>
+        val (e50, e95) = exact(flag)
+        assert(math.abs(a50 - e50) / e50 < 0.02, s"$flag p50 $a50 vs $e50")
+        assert(math.abs(a95 - e95) / e95 < 0.02, s"$flag p95 $a95 vs $e95")
+      }
+  }
+
   test("sql interface result equals the DataFrame-API semi join shape") {
     val viaSql = Relational.qSqlInterface(spark, sf).as[(String, Long)].collect().toMap
     val viaApi = Tables.orders(spark, sf)
