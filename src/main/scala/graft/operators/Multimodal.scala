@@ -125,19 +125,22 @@ object Multimodal {
 
   // ------------------------------------------------------- resize stub
   /** Output of the fake resizer: the downsampled payload's dimensions
-    * and digest (scalar columns only — see [[MediaFeatures]]).
+    * and integrity checksums (scalar columns only — see
+    * [[MediaFeatures]]; checksums instead of a digest so the DuckDB
+    * oracle can recompute them from the byte representation).
     */
   case class ResizedMedia(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
-      factor: Int, resized_md5: String)
+      factor: Int, r_sum: Long, r_check: Long)
 
   /** Per-partition "resize": keeps every `factor`-th byte of the
     * payload — the downsample/thumbnail shape (decode → scale →
     * re-encode) with the decode/encode STUBBED as byte sampling, since
     * no codec libraries exist in this environment. The Spark-side
     * plumbing is the real thing: binary column in, per-partition
-    * iteration amortizing codec init, new binary payload out (digested
-    * here so the emitted schema stays scalar/sortable). Swap the
-    * sampling loop for a real image scaler without touching the plan.
+    * iteration amortizing codec init, new binary payload out
+    * (checksummed here so the emitted schema stays scalar/sortable).
+    * Swap the sampling loop for a real image scaler without touching
+    * the plan.
     */
   def resizeStub(s: SparkSession, d: String, factor: Int = 4): Dataset[ResizedMedia] = {
     import s.implicits._
@@ -145,12 +148,18 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real scaler/codec init would happen HERE, once per partition
-        val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val resized = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
-          digest.reset()
-          val md5hex = digest.digest(resized).map("%02x".format(_)).mkString
-          ResizedMedia(id, bytes.length, resized.length, factor, md5hex)
+          var sum = 0L
+          var check = 0L
+          var i = 0
+          while (i < resized.length) {
+            val v = resized(i) & 0xff
+            sum += v
+            check += v.toLong * (i + 1)
+            i += 1
+          }
+          ResizedMedia(id, bytes.length, resized.length, factor, sum, check)
         }
       }
   }
@@ -158,10 +167,53 @@ object Multimodal {
   def mResizeStub(s: SparkSession, d: String): DataFrame =
     resizeStub(s, d).toDF().orderBy("doc_id")
 
+  /** Oracles for the per-partition stubs: the byte-level math is
+    * recomputed in SQL from the payload's hex representation (2 hex
+    * chars per byte; low nibble = even position, high = odd), so even
+    * the mapPartitions paths are hash-verified, not just rows-counted.
+    */
+  val mDecodeStubSql: String =
+    """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+      |b AS (SELECT doc_id, hx, len(hx) // 2 AS n FROM h),
+      |nib AS (SELECT doc_id, n,
+      |  array_to_string(list_transform(range(1, n+1), i -> hx[2*i-1]), '') AS hi,
+      |  array_to_string(list_transform(range(1, n+1), i -> hx[2*i]), '') AS lo
+      |  FROM b),
+      |cnt AS (SELECT doc_id, n,
+      |  list_transform(range(0, 16), k ->
+      |    len(lo) - len(replace(lo, substr('0123456789abcdef', k+1, 1), ''))) AS locnt,
+      |  list_transform(range(0, 16), k ->
+      |    len(hi) - len(replace(hi, substr('0123456789abcdef', k+1, 1), ''))) AS hicnt
+      |  FROM nib)
+      |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+      |  CASE WHEN n = 0 THEN 0.0 ELSE
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16),
+      |        k -> CAST(k * 16 * hicnt[k+1] AS BIGINT))), (a, b) -> a + b)
+      |      + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16),
+      |        k -> CAST(k * locnt[k+1] AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / n
+      |  END AS brightness,
+      |  array_to_string(list_transform(locnt, x -> CAST(x AS VARCHAR)), ',') AS histogram
+      |FROM cnt ORDER BY doc_id""".stripMargin
+
+  val mResizeStubSql: String =
+    """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+      |b AS (SELECT doc_id, hx, len(hx) // 2 AS n FROM h),
+      |r AS (SELECT doc_id, n, n // 4 AS rn,
+      |  list_transform(range(0, n // 4), i ->
+      |    CAST(16 * (instr('0123456789abcdef', hx[8*i+1]) - 1)
+      |       + (instr('0123456789abcdef', hx[8*i+2]) - 1) AS BIGINT)) AS rb
+      |  FROM b)
+      |SELECT doc_id, CAST(n AS INT) AS orig_bytes, CAST(rn AS INT) AS resized_bytes,
+      |  4 AS factor,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), rb), (a, b) -> a + b) AS r_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, rn + 1), i -> rb[i] * i)), (a, b) -> a + b) AS r_check
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "m_binary_meta"  -> (mBinaryMeta _, Some(mBinaryMetaSql)),
     "m_frame_sample" -> (mFrameSample _, Some(mFrameSampleSql)),
-    "m_decode_stub"  -> (mDecodeStub _, None),
-    "m_resize_stub"  -> (mResizeStub _, None),
+    "m_decode_stub"  -> (mDecodeStub _, Some(mDecodeStubSql)),
+    "m_resize_stub"  -> (mResizeStub _, Some(mResizeStubSql)),
   )
 }

@@ -24,11 +24,13 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_id").distinct().count() === frames.count())
   }
 
-  test("resize stub: deterministic downsample, size ratio holds") {
+  test("resize stub: deterministic downsample, size ratio and checksum bounds hold") {
     val rows = Multimodal.resizeStub(spark, sf).collect()
     rows.foreach { r =>
       assert(r.resized_bytes === r.orig_bytes / r.factor)
-      assert(r.resized_md5.matches("[0-9a-f]{32}"))
+      assert(r.r_sum >= 0 && r.r_sum <= 255L * r.resized_bytes)
+      // weights are 1..n, so the weighted checksum dominates the plain sum
+      assert(r.r_check >= r.r_sum)
     }
     val again = Multimodal.resizeStub(spark, sf).collect()
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
