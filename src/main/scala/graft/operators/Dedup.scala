@@ -380,6 +380,51 @@ object Dedup {
        |SELECT id, MIN(LEAST(id, nbr)) AS cluster, COUNT(*) AS degree
        |FROM sym GROUP BY id ORDER BY id""".stripMargin
 
+  /** Full connected components over an undirected pair graph by
+    * iterated min-label propagation — the external-loop companion to
+    * [[dCluster]] for chain-shaped components. Each superstep joins the
+    * frontier labels across edges and keeps the per-node minimum;
+    * frontiers are materialized with `localCheckpoint` — persist alone
+    * caches data but leaves the LOGICAL plan growing exponentially with
+    * iterations (union+join nesting doubles per superstep until even
+    * planning OOMs); checkpointing truncates the lineage so every
+    * superstep plans against a flat scan. The loop stops at a fixpoint
+    * (no label changed) or maxIters — the GraphX-style pattern in pure
+    * DataFrames. Not registered as an oracle query (the iteration count
+    * is data-dependent); exercised by DedupSpec on chains and cliques.
+    *
+    * Input: columns `a`, `b` (an unordered pair per row).
+    * Output: (id, component) with component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("a").cast("long").as("id"), col("b").cast("long").as("nbr"))
+      .union(pairs.select(col("b").cast("long").as("id"), col("a").cast("long").as("nbr")))
+      .localCheckpoint(true)
+    var labels = sym.groupBy("id")
+      .agg(min(least(col("id"), col("nbr"))).as("component"))
+      .localCheckpoint(true)
+    var it = 1
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaEdges = sym.join(
+          labels.select(col("id").as("nbr"), col("component")), "nbr")
+        .select(col("id"), col("component"))
+      val next = labels.select(col("id"), col("component")).union(viaEdges)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("component").as("prev")), "id")
+        .filter(col("component") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),

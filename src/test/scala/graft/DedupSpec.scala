@@ -90,6 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("connected components: chains converge to one label, cliques unaffected") {
+    // chain 1-2-3-...-10 (diameter 9, needs iteration), clique {20,21,22},
+    // isolated pair {30,31}
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+    val pair = Seq((30L, 31L))
+    val pairs = (chain ++ clique ++ pair).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 10L).foreach(i => assert(got(i) === 1L, s"chain node $i"))
+    Seq(20L, 21L, 22L).foreach(i => assert(got(i) === 20L))
+    Seq(30L, 31L).foreach(i => assert(got(i) === 30L))
+    // full LSH pair graph: every pair's endpoints share a component
+    val lshPairs = Dedup.dMinhashLsh(spark, sf).select("a", "b")
+    val comp = Dedup.connectedComponents(lshPairs).as[(Long, Long)].collect().toMap
+    lshPairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
+    }
+  }
+
   test("simhash64 aggregator: order- and partition-insensitive") {
     val base = Dedup.dSimhash64(spark, sf).as[(Long, String)].collect().toMap
     val sim64 = org.apache.spark.sql.functions.udaf(graft.functions.SimHash64)
