@@ -21,12 +21,16 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try {
-      val warmSf = "/root/testdata/sf0.001"
-      operators.Dedup.dMinhashLsh(spark, warmSf)
+      // warm on the bench's own fixture dir — a hardcoded path would be
+      // silently skipped on other layouts, putting the JIT cost back on
+      // the first timed d_* query
+      operators.Dedup.dMinhashLsh(spark, sfDir)
         .queryExecution.toRdd.foreach(_ => ())
-      operators.Similarity.sCosineTopK(spark, warmSf)
+      operators.Similarity.sCosineTopK(spark, sfDir)
         .queryExecution.toRdd.foreach(_ => ())
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     // fixed (sorted) execution order: stable warmup attribution and
     // directly comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

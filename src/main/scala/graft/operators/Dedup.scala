@@ -394,17 +394,26 @@ object Dedup {
     * is data-dependent); exercised by DedupSpec on chains and cliques.
     *
     * Input: columns `a`, `b` (an unordered pair per row).
-    * Output: (id, component) with component = min id reachable.
+    * Output: (id, component) with component = min id reachable. The
+    * returned frame is checkpoint-pinned (so callers can consume it
+    * without recompute); call `.unpersist()` on it when done, or its
+    * blocks stay resident. Label propagation needs ~diameter
+    * supersteps; if `maxIters` is hit before the fixpoint a warning is
+    * logged and the labels of any unconverged (deep-chain) component
+    * are 1..maxIters-hop minima, not component ids.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = pairs
-      .select(col("a").cast("long").as("id"), col("b").cast("long").as("nbr"))
-      .union(pairs.select(col("b").cast("long").as("id"), col("a").cast("long").as("nbr")))
+    // single reference of the (possibly expensive) pair subplan — the
+    // same explode pattern as dCluster
+    val sym = pairs.select(explode(array(
+        struct(col("a").cast("long").as("id"), col("b").cast("long").as("nbr")),
+        struct(col("b").cast("long").as("id"), col("a").cast("long").as("nbr")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
       .localCheckpoint(true)
     var labels = sym.groupBy("id")
       .agg(min(least(col("id"), col("nbr"))).as("component"))
       .localCheckpoint(true)
-    var it = 1
+    var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val viaEdges = sym.join(
@@ -421,6 +430,10 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[connectedComponents] NOT converged after $maxIters supersteps — " +
+        "labels of deep-chain components are partial minima")
     sym.unpersist()
     labels
   }

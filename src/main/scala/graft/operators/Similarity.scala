@@ -158,18 +158,11 @@ object Similarity {
     (1 to iters).foldLeft(seeds)((c, _) => lloydStep(base, c))
   }
 
-  /** Inverted index: every vector → nearest fitted centroid (1 row via
-    * rank). Package-private for cell-balance diagnostics/tests.
-    */
-  private[graft] def ivfAssignment(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val base = withNorm(s, d)
-    ivfAssignment(base, fittedCentroids(base, iters))
-  }
-
-  /** [[ivfAssignment]] over already-built base/centroid frames — the
-    * query path passes its own so the (expensive) fit subplan is
-    * referenced once, not re-derived per consumer (ReuseExchange does
-    * not fire across lambda-bearing subplans).
+  /** Inverted index over already-built base/centroid frames: every
+    * vector → nearest fitted centroid (1 row via rank). The query path
+    * passes its own frames so the (expensive) fit subplan is referenced
+    * once, not re-derived per consumer (ReuseExchange does not fire
+    * across lambda-bearing subplans).
     */
   private def ivfAssignment(base: DataFrame, cent: DataFrame): DataFrame = {
     val centCos = round(
