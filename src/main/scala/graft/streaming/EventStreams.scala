@@ -56,6 +56,20 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup: suppress records whose payload
+    * fingerprint was already seen within the watermark — the streaming
+    * twin of the batch exact-dedup ([[graft.operators.Dedup.dExact]]),
+    * i.e. the ingestion-time shape of a training-data curation
+    * pipeline. State holds one fingerprint per distinct payload and is
+    * dropped as the watermark passes.
+    */
+  def dedupByContent(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("fp", md5(concat_ws("|",
+        col("user_id"), col("event_type"), col("value")).cast("binary")))
+      .dropDuplicatesWithinWatermark("fp")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, total: Double)
 

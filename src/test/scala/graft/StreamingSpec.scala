@@ -83,6 +83,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("t_dedup").count() === 200)
   }
 
+  test("content-fingerprint dedup keeps one record per distinct payload") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.dedupByContent(input.toDF())
+      .writeStream.format("memory").queryName("t_cdedup").outputMode("append").start()
+    try {
+      val chunk = batchEvents.take(300)
+      input.addData(chunk); q.processAllAvailable()
+      // replay with DIFFERENT event ids but identical payloads — the
+      // content fingerprint, not the id, must drive suppression
+      input.addData(chunk.map(e => e.copy(event_id = e.event_id + 1000000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = batchEvents.take(300)
+      .map(e => (e.user_id, e.event_type, e.value)).distinct.size
+    assert(spark.table("t_cdedup").count() === expected)
+  }
+
   test("flatMapGroupsWithState running stats converge to batch totals") {
     val input = MemoryStream[EventStreams.UserEvent](spark)
     val q = EventStreams.runningUserStats(input.toDS())
