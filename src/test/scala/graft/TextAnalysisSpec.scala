@@ -62,6 +62,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.select("fp_full").distinct().count() === docs)
   }
 
+  test("normalization: idempotent and case/punctuation-insensitive (property)") {
+    val texts = Tables.documents(spark, sf).select("text").as[String].take(50)
+    val variants = texts.flatMap(t => Seq(t, t.toUpperCase, s"  $t!! ", t.replace(" ", "\t")))
+    val fps = variants.toSeq.toDF("text")
+      .select(col("text"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .as[(String, String)].collect().toMap
+    texts.foreach { t =>
+      val base = fps(t)
+      // idempotence: normalizing a normal form is a no-op
+      assert(fps.getOrElse(base, base) === base)
+      // insensitivity: case, surrounding punctuation, whitespace class
+      assert(fps(t.toUpperCase) === base, s"case-sensitive norm for: $t")
+      assert(fps(s"  $t!! ") === base)
+      assert(fps(t.replace(" ", "\t")) === base)
+    }
+  }
+
   test("shingles equal a naive sliding-window ground truth (property)") {
     import graft.functions.Text
     val texts = Tables.documents(spark, sf).select("text").as[String].take(50) ++
