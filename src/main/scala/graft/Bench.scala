@@ -13,20 +13,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session bring-up, codegen compiler, parquet
-    // footer reads — keeps the first timed query comparable to the rest.
-    // The dedup warmup compiles the shingle/MinHash expression classes,
-    // whose first-use JIT cost otherwise lands on whichever d_* query
-    // happens to sort first (measured ~3 s of pure warmup attributed to
-    // d_cluster before this).
+    // reader, and the custom expression classes — on SYNTHETIC frames
+    // only. Warming two registered queries (the previous shape) gave
+    // exactly those two warm-JIT/page-cache treatment the rest of the
+    // sorted run didn't get; warming the shared expression classes on a
+    // tiny in-memory frame compiles the same generated-code paths
+    // (shingle/MinHash loops, float dot/norm, SimHash64 merge, HOF
+    // folds, window machinery) without preferentially pre-running any
+    // query in the suite.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try {
-      // warm on the bench's own fixture dir — a hardcoded path would be
-      // silently skipped on other layouts, putting the JIT cost back on
-      // the first timed d_* query
-      operators.Dedup.dMinhashLsh(spark, sfDir)
+      import org.apache.spark.sql.functions._
+      val gs = org.apache.spark.sql.graft.GraftSql
+      val warm = spark.range(256).selectExpr(
+        "concat_ws(' ', 'alpha', cast(id % 7 as string), 'beta', cast(id as string), 'gamma') as text",
+        "array(cast(id as float), cast(id + 1 as float), cast(id + 2 as float)) as emb")
+      val toks = graft.functions.Text.tokens(col("text"))
+      warm.select(
+          gs.shingleMinHash(toks, 3, (0 until 12).map(j => s"$j|")).as("mh"),
+          gs.shingleSet(toks, 3).as("ss"),
+          graft.functions.Vectors.dot(col("emb"), col("emb")).as("dp"),
+          aggregate(toks, lit(0), (a, x) => a + length(x)).as("fold"))
         .queryExecution.toRdd.foreach(_ => ())
-      operators.Similarity.sCosineTopK(spark, sfDir)
+      val sim64 = udaf(graft.functions.SimHash64)
+      warm.select(explode(toks).as("w"), col("id"))
+        .groupBy("id").agg(sim64(col("w")).as("sh"))
+        .select(sum(col("sh").cast("long")))
+        .queryExecution.toRdd.foreach(_ => ())
+      warm.select(sum(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id") % 4).orderBy("id")
+          .rowsBetween(Long.MinValue, 0)).as("cum"))
+        .queryExecution.toRdd.foreach(_ => ())
+      // parquet reader code path (vectorized scan JIT) on the smallest
+      // fixture file — a shared code path, not a specific query's data
+      spark.read.parquet(s"$sfDir/region.parquet")
         .queryExecution.toRdd.foreach(_ => ())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")

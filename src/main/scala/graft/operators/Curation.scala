@@ -24,8 +24,9 @@ object Curation {
 
   /** Curated corpus: docs that (1) have >= 20 tokens, (2) have stopword
     * ratio < 0.2, (3) are the keeper (min doc_id) of their exact-text
-    * group, and (4) are not the HIGHER id of a near-dup pair (Jaccard >=
-    * 0.9 over 3-shingles within min-shingle blocks) AMONG the
+    * group, and (4) are the MINIMUM-id member of their near-dup
+    * connected component (Jaccard >= 0.9 over 3-shingles within
+    * min-shingle blocks, components over the pair graph) AMONG the
     * quality-surviving docs — near-dup removal applies to the corpus
     * being kept, so the expensive shingle/pairing subplan runs once
     * over the filtered set instead of a second full-corpus pass.
@@ -50,11 +51,24 @@ object Curation {
       .withColumn("keep_min", min(col("doc_id")).over(wFp))
       .filter(col("doc_id") === col("keep_min"))
 
-    // near-dup victims: higher id of each high-jaccard pair among the
-    // quality survivors (shared subplan — Dedup.jaccardPairs)
-    val victims = Dedup.jaccardPairs(quality.select(col("doc_id"), col("toks")))
-      .filter(col("jac") >= 0.9)
-      .select(col("b").as("doc_id")).distinct()
+    // near-dup victims: every non-minimum member of each CONNECTED
+    // COMPONENT of the high-jaccard pair graph among the quality
+    // survivors (shared subplan — Dedup.jaccardPairs). Component
+    // labels, not per-pair higher-ids: per-pair removal keeps a doc
+    // that is the lower end of every pair it appears in even when its
+    // component minimum is someone else (chain b–c plus a–c keeps b),
+    // and — the 100 TB point — its output is quadratic in cluster
+    // size (every pair row) while component labels are linear (one
+    // label per member). The CC loop is external + checkpointed
+    // (Dedup.connectedComponents), so the jaccard subplan is evaluated
+    // once into the pinned edge list, never per superstep.
+    val victims = Dedup.connectedComponents(
+        Dedup.jaccardPairs(quality.select(col("doc_id"), col("toks")))
+          .filter(col("jac") >= 0.9)
+          .select(col("a"), col("b")),
+        maxIters = 12)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
 
     keepers
       .join(victims, Seq("doc_id"), "left_anti")
@@ -63,7 +77,7 @@ object Curation {
   }
 
   val curateSql: String =
-    s"""WITH base AS (SELECT doc_id, lang, text, ${Text.ToksSql} AS toks FROM documents),
+    s"""WITH RECURSIVE base AS (SELECT doc_id, lang, text, ${Text.ToksSql} AS toks FROM documents),
        |quality AS (SELECT * FROM base
        |  WHERE len(toks) >= 20
        |    AND CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len(toks) < 0.2),
@@ -74,10 +88,18 @@ object Curation {
        |  FROM quality WHERE len(toks) >= 3),
        |blk AS (SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS blk
        |  FROM sh3 WHERE len(sh) > 0),
-       |victims AS (SELECT DISTINCT y.doc_id FROM blk x JOIN blk y
+       |nd_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b FROM blk x JOIN blk y
        |  ON x.blk = y.blk AND x.doc_id < y.doc_id
        |  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.9)
+       |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.9),
+       |sym AS (SELECT a AS id, b AS nbr FROM nd_pairs
+       |        UNION ALL SELECT b AS id, a AS nbr FROM nd_pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM sym) t
+       |  UNION
+       |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id),
+       |victims AS (SELECT id AS doc_id FROM reach
+       |  GROUP BY id HAVING id <> MIN(r))
        |SELECT q.doc_id, CAST(len(q.toks) AS INT) AS n_tokens, q.lang
        |FROM quality q
        |JOIN keepers k ON k.doc_id = q.doc_id

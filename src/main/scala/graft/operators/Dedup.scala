@@ -200,16 +200,26 @@ object Dedup {
     * graft.functions (perf path); this one is oracle-checkable.
     */
   def dSimhash(s: SparkSession, d: String): DataFrame = {
-    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val base = Tables.documents(s, d)
       .select(col("doc_id"),
         transform(Text.tokens(col("text")), x => md5(x.cast("binary"))).as("h"))
-    val bits: Column = (1 to 16).map { i =>
-      val si = aggregate(col("h"), lit(0),
-        (acc, x) => acc + when(substring(x, i, 1).isin(high: _*), 1).otherwise(-1))
-      when(si > 0, lit(1 << (16 - i))).otherwise(lit(0))
-    }.reduce(_ + _)
-    base.select(col("doc_id"), bits.cast("int").as("simhash16"))
+    // ONE fold accumulating all 16 nibble-majority counters in an
+    // array<int> buffer (was: 16 independent aggregate() folds, each
+    // re-walking the token-hash array — ~16× interpreted-lambda work).
+    // A hex digit's top nibble bit is set iff the char >= '8': ASCII
+    // '0'..'9' < 'a'..'f' matches hex value order, so the string
+    // compare is the bit test. The finish lambda assembles the bits
+    // from the bound counter array — no re-evaluation of the fold.
+    val counters = aggregate(
+      col("h"),
+      array((1 to 16).map(_ => lit(0)): _*),
+      (acc, x) => transform(sequence(lit(1), lit(16)),
+        i => element_at(acc, i) +
+          when(x.substr(i, lit(1)) >= "8", 1).otherwise(-1)),
+      cnt => (1 to 16).map(i =>
+        when(element_at(cnt, i) > 0, lit(1 << (16 - i))).otherwise(lit(0)))
+        .reduce(_ + _))
+    base.select(col("doc_id"), counters.cast("int").as("simhash16"))
       .orderBy("doc_id")
   }
 
@@ -294,21 +304,43 @@ object Dedup {
   /** Blocked cosine near-dup over embeddings: block on (label, quantized
     * first component) — a deliberate approximate-blocking scheme both
     * engines compute identically — then exact cosine within blocks.
+    * TWO probe grids (multi-probe blocking): bkt1 = floor(x·10) and the
+    * half-cell-shifted bkt2 = floor(x·10 + 0.5). A pair straddling a
+    * bkt1 cell boundary but within 0.05 of it shares a bkt2 cell, so
+    * single-grid boundary misses are recovered for one extra map-side
+    * probe row per vector; pairs found by both probes are deduped
+    * after the (deterministic, round-6) cosine.
     */
-  def dEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(
+  def dEmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    embeddingNearDup(s, Tables.embeddings(s, d))
+
+  /** Core of [[dEmbeddingNearDup]] over any (vec_id, label, embedding)
+    * frame — package-private so the boundary-straddle property test can
+    * inject synthetic vectors.
+    */
+  private[graft] def embeddingNearDup(s: SparkSession, emb0: DataFrame): DataFrame = {
+    val x10 = element_at(col("embedding"), 1).cast("double") * 10
+    val emb = emb0.select(
       col("vec_id"), col("label"), col("embedding"),
       graft.functions.Vectors.norm(col("embedding")).as("nrm"),
-      floor(element_at(col("embedding"), 1).cast("double") * 10).cast("int").as("bkt"))
-      // one exchange = norms computed once, reused by both join sides
+      floor(x10).cast("int").as("bkt1"),
+      floor(x10 + 0.5).cast("int").as("bkt2"))
+      // one exchange = norms computed once, reused by both join sides;
+      // the probe explode happens AFTER it so nrm isn't computed per probe
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    val a = emb.toDF("a_id", "label", "a_emb", "a_nrm", "bkt")
-    val b = emb.toDF("b_id", "label", "b_emb", "b_nrm", "bkt")
+    val probed = emb.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        explode(array(struct(lit(1).as("p"), col("bkt1").as("bkt")),
+                      struct(lit(2).as("p"), col("bkt2").as("bkt")))).as("pb"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("pb.p").as("p"), col("pb.bkt").as("bkt"))
+    val a = probed.toDF("a_id", "label", "a_emb", "a_nrm", "p", "bkt")
+    val b = probed.toDF("b_id", "label", "b_emb", "b_nrm", "p", "bkt")
     val dot = graft.functions.Vectors.dot(col("a_emb"), col("b_emb"))
-    a.join(b, Seq("label", "bkt")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("label", "p", "bkt")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(dot / (col("a_nrm") * col("b_nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.25)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -316,14 +348,22 @@ object Dedup {
     """WITH n AS (SELECT vec_id, label, embedding,
       |  sqrt(list_reduce(list_transform(embedding,
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)) AS nrm,
-      |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS INT) AS bkt
-      |FROM embeddings)
-      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS INT) AS bkt1,
+      |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 10 + 0.5) AS INT) AS bkt2
+      |FROM embeddings),
+      |cand AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM n a JOIN n b ON a.label = b.label AND a.bkt1 = b.bkt1
+      |    AND a.vec_id < b.vec_id
+      |  UNION
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM n a JOIN n b ON a.label = b.label AND a.bkt2 = b.bkt2
+      |    AND a.vec_id < b.vec_id)
+      |SELECT a_id, b_id,
       |  round(list_reduce(list_transform(range(1, 65),
       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
       |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos
-      |FROM n a JOIN n b ON a.label = b.label AND a.bkt = b.bkt
-      |  AND a.vec_id < b.vec_id
+      |FROM cand JOIN n a ON a.vec_id = a_id JOIN n b ON b.vec_id = b_id
       |WHERE round(list_reduce(list_transform(range(1, 65),
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
       |    (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.25
@@ -380,18 +420,33 @@ object Dedup {
        |SELECT id, MIN(LEAST(id, nbr)) AS cluster, COUNT(*) AS degree
        |FROM sym GROUP BY id ORDER BY id""".stripMargin
 
+  /** Lineage-truncating materialization for iterative loops: reliable
+    * `checkpoint` when the session has a checkpoint dir configured
+    * (`sc.setCheckpointDir` / `spark.checkpoint.dir` — the
+    * fault-tolerant default for a real cluster, where `localCheckpoint`
+    * blocks die with their executor and one lost executor aborts the
+    * whole loop), `localCheckpoint` otherwise (tests / dev, no
+    * durable-store round-trip).
+    */
+  private def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Full connected components over an undirected pair graph by
     * iterated min-label propagation — the external-loop companion to
     * [[dCluster]] for chain-shaped components. Each superstep joins the
     * frontier labels across edges and keeps the per-node minimum;
-    * frontiers are materialized with `localCheckpoint` — persist alone
-    * caches data but leaves the LOGICAL plan growing exponentially with
+    * frontiers are materialized with [[pin]] — persist alone caches
+    * data but leaves the LOGICAL plan growing exponentially with
     * iterations (union+join nesting doubles per superstep until even
     * planning OOMs); checkpointing truncates the lineage so every
-    * superstep plans against a flat scan. The loop stops at a fixpoint
-    * (no label changed) or maxIters — the GraphX-style pattern in pure
-    * DataFrames. Not registered as an oracle query (the iteration count
-    * is data-dependent); exercised by DedupSpec on chains and cliques.
+    * superstep plans against a flat scan. On a cluster with a
+    * checkpoint dir set, frontiers go to reliable storage (survives
+    * executor loss); without one they are executor-local. The loop
+    * stops at a fixpoint (no label changed) or maxIters — the
+    * GraphX-style pattern in pure DataFrames. Registered as the
+    * oracle-checked `d_components` (recursive-CTE min-label oracle);
+    * also exercised by DedupSpec on chains and cliques.
     *
     * Input: columns `a`, `b` (an unordered pair per row).
     * Output: (id, component) with component = min id reachable. The
@@ -405,23 +460,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // single reference of the (possibly expensive) pair subplan — the
     // same explode pattern as dCluster
-    val sym = pairs.select(explode(array(
+    val sym = pin(pairs.select(explode(array(
         struct(col("a").cast("long").as("id"), col("b").cast("long").as("nbr")),
         struct(col("b").cast("long").as("id"), col("a").cast("long").as("nbr")))).as("e"))
-      .select(col("e.id").as("id"), col("e.nbr").as("nbr"))
-      .localCheckpoint(true)
-    var labels = sym.groupBy("id")
-      .agg(min(least(col("id"), col("nbr"))).as("component"))
-      .localCheckpoint(true)
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr")))
+    var labels = pin(sym.groupBy("id")
+      .agg(min(least(col("id"), col("nbr"))).as("component")))
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val viaEdges = sym.join(
           labels.select(col("id").as("nbr"), col("component")), "nbr")
         .select(col("id"), col("component"))
-      val next = labels.select(col("id"), col("component")).union(viaEdges)
-        .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+      val next = pin(labels.select(col("id"), col("component")).union(viaEdges)
+        .groupBy("id").agg(min(col("component")).as("component")))
       val changed = next
         .join(labels.select(col("id"), col("component").as("prev")), "id")
         .filter(col("component") =!= col("prev")).limit(1).count()
@@ -438,6 +490,30 @@ object Dedup {
     labels
   }
 
+  /** Driver-checked full connected components over the LSH pair graph.
+    * The superstep budget (12) exceeds any plausible fixture diameter
+    * (LSH clusters are near-cliques plus short chains; DedupSpec pins
+    * convergence), and a CONVERGED run's labels are exact component
+    * minima independent of the iteration count — which is what makes a
+    * deterministic oracle possible: the DuckDB side computes the same
+    * fixpoint via a recursive transitive-closure CTE. This is the
+    * chain-safe companion to [[dCluster]]: on a chain a–b–c the 1-hop
+    * label differs per node, the component label does not.
+    */
+  def dComponents(s: SparkSession, d: String): DataFrame =
+    connectedComponents(dMinhashLsh(s, d).select(col("a"), col("b")), maxIters = 12)
+      .orderBy("id")
+
+  val dComponentsSql: String =
+    s"""WITH RECURSIVE p AS ($dMinhashLshSql),
+       |sym AS (SELECT a AS id, b AS nbr FROM p
+       |        UNION ALL SELECT b AS id, a AS nbr FROM p),
+       |reach(id, r) AS (
+       |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM sym) t
+       |  UNION
+       |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id)
+       |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
@@ -446,5 +522,6 @@ object Dedup {
     "d_jaccard"     -> (dJaccard _, dJaccardSql),
     "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),
     "d_cluster"     -> (dCluster _, dClusterSql),
+    "d_components"  -> (dComponents _, dComponentsSql),
   )
 }

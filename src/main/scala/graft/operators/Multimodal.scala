@@ -94,8 +94,11 @@ object Multimodal {
     * row). The decode itself is a STUB — deterministic byte statistics
     * instead of image decoding, since no codec libraries exist in this
     * environment; swap `decodeOne` for a real binding without touching
-    * the plan shape. Not SQL-expressible → registered without an oracle
-    * (rows-only driver check); covered by MultimodalSpec instead.
+    * the plan shape. The mapPartitions body itself is not
+    * SQL-expressible, but the stub's byte statistics ARE — the driver
+    * hash-verifies `m_decode_stub` against a DuckDB hex/nibble
+    * byte-math oracle (`mDecodeStubSql`); MultimodalSpec covers the
+    * Dataset surface on top.
     */
   def decodeStub(s: SparkSession, d: String): Dataset[MediaFeatures] = {
     import s.implicits._

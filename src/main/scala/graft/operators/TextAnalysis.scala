@@ -71,7 +71,14 @@ object TextAnalysis {
   def tTfidf(s: SparkSession, d: String): DataFrame = {
     val words = docsWithTokens(s, d)
       .select(col("doc_id"), explode(col("toks")).as("word"))
+    // tf feeds BOTH the join probe side and the df aggregation; pinned
+    // behind an explicit word-keyed exchange (the Similarity.withNorm
+    // pattern) so ReuseExchange computes the tokenize+explode+tf chain
+    // once — the two consumers reference the same exchange subplan by
+    // object identity, which survives canonicalization even with
+    // lambda-bearing token expressions upstream.
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .repartition(s.sparkContext.defaultParallelism, col("word"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), "word")

@@ -34,12 +34,19 @@ object WordScore {
   /** (stars, text) → (word, score), sorted score desc, word asc (the
     * deterministic tie-break the reference explicitly allows, `:56`).
     * Fail-fast on stars outside {1..5}, matching the reference's NPE
-    * task failure (`ComputeWordScore.java:113`).
+    * task failure (`ComputeWordScore.java:113`) EXACTLY: the reference
+    * unboxes the modifier at `context.write`, i.e. once per emitted
+    * token — a bad-stars review whose text tokenizes to zero words
+    * never reaches the write and succeeds. The strict modifier is
+    * therefore evaluated in the projection ABOVE the Generate (per
+    * word), not below it (per review); Catalyst does not push project
+    * expressions under a Generate, so token-less reviews never
+    * evaluate it (pinned by WordScoreSpec).
     */
   def score(reviews: DataFrame, stars: Column, text: Column): DataFrame =
     reviews
-      .select(Text.starsModifierStrict(stars).as("modifier"),
-              Text.explodedWord(text).as("word"))
+      .select(stars.as("stars_in"), Text.explodedWord(text).as("word"))
+      .select(Text.starsModifierStrict(col("stars_in")).as("modifier"), col("word"))
       .groupBy("word")
       .agg(sum("modifier").as("score"))
       .orderBy(col("score").desc, col("word"))

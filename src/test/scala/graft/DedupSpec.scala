@@ -130,6 +130,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embed near-dup: shifted second grid catches bkt1-boundary pairs") {
+    // Near-identical vectors straddling the floor(x*10) cell edge at 0.2:
+    // bkt1 = 1 vs 2 (single-grid miss — the round-2 recall caveat), but
+    // the half-cell-shifted grid puts both at bkt2 = 2 → pair recovered.
+    val emb = Seq(
+      (1L, "x", Array(0.199f, 1.0f)),
+      (2L, "x", Array(0.201f, 1.0f)),   // cos ≈ 1 with vec 1
+      (3L, "y", Array(0.5f, -1.0f)))    // different label: never paired
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDup(spark, emb)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 > 0.99)
+    // and each surviving pair appears exactly once despite two probes
+    assert(pairs.length === 1)
+  }
+
+  test("connected components uses reliable checkpoints when dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      (1L to 6L).foreach(i => assert(got(i) === 1L))
+      // the loop's frontiers actually went to the reliable store
+      def files(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c => c +: files(c))
+      assert(files(dir).exists(_.isFile), "no reliable checkpoint written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("simhash64 aggregator: order- and partition-insensitive") {
     val base = Dedup.dSimhash64(spark, sf).as[(Long, String)].collect().toMap
     val sim64 = org.apache.spark.sql.functions.udaf(graft.functions.SimHash64)

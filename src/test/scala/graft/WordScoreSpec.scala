@@ -107,6 +107,16 @@ class WordScoreSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("out of domain")))
   }
 
+  test("bad-stars review with zero tokens succeeds (reference NPEs only at write)") {
+    // the reference unboxes the modifier at context.write — per emitted
+    // token; a whitespace-only text emits nothing, so stars=7 passes
+    import spark.implicits._
+    val bad = Seq((7.0, " \t\n "), (5.0, "fine words")).toDF("stars", "text")
+    val out = WordScore.score(bad, col("stars"), col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("fine" -> 2L, "words" -> 2L))
+  }
+
   test("malformed JSON fails fast like the reference") {
     val dir = Files.createTempDirectory("badjson").toFile
     Files.writeString(new java.io.File(dir, "bad.json").toPath,
