@@ -125,8 +125,41 @@ object Curation {
       |WHERE substr(md5('smpl|' || CAST(doc_id AS VARCHAR)), 1, 2) < '20'
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-language keep thresholds for [[sampleStratified]]: first two
+    * hex digits of the salted key digest must fall below the stratum's
+    * threshold, so '40' ≈ 25%, '20' ≈ 12.5%, '10' ≈ 6.25%, default
+    * '08' ≈ 3%. Rebalancing a multilingual corpus (up-weight scarce
+    * languages, down-weight dominant ones) is the standard use.
+    */
+  val StratRates: Seq[(String, String)] = Seq(
+    "en" -> "40", "de" -> "20", "es" -> "20", "fr" -> "10", "zh" -> "10")
+
+  /** Stratified deterministic sampling: [[sample]]'s digest predicate
+    * with a per-language threshold — per-stratum rates without a
+    * shuffle, reproducible on any cluster, pushable to the scan.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val thr = StratRates.reverse.foldLeft(lit("08"): org.apache.spark.sql.Column) {
+      case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .filter(substring(md5(concat(lit("strat|"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 2) < thr)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String = {
+    val cases = StratRates.map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+       |  CASE lang $cases ELSE '08' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_curate" -> (curate _, curateSql),
     "p_sample" -> (sample _, sampleSql),
+    "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
   )
 }

@@ -702,6 +702,41 @@ object Relational {
        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
        |FROM daily ORDER BY l_suppkey, ship_day""".stripMargin
 
+  // ---------------------------------------------------- salted join
+  /** Explicit salted equi-join — the portable skew-join pattern for
+    * keys hot enough that one reducer would otherwise receive a whole
+    * key's rows: the fact side adds a deterministic salt from a
+    * row-local column, the (smaller) dim side is replicated once per
+    * salt value, and the join key becomes (key, salt) so a hot key's
+    * rows spread over SaltBuckets tasks. Results are identical to the
+    * plain join — the oracle IS the plain join — because every fact
+    * row still meets exactly one dim replica. AQE's skew-join split
+    * covers the sort-merge case adaptively; the explicit form is the
+    * one that works for aggregation pipelines and survives engines/
+    * configs where AQE is off (the wordScoreSalted of joins).
+    */
+  val SaltBuckets = 8
+
+  def qJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), revDec.as("rev"),
+        pmod(xxhash64(col("l_linenumber")), lit(SaltBuckets)).as("fsalt"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(sequence(lit(0L), lit(SaltBuckets - 1L))).as("dsalt"))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qJoinSaltedSql: String =
+    s"""SELECT o_orderpriority,
+       |  CAST(SUM($REV_SQL) AS DOUBLE) AS revenue, COUNT(*) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------- correlated scalar subquery
   /** Correlated scalar subquery (per-row dependent aggregate): orders
     * priced above their own customer's exact-decimal mean. Catalyst
@@ -737,6 +772,7 @@ object Relational {
     "q_topk"           -> (qTopK _, qTopKSql),
     "q_join_broadcast" -> (qJoinBroadcast _, qJoinBroadcastSql),
     "q_join_shuffle"   -> (qJoinShuffle _, qJoinShuffleSql),
+    "q_join_salted"    -> (qJoinSalted _, qJoinSaltedSql),
     "q_semi_join"      -> (qSemiJoin _, qSemiJoinSql),
     "q_anti_join"      -> (qAntiJoin _, qAntiJoinSql),
     "q_rollup"         -> (qRollup _, qRollupSql),

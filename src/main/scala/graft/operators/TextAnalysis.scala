@@ -341,7 +341,82 @@ object TextAnalysis {
       |  regexp_matches(text, 'stream.*batch') AS has_sb
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- repetition signals
+  /** Per-document repetition/diversity signals — the Gopher/C4-style
+    * quality filters that catch boilerplate and degenerate text:
+    * type-token ratio, top-token share, duplicate-bigram share. Pure
+    * per-row maps (HOFs over the token array), so there is NO shuffle
+    * at any scale; the in-array O(n·distinct) top-token count is
+    * bounded by document length, never by corpus size.
+    */
+  def tRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks)
+    val nd = size(array_distinct(toks))
+    val topCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val bi = Text.shingles(toks, 2)
+    val nBi = size(bi)
+    val nBiD = size(array_distinct(bi))
+    docsWithTokens(s, d).select(
+      col("doc_id"),
+      when(n === 0, 0.0).otherwise(round(nd.cast("double") / n, 6)).as("ttr"),
+      when(n === 0, 0.0)
+        .otherwise(round(topCnt.cast("double") / n, 6)).as("top_tok_share"),
+      when(nBi === 0, 0.0)
+        .otherwise(round((nBi - nBiD).cast("double") / nBi, 6)).as("dup_bigram_share"))
+      .orderBy("doc_id")
+  }
+
+  val tRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |b AS (SELECT doc_id, toks,
+       |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bi
+       |FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) END AS ttr,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |    round(CAST(list_max(list_transform(list_distinct(toks),
+       |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks), 6) END AS top_tok_share,
+       |  CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+       |    round(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 6) END AS dup_bigram_share
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- vocabulary stats
+  /** Per-language corpus vocabulary statistics: vocabulary size, total
+    * tokens, hapax count (words seen once — the long-tail health
+    * signal), type-token ratio, and top-word share. Two aggregations
+    * whose key spaces are (lang, word) then lang — both bounded by
+    * vocabulary × languages, not by corpus size, and the first benefits
+    * from map-side partial aggregation exactly like wordscore.
+    */
+  def tVocab(s: SparkSession, d: String): DataFrame = {
+    val wc = docsWithTokens(s, d)
+      .select(col("lang"), explode(col("toks")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    wc.groupBy("lang").agg(
+      count(lit(1)).as("vocab"),
+      sum(col("cnt")).as("total_tokens"),
+      sum(when(col("cnt") === 1, 1).otherwise(0)).as("hapax"),
+      round(count(lit(1)).cast("double") / sum(col("cnt")), 6).as("ttr"),
+      round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("top_share"))
+      .orderBy("lang")
+  }
+
+  val tVocabSql: String =
+    s"""WITH w AS (SELECT lang, unnest(${Text.ToksSql}) AS word FROM documents),
+       |wc AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2)
+       |SELECT lang, COUNT(*) AS vocab,
+       |  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS ttr,
+       |  round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+       |FROM wc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_repetition"   -> (tRepetition _, tRepetitionSql),
+    "t_vocab"        -> (tVocab _, tVocabSql),
     "t_array_ops"    -> (tArrayOps _, tArrayOpsSql),
     "t_normalize"    -> (tNormalize _, tNormalizeSql),
     "t_map_ops"      -> (tMapOps _, tMapOpsSql),
