@@ -400,7 +400,41 @@ object Similarity {
       |    (a, b) -> a + b) AS q_check
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ per-label centroids
+  /** Per-label mean embedding (class centroids, dim-major rows) — the
+    * aggregation behind cluster summaries, classifier prototypes, and
+    * embedding-drift monitoring. Cross-row double sums are
+    * order-dependent, so components are first quantized onto the
+    * 2⁻²⁴ integer grid (`floor(x·2²⁴)` — exact for every float in
+    * range, and floor-of-identical-double is engine-identical, unlike
+    * raw double→int casts, which truncate in Spark but round in
+    * DuckDB); the per-(label, dim) sum is then an exact BIGINT
+    * aggregation, order-free on any partitioning, and one double
+    * division + round finishes. Scale: posexplode inflates rows ×dim
+    * but they collapse map-side into (labels × dim) partial-agg
+    * states — the vector table itself never shuffles.
+    */
+  def sCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v").cast("double") * lit(16777216.0)).cast("long")).as("sq"),
+           count(lit(1)).as("n"))
+      .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
+        round(col("sq").cast("double") / (col("n") * lit(16777216.0)), 6).as("centroid"))
+      .orderBy("label", "dim")
+
+  val sCentroidsSql: String =
+    """WITH e AS (
+      |  SELECT label, i AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) t(i))
+      |SELECT label, CAST(dim AS INT) AS dim,
+      |  round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 16777216.0), 6) AS centroid
+      |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_centroids"   -> (sCentroids _, sCentroidsSql),
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),
     "s_ann_ivf"     -> (sAnnIvf _, sAnnIvfSql),
     "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),
