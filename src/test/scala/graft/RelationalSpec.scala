@@ -89,6 +89,22 @@ class RelationalSpec extends SparkSpec {
       }
   }
 
+  test("salted join equals the plain join it replaces") {
+    import spark.implicits._
+    val salted = Relational.qJoinSalted(spark, sf)
+      .as[(String, Double, Long)].collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(salted === plain)
+  }
+
   test("sql interface result equals the DataFrame-API semi join shape") {
     val viaSql = Relational.qSqlInterface(spark, sf).as[(String, Long)].collect().toMap
     val viaApi = Tables.orders(spark, sf)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Similarity
 
 /** Similarity-search semantics: exact top-k ordering and IVF recall
@@ -80,6 +82,25 @@ class SimilaritySpec extends SparkSpec {
       val cos = dot / (math.sqrt(v.map(x => x.toDouble * x).sum) *
         math.sqrt(deq.map(x => x * x).sum))
       assert(cos > 0.99, s"vec $id reconstruction cosine $cos")
+    }
+  }
+
+  test("centroids match a driver-side naive mean within quantization error") {
+    import spark.implicits._
+    val got = Similarity.sCentroids(spark, sf)
+      .as[(Long, Int, Double)].collect()
+      .map { case (l, d, c) => (l, d) -> c }.toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val naive = vecs.groupBy(_._1).flatMap { case (l, g) =>
+      val n = g.length
+      (0 until 64).map(i => (l, i + 1) -> g.map(_._2(i).toDouble).sum / n)
+    }
+    assert(got.size === naive.size)
+    naive.foreach { case (k, m) =>
+      // 2^-24 grid truncation + round-6 on the query side
+      assert(math.abs(got(k) - m) < 1e-5, s"$k: got ${got(k)}, naive $m")
     }
   }
 

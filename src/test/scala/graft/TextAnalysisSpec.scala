@@ -62,6 +62,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.select("fp_full").distinct().count() === docs)
   }
 
+  test("repetition signals: in range and consistent with array-op counts") {
+    import spark.implicits._
+    val rep = operators.TextAnalysis.tRepetition(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rep.nonEmpty)
+    rep.foreach { case (id, ttr, top, dup) =>
+      assert(ttr > 0.0 && ttr <= 1.0, s"doc $id ttr=$ttr")
+      assert(top > 0.0 && top <= 1.0, s"doc $id top=$top")
+      assert(dup >= 0.0 && dup < 1.0, s"doc $id dup=$dup")
+    }
+    // ttr must equal n_distinct/n from the independent array-op query
+    val counts = operators.TextAnalysis.tArrayOps(spark, sf)
+      .select(col("doc_id"), col("n"), col("n_distinct"))
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, n, nd) => id -> (n, nd) }.toMap
+    val ttrs = rep.map { case (id, ttr, _, _) => id -> ttr }.toMap
+    counts.foreach { case (id, (n, nd)) =>
+      assert(math.abs(ttrs(id) - nd.toDouble / n) < 1e-6, s"doc $id")
+    }
+  }
+
+  test("vocab stats: hapax <= vocab <= total, ttr/top_share consistent") {
+    import spark.implicits._
+    val rows = operators.TextAnalysis.tVocab(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, vocab, total, hapax, ttr, top) =>
+      assert(hapax <= vocab && vocab <= total, s"$lang counts")
+      assert(math.abs(ttr - vocab.toDouble / total) < 1e-6, s"$lang ttr")
+      assert(top >= 1.0 / total && top <= 1.0, s"$lang top_share")
+    }
+  }
+
+  test("stratified sample: deterministic subset with per-stratum rates") {
+    import spark.implicits._
+    val a = operators.Curation.sampleStratified(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    val b = operators.Curation.sampleStratified(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    assert(a === b) // reproducible
+    val allIds = Tables.documents(spark, sf).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a.map(_._1).forall(allIds)) // a subset of the corpus
+    // observed per-lang rate within a loose binomial bound of the target
+    val byLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val totals = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val want = operators.Curation.StratRates.toMap
+    byLang.foreach { case (lang, kept) =>
+      val rate = Integer.parseInt(want.getOrElse(lang, "08"), 16) / 256.0
+      val n = totals(lang).toDouble
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept - n * rate) < 4 * sd + 1, s"$lang kept=$kept expect=${n * rate}")
+    }
+  }
+
   test("normalization: idempotent and case/punctuation-insensitive (property)") {
     val texts = Tables.documents(spark, sf).select("text").as[String].take(50)
     val variants = texts.flatMap(t => Seq(t, t.toUpperCase, s"  $t!! ", t.replace(" ", "\t")))
