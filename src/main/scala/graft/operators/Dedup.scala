@@ -325,8 +325,12 @@ object Dedup {
       graft.functions.Vectors.norm(col("embedding")).as("nrm"),
       floor(x10).cast("int").as("bkt1"),
       floor(x10 + 0.5).cast("int").as("bkt2"))
-      // one exchange = norms computed once, reused by both join sides;
-      // the probe explode happens AFTER it so nrm isn't computed per probe
+      // the repartition exchange is reused by both join sides (verified
+      // in the final adaptive plan: side b is a ReusedExchange), so the
+      // SCAN+SHUFFLE runs once. Catalyst pushes the norm/bucket
+      // projection ABOVE the exchange into each side, so that per-row
+      // map runs twice — accepted: recomputing a 64-float dot per row
+      // is cheaper at any scale than materializing the vectors
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val probed = emb.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
         explode(array(struct(lit(1).as("p"), col("bkt1").as("bkt")),
@@ -420,17 +424,7 @@ object Dedup {
        |SELECT id, MIN(LEAST(id, nbr)) AS cluster, COUNT(*) AS degree
        |FROM sym GROUP BY id ORDER BY id""".stripMargin
 
-  /** Lineage-truncating materialization for iterative loops: reliable
-    * `checkpoint` when the session has a checkpoint dir configured
-    * (`sc.setCheckpointDir` / `spark.checkpoint.dir` — the
-    * fault-tolerant default for a real cluster, where `localCheckpoint`
-    * blocks die with their executor and one lost executor aborts the
-    * whole loop), `localCheckpoint` otherwise (tests / dev, no
-    * durable-store round-trip).
-    */
-  private def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private def pin(df: DataFrame): DataFrame = Materialize.pin(df)
 
   /** Full connected components over an undirected pair graph by
     * iterated min-label propagation — the external-loop companion to

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncating materialization for plans that must be evaluated
+  * exactly once: reliable `checkpoint` when the session has a
+  * checkpoint dir configured (`sc.setCheckpointDir` — fault-tolerant,
+  * the cluster default; executor loss costs one re-read instead of a
+  * recompute or a dead loop), `localCheckpoint` otherwise (tests/dev —
+  * no durable-store round-trip).
+  *
+  * When to use it instead of trusting the optimizer:
+  *  - A shared subplan consumed by branches the optimizer SPECIALIZES
+  *    differently (e.g. one branch needs an aggregate the other
+  *    prunes): the specialized copies can never match canonically, so
+  *    neither ReuseExchange nor the cache manager dedupes them — each
+  *    branch re-evaluates the full upstream. Measured on t_tfidf: the
+  *    df branch re-ran tokenize+explode+aggregate despite byte-equal
+  *    user code, because its copy dropped the unused count column.
+  *  - Iterative loops (connected components): without truncation the
+  *    logical plan nests union+join per superstep and grows
+  *    exponentially until planning itself OOMs.
+  *
+  * NOT a fix for duplicated cheap per-row projections above a reused
+  * exchange (Catalyst pushes projects through REPARTITION exchanges;
+  * the exchange still dedupes the scan+shuffle, and re-running a
+  * per-row map on each side is cheaper than materializing wide rows).
+  */
+object Materialize {
+  def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+}

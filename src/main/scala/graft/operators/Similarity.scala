@@ -42,11 +42,15 @@ object Similarity {
   // persists centroids (see lloydStep scaladoc).
   val LloydIters = 1
 
-  /** embeddings + precomputed norm, pinned behind an exchange so every
-    * consumer (query side, corpus side, centroids, assignment) reuses
-    * ONE norm computation via ReuseExchange instead of re-deriving it,
-    * and so downstream projections can't inline the norm fold into each
-    * reference.
+  /** embeddings + norm behind a vec_id exchange. What the exchange
+    * actually buys (verified in final adaptive plans): consumers whose
+    * subplans stay structurally identical read it as a ReusedExchange,
+    * so the scan+shuffle runs once; consumers the optimizer transforms
+    * differently (pushed filters, pruned columns) re-derive their copy,
+    * and Catalyst pushes the norm projection above the exchange in any
+    * case — re-running that per-row float fold per consumer is cheap
+    * and accepted; the exchange's other job is spreading the
+    * single-split fixture scan across cores before CPU-heavy work.
     */
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(

@@ -71,14 +71,18 @@ object TextAnalysis {
   def tTfidf(s: SparkSession, d: String): DataFrame = {
     val words = docsWithTokens(s, d)
       .select(col("doc_id"), explode(col("toks")).as("word"))
-    // tf feeds BOTH the join probe side and the df aggregation; pinned
-    // behind an explicit word-keyed exchange (the Similarity.withNorm
-    // pattern) so ReuseExchange computes the tokenize+explode+tf chain
-    // once — the two consumers reference the same exchange subplan by
-    // object identity, which survives canonicalization even with
-    // lambda-bearing token expressions upstream.
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .repartition(s.sparkContext.defaultParallelism, col("word"))
+    // tf feeds BOTH the join probe side and the df aggregation, and the
+    // optimizer SPECIALIZES the two copies (the df branch prunes the
+    // count column into a plain distinct), so no exchange/cache reuse
+    // can ever dedupe them — an exchange pin was tried and the final
+    // adaptive plan still ran tokenize+explode+aggregate twice.
+    // Materializing tf is the real (and industry-standard) shape: the
+    // expensive tokenize runs once into the pinned term-frequency
+    // table, df is then a cheap second aggregate over it. At cluster
+    // scale the pin is a reliable checkpoint (see Materialize.pin);
+    // production pipelines write tf as a table for the same reason.
+    val tf = Materialize.pin(
+      words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), "word")

@@ -59,6 +59,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n" + finalSection.take(1200))
   }
 
+  test("tfidf tokenizes once: both consumers scan the pinned tf table") {
+    val p = plan(graft.operators.TextAnalysis.tTfidf(spark, sf))
+    // the tokenize+explode runs inside the materialization job, not in
+    // this plan — the optimizer specializes the two tf consumers, so an
+    // un-pinned tf would show (at least) two Generate explodes here
+    assert(!p.contains("Generate explode"), p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2,
+      "tf not read from the materialized table:\n" + p.take(1200))
+  }
+
   test("similarity queries use the native float_dot expression") {
     assert(plan(Similarity.sCosineTopK(spark, sf)).contains("float_dot"))
     assert(plan(graft.operators.Dedup.dEmbeddingNearDup(spark, sf)).contains("float_dot"))
