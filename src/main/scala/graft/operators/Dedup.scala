@@ -235,6 +235,64 @@ object Dedup {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ SimHash near-dup
+  /** SimHash near-duplicate pairs: docs whose 64-bit SimHash (the
+    * [[dSimhash64]] aggregator output) differs in at most
+    * [[SimhashMaxHamming]] bits — Charikar dedup as actually deployed
+    * (16-bit signatures collide randomly past a few hundred docs;
+    * measured 846 hamming-0 pairs over 500 distinct fixture docs).
+    * Blocking is the pigeonhole band split: the 16-hex-char signature
+    * is cut into 4 bands of 4 hex chars (16 bits), and any pair with
+    * hamming ≤ 3 agrees on at least one whole band (3 flips cannot
+    * touch all 4), so candidate generation has EXACT recall within the
+    * threshold: one shuffle of (band, 16-bit-key) rows, exact hamming
+    * in-block as a per-hex-digit bit_count(xor) sum (nibble value via
+    * `instr/strpos('0123456789abcdef', c) - 1` — identical on both
+    * engines), hot buckets bounded by [[blockPairs]].
+    */
+  val SimhashMaxHamming = 3
+
+  def dSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = dSimhash64(s, d)
+      .select(col("doc_id"), col("simhash64"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          substring(col("simhash64"), 1 + 4 * i, 4).as("key"))): _*)).as("bn"))
+      .select(
+        concat(col("bn.band").cast("string"), lit("|"), col("bn.key")).as("blk"),
+        struct(col("doc_id"), col("simhash64").as("sh")).as("v"))
+    val ham = (1 to 16).map { i =>
+      bit_count(
+        expr(s"instr('0123456789abcdef', substring(x.sh, $i, 1)) - 1").bitwiseXOR(
+          expr(s"instr('0123456789abcdef', substring(y.sh, $i, 1)) - 1")))
+    }.reduce(_ + _)
+    blockPairs(banded)
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  // lazy: textually precedes the dSimhash64Sql it embeds
+  lazy val dSimhashPairsSql: String = {
+    val ham = (1 to 16).map(i =>
+      s"bit_count(xor(strpos('0123456789abcdef', substr(x.simhash64, $i, 1)) - 1, " +
+      s"strpos('0123456789abcdef', substr(y.simhash64, $i, 1)) - 1))").mkString("\n    + ")
+    s"""WITH sims AS ($dSimhash64Sql),
+       |banded AS (SELECT doc_id, simhash64, band,
+       |  substr(simhash64, 1 + 4 * CAST(band AS INT), 4) AS key
+       |  FROM sims, range(0, 4) t(band)),
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |    $ham AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT DISTINCT a, b, CAST(hamming AS INT) AS hamming
+       |FROM cand WHERE hamming <= $SimhashMaxHamming
+       |ORDER BY a, b""".stripMargin
+  }
+
   // --------------------------------------- min-shingle-blocked Jaccard
   /** N-gram (3-shingle) Jaccard near-dup, blocked on the MIN-SHINGLE
     * fingerprint (the 1-hash MinHash): two docs land in the same block
@@ -512,6 +570,7 @@ object Dedup {
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
     "d_simhash"     -> (dSimhash _, dSimhashSql),
+    "d_simhash_pairs" -> (dSimhashPairs _, dSimhashPairsSql),
     "d_simhash64"   -> (dSimhash64 _, dSimhash64Sql),
     "d_jaccard"     -> (dJaccard _, dJaccardSql),
     "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),

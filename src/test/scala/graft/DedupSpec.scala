@@ -130,6 +130,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 pairs (hamming<=3) concentrate inside jaccard near-dups") {
+    val sp = Dedup.dSimhashPairs(spark, sf).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    val jac = Dedup.dJaccard(spark, sf).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(sp.nonEmpty)
+    // a 3-of-64-bit divergence implies near-identical token multisets,
+    // so virtually every detected pair must also be a high-jaccard pair
+    assert((sp & jac).size >= sp.size * 8 / 10,
+      s"simhash pairs disagree with jaccard: ${(sp -- jac).take(10)}")
+  }
+
   test("embed near-dup: shifted second grid catches bkt1-boundary pairs") {
     // Near-identical vectors straddling the floor(x*10) cell edge at 0.2:
     // bkt1 = 1 vs 2 (single-grid miss — the round-2 recall caveat), but
