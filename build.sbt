@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession and some tests mutate context-global
+// state (checkpoint dir) — keep suites sequential in the forked JVM
+// (this is the default; pinned so a config change can't introduce races)
+Test / testForkedParallel := false
 run / fork := true
 // Forked runs write straight to the parent's stdout/stderr — no sbt
 // "[info]" logger prefix, so a machine-readable JSON line printed by

@@ -26,6 +26,7 @@ object Bench {
       import org.apache.spark.sql.functions._
       val gs = org.apache.spark.sql.graft.GraftSql
       val warm = spark.range(256).selectExpr(
+        "id",
         "concat_ws(' ', 'alpha', cast(id % 7 as string), 'beta', cast(id as string), 'gamma') as text",
         "array(cast(id as float), cast(id + 1 as float), cast(id + 2 as float)) as emb")
       val toks = graft.functions.Text.tokens(col("text"))
@@ -38,7 +39,7 @@ object Bench {
       val sim64 = udaf(graft.functions.SimHash64)
       warm.select(explode(toks).as("w"), col("id"))
         .groupBy("id").agg(sim64(col("w")).as("sh"))
-        .select(sum(col("sh").cast("long")))
+        .select(max(length(col("sh")))) // sh is hex text — just consume it
         .queryExecution.toRdd.foreach(_ => ())
       warm.select(sum(col("id")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("id") % 4).orderBy("id")
@@ -49,7 +50,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .queryExecution.toRdd.foreach(_ => ())
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+      // a silently-aborted warmup would put the JIT cost back on the
+      // first sorted queries and taint every cross-round comparison —
+      // make it impossible to miss in the driver log
+      System.err.println(s"[bench] WARMUP FAILED (timings tainted): $e")
+      e.printStackTrace()
     }
     // fixed (sorted) execution order: stable warmup attribution and
     // directly comparable per-query numbers across rounds

@@ -27,17 +27,21 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Pre-AQE scan split count per fixture file, computed ONCE per JVM:
-    * `df.rdd.getNumPartitions` runs no job but forces full physical
-    * planning, and table() is called per query — uncached it re-planned
-    * the same scan on every access.
+  /** Pre-AQE scan split count per (session, fixture file), computed
+    * once: `df.rdd.getNumPartitions` runs no job but forces full
+    * physical planning, and table() is called per query — uncached it
+    * re-planned the same scan on every access. Keyed by session
+    * identity because split planning depends on session conf
+    * (maxPartitionBytes, parallelism); a JVM-wide key would let one
+    * session's count mis-gate another's repartition.
     */
   private val splitCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def spread(s: SparkSession, d: String, name: String, key: String): DataFrame = {
     val df = table(s, d, name)
     val target = s.sparkContext.defaultParallelism
-    val splits = splitCache.computeIfAbsent(s"$d/$name",
+    val splits = splitCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}/$d/$name",
       _ => Integer.valueOf(df.rdd.getNumPartitions))
     if (splits >= target) df
     else df.repartition(target, col(key))

@@ -505,11 +505,16 @@ object Dedup {
     * returned frame is checkpoint-pinned (so callers can consume it
     * without recompute); call `.unpersist()` on it when done, or its
     * blocks stay resident. Label propagation needs ~diameter
-    * supersteps; if `maxIters` is hit before the fixpoint a warning is
-    * logged and the labels of any unconverged (deep-chain) component
-    * are 1..maxIters-hop minima, not component ids.
+    * supersteps; if `maxIters` is hit before the fixpoint the labels
+    * of deep-chain components would be 1..maxIters-hop minima, NOT
+    * component ids — silently wrong for every consumer (and a hash
+    * mismatch against the exact-fixpoint oracle), so `strict` (the
+    * default) fails the job instead, matching the engine's fail-fast
+    * convention. Pass strict=false only for exploratory runs that
+    * tolerate partial labels (a warning is still printed).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          strict: Boolean = true): DataFrame = {
     // single reference of the (possibly expensive) pair subplan — the
     // same explode pattern as dCluster
     val sym = pin(pairs.select(explode(array(
@@ -534,10 +539,13 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
-    if (!converged)
-      System.err.println(
-        s"[connectedComponents] NOT converged after $maxIters supersteps — " +
-        "labels of deep-chain components are partial minima")
+    if (!converged) {
+      val msg = s"[connectedComponents] NOT converged after $maxIters supersteps — " +
+        "labels of deep-chain components are partial minima, not component ids"
+      if (strict) { sym.unpersist(); labels.unpersist()
+        throw new IllegalStateException(msg + " (pass strict=false to accept)") }
+      System.err.println(msg)
+    }
     sym.unpersist()
     labels
   }

@@ -28,6 +28,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // checkpoint() alone computes the plan TWICE: the eager count job
+      // materializes the un-persisted RDD, then ReliableRDDCheckpointData
+      // runs a SECOND job to write the checkpoint files, recomputing
+      // from scratch. The standard recipe: cache first (count populates
+      // the cache, the write job reads it), release the cache after the
+      // files exist. Set spark.cleaner.referenceTracking.cleanCheckpoints
+      // =true on long-lived apps or checkpoint dirs accumulate.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(true)
+      cached.unpersist()
+      out
+    } else df.localCheckpoint(true)
 }
