@@ -246,25 +246,33 @@ object Dedup {
     * hamming ≤ 3 agrees on at least one whole band (3 flips cannot
     * touch all 4), so candidate generation has EXACT recall within the
     * threshold: one shuffle of (band, 16-bit-key) rows, exact hamming
-    * in-block as a per-hex-digit bit_count(xor) sum (nibble value via
-    * `instr/strpos('0123456789abcdef', c) - 1` — identical on both
-    * engines), hot buckets bounded by [[blockPairs]].
+    * in-block as xor+bit_count over the signature's two long halves.
+    * The DuckDB oracle computes the same hamming per hex digit
+    * (`strpos('0123456789abcdef', c) - 1` nibbles) — same bits, same
+    * value. Hot buckets bounded by [[blockPairs]].
     */
   val SimhashMaxHamming = 3
 
   def dSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // the 64-bit hex signature as two longs, converted ONCE per doc —
+    // the candidate set is quadratic in band-bucket size (191k pairs
+    // over 5000 fixture docs: clustered corpora cluster their band
+    // values too), so per-pair hamming must be integer-cheap. Two
+    // xor+bit_count per pair replaced a 16-hex-digit string fold:
+    // measured 4.5 s → ~1.3 s warm at sf0.1. The halves ride inside
+    // the pairing structs, so they're materialized by the bucket
+    // aggregation, never recomputed per reference.
     val banded = dSimhash64(s, d)
       .select(col("doc_id"), col("simhash64"),
+        conv(substring(col("simhash64"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("simhash64"), 9, 8), 16, 10).cast("long").as("lo"),
         explode(array((0 until 4).map(i => struct(lit(i).as("band"),
           substring(col("simhash64"), 1 + 4 * i, 4).as("key"))): _*)).as("bn"))
       .select(
         concat(col("bn.band").cast("string"), lit("|"), col("bn.key")).as("blk"),
-        struct(col("doc_id"), col("simhash64").as("sh")).as("v"))
-    val ham = (1 to 16).map { i =>
-      bit_count(
-        expr(s"instr('0123456789abcdef', substring(x.sh, $i, 1)) - 1").bitwiseXOR(
-          expr(s"instr('0123456789abcdef', substring(y.sh, $i, 1)) - 1")))
-    }.reduce(_ + _)
+        struct(col("doc_id"), col("hi"), col("lo")).as("v"))
+    val ham = bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) +
+      bit_count(col("x.lo").bitwiseXOR(col("y.lo")))
     blockPairs(banded)
       .select(
         least(col("x.doc_id"), col("y.doc_id")).as("a"),
