@@ -170,6 +170,66 @@ object Multimodal {
   def mResizeStub(s: SparkSession, d: String): DataFrame =
     resizeStub(s, d).toDF().orderBy("doc_id")
 
+  // ---------------------------------------------- perceptual-hash stub
+  case class PHash(doc_id: Long, phash16: Int)
+
+  /** Perceptual-hash STUB over the fake decode: bit k of the 16-bit
+    * hash is set iff low-nibble-histogram bucket k holds more than the
+    * uniform share (hist[k]·16 > n — integer compare, no division).
+    * This is the aHash/pHash SHAPE (decode → feature grid → per-cell
+    * above-mean bits) with the decode stubbed as byte statistics; swap
+    * `decodeOne`-style real features in without touching the plan. The
+    * companion `keeper` column (min doc_id per hash via a window) turns
+    * it into the image-dedup op: identical payloads — and payloads with
+    * matching coarse byte statistics — group under one keeper, the
+    * multimodal twin of the text pipeline's exact dedup.
+    */
+  def phashStub(s: SparkSession, d: String): Dataset[PHash] = {
+    import s.implicits._
+    withPayload(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Int](16)
+          var i = 0
+          while (i < bytes.length) { hist(bytes(i) & 0x0f) += 1; i += 1 }
+          var ph = 0
+          var k = 0
+          while (k < 16) {
+            if (hist(k) * 16 > bytes.length) ph |= 1 << (15 - k)
+            k += 1
+          }
+          PHash(id, ph)
+        }
+      }
+  }
+
+  def mPhash(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash16")
+    phashStub(s, d).toDF()
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
+  val mPhashSql: String =
+    """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+      |b AS (SELECT doc_id, hx, len(hx) // 2 AS n FROM h),
+      |nib AS (SELECT doc_id, n,
+      |  array_to_string(list_transform(range(1, n+1), i -> hx[2*i]), '') AS lo
+      |  FROM b),
+      |cnt AS (SELECT doc_id, n,
+      |  list_transform(range(0, 16), k ->
+      |    len(lo) - len(replace(lo, substr('0123456789abcdef', k+1, 1), ''))) AS locnt
+      |  FROM nib),
+      |ph AS (SELECT doc_id,
+      |  CAST(list_reduce(list_prepend(0, list_transform(range(0, 16),
+      |    k -> CASE WHEN locnt[k+1] * 16 > n THEN 1 << (15 - CAST(k AS INT)) ELSE 0 END)),
+      |    (a, b) -> a + b) AS INT) AS phash16
+      |  FROM cnt)
+      |SELECT doc_id, phash16,
+      |  MIN(doc_id) OVER (PARTITION BY phash16) AS keeper
+      |FROM ph ORDER BY doc_id""".stripMargin
+
   /** Oracles for the per-partition stubs: the byte-level math is
     * recomputed in SQL from the payload's hex representation (2 hex
     * chars per byte; low nibble = even position, high = odd), so even
@@ -218,5 +278,6 @@ object Multimodal {
     "m_frame_sample" -> (mFrameSample _, Some(mFrameSampleSql)),
     "m_decode_stub"  -> (mDecodeStub _, Some(mDecodeStubSql)),
     "m_resize_stub"  -> (mResizeStub _, Some(mResizeStubSql)),
+    "m_phash"        -> (mPhash _, Some(mPhashSql)),
   )
 }
