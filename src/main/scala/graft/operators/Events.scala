@@ -239,7 +239,80 @@ object Events {
       |  AND b.us <= a.us + 600000000
       |GROUP BY a.event_id, a.event_type ORDER BY a.event_id""".stripMargin
 
+  // --------------------------------------------------------- funnel
+  /** Batch conversion funnel — the driver-verified twin of the
+    * streaming `clickToPurchase` join: per day, how many clicks were
+    * followed by a purchase from the same user within 30 minutes. The
+    * user-keyed equality join drives the shuffle with the time range
+    * as a residual (the as-of/range-join shape); per-click conversion
+    * is a MAX over the matched purchases, so fan-out collapses before
+    * the day rollup. All time math is on the raw epoch-nano longs —
+    * exact on both engines, immune to the µs-vs-ns precision gap.
+    */
+  def eFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_ns").as("cns"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("pns"))
+    c.join(p, Seq("user_id"), "left")
+      .withColumn("hit",
+        when(col("pns") >= col("cns") &&
+             col("pns") <= col("cns") + lit(1800000000000L), 1).otherwise(0))
+      .groupBy("click_id", "cns").agg(max(col("hit")).as("converted"))
+      .groupBy(expr("cns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("clicks"),
+           sum(col("converted")).as("conversions"),
+           round(sum(col("converted")).cast("double") / count(lit(1)), 6).as("conv_rate"))
+      .orderBy("day")
+  }
+
+  val eFunnelSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS cns
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ns(ts) AS pns
+      |  FROM events WHERE event_type = 'purchase'),
+      |conv AS (SELECT c.click_id, c.cns,
+      |    MAX(CASE WHEN p.pns >= c.cns AND p.pns <= c.cns + 1800000000000
+      |      THEN 1 ELSE 0 END) AS converted
+      |  FROM c LEFT JOIN p ON c.user_id = p.user_id GROUP BY 1, 2)
+      |SELECT cns // 86400000000000 AS day, COUNT(*) AS clicks,
+      |  CAST(SUM(converted) AS BIGINT) AS conversions,
+      |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+      |FROM conv GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------- retention
+  /** Day-over-day retention: per epoch-day, active users and how many
+    * were also active the previous day — computed with a per-user lag
+    * window over distinct (user, day) rows (one pass, per-user state)
+    * rather than a day-grid self-join that would re-evaluate the
+    * distinct subplan per side.
+    */
+  def eRetention(s: SparkSession, d: String): DataFrame = {
+    val du = load(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    du.withColumn("prev", lag(col("day"), 1).over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("active"),
+           sum(when(col("prev") === col("day") - 1, 1).otherwise(0)).as("retained"))
+      .orderBy("day")
+  }
+
+  val eRetentionSql: String =
+    """WITH du AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |l AS (SELECT day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM du)
+      |SELECT day, COUNT(*) AS active,
+      |  CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained
+      |FROM l GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_funnel"     -> (eFunnel _, eFunnelSql),
+    "e_retention"  -> (eRetention _, eRetentionSql),
     "e_tumbling"   -> (eTumbling _, eTumblingSql),
     "e_sliding"    -> (eSliding _, eSlidingSql),
     "e_gapfill"    -> (eGapfill _, eGapfillSql),

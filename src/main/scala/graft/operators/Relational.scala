@@ -702,6 +702,31 @@ object Relational {
        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
        |FROM daily ORDER BY l_suppkey, ship_day""".stripMargin
 
+  // ----------------------------------------------------- histogram
+  /** Equi-width histogram of order totals (12 × 50k buckets, overflow
+    * → 13). Binning is EXPLICIT floor arithmetic written identically
+    * on both engines — width_bucket implementations disagree on the
+    * internal division ((x·n)/(hi−lo) vs x/width, different double
+    * rounding near bucket edges; this DuckDB build lacks it anyway).
+    * A pure map + bucket-bounded aggregate — the profile/visualization
+    * query over any fact measure.
+    */
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(when(col("o_totalprice") >= 600000d, 13)
+        .otherwise(floor(col("o_totalprice") / 50000d).cast("int") + 1)
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+      .orderBy("bucket")
+
+  val qHistogramSql: String =
+    """SELECT CASE WHEN o_totalprice >= 600000 THEN 13
+      |    ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1 END AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------- salted join
   /** Explicit salted equi-join — the portable skew-join pattern for
     * keys hot enough that one reducer would otherwise receive a whole
@@ -773,6 +798,7 @@ object Relational {
     "q_join_broadcast" -> (qJoinBroadcast _, qJoinBroadcastSql),
     "q_join_shuffle"   -> (qJoinShuffle _, qJoinShuffleSql),
     "q_join_salted"    -> (qJoinSalted _, qJoinSaltedSql),
+    "q_histogram"      -> (qHistogram _, qHistogramSql),
     "q_semi_join"      -> (qSemiJoin _, qSemiJoinSql),
     "q_anti_join"      -> (qAntiJoin _, qAntiJoinSql),
     "q_rollup"         -> (qRollup _, qRollupSql),
