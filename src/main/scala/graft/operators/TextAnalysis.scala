@@ -148,6 +148,65 @@ object TextAnalysis {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- lang id (n-gram)
+  /** Character-trigram language ID — the n-gram-profile heuristic
+    * (the real-world shape of langid/CLD: score = |text's char
+    * trigrams ∩ language profile|, max wins, alphabetical tie-break).
+    * Profiles are derived deterministically at build time from the
+    * marker lexicons, so the operator is self-contained and the same
+    * literal sets are embedded in both engines' queries. Pure per-row
+    * map (trigram fold bounded by document length); swapping in real
+    * trained profiles changes only the constant sets.
+    */
+  val LangTrigramProfiles: Seq[(String, Seq[String])] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> words.flatMap(w => ("^" + w + "$").sliding(3).toSeq).distinct.sorted
+    }
+
+  def tLangIdNgram(s: SparkSession, d: String): DataFrame = {
+    // per-doc char trigrams over the padded tokens (word-boundary
+    // markers match the profile derivation)
+    val grams = flatten(transform(col("toks"), w =>
+      filter(transform(
+        sequence(lit(1), greatest(length(w) + 1, lit(1))),
+        i => substring(concat(lit("^"), w, lit("$")), i, lit(3))),
+        g => length(g) === 3)))
+    val counted = LangTrigramProfiles.foldLeft(
+        docsWithTokens(s, d).select(col("doc_id"), grams.as("grams"))) {
+      case (df0, (lang, profile)) =>
+        df0.withColumn(s"c_$lang",
+          size(filter(col("grams"), g => g.isin(profile: _*))))
+    }
+    val m = greatest(LangTrigramProfiles.map { case (l, _) => col(s"c_$l") }: _*)
+    val predOrdered = LangTrigramProfiles.map { case (lang, _) =>
+      (col(s"c_$lang") === m, lit(lang))
+    }.reverse.foldLeft(lit("und"): Column) {
+      case (acc, (cond, v)) => when(cond, v).otherwise(acc)
+    }
+    counted.select(col("doc_id"),
+        when(m === 0, "und").otherwise(predOrdered).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val tLangIdNgramSql: String = {
+    def hits(profile: Seq[String]) =
+      s"len(list_filter(grams, g -> g IN (${profile.map(p => s"'$p'").mkString(", ")})))"
+    val cols = LangTrigramProfiles.map { case (l, p) => s"${hits(p)} AS c_$l" }.mkString(",\n  ")
+    val m = s"GREATEST(${LangTrigramProfiles.map { case (l, _) => s"c_$l" }.mkString(", ")})"
+    val cases = LangTrigramProfiles.map { case (l, _) => s"WHEN c_$l = $m THEN '$l'" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |g AS (SELECT doc_id, flatten(list_transform(toks, w ->
+       |  list_filter(list_transform(range(1, greatest(length(w) + 2, 2)),
+       |    i -> substr('^' || w || '$$', CAST(i AS INT), 3)),
+       |    g -> length(g) = 3))) AS grams FROM t),
+       |c AS (SELECT doc_id,
+       |  $cols
+       |FROM g)
+       |SELECT doc_id, CASE WHEN $m = 0 THEN 'und' ELSE
+       |  CASE $cases ELSE 'und' END END AS pred_lang
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ quality
   /** Document quality metrics: token count, mean token length, stopword
     * ratio, alpha-char ratio, and a composite score — the standard
@@ -429,6 +488,7 @@ object TextAnalysis {
     "t_ngrams"       -> (tNgrams _, tNgramsSql),
     "t_tfidf"        -> (tTfidf _, tTfidfSql),
     "t_langid"       -> (tLangId _, tLangIdSql),
+    "t_langid_ngram" -> (tLangIdNgram _, tLangIdNgramSql),
     "t_quality"      -> (tQuality _, tQualitySql),
     "t_token_bpe"    -> (tTokenCountBpe _, tTokenCountBpeSql),
     "t_fingerprint"  -> (tFingerprint _, tFingerprintSql),
