@@ -263,7 +263,7 @@ object Dedup {
     // the pairing structs, so they're materialized by the bucket
     // aggregation, never recomputed per reference.
     val banded = dSimhash64(s, d)
-      .select(col("doc_id"), col("simhash64"),
+      .select(col("doc_id"),
         conv(substring(col("simhash64"), 1, 8), 16, 10).cast("long").as("hi"),
         conv(substring(col("simhash64"), 9, 8), 16, 10).cast("long").as("lo"),
         explode(array((0 until 4).map(i => struct(lit(i).as("band"),

@@ -246,19 +246,24 @@ object Events {
     * user-keyed equality join drives the shuffle with the time range
     * as a residual (the as-of/range-join shape); per-click conversion
     * is a MAX over the matched purchases, so fan-out collapses before
-    * the day rollup. All time math is on the raw epoch-nano longs —
-    * exact on both engines, immune to the µs-vs-ns precision gap.
+    * the day rollup — and the range predicate sits INSIDE the join
+    * condition, so non-qualifying purchases are dropped at probe time
+    * (a left-join miss is hit=0), not carried through the projection.
+    * All time math is on the raw epoch-nano longs — exact on both
+    * engines, immune to the µs-vs-ns precision gap.
     */
   def eFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = load(s, d)
     val c = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts_ns").as("cns"))
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts_ns").as("cns"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_ns").as("pns"))
-    c.join(p, Seq("user_id"), "left")
-      .withColumn("hit",
-        when(col("pns") >= col("cns") &&
-             col("pns") <= col("cns") + lit(1800000000000L), 1).otherwise(0))
+      .select(col("user_id").as("p_uid"), col("ts_ns").as("pns"))
+    c.join(p,
+        col("c_uid") === col("p_uid") &&
+        col("pns") >= col("cns") &&
+        col("pns") <= col("cns") + lit(1800000000000L), "left")
+      .withColumn("hit", when(col("pns").isNotNull, 1).otherwise(0))
       .groupBy("click_id", "cns").agg(max(col("hit")).as("converted"))
       .groupBy(expr("cns div 86400000000000").as("day"))
       .agg(count(lit(1)).as("clicks"),

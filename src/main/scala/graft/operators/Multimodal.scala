@@ -100,6 +100,16 @@ object Multimodal {
     * byte-math oracle (`mDecodeStubSql`); MultimodalSpec covers the
     * Dataset surface on top.
     */
+  /** Low-nibble byte histogram — the shared "feature grid" of the fake
+    * decoder; [[decodeStub]] reports it, [[phashStub]] thresholds it.
+    */
+  private def nibbleHist(bytes: Array[Byte]): Array[Int] = {
+    val hist = new Array[Int](16)
+    var i = 0
+    while (i < bytes.length) { hist(bytes(i) & 0x0f) += 1; i += 1 }
+    hist
+  }
+
   def decodeStub(s: SparkSession, d: String): Dataset[MediaFeatures] = {
     import s.implicits._
     withPayload(s, d).select(col("doc_id"), col("payload"))
@@ -107,11 +117,10 @@ object Multimodal {
       .mapPartitions { it =>
         // real decoder init would happen HERE, once per partition
         def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
-          val hist = new Array[Int](16)
+          val hist = nibbleHist(bytes)
           var sum = 0L
           var i = 0
           while (i < bytes.length) {
-            hist(bytes(i) & 0x0f) += 1
             sum += (bytes(i) & 0xff)
             i += 1
           }
@@ -190,13 +199,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val hist = new Array[Int](16)
-          var i = 0
-          while (i < bytes.length) { hist(bytes(i) & 0x0f) += 1; i += 1 }
+          val hist = nibbleHist(bytes)
           var ph = 0
           var k = 0
           while (k < 16) {
-            if (hist(k) * 16 > bytes.length) ph |= 1 << (15 - k)
+            // toLong: hist(k)*16 overflows Int at >=128 MiB payloads
+            if (hist(k).toLong * 16 > bytes.length) ph |= 1 << (15 - k)
             k += 1
           }
           PHash(id, ph)
