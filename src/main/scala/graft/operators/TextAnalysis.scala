@@ -295,6 +295,57 @@ object TextAnalysis {
        |  COALESCE(fp_min, md5(array_to_string(toks, ' '))) AS fp_minshingle
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- rolling-hash fingerprint
+  /** Winnowing fingerprint via a polynomial ROLLING hash (Rabin-Karp /
+    * MOSS shape): token hashes h_i (first 32 bits of md5, exact in
+    * long arithmetic), window hash = fold of (acc·31 + h) mod 1e9+7
+    * over each 8-token window, fingerprint = the window minimum. The
+    * windowed minimum is robust to local edits in a way the whole-doc
+    * digest is not — the standard plagiarism/near-dup fingerprint.
+    * All integer math stays < 2^36, exact on both engines; documents
+    * shorter than the window fold as one window. Pure per-row map,
+    * O(n·w) in document length only.
+    */
+  val WinnowWindow = 8
+  val RollBase = 31L
+  val RollMod = 1000000007L
+
+  def tWinnow(s: SparkSession, d: String): DataFrame = {
+    val hs = transform(col("toks"), t =>
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    def rollOf(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => (a * RollBase + x) % RollMod)
+    val whs = transform(
+      sequence(lit(1), greatest(size(col("toks")) - (WinnowWindow - 1), lit(1))),
+      i => rollOf(slice(hs, i, lit(WinnowWindow))))
+    docsWithTokens(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        array_min(whs).as("winnow_fp"))
+      .orderBy("doc_id")
+  }
+
+  val tWinnowSql: String = {
+    // 32-bit token hash from md5 hex without conv(): positional
+    // nibble-value sum — strpos on the hex alphabet, exact BIGINTs
+    val nib = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5(t), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |h AS (SELECT doc_id, toks,
+       |  list_transform(toks, t -> CAST($nib AS BIGINT)) AS hs FROM t
+       |  WHERE len(toks) > 0),
+       |w AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  list_transform(range(1, greatest(len(toks) - ${WinnowWindow - 1}, 1) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+${WinnowWindow - 1}]),
+       |      (a, x) -> (a * $RollBase + x) % $RollMod)) AS whs
+       |  FROM h)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  list_min(whs) AS winnow_fp
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- array/map functions
   /** Array + map scalar-function family over the token arrays (the
     * complex-type surface the reference never touches): sort, dedup,
@@ -492,5 +543,6 @@ object TextAnalysis {
     "t_quality"      -> (tQuality _, tQualitySql),
     "t_token_bpe"    -> (tTokenCountBpe _, tTokenCountBpeSql),
     "t_fingerprint"  -> (tFingerprint _, tFingerprintSql),
+    "t_winnow"       -> (tWinnow _, tWinnowSql),
   )
 }
