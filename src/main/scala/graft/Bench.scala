@@ -49,6 +49,12 @@ object Bench {
       // fixture file — a shared code path, not a specific query's data
       spark.read.parquet(s"$sfDir/region.parquet")
         .queryExecution.toRdd.foreach(_ => ())
+      // footer reads for EVERY fixture file (schema only, no data):
+      // symmetric — otherwise the alphabetically-first query touching
+      // each table absorbs its cold footer read
+      Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => spark.read.parquet(f.getAbsolutePath).schema)
     } catch { case e: Throwable =>
       // a silently-aborted warmup would put the JIT cost back on the
       // first sorted queries and taint every cross-round comparison —

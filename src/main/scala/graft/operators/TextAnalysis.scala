@@ -315,9 +315,12 @@ object TextAnalysis {
       conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
     def rollOf(arr: Column): Column =
       aggregate(arr, lit(0L), (a, x) => (a * RollBase + x) % RollMod)
-    val whs = transform(
+    // let-bind hs: each window's slice references the bound lambda
+    // variable, so the md5 transform evaluates once per document, not
+    // once per window (the CollapseProject/HOF re-inlining trap)
+    val whs = element_at(transform(array(hs), hsB => transform(
       sequence(lit(1), greatest(size(col("toks")) - (WinnowWindow - 1), lit(1))),
-      i => rollOf(slice(hs, i, lit(WinnowWindow))))
+      i => rollOf(slice(hsB, i, lit(WinnowWindow))))), 1)
     docsWithTokens(s, d)
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
