@@ -118,6 +118,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprint equals a naive driver-side reimplementation") {
+    import spark.implicits._
+    val got = operators.TextAnalysis.tWinnow(spark, sf)
+      .select("doc_id", "winnow_fp").as[(Long, Long)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def tokHash(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val toks = text.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val hs = toks.map(tokHash)
+        val w = operators.TextAnalysis.WinnowWindow
+        val starts = 1 to math.max(hs.length - (w - 1), 1)
+        val whs = starts.map(i => hs.slice(i - 1, i - 1 + w)
+          .foldLeft(0L)((a, x) => (a * operators.TextAnalysis.RollBase + x)
+            % operators.TextAnalysis.RollMod))
+        assert(got(id) === whs.min, s"doc $id")
+      }
+    }
+  }
+
   test("normalization: idempotent and case/punctuation-insensitive (property)") {
     val texts = Tables.documents(spark, sf).select("text").as[String].take(50)
     val variants = texts.flatMap(t => Seq(t, t.toUpperCase, s"  $t!! ", t.replace(" ", "\t")))
