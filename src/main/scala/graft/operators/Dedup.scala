@@ -199,29 +199,19 @@ object Dedup {
     * duplicate cluster. A 64-bit native-codegen variant lives in
     * graft.functions (perf path); this one is oracle-checkable.
     */
-  def dSimhash(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  def dSimhash(s: SparkSession, d: String): DataFrame =
+    // native codegen'd per-row sketch (graft.plans.SimHash16Expr): one
+    // md5 + counter loop per doc. Replaced a single interpreted
+    // `aggregate` fold that still allocated a 16-element array per
+    // token hash (6.1 s at sf0.1 → per-row map). Bit-identical by
+    // construction: counter d is the top bit of md5 hex digit d, the
+    // same ±1 majority the fold computed; SimHashExprSpec pins the
+    // equality against the HOF form.
+    Tables.documents(s, d)
       .select(col("doc_id"),
-        transform(Text.tokens(col("text")), x => md5(x.cast("binary"))).as("h"))
-    // ONE fold accumulating all 16 nibble-majority counters in an
-    // array<int> buffer (was: 16 independent aggregate() folds, each
-    // re-walking the token-hash array — ~16× interpreted-lambda work).
-    // A hex digit's top nibble bit is set iff the char >= '8': ASCII
-    // '0'..'9' < 'a'..'f' matches hex value order, so the string
-    // compare is the bit test. The finish lambda assembles the bits
-    // from the bound counter array — no re-evaluation of the fold.
-    val counters = aggregate(
-      col("h"),
-      array((1 to 16).map(_ => lit(0)): _*),
-      (acc, x) => transform(sequence(lit(1), lit(16)),
-        i => element_at(acc, i) +
-          when(x.substr(i, lit(1)) >= "8", 1).otherwise(-1)),
-      cnt => (1 to 16).map(i =>
-        when(element_at(cnt, i) > 0, lit(1 << (16 - i))).otherwise(lit(0)))
-        .reduce(_ + _))
-    base.select(col("doc_id"), counters.cast("int").as("simhash16"))
+        org.apache.spark.sql.graft.GraftSql.simHash16(
+          Text.tokens(col("text"))).as("simhash16"))
       .orderBy("doc_id")
-  }
 
   val dSimhashSql: String = {
     val highSql = "('8','9','a','b','c','d','e','f')"
@@ -439,18 +429,27 @@ object Dedup {
       |    (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.25
       |ORDER BY a_id, b_id""".stripMargin
 
-  // ------------------------------------------ SimHash64 custom aggregate
-  /** 64-bit SimHash via the typed custom Aggregator (graft.functions.
-    * SimHash64) — exercises the engine's user-defined-aggregation
-    * surface with partial+final merge; oracle is 64 generated SUM(CASE)
-    * bit counters over the same md5 bits.
+  // --------------------------------------------------- SimHash64 native
+  /** 64-bit SimHash via the native codegen'd expression
+    * (graft.plans.SimHash64Expr): md5 per token, 64 majority counters,
+    * hex sketch — one per-row map, NO shuffle. The original
+    * explode-per-token + typed-Aggregator formulation (still in-tree as
+    * the custom-UDAF surface exercise, `functions/SimHashAgg.scala`,
+    * property-pinned bit-identical to this expression in
+    * SimHashExprSpec) paid an ExpressionEncoder round-trip of a 64-int
+    * buffer per token row plus a doc_id shuffle: 7.5 s at sf0.1 for
+    * what is algebraically a per-document scalar. The
+    * `size(toks) >= 1` filter keeps the explode+groupBy row set
+    * (token-less docs are absent there). Oracle unchanged: 64
+    * SUM(CASE) bit counters over the same md5 bits.
     */
   def dSimhash64(s: SparkSession, d: String): DataFrame = {
-    val sim64 = udaf(graft.functions.SimHash64)
+    val toks = Text.tokens(col("text"))
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-      .groupBy("doc_id")
-      .agg(sim64(col("word")).as("simhash64"))
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftSql.simHash64(col("toks")).as("simhash64"))
       .orderBy("doc_id")
   }
 

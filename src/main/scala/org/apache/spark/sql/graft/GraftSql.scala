@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.plans.{FloatDotProduct, ShingleMinHash, ShingleSet}
+import graft.plans.{FloatDotProduct, ShingleMinHash, ShingleSet, SimHash16Expr, SimHash64Expr}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -30,6 +30,14 @@ object GraftSql {
   /** Native distinct shingle set (see graft.plans.ShingleSet). */
   def shingleSet(toks: Column, n: Int): Column =
     column(ShingleSet(expression(toks), n))
+
+  /** Native 64-bit SimHash hex sketch (see graft.plans.SimHash64Expr). */
+  def simHash64(toks: Column): Column =
+    column(SimHash64Expr(expression(toks)))
+
+  /** Native 16-bit SimHash int (see graft.plans.SimHash16Expr). */
+  def simHash16(toks: Column): Column =
+    column(SimHash16Expr(expression(toks)))
 
   /** Expose the custom expressions to SQL: `SELECT float_dot(a, b)`. */
   def ensureRegistered(spark: SparkSession): Unit =
