@@ -318,16 +318,26 @@ object Dedup {
     * pipeline's near-dup victim set (which runs it over the smaller
     * quality-surviving corpus instead of twice over everything).
     * Hot blocks are bounded by [[blockPairs]].
+    *
+    * Jaccard only consumes set SIZES, so the full shingle strings never
+    * leave the scan: each doc carries a sorted array of distinct 8-byte
+    * shingle hashes (native ShingleHashSet — distinctness mirrors the
+    * string set's up to a ~2⁻⁶⁵-per-block collision), and the per-pair
+    * numerator is an O(n+m) merge-walk (SortedIntersectCount) instead
+    * of `array_intersect`'s O(n·m) interpreted UTF8 scan. Same pairs,
+    * same inter/uni/jac values; the block-pair shuffle moves 8-byte
+    * longs instead of strings.
     */
   def jaccardPairs(docsWithToks: DataFrame): DataFrame = {
     val base = docsWithToks
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.GraftSql.shingleSet(col("toks"), 3).as("sh"),
+        org.apache.spark.sql.graft.GraftSql.shingleHashSet(col("toks"), 3).as("sh"),
         element_at(org.apache.spark.sql.graft.GraftSql.shingleMinHash(
           col("toks"), 3, Seq("")), 1).as("blk"))
       .filter(size(col("sh")) > 0)
       .select(col("blk"), struct(col("doc_id"), col("sh")).as("v"))
-    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+    val inter = org.apache.spark.sql.graft.GraftSql
+      .sortedIntersectCount(col("x.sh"), col("y.sh"))
     val uni = size(col("x.sh")) + size(col("y.sh")) - inter
     blockPairs(base)
       .select(

@@ -4,9 +4,9 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native MinHash signature: for each salt s_j, the minimum md5 over the
@@ -85,6 +85,144 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
+}
+
+/** Sorted distinct word-n-shingle HASHES: each distinct shingle (the
+  * [[ShingleSet]] members) reduced to the first 8 bytes of its md5 as a
+  * big-endian long, deduped and sorted ascending. For consumers that
+  * only need set SIZES and intersections (Jaccard), this replaces
+  * shuffling full shingle strings (~30+ bytes each) with 8-byte values
+  * that a merge-walk ([[SortedIntersectCount]]) intersects in O(n+m)
+  * long compares — `array_intersect` over UTF8 strings was the
+  * per-pair cost that made d_jaccard the bench's most expensive query.
+  * A 64-bit collision would merge two distinct shingles (changing a
+  * set size); for a corpus with D distinct shingles per block the
+  * probability is ~D²/2⁶⁵ — immaterial at any realistic block size
+  * (blocks are salt-capped at ~64 members).
+  * Empty array when the doc has fewer than n tokens.
+  */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_set expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashSet.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.plans.ShingleHashSet.compute($c, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val SPACE = ' '.toByte
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val nToks = toks.numElements()
+    val count = nToks - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = md5.get()
+    val hashes = new Array[Long](count)
+    val tokBytes = new Array[Array[Byte]](nToks)
+    var i = 0
+    while (i < nToks) {
+      tokBytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    var s = 0
+    while (s < count) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += tokBytes(s + k).length; k += 1 }
+      val shingle = new Array[Byte](len)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        val t = tokBytes(s + k)
+        System.arraycopy(t, 0, shingle, pos, t.length)
+        pos += t.length
+        if (k < n - 1) { shingle(pos) = SPACE; pos += 1 }
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(shingle)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place dedupe of the sorted run
+    var w = 1
+    var r = 1
+    while (r < count) {
+      if (hashes(r) != hashes(w - 1)) { hashes(w) = hashes(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+}
+
+/** O(n+m) merge-walk intersection COUNT of two sorted distinct long
+  * arrays (the [[ShingleHashSet]] contract) — the pairwise Jaccard
+  * numerator without `array_intersect`'s O(n·m) interpreted scan or
+  * any intermediate array allocation.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects (array<bigint>, array<bigint>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.plans.SortedIntersectCount.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : SortedIntersectCount = copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
 }
 
 object ShingleSet {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.plans.{FloatDotProduct, ShingleMinHash, ShingleSet, SimHash16Expr, SimHash64Expr}
+import graft.plans.{FloatDotProduct, ShingleHashSet, ShingleMinHash, ShingleSet,
+  SimHash16Expr, SimHash64Expr, SortedIntersectCount}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -38,6 +39,14 @@ object GraftSql {
   /** Native 16-bit SimHash int (see graft.plans.SimHash16Expr). */
   def simHash16(toks: Column): Column =
     column(SimHash16Expr(expression(toks)))
+
+  /** Sorted distinct 8-byte shingle hashes (see graft.plans.ShingleHashSet). */
+  def shingleHashSet(toks: Column, n: Int): Column =
+    column(ShingleHashSet(expression(toks), n))
+
+  /** Merge-walk intersection count of two sorted long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 
   /** Expose the custom expressions to SQL: `SELECT float_dot(a, b)`. */
   def ensureRegistered(spark: SparkSession): Unit =

@@ -92,6 +92,48 @@ class VectorExprSpec extends SparkSpec {
     assert(got(0).isEmpty && got(1).exists(_.length == 2))
   }
 
+  test("ShingleHashSet + SortedIntersectCount reproduce string-set Jaccard inputs") {
+    import graft.functions.Text
+    val gs = org.apache.spark.sql.graft.GraftSql
+    val toks = Text.tokens(col("text"))
+    // per-doc: hashed-set size == string-set size (no collisions on fixtures)
+    val sizes = Tables.documents(spark, sf)
+      .select(size(gs.shingleHashSet(toks, 3)).as("fast"),
+        size(gs.shingleSet(toks, 3)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(sizes.count() === 0)
+    // per-pair: merge-walk count == array_intersect count over strings,
+    // on every within-block pair the Jaccard query actually evaluates
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), gs.shingleSet(toks, 3).as("ss"),
+        gs.shingleHashSet(toks, 3).as("hs"),
+        element_at(gs.shingleMinHash(toks, 3, Seq("")), 1).as("blk"))
+      .filter(size(col("ss")) > 0)
+    val a = base.toDF("a_id", "a_ss", "a_hs", "blk")
+    val b = base.toDF("b_id", "b_ss", "b_hs", "blk")
+    val pairs = a.join(b, "blk").filter(col("a_id") < col("b_id"))
+      .select(size(array_intersect(col("a_ss"), col("b_ss"))).as("ref"),
+        gs.sortedIntersectCount(col("a_hs"), col("b_hs")).as("fast"))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("ShingleHashSet: sorted distinct; short docs empty; interpreted == codegen") {
+    val gs = org.apache.spark.sql.graft.GraftSql
+    import graft.functions.Text
+    val df = Seq("one two", "a b c a b c d", "x y z").toDF("text")
+      .select(gs.shingleHashSet(Text.tokens(col("text")), 3).as("hs"))
+    val got = df.as[Seq[Long]].collect()
+    assert(got(0).isEmpty)
+    got.foreach(hs => assert(hs === hs.distinct.sorted))
+    // 7 tokens → 5 shingle positions, "a b c" repeats → 4 distinct
+    assert(got(1).length === 4)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.as[Seq[Long]].collect().toSeq === got.toSeq)
+    }
+  }
+
   test("native ShingleSet == array_distinct(shingles) exactly") {
     import graft.functions.Text
     val toks = Text.tokens(col("text"))
