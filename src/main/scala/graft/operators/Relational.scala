@@ -728,28 +728,60 @@ object Relational {
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------- salted join
-  /** Explicit salted equi-join — the portable skew-join pattern for
-    * keys hot enough that one reducer would otherwise receive a whole
-    * key's rows: the fact side adds a deterministic salt from a
-    * row-local column, the (smaller) dim side is replicated once per
-    * salt value, and the join key becomes (key, salt) so a hot key's
-    * rows spread over SaltBuckets tasks. Results are identical to the
-    * plain join — the oracle IS the plain join — because every fact
-    * row still meets exactly one dim replica. AQE's skew-join split
-    * covers the sort-merge case adaptively; the explicit form is the
-    * one that works for aggregation pipelines and survives engines/
-    * configs where AQE is off (the wordScoreSalted of joins).
+  /** PARTIAL salted equi-join — the portable skew-join pattern, salted
+    * only where it pays: keys hot enough that one reducer would
+    * otherwise receive a whole key's rows get a deterministic salt from
+    * a row-local value (`xxhash64(l_orderkey, l_linenumber)` — the
+    * two-column hash varies per ROW; hashing l_linenumber alone has 7
+    * distinct values in TPC-H so a hot key would fold into ≤7 of the
+    * buckets), and ONLY their dim rows are replicated ×SaltBuckets.
+    * Cold keys join plainly with salt 0. Replicating the whole dim
+    * (the previous form) is itself the scale-killer when the dim is
+    * fact-sized — an 8× full copy of `orders` at 100 TB dwarfs the
+    * skew it fixes.
+    *
+    * Hot keys come from an exact key-only count over the fact (a
+    * map-side-combined shuffle of keys, deterministic — which the
+    * oracle comparison needs; at cluster scale a sample with a high
+    * threshold is the cheaper standard variant). The hot set is
+    * broadcast to both sides: fact rows pick their salt by hot-flag,
+    * dim rows explode `sequence(0, hot ? SaltBuckets-1 : 0)` — one
+    * scan of each table, one join on (key, salt), no union. Results
+    * are identical to the plain join — the oracle IS the plain join —
+    * because every fact row still meets exactly one dim replica.
+    * AQE's skew-join split covers the sort-merge case adaptively; the
+    * explicit form is the one that works for aggregation pipelines and
+    * survives engines/configs where AQE is off (the wordScoreSalted of
+    * joins).
+    *
+    * HotKeyThreshold = 5 is deliberately LOW so both the salted and
+    * plain paths carry fixture rows at every SF (TPC-H orders have
+    * 1–7 lineitems); production would set it orders of magnitude above
+    * the mean so the hot set stays broadcast-tiny.
     */
   val SaltBuckets = 8
+  val HotKeyThreshold = 5
 
   def qJoinSalted(s: SparkSession, d: String): DataFrame = {
-    val fact = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), revDec.as("rev"),
-        pmod(xxhash64(col("l_linenumber")), lit(SaltBuckets)).as("fsalt"))
-    val dim = Tables.orders(s, d)
+    val fact = Tables.lineitem(s, d).select(col("l_orderkey"), revDec.as("rev"),
+      col("l_linenumber"))
+    val hot = fact.groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
+      .filter(col("nl") >= HotKeyThreshold)
+      .select(col("l_orderkey").as("hot_key"))
+    val factS = fact
+      .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left")
+      .select(col("l_orderkey"), col("rev"),
+        when(col("hot_key").isNotNull,
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets.toLong)))
+          .otherwise(lit(0L)).as("fsalt"))
+    val dimS = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
       .select(col("o_orderkey"), col("o_orderpriority"),
-        explode(sequence(lit(0L), lit(SaltBuckets - 1L))).as("dsalt"))
-    fact.join(dim,
+        explode(sequence(lit(0L),
+          when(col("hot_key").isNotNull, lit(SaltBuckets - 1L)).otherwise(lit(0L))))
+          .as("dsalt"))
+    factS.join(dimS,
         col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
       .groupBy("o_orderpriority")
       .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n"))

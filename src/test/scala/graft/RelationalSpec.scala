@@ -105,6 +105,17 @@ class RelationalSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("partial salting splits fixture keys across both join paths") {
+    // HotKeyThreshold is deliberately inside the 1..7 lineitem-count
+    // range so the salted (hot) and plain (cold) paths both carry rows
+    // at every SF — a threshold no fixture key reaches would leave the
+    // salted path dead code in every test and oracle run
+    val counts = Tables.lineitem(spark, sf).groupBy("l_orderkey").count()
+    val hot = counts.filter(col("count") >= Relational.HotKeyThreshold).count()
+    val cold = counts.filter(col("count") < Relational.HotKeyThreshold).count()
+    assert(hot > 0 && cold > 0)
+  }
+
   test("sql interface result equals the DataFrame-API semi join shape") {
     val viaSql = Relational.qSqlInterface(spark, sf).as[(String, Long)].collect().toMap
     val viaApi = Tables.orders(spark, sf)
