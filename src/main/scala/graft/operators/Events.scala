@@ -242,30 +242,43 @@ object Events {
   // --------------------------------------------------------- funnel
   /** Batch conversion funnel — the driver-verified twin of the
     * streaming `clickToPurchase` join: per day, how many clicks were
-    * followed by a purchase from the same user within 30 minutes. The
-    * user-keyed equality join drives the shuffle with the time range
-    * as a residual (the as-of/range-join shape); per-click conversion
-    * is a MAX over the matched purchases, so fan-out collapses before
-    * the day rollup — and the range predicate sits INSIDE the join
-    * condition, so non-qualifying purchases are dropped at probe time
-    * (a left-join miss is hit=0), not carried through the projection.
-    * All time math is on the raw epoch-nano longs — exact on both
-    * engines, immune to the µs-vs-ns precision gap.
+    * followed by a purchase from the same user within 30 minutes.
+    * Computed join-free as one user-partitioned window pass over the
+    * unioned click/purchase stream — "converted" is whether the NEXT
+    * purchase at-or-after the click falls inside the window, which is
+    * equivalent to "ANY purchase in [cns, cns+30min]" because the
+    * minimum purchase ts ≥ cns is in the interval iff any is. The
+    * oracle keeps the user-keyed range-join formulation; the window
+    * form removes the per-hot-user quadratic (many clicks × many
+    * purchases re-probed per click) that the join shape carries at
+    * 100 TB. All time math is on the raw epoch-nano longs — exact on
+    * both engines, immune to the µs-vs-ns precision gap.
     */
   def eFunnel(s: SparkSession, d: String): DataFrame = {
+    // NO join: clicks and purchases ride one user-partitioned window
+    // pass, and each click reads the minimum purchase ts in its forward
+    // frame ("next purchase at-or-after me"), converted iff within 30
+    // min. The previous user-keyed range left-join was quadratic per
+    // hot user (many clicks × many purchases probed per click); here
+    // per-user work is one sort, and a purchase is converted-against
+    // once per preceding click, not materialized per pair. Ties:
+    // purchases sort AFTER clicks at equal ts (kind 1 > 0) so a
+    // same-instant purchase lands in the click's frame, matching the
+    // join form's pns >= cns.
     val ev = load(s, d)
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
-        col("ts_ns").as("cns"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_uid"), col("ts_ns").as("pns"))
-    c.join(p,
-        col("c_uid") === col("p_uid") &&
-        col("pns") >= col("cns") &&
-        col("pns") <= col("cns") + lit(1800000000000L), "left")
-      .withColumn("hit", when(col("pns").isNotNull, 1).otherwise(0))
-      .groupBy("click_id", "cns").agg(max(col("hit")).as("converted"))
-      .groupBy(expr("cns div 86400000000000").as("day"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts_ns"),
+        when(col("event_type") === "purchase", col("ts_ns")).as("pns"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "kind")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ev.withColumn("next_pns", min(col("pns")).over(w))
+      .filter(col("kind") === 0)
+      .withColumn("converted",
+        when(col("next_pns") <= col("ts_ns") + lit(1800000000000L), 1).otherwise(0))
+      .groupBy(expr("ts_ns div 86400000000000").as("day"))
       .agg(count(lit(1)).as("clicks"),
            sum(col("converted")).as("conversions"),
            round(sum(col("converted")).cast("double") / count(lit(1)), 6).as("conv_rate"))
