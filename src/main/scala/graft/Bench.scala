@@ -45,16 +45,20 @@ object Bench {
           .partitionBy(col("id") % 4).orderBy("id")
           .rowsBetween(Long.MinValue, 0)).as("cum"))
         .queryExecution.toRdd.foreach(_ => ())
-      // parquet reader code path (vectorized scan JIT) on the smallest
-      // fixture file — a shared code path, not a specific query's data
-      spark.read.parquet(s"$sfDir/region.parquet")
-        .queryExecution.toRdd.foreach(_ => ())
-      // footer reads for EVERY fixture file (schema only, no data):
-      // symmetric — otherwise the alphabetically-first query touching
-      // each table absorbs its cold footer read
+      // one untimed FULL SCAN (all columns) per fixture FILE: warms the
+      // parquet footer, the vectorized-reader JIT, and the OS page
+      // cache for every table symmetrically. Footer-only warming (the
+      // previous shape) left the DATA pages cold, so whichever sorted
+      // query first touched each table's pages absorbed its cold read
+      // — r3's q1_agg +3.0 s was exactly the first-lineitem-data
+      // artifact. A full scan per FILE is still neutral: no registered
+      // query is pre-run, every query starts from identically-warm
+      // tables. toRdd (not count()) forces all column pages — count()
+      // over parquet reads only metadata.
       Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => spark.read.parquet(f.getAbsolutePath).schema)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .foreach(f => spark.read.parquet(f.getAbsolutePath)
+          .queryExecution.toRdd.foreach(_ => ()))
     } catch { case e: Throwable =>
       // a silently-aborted warmup would put the JIT cost back on the
       // first sorted queries and taint every cross-round comparison —
@@ -74,7 +78,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // untimed: drop this query's Materialize pins so later queries
+      // aren't measured against another query's resident blocks
+      graft.operators.Materialize.releaseAll(spark)
+      (name, elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,19 +30,25 @@ object Tables {
   /** Pre-AQE scan split count per (session, fixture file), computed
     * once: `df.rdd.getNumPartitions` runs no job but forces full
     * physical planning, and table() is called per query — uncached it
-    * re-planned the same scan on every access. Keyed by session
-    * identity because split planning depends on session conf
-    * (maxPartitionBytes, parallelism); a JVM-wide key would let one
-    * session's count mis-gate another's repartition.
+    * re-planned the same scan on every access. Keyed on the session
+    * OBJECT via a weak-keys map because split planning depends on
+    * session conf (maxPartitionBytes, parallelism): a JVM-wide key
+    * would let one session's count mis-gate another's repartition,
+    * and an identityHashCode key (the previous shape) can collide
+    * between live sessions or be reused after GC — same mis-gating,
+    * plus unbounded growth in JVMs that create many sessions. Weak
+    * keys let entries die with their session.
     */
-  private val splitCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val splitCache =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, Integer]]()
 
   private def spread(s: SparkSession, d: String, name: String, key: String): DataFrame = {
     val df = table(s, d, name)
     val target = s.sparkContext.defaultParallelism
-    val splits = splitCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}/$d/$name",
-      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    val splits = splitCache.synchronized {
+      splitCache.computeIfAbsent(s, _ => new java.util.HashMap[String, Integer]())
+        .computeIfAbsent(s"$d/$name", _ => Integer.valueOf(df.rdd.getNumPartitions))
+    }
     if (splits >= target) df
     else df.repartition(target, col(key))
   }

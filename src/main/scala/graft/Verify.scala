@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // result fully on disk — drop any Materialize pins the query made
+      // (t_tfidf's tf table, connected-component labels) so 81 queries
+      // don't accumulate 81 queries' worth of persisted blocks
+      finally graft.operators.Materialize.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -66,7 +66,10 @@ object Curation {
         Dedup.jaccardPairs(quality.select(col("doc_id"), col("toks")))
           .filter(col("jac") >= 0.9)
           .select(col("a"), col("b")),
-        maxIters = 12)
+        // generous budget: the superstep loop exits at the fixpoint, so
+        // extra headroom is free on converged runs and avoids a strict
+        // failure on deep-chain components (see Dedup.dComponents)
+        maxIters = 64)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
 

@@ -520,8 +520,10 @@ object Dedup {
     * Input: columns `a`, `b` (an unordered pair per row).
     * Output: (id, component) with component = min id reachable. The
     * returned frame is checkpoint-pinned (so callers can consume it
-    * without recompute); call `.unpersist()` on it when done, or its
-    * blocks stay resident. Label propagation needs ~diameter
+    * without recompute); pins are registered per session, and
+    * `Materialize.releaseAll(spark)` (called by Verify/Bench after
+    * each query's action) drops them — or call `.unpersist()`
+    * directly when done. Label propagation needs ~diameter
     * supersteps; if `maxIters` is hit before the fixpoint the labels
     * of deep-chain components would be 1..maxIters-hop minima, NOT
     * component ids — silently wrong for every consumer (and a hash
@@ -568,17 +570,21 @@ object Dedup {
   }
 
   /** Driver-checked full connected components over the LSH pair graph.
-    * The superstep budget (12) exceeds any plausible fixture diameter
-    * (LSH clusters are near-cliques plus short chains; DedupSpec pins
-    * convergence), and a CONVERGED run's labels are exact component
-    * minima independent of the iteration count — which is what makes a
-    * deterministic oracle possible: the DuckDB side computes the same
-    * fixpoint via a recursive transitive-closure CTE. This is the
-    * chain-safe companion to [[dCluster]]: on a chain a–b–c the 1-hop
-    * label differs per node, the component label does not.
+    * The superstep budget (64) is deliberately GENEROUS: each superstep
+    * already computes a cheap `changed` count and exits at the
+    * fixpoint, so on well-behaved data the extra budget costs nothing,
+    * while a tight budget (12, the previous value — a guess pinned
+    * only by fixture-scale tests) would turn any corpus whose pair
+    * graph has a chain of diameter > budget into a strict-mode runtime
+    * failure. A CONVERGED run's labels are exact component minima
+    * independent of the budget — which is what makes a deterministic
+    * oracle possible: the DuckDB side computes the same fixpoint via a
+    * recursive transitive-closure CTE. This is the chain-safe
+    * companion to [[dCluster]]: on a chain a–b–c the 1-hop label
+    * differs per node, the component label does not.
     */
   def dComponents(s: SparkSession, d: String): DataFrame =
-    connectedComponents(dMinhashLsh(s, d).select(col("a"), col("b")), maxIters = 12)
+    connectedComponents(dMinhashLsh(s, d).select(col("a"), col("b")), maxIters = 64)
       .orderBy("id")
 
   val dComponentsSql: String =

@@ -27,8 +27,17 @@ import org.apache.spark.sql.DataFrame
   * per-row map on each side is cheaper than materializing wide rows).
   */
 object Materialize {
-  def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+  // every live pin, per session: pins returned to callers (t_tfidf's tf
+  // table, connectedComponents labels) hold persisted blocks that
+  // outlive the consuming action — WITHOUT a registry each query run
+  // leaks its pins for the session lifetime. WeakHashMap keyed on the
+  // session object so entries die with their session.
+  private val pins =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.ArrayList[DataFrame]]()
+
+  def pin(df: DataFrame): DataFrame = {
+    val out = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // checkpoint() alone computes the plan TWICE: the eager count job
       // materializes the un-persisted RDD, then ReliableRDDCheckpointData
       // runs a SECOND job to write the checkpoint files, recomputing
@@ -37,8 +46,26 @@ object Materialize {
       // files exist. Set spark.cleaner.referenceTracking.cleanCheckpoints
       // =true on long-lived apps or checkpoint dirs accumulate.
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = cached.checkpoint(true)
+      val checked = cached.checkpoint(true)
       cached.unpersist()
-      out
+      checked
     } else df.localCheckpoint(true)
+    synchronized {
+      pins.computeIfAbsent(df.sparkSession,
+        _ => new java.util.ArrayList[DataFrame]()).add(out)
+    }
+    out
+  }
+
+  /** Unpersist every pin created for `spark` so far. Call AFTER the
+    * consuming action has fully materialized its result (Verify calls
+    * it after each query's parquet write, Bench after each timed
+    * evaluation) — a localCheckpoint'ed frame cannot be recomputed
+    * once its blocks are dropped, so releasing mid-consumption would
+    * fail the job, not silently recompute.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val l = synchronized { pins.remove(spark) }
+    if (l != null) l.forEach(_.unpersist())
+  }
 }
