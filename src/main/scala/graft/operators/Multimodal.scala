@@ -29,6 +29,32 @@ object Multimodal {
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** The (doc_id, payload) stream every decode-shaped operator starts
+    * from — public so external decoders (and the seam spec) can feed
+    * [[decodeWith]] without re-deriving the payload convention.
+    */
+  def payloads(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    withPayload(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** The decode SEAM shared by every media operator: `mkDecoder()` runs
+    * ONCE per partition — this is where a real codec binding allocates
+    * its native context — and the returned function maps each
+    * (doc_id, payload) row. The stub operators instantiate it with
+    * deterministic byte-statistics fakes; swapping a real decoder in
+    * means passing a different `mkDecoder`, nothing else changes
+    * (MultimodalSpec proves the swap with a java.util.zip codec).
+    */
+  def decodeWith[T: org.apache.spark.sql.Encoder](
+      payloads: Dataset[(Long, Array[Byte])],
+      mkDecoder: () => (Long, Array[Byte]) => T): Dataset[T] =
+    payloads.mapPartitions { it =>
+      val decodeOne = mkDecoder() // per-partition codec init happens HERE
+      it.map { case (id, bytes) => decodeOne(id, bytes) }
+    }
+
   // ------------------------------------------------------- binary meta
   /** Metadata extraction over a binary column: size, content digest,
     * magic-bytes prefix, and decoded fake dimensions (pure arithmetic
@@ -112,24 +138,18 @@ object Multimodal {
 
   def decodeStub(s: SparkSession, d: String): Dataset[MediaFeatures] = {
     import s.implicits._
-    withPayload(s, d).select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // real decoder init would happen HERE, once per partition
-        def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
-          val hist = nibbleHist(bytes)
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) {
-            sum += (bytes(i) & 0xff)
-            i += 1
-          }
-          MediaFeatures(id, bytes.length,
-            if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-            hist.mkString(","))
-        }
-        it.map { case (id, bytes) => decodeOne(id, bytes) }
+    decodeWith(payloads(s, d), () => (id: Long, bytes: Array[Byte]) => {
+      val hist = nibbleHist(bytes)
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        sum += (bytes(i) & 0xff)
+        i += 1
       }
+      MediaFeatures(id, bytes.length,
+        if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+        hist.mkString(","))
+    })
   }
 
   def mDecodeStub(s: SparkSession, d: String): DataFrame =
@@ -156,24 +176,19 @@ object Multimodal {
     */
   def resizeStub(s: SparkSession, d: String, factor: Int = 4): Dataset[ResizedMedia] = {
     import s.implicits._
-    withPayload(s, d).select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // real scaler/codec init would happen HERE, once per partition
-        it.map { case (id, bytes) =>
-          val resized = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
-          var sum = 0L
-          var check = 0L
-          var i = 0
-          while (i < resized.length) {
-            val v = resized(i) & 0xff
-            sum += v
-            check += v.toLong * (i + 1)
-            i += 1
-          }
-          ResizedMedia(id, bytes.length, resized.length, factor, sum, check)
-        }
+    decodeWith(payloads(s, d), () => (id: Long, bytes: Array[Byte]) => {
+      val resized = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+      var sum = 0L
+      var check = 0L
+      var i = 0
+      while (i < resized.length) {
+        val v = resized(i) & 0xff
+        sum += v
+        check += v.toLong * (i + 1)
+        i += 1
       }
+      ResizedMedia(id, bytes.length, resized.length, factor, sum, check)
+    })
   }
 
   def mResizeStub(s: SparkSession, d: String): DataFrame =
@@ -195,21 +210,17 @@ object Multimodal {
     */
   def phashStub(s: SparkSession, d: String): Dataset[PHash] = {
     import s.implicits._
-    withPayload(s, d).select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val hist = nibbleHist(bytes)
-          var ph = 0
-          var k = 0
-          while (k < 16) {
-            // toLong: hist(k)*16 overflows Int at >=128 MiB payloads
-            if (hist(k).toLong * 16 > bytes.length) ph |= 1 << (15 - k)
-            k += 1
-          }
-          PHash(id, ph)
-        }
+    decodeWith(payloads(s, d), () => (id: Long, bytes: Array[Byte]) => {
+      val hist = nibbleHist(bytes)
+      var ph = 0
+      var k = 0
+      while (k < 16) {
+        // toLong: hist(k)*16 overflows Int at >=128 MiB payloads
+        if (hist(k).toLong * 16 > bytes.length) ph |= 1 << (15 - k)
+        k += 1
       }
+      PHash(id, ph)
+    })
   }
 
   def mPhash(s: SparkSession, d: String): DataFrame = {

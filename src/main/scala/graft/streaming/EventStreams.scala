@@ -21,6 +21,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Opt the session's streaming state stores into RocksDB.
+    *
+    * The default HDFSBackedStateStoreProvider keeps every key's state
+    * in executor HEAP (a versioned in-memory map, snapshotted to the
+    * checkpoint dir). That is the right default for the fixture-scale
+    * tests, but at cluster scale the keyed state here — open sessions,
+    * in-watermark content fingerprints, per-user running stats, both
+    * sides of the stream-stream funnel join — is proportional to
+    * active-key cardinality, and a 100 TB-scale stream's hot-key set
+    * can exceed executor memory; RocksDB keeps state on local SSD with
+    * a block-cache in native (off-heap) memory, and changelog
+    * checkpointing uploads per-batch deltas instead of full snapshots.
+    * Conf-gated (not hardcoded) because the provider must be fixed for
+    * a checkpoint's lifetime — flipping it under an existing
+    * checkpoint is an error; set it BEFORE the first start() of a
+    * query, or pass the conf at session build. StreamingSpec runs the
+    * stateful suite under this provider to prove the pipelines are
+    * provider-agnostic.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // deltas per micro-batch instead of full SST uploads at checkpoint
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
   /** Hourly tumbling counts per event type; 10-minute watermark drops
     * late data and lets window state be evicted.
     */

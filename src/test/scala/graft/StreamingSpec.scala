@@ -163,6 +163,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() === batchEvents.size)
   }
 
+  test("stateful pipelines run unchanged on the RocksDB state store") {
+    // the cluster-scale provider (docs/SCALE.md): same results, state
+    // off-heap on local disk. Provider is fixed per query lifetime, so
+    // gate it, run a stateful query end-to-end, and restore the
+    // default for the rest of the suite.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    EventStreams.useRocksDbStateStore(spark)
+    try {
+      val streamed = runStream("t_rocks", 3, EventStreams.tumblingCounts)
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = EventStreams.tumblingCounts(batchEvents.toDF())
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch && batch.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermarked stream-stream join == batch join") {
     val clicksB = batchEvents.filter(_.event_type == "click")
     val purchB = batchEvents.filter(_.event_type == "purchase")
