@@ -160,8 +160,68 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- decontamination
+  /** Benchmark decontamination — the GPT-3/Gopher-style n-gram overlap
+    * gate: a training document is CONTAMINATED if any of its distinct
+    * 13-grams appears in the benchmark (eval-set) documents. The
+    * fixture's "benchmark" is the deterministic doc_id % 20 == 0 slice
+    * (5% — eval sets are tiny relative to training corpora); output is
+    * every NON-benchmark doc with its count of distinct shared
+    * 13-grams and the contamination flag.
+    *
+    * Scale shape: the benchmark 13-gram set is eval-set-sized and
+    * BROADCASTS — the training corpus is scanned once, each doc's
+    * distinct 13-grams come from the native [[graft.plans
+    * .ShingleHashSet]] as 8-byte longs (never the strings), and the
+    * only shuffle is the per-doc count aggregation keyed by doc_id.
+    * Nothing is quadratic: contamination is a membership test, not a
+    * pairing. Docs shorter than 13 tokens have no 13-grams and are
+    * clean by definition (kept in the output with n_shared = 0).
+    */
+  val DecontamN = 13
+  val BenchMod = 20
+
+  def pDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftSql.shingleHashSet(
+          Text.tokens(col("text")), DecontamN).as("sh"))
+    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val train = docs.filter(col("doc_id") % BenchMod =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val pDecontaminateSql: String = {
+    val n = DecontamN
+    val gram = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> $gram)) AS sh
+       |  FROM t),
+       |bench AS (SELECT DISTINCT unnest(sh) AS gr FROM g
+       |  WHERE doc_id % $BenchMod = 0),
+       |bl AS (SELECT list(gr) AS bg FROM bench)
+       |SELECT doc_id,
+       |  CAST(len(list_intersect(sh, bg)) AS BIGINT) AS n_shared,
+       |  CASE WHEN len(list_intersect(sh, bg)) > 0
+       |    THEN 1 ELSE 0 END AS contaminated
+       |FROM g CROSS JOIN bl WHERE doc_id % $BenchMod <> 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_curate" -> (curate _, curateSql),
+    "p_decontaminate" -> (pDecontaminate _, pDecontaminateSql),
     "p_sample" -> (sample _, sampleSql),
     "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
   )

@@ -329,6 +329,17 @@ object Dedup {
     * longs instead of strings.
     */
   def jaccardPairs(docsWithToks: DataFrame): DataFrame = {
+    val p = sizedShinglePairs(docsWithToks)
+    p.select(col("a"), col("b"), col("inter").cast("bigint").as("inter"),
+      round(col("inter").cast("double") /
+        (col("nx") + col("ny") - col("inter")), 6).as("jac"))
+  }
+
+  /** Min-shingle-blocked within-block pairs with intersection count and
+    * both set sizes — the common core of [[jaccardPairs]] and
+    * [[dOverlap]]. Columns: a, b (ordered ids), inter, nx, ny.
+    */
+  private[graft] def sizedShinglePairs(docsWithToks: DataFrame): DataFrame = {
     val base = docsWithToks
       .select(col("doc_id"),
         org.apache.spark.sql.graft.GraftSql.shingleHashSet(col("toks"), 3).as("sh"),
@@ -338,14 +349,57 @@ object Dedup {
       .select(col("blk"), struct(col("doc_id"), col("sh")).as("v"))
     val inter = org.apache.spark.sql.graft.GraftSql
       .sortedIntersectCount(col("x.sh"), col("y.sh"))
-    val uni = size(col("x.sh")) + size(col("y.sh")) - inter
     blockPairs(base)
       .select(
         least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-        inter.cast("bigint").as("inter"),
-        round(inter.cast("double") / uni, 6).as("jac"))
+        inter.as("inter"), size(col("x.sh")).as("nx"), size(col("y.sh")).as("ny"))
   }
+
+  // --------------------------------------- overlap-coefficient near-dup
+  /** Overlap-coefficient near-dup: pairs with
+    * inter / min(|A|, |B|) ≥ 0.8 — the subset-sensitive companion to
+    * [[dJaccard]]: a short doc fully CONTAINED in a long one scores
+    * overlap 1.0 but can have arbitrarily low Jaccard (|A|/|B|), so a
+    * jaccard threshold misses template-plus-boilerplate families that
+    * overlap catches. Shares [[sizedShinglePairs]] (same min-shingle
+    * blocking and merge-walk intersect — one subplan, two metrics).
+    * Blocking caveat, stated honestly: a candidate pair surfaces iff
+    * the global min shingle hash lies in the intersection, which
+    * happens with probability = Jaccard — so extreme containment pairs
+    * (tiny |A|/|B|) are under-sampled by this blocking; exhaustive
+    * containment needs an asymmetric scheme (block A on its own min,
+    * probe B on ALL its shingles), which multiplies the probe side by
+    * |B| and is only worth it when containment recall is the product
+    * requirement.
+    */
+  def dOverlap(s: SparkSession, d: String): DataFrame =
+    sizedShinglePairs(Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks")))
+      .select(col("a"), col("b"), col("inter").cast("bigint").as("inter"),
+        round(col("inter").cast("double") / least(col("nx"), col("ny")), 6).as("overlap"))
+      .filter(col("overlap") >= 0.8)
+      .distinct()
+      .orderBy("a", "b")
+
+  val dOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |b AS (SELECT doc_id, sh,
+       |  list_min(list_transform(sh, x -> md5(x))) AS blk
+       |  FROM sh3 WHERE len(sh) > 0),
+       |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |    len(list_intersect(x.sh, y.sh)) AS inter,
+       |    LEAST(len(x.sh), len(y.sh)) AS mn
+       |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+       |SELECT DISTINCT a, b, CAST(inter AS BIGINT) AS inter,
+       |  round(CAST(inter AS DOUBLE) / mn, 6) AS overlap
+       |FROM pairs
+       |WHERE round(CAST(inter AS DOUBLE) / mn, 6) >= 0.8
+       |ORDER BY a, b""".stripMargin
 
   val dJaccardSql: String =
     s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
@@ -604,6 +658,7 @@ object Dedup {
     "d_simhash_pairs" -> (dSimhashPairs _, dSimhashPairsSql),
     "d_simhash64"   -> (dSimhash64 _, dSimhash64Sql),
     "d_jaccard"     -> (dJaccard _, dJaccardSql),
+    "d_overlap"     -> (dOverlap _, dOverlapSql),
     "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),
     "d_cluster"     -> (dCluster _, dClusterSql),
     "d_components"  -> (dComponents _, dComponentsSql),

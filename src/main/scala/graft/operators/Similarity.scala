@@ -437,8 +437,77 @@ object Similarity {
       |  round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 16777216.0), 6) AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------- semantic dedup
+  /** SemDeDup-shaped semantic dedup: cluster the corpus (the
+    * [[sAnnIvf]] k-medoids fit), generate pairs ONLY within a cluster,
+    * and mark the higher vec_id of every pair whose cosine meets the
+    * threshold as a duplicate — output is one row per vector with its
+    * cell and a keep flag (victims are the non-minimal members of
+    * within-cell similarity neighborhoods). This is the
+    * embedding-space answer to template spam that lexical dedup can't
+    * see: paraphrases land in one cell and one representative
+    * survives.
+    *
+    * Scale shape: the fit is the broadcast-K assignment (no vector
+    * shuffle); within-cell pair generation is quadratic per cell — the
+    * SemDeDup reality — but rides [[Dedup.blockPairs]], so a
+    * degenerate hot cell is salt-split and per-task state stays
+    * ~2·[[Dedup.BlockCap]] members; the victims frame shuffles only
+    * (vec_id) rows. The fixture threshold (0.25) matches
+    * [[Dedup.dEmbeddingNearDup]]'s — the synthetic embeddings are
+    * near-uniform, so production-style 0.95+ would mark nothing;
+    * semantics are threshold-independent.
+    */
+  val SemdedupCos = 0.25
+
+  def dSemdedup(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, LloydIters)
+    val assign = ivfAssignment(base, cent)
+    val pairs = Dedup.blockPairs(assign.select(col("cell").as("blk"),
+      struct(col("vec_id").as("doc_id"), col("embedding"), col("nrm")).as("v")))
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("x.embedding"), col("y.embedding")),
+        col("x.nrm"), col("y.nrm")), 6)
+    val victims = pairs
+      .select(greatest(col("x.doc_id"), col("y.doc_id")).as("vec_id"), cos.as("cos"))
+      .filter(col("cos") >= SemdedupCos)
+      .select("vec_id").distinct()
+    assign.select(col("vec_id"), col("cell"))
+      .join(victims.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("hit").isNotNull, 0).otherwise(1).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dSemdedupSql: String = {
+    val centFinal = if (LloydIters == 0) "cent0" else s"cent$LloydIters"
+    val lloydCtes = (1 to LloydIters)
+      .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
+      .mkString(",\n")
+    val withCtes = (Seq(
+      NORM_CTE,
+      s"cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK)")
+      ++ (if (LloydIters == 0) Nil else Seq(lloydCtes))).mkString(",\n")
+    s"""WITH $withCtes,
+       |assign AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
+       |  SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
+       |  FROM n v CROSS JOIN $centFinal c) WHERE arn = 1),
+       |victims AS (SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a", "b")} >= $SemdedupCos)
+       |SELECT s.vec_id, s.cell,
+       |  CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM assign s LEFT JOIN victims v ON s.vec_id = v.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_centroids"   -> (sCentroids _, sCentroidsSql),
+    "d_semdedup"    -> (dSemdedup _, dSemdedupSql),
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),
     "s_ann_ivf"     -> (sAnnIvf _, sAnnIvfSql),
     "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),

@@ -173,6 +173,21 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("overlap coefficient dominates jaccard on the same blocked pairs") {
+    // overlap = inter/min >= inter/union = jac, so every jac-thresholded
+    // pair appears in the overlap output at the same threshold or above
+    val jac = Dedup.dJaccard(spark, sf)
+      .filter(col("jac") >= 0.8).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    val ov = Dedup.dOverlap(spark, sf).select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(jac.subsetOf(ov))
+    // exact-duplicate families (same shingle set) score overlap 1.0
+    val exactDupPairs = Dedup.dOverlap(spark, sf)
+      .filter(col("overlap") === 1.0).count()
+    assert(exactDupPairs > 0)
+  }
+
   test("simhash64 aggregator: order- and partition-insensitive") {
     val base = Dedup.dSimhash64(spark, sf).as[(Long, String)].collect().toMap
     val sim64 = org.apache.spark.sql.functions.udaf(graft.functions.SimHash64)

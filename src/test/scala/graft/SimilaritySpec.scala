@@ -104,6 +104,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semdedup: every cell keeps its minimum member; victims have a kept smaller twin") {
+    import spark.implicits._
+    val rows = Similarity.dSemdedup(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.length > 0)
+    // one row per corpus vector
+    assert(rows.length.toLong === Tables.embeddings(spark, sf).count())
+    // a cell's minimum vec_id can never be the greater end of a pair,
+    // so every cell retains at least its minimum
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val minId = members.map(_._1).min
+      assert(members.find(_._1 == minId).get._3 === 1)
+    }
+    assert(rows.exists(_._3 == 0)) // threshold actually bites on fixtures
+  }
+
   test("IVF searches fewer candidates than brute force") {
     // structural: every IVF result must also be a valid vector id and
     // self-matches are excluded

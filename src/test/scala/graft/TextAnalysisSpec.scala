@@ -118,6 +118,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: benchmark docs excluded; flags match a naive recompute") {
+    import spark.implicits._
+    val out = operators.Curation.pDecontaminate(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall(_._1 % operators.Curation.BenchMod != 0))
+    assert(out.forall(r => (r._3 == 1) == (r._2 > 0)))
+    // naive driver-side ground truth over raw 13-gram strings
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect()
+    val grams = toks.map { case (id, t) =>
+      id -> t.sliding(operators.Curation.DecontamN)
+        .filter(_.length == operators.Curation.DecontamN)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val benchSet = grams.collect {
+      case (id, g) if id % operators.Curation.BenchMod == 0 => g
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    out.foreach { case (id, nShared, _) =>
+      assert(nShared === grams(id).count(benchSet.contains).toLong, s"doc $id")
+    }
+  }
+
   test("winnow fingerprint equals a naive driver-side reimplementation") {
     import spark.implicits._
     val got = operators.TextAnalysis.tWinnow(spark, sf)
