@@ -219,10 +219,167 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- sequence packing
+  /** Tokens per packed training sequence for [[pPack]] — 512 is a
+    * power of two so offset→sequence-id is an exact integer shift in
+    * both engines (no float division anywhere).
+    */
+  val PackSeqLen = 512
+
+  /** Sequence packing — the "concatenate the corpus and slice into
+    * fixed-length training sequences" step every LLM pre-training
+    * pipeline runs before batching. Documents are laid end-to-end in
+    * doc_id order; sequence k owns token offsets [k·512, (k+1)·512).
+    * Output per sequence: how many documents contribute tokens to it
+    * and how many tokens it holds (512 for all but the last).
+    *
+    * Scale shape: the global prefix sum is computed as a DISTRIBUTED
+    * two-level scan, not a single-partition window — docs get a shard
+    * key (doc_id div 8192), the cumulative sum runs per shard
+    * (hash-partitioned, parallel), and each shard's base offset comes
+    * from a shard-totals aggregate that is #shards rows (corpus/8192 —
+    * a few million rows at 100 TB) cumulated in one tiny window and
+    * broadcast back. No stage ever holds more than a shard of
+    * (doc_id, n) longs; document text never moves (only token COUNTS
+    * shuffle). A doc spanning a sequence boundary is exploded into
+    * each sequence it overlaps (span width ≤ n/512 + 1, bounded by
+    * the longest document, not the corpus).
+    */
+  def pPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n"),
+        (col("doc_id") / 8192).cast("long").as("shard"))
+    // intra-shard running total (parallel across shards) ...
+    val wShard = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = counts.withColumn("end_in_shard", sum(col("n")).over(wShard))
+    // ... plus each shard's base = cumsum of prior shard totals (tiny:
+    // one row per shard, single ordered window over #shards rows).
+    val wBase = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bases = counts.groupBy("shard").agg(sum(col("n")).as("shard_n"))
+      .withColumn("base", coalesce(sum(col("shard_n")).over(wBase), lit(0L)))
+      .select(col("shard"), col("base"))
+    val spans = intra.join(broadcast(bases), "shard")
+      .withColumn("end_off", col("base") + col("end_in_shard"))
+      .withColumn("start_off", col("end_off") - col("n"))
+      .filter(col("n") > 0)
+      .select(col("start_off"), col("end_off"),
+        explode(sequence(
+          expr(s"start_off div $PackSeqLen"),
+          expr(s"(end_off - 1) div $PackSeqLen"))).as("seq_id"))
+    spans.groupBy("seq_id")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(least(col("end_off"), (col("seq_id") + 1) * PackSeqLen) -
+          greatest(col("start_off"), col("seq_id") * PackSeqLen))
+          .cast("int").as("n_tokens"))
+      .select(col("seq_id").cast("int").as("seq_id"), col("n_docs"), col("n_tokens"))
+      .orderBy("seq_id")
+  }
+
+  /** Oracle mirrors the SEMANTICS (global cumsum in doc_id order), not
+    * the distributed two-level scan — base + intra-shard ≡ global
+    * prefix sum, so the values are identical.
+    */
+  val pPackSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len(${Text.ToksSql}) AS BIGINT) AS n FROM documents),
+       |o AS (SELECT doc_id, n,
+       |  CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+       |  FROM t),
+       |sp AS (SELECT end_off - n AS start_off, end_off,
+       |  unnest(range((end_off - n) // $PackSeqLen, (end_off - 1) // $PackSeqLen + 1)) AS seq_id
+       |  FROM o WHERE n > 0)
+       |SELECT CAST(seq_id AS INT) AS seq_id,
+       |  CAST(COUNT(*) AS INT) AS n_docs,
+       |  CAST(SUM(least(end_off, (seq_id + 1) * $PackSeqLen) -
+       |    greatest(start_off, seq_id * $PackSeqLen)) AS INT) AS n_tokens
+       |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  // ---------------------------------------------- weighted sampling
+  /** Quality-weighted deterministic sampling: keep probability
+    * proportional to document length, p = min(1, n_chars/400). The
+    * acceptance test is PURE INTEGER — u = (doc_id·2654435761 + 40503)
+    * mod 1000003 is a uniform integer hash both engines compute
+    * identically, and `u < p·M` is tested as `400·u < n_chars·M` so no
+    * float ever enters the predicate (cross-engine exact, and a pure
+    * map the scan can evaluate — no shuffle, reproducible on any
+    * cluster / any partitioning). The standard use: up-weight long
+    * (information-dense) documents when downsampling a crawl.
+    */
+  def pSampleWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter((col("doc_id") * 2654435761L + 40503L) % 1000003L * 400L
+        < col("n_chars") * 1000003L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val pSampleWeightedSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE (doc_id * 2654435761 + 40503) % 1000003 * 400 < n_chars * 1000003
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source epoch weights for [[pMix]]: (whole epochs, hex
+    * threshold for one fractional extra copy). '80' ≈ +0.5 of an
+    * epoch, '40' ≈ +0.25. Sources not listed default to 1 epoch —
+    * src2 is DOWN-sampled to half an epoch (0 whole copies, keep one
+    * copy for half the docs).
+    */
+  val MixEpochs: Seq[(String, (Int, String))] = Seq(
+    "src0" -> (2, "80"), // 2.5 epochs — high-quality source, upsampled
+    "src1" -> (2, "00"), // 2 epochs
+    "src2" -> (0, "80"), // 0.5 epoch — low-quality source, downsampled
+    "src3" -> (1, "40")) // 1.25 epochs
+
+  // ---------------------------------------------- source mixing
+  /** Source-mixture materialization — the domain-reweighting step
+    * (Pile/Llama-style "epochs per source"): each document is
+    * replicated `copies` times where copies = whole epochs + one
+    * extra copy for the deterministic digest-fraction of docs that
+    * realizes the fractional epoch. Output is the mixed corpus
+    * manifest (doc_id, source, copy).
+    *
+    * Scale shape: a pure per-row map followed by a bounded explode
+    * (≤ max epochs per row) — no shuffle, no state; the digest gate
+    * is the same cross-run-stable md5 idiom as [[sample]].
+    */
+  def pMix(s: SparkSession, d: String): DataFrame = {
+    val whole = MixEpochs.foldLeft(lit(1): org.apache.spark.sql.Column) {
+      case (acc, (src, (w, _))) => when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    val thr = MixEpochs.foldLeft(lit("00"): org.apache.spark.sql.Column) {
+      case (acc, (src, (_, t))) => when(col("source") === src, lit(t)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("copies", whole +
+        when(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 2) < thr, 1).otherwise(0))
+      .filter(col("copies") > 0) // sequence(1,0) is DESCENDING in Spark — never build it
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  val pMixSql: String = {
+    val wCases = MixEpochs.map { case (s, (w, _)) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    val tCases = MixEpochs.map { case (s, (_, t)) => s"WHEN '$s' THEN '$t'" }.mkString(" ")
+    s"""WITH c AS (SELECT doc_id, source,
+       |  CASE source $wCases ELSE 1 END +
+       |  CASE WHEN substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+       |    CASE source $tCases ELSE '00' END THEN 1 ELSE 0 END AS copies
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
+       |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_curate" -> (curate _, curateSql),
     "p_decontaminate" -> (pDecontaminate _, pDecontaminateSql),
+    "p_mix" -> (pMix _, pMixSql),
+    "p_pack" -> (pPack _, pPackSql),
     "p_sample" -> (sample _, sampleSql),
     "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
+    "p_sample_weighted" -> (pSampleWeighted _, pSampleWeightedSql),
   )
 }

@@ -531,7 +531,93 @@ object TextAnalysis {
        |  round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
        |FROM wc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------- inverted index
+  /** Posting-list cap for [[tInvertedIndex]] — real posting lists for
+    * stopword-frequency terms are corpus-sized; capping the
+    * materialized list (while keeping the TRUE document frequency)
+    * bounds per-row width and per-group aggregation state.
+    */
+  val PostingsCap = 20
+
+  /** Inverted index: word → true document frequency + the first
+    * [[PostingsCap]] posting doc_ids (ascending, comma-joined). The
+    * retrieval backbone over the corpus, shaped for scale: the
+    * row_number window and the groupBy share the same hash(word)
+    * distribution so ONE exchange serves both, and the collect_list
+    * only ever sees rows the rn-filter kept — per-word state is
+    * ≤ [[PostingsCap]] ints no matter how common the word, while df
+    * still counts every posting.
+    */
+  def tInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("word"))
+    val w = Window.partitionBy("word").orderBy("doc_id")
+    postings
+      .withColumn("rn", row_number().over(w))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          sort_array(collect_list(when(col("rn") <= PostingsCap, col("doc_id")))),
+          i => i.cast("string"))).as("postings"))
+      .orderBy("word")
+  }
+
+  val tInvertedIndexSql: String =
+    s"""WITH p AS (SELECT DISTINCT doc_id, unnest(${Text.ToksSql}) AS word FROM documents)
+       |SELECT word, COUNT(*) AS df,
+       |  array_to_string(list_sort(list(doc_id))[1:$PostingsCap], ',') AS postings
+       |FROM p GROUP BY word ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------- PII scan
+  /** Email pattern — kept to constructs with identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB): character classes, greedy
+    * +/{n,}, no backrefs/lookaround.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Long digit runs (phone/account/SSN-ish): 6+ consecutive digits. */
+  val DigitRunRe = "[0-9]{6,}"
+
+  /** PII detection + redaction audit: per document, the count of
+    * email-shaped and long-digit-run matches and the text length
+    * after replacing both with a redaction tag — the pre-training
+    * privacy-scrub step, as a pure per-row map (scan-fused, no
+    * shuffle, trivially 100 TB-safe).
+    *
+    * HONEST FIXTURE NOTE: the synthetic corpus is lowercase word
+    * salad with no digits or '@', so on the fixtures every count is
+    * 0 and red_len = n_chars — the oracle check verifies the
+    * vacuous case end-to-end, and `TextAnalysisSpec` drives the same
+    * expressions over constructed PII-bearing rows to pin the real
+    * match/redact behavior.
+    */
+  def tPii(s: SparkSession, d: String): DataFrame =
+    piiAudit(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** The per-row audit projection behind [[tPii]], exposed on an
+    * arbitrary (doc_id, text) frame so tests can drive it over
+    * constructed PII-bearing rows (the fixture corpus has none).
+    */
+  def piiAudit(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(DigitRunRe)).cast("int").as("n_digit_runs"),
+      length(regexp_replace(regexp_replace(col("text"), EmailRe, "<PII>"),
+        DigitRunRe, "<PII>")).cast("int").as("red_len"))
+
+  val tPiiSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$DigitRunRe')) AS INT) AS n_digit_runs,
+       |  CAST(length(regexp_replace(regexp_replace(text, '$EmailRe', '<PII>', 'g'),
+       |    '$DigitRunRe', '<PII>', 'g')) AS INT) AS red_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_inverted_index" -> (tInvertedIndex _, tInvertedIndexSql),
+    "t_pii"          -> (tPii _, tPiiSql),
     "t_repetition"   -> (tRepetition _, tRepetitionSql),
     "t_vocab"        -> (tVocab _, tVocabSql),
     "t_array_ops"    -> (tArrayOps _, tArrayOpsSql),

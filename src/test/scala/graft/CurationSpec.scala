@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Spark-side semantics for the corpus-curation pipeline operators
+  * (value parity with DuckDB is covered by tools/verify.sh).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusTokens: Long = Tables.documents(spark, sf)
+    .select(size(graft.functions.Text.tokens(col("text"))).cast("long").as("n"))
+    .agg(sum("n")).as[Long].head()
+
+  test("pack: conserves every token, fills every sequence but the last") {
+    val packed = Curation.pPack(spark, sf)
+      .select("seq_id", "n_docs", "n_tokens").as[(Int, Int, Int)].collect()
+    assert(packed.map(_._3.toLong).sum === corpusTokens)
+    // seq ids are dense 0..max (concatenation leaves no gaps)
+    assert(packed.map(_._1).toSeq === (0 until packed.length))
+    // every sequence except the final one holds exactly PackSeqLen tokens
+    packed.dropRight(1).foreach { case (id, _, n) =>
+      assert(n === Curation.PackSeqLen, s"seq $id")
+    }
+    assert(packed.last._3 <= Curation.PackSeqLen)
+    assert(packed.forall(_._2 >= 1))
+  }
+
+  test("pack: docs spanning a boundary are counted in every sequence they touch") {
+    // total doc-contributions >= number of packable docs (equality only
+    // if no doc crosses a 512 boundary — vanishingly unlikely here)
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(graft.functions.Text.tokens(col("text"))) > 0).count()
+    val contributions = Curation.pPack(spark, sf).agg(sum("n_docs")).as[Long].head()
+    assert(contributions > nDocs)
+  }
+
+  test("mix: whole-epoch sources replicate exactly, fractional gate is per-doc stable") {
+    val docs = Tables.documents(spark, sf)
+    val mix = Curation.pMix(spark, sf).cache()
+    try {
+      // src1 = 2.0 epochs: every src1 doc appears exactly twice
+      val perDoc = mix.filter(col("source") === "src1").groupBy("doc_id").count()
+      assert(perDoc.filter(col("count") =!= 2).count() === 0)
+      // default sources (not in MixEpochs) appear exactly once
+      val listed = Curation.MixEpochs.map(_._1)
+      val defPerDoc = mix.filter(!col("source").isInCollection(listed))
+        .groupBy("doc_id").count()
+      assert(defPerDoc.filter(col("count") =!= 1).count() === 0)
+      // src2 = 0.5 epoch: strictly downsampled, each surviving doc once
+      val src2Total = docs.filter(col("source") === "src2").count()
+      val src2Kept = mix.filter(col("source") === "src2").count()
+      assert(src2Kept < src2Total && src2Kept > 0)
+      // copy index never exceeds whole+1
+      val maxEpochs = Curation.MixEpochs.map(_._2._1).max + 1
+      assert(mix.agg(max("copy")).as[Int].head() <= maxEpochs)
+    } finally mix.unpersist()
+  }
+
+  test("weighted sample: length >= 400 chars is always kept, and the gate is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val kept = Curation.pSampleWeighted(spark, sf).select("doc_id").as[Long].collect().toSet
+    val must = docs.filter(col("n_chars") >= 400).select("doc_id").as[Long].collect()
+    must.foreach(id => assert(kept.contains(id), s"doc $id (>=400 chars) was dropped"))
+    // p = min(1, n_chars/400) and fixture docs average well under 400:
+    // the sample must be a strict, non-empty subset
+    val total = docs.count()
+    assert(kept.nonEmpty && kept.size < total)
+    val again = Curation.pSampleWeighted(spark, sf).select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+}
