@@ -159,7 +159,12 @@ object Similarity {
     */
   private def fittedCentroids(base: DataFrame, iters: Int): DataFrame = {
     val seeds = base.toDF("c_id", "c_emb", "c_nrm").filter(col("c_id") < IvfK)
-    (1 to iters).foldLeft(seeds)((c, _) => lloydStep(base, c))
+    // pin the fitted K-row frame: its consumers (assignment + query
+    // probes in annIvf, assignment in dSemdedup) are specialized
+    // branches no reuse mechanism dedupes, so an unpinned fit re-runs
+    // the full Lloyd chain per consumer. K rows — free to materialize
+    // at any scale.
+    Materialize.pin((1 to iters).foldLeft(seeds)((c, _) => lloydStep(base, c)))
   }
 
   /** Inverted index over already-built base/centroid frames: every
@@ -463,6 +468,12 @@ object Similarity {
   def dSemdedup(s: SparkSession, d: String): DataFrame = {
     val base = withNorm(s, d)
     val cent = fittedCentroids(base, LloydIters)
+    // the assignment feeds BOTH the pair generation and the final
+    // keep-flag join; the copies are optimizer-specialized and never
+    // dedupe, but with cent pinned each re-evaluation is only the
+    // broadcast argmax — a map pass, cheaper to recompute than to
+    // materialize a corpus-sized frame (measured: pinning assign moved
+    // nothing at sf0.1).
     val assign = ivfAssignment(base, cent)
     val pairs = Dedup.blockPairs(assign.select(col("cell").as("blk"),
       struct(col("vec_id").as("doc_id"), col("embedding"), col("nrm")).as("v")))
