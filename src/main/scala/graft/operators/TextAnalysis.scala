@@ -615,7 +615,70 @@ object TextAnalysis {
        |    '$DigitRunRe', '<PII>', 'g')) AS INT) AS red_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- unigram LM scoring
+  /** Minimum corpus count for a word to enter the unigram LM vocab —
+    * hapax words score as OOV. A frequency THRESHOLD (not a top-K
+    * rank) so the vocab gate stays a pure post-aggregation filter at
+    * any corpus size; a top-K cut would need a vocab-wide rank.
+    */
+  val UnigramMinCount = 2
+
+  /** CCNet-style language-model quality scoring, with the LM the
+    * engine can fit exactly: per document, the average log-probability
+    * of its tokens under the corpus unigram distribution (plus the OOV
+    * token count). Low avg_logp = improbable token stream = the
+    * perplexity-filter signal used to rank crawl text against a clean
+    * reference corpus.
+    *
+    * Scale shape: one vocabulary-bounded word-count aggregation (the
+    * wordscore shuffle), a scalar total, then a broadcast join of
+    * (word, logp) onto the exploded corpus and a per-doc aggregation —
+    * document text itself never shuffles, only (doc_id, logp) pairs.
+    * Cross-engine determinism: each logp is ln() of ONE double
+    * division rounded once to 6 dp; the per-doc mean goes through an
+    * exact DECIMAL sum of those rounded values (order-free), one
+    * double division, one final round.
+    */
+  def tUnigramLp(s: SparkSession, d: String): DataFrame = {
+    val toks = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val vocab = counts.filter(col("cnt") >= UnigramMinCount)
+      .crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("cnt").cast("double") / col("total")), 6).as("logp"))
+    val oov = total.select(round(log(lit(1.0) / col("total")), 6).as("oov_logp"))
+    toks
+      .join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"),
+        coalesce(col("logp"), col("oov_logp")).as("lp"),
+        col("logp").isNull.cast("int").as("is_oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_toks"),
+        sum(col("is_oov")).cast("int").as("n_oov"),
+        round(sum(col("lp").cast("decimal(16,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val tUnigramLpSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents),
+       |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+       |v AS (SELECT word, round(ln(CAST(cnt AS DOUBLE) / total), 6) AS logp
+       |  FROM c CROSS JOIN tot WHERE cnt >= $UnigramMinCount),
+       |o AS (SELECT round(ln(1.0 / total), 6) AS oov_logp FROM tot)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_toks,
+       |  CAST(SUM(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov,
+       |  round(CAST(SUM(CAST(coalesce(v.logp, o.oov_logp) AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS avg_logp
+       |FROM w LEFT JOIN v USING (word) CROSS JOIN o
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_unigram_lp" -> (tUnigramLp _, tUnigramLpSql),
     "t_inverted_index" -> (tInvertedIndex _, tInvertedIndexSql),
     "t_pii"          -> (tPii _, tPiiSql),
     "t_repetition"   -> (tRepetition _, tRepetitionSql),

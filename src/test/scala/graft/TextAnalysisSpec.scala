@@ -202,6 +202,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram LM: avg_logp matches the distribution recomputed from token counts") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val total = counts.values.sum.toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oov = r6(math.log(1.0 / total))
+    val got = TextAnalysis.tUnigramLp(spark, sf)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    docs.foreach { case (id, toks) =>
+      val lps = toks.map { w =>
+        val c = counts(w)
+        if (c >= TextAnalysis.UnigramMinCount) r6(math.log(c / total)) else oov
+      }
+      val nOov = toks.count(w => counts(w) < TextAnalysis.UnigramMinCount)
+      val expected = r6(lps.map(BigDecimal(_)).sum.toDouble / toks.size)
+      val (_, nToks, gotOov, avg) = got(id)
+      assert(nToks === toks.size, s"doc $id n_toks")
+      assert(gotOov === nOov, s"doc $id n_oov")
+      assert(math.abs(avg - expected) < 1e-9, s"doc $id avg_logp")
+    }
+  }
+
   test("pii audit finds and redacts constructed emails and digit runs") {
     val rows = Seq(
       (1L, "contact me at alice.smith+spam@example.co.uk today"),
