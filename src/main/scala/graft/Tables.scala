@@ -45,9 +45,21 @@ object Tables {
   private def spread(s: SparkSession, d: String, name: String, key: String): DataFrame = {
     val df = table(s, d, name)
     val target = s.sparkContext.defaultParallelism
-    val splits = splitCache.synchronized {
+    // getNumPartitions runs FULL physical planning (hundreds of ms on a
+    // cold entry) — never hold the module-wide lock across it, or every
+    // concurrent session/table first-touch serializes behind one
+    // monitor. Racing threads may plan the same scan twice; they write
+    // the same value, so last-put-wins is benign.
+    val inner = splitCache.synchronized {
       splitCache.computeIfAbsent(s, _ => new java.util.HashMap[String, Integer]())
-        .computeIfAbsent(s"$d/$name", _ => Integer.valueOf(df.rdd.getNumPartitions))
+    }
+    val cacheKey = s"$d/$name"
+    val cached = inner.synchronized(inner.get(cacheKey))
+    val splits = if (cached != null) cached.intValue
+    else {
+      val v = df.rdd.getNumPartitions
+      inner.synchronized(inner.put(cacheKey, Integer.valueOf(v)))
+      v
     }
     if (splits >= target) df
     else df.repartition(target, col(key))

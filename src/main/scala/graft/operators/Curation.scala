@@ -309,15 +309,20 @@ object Curation {
     * (information-dense) documents when downsampling a crawl.
     */
   def pSampleWeighted(s: SparkSession, d: String): DataFrame =
+    // doc_id is reduced mod 1000003 BEFORE the multiply: same residue
+    // ((d mod M)·A ≡ d·A mod M) but the product stays < 2^52 for any
+    // int64 doc_id — the unreduced form overflows Long past
+    // doc_id ≈ 3.5e9 (silent wrap in Spark, BIGINT error in DuckDB),
+    // well inside a 100 TB corpus's id range.
     Tables.documents(s, d)
-      .filter((col("doc_id") * 2654435761L + 40503L) % 1000003L * 400L
+      .filter((col("doc_id") % 1000003L * 2654435761L + 40503L) % 1000003L * 400L
         < col("n_chars") * 1000003L)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
   val pSampleWeightedSql: String =
     """SELECT doc_id, source, n_chars FROM documents
-      |WHERE (doc_id * 2654435761 + 40503) % 1000003 * 400 < n_chars * 1000003
+      |WHERE (doc_id % 1000003 * 2654435761 + 40503) % 1000003 * 400 < n_chars * 1000003
       |ORDER BY doc_id""".stripMargin
 
   /** Per-source epoch weights for [[pMix]]: (whole epochs, hex

@@ -256,24 +256,28 @@ object Events {
     */
   def eFunnel(s: SparkSession, d: String): DataFrame = {
     // NO join: clicks and purchases ride one user-partitioned window
-    // pass, and each click reads the minimum purchase ts in its forward
-    // frame ("next purchase at-or-after me"), converted iff within 30
-    // min. The previous user-keyed range left-join was quadratic per
-    // hot user (many clicks × many purchases probed per click); here
-    // per-user work is one sort, and a purchase is converted-against
-    // once per preceding click, not materialized per pair. Ties:
-    // purchases sort AFTER clicks at equal ts (kind 1 > 0) so a
-    // same-instant purchase lands in the click's frame, matching the
-    // join form's pns >= cns.
+    // pass, and each click reads the minimum purchase ts at-or-after
+    // itself, converted iff within 30 min. The previous user-keyed
+    // range left-join was quadratic per hot user (many clicks × many
+    // purchases probed per click). The frame matters as much as the
+    // join-freeness: a [currentRow, unboundedFollowing] min looks
+    // one-pass but Spark's shrinking-frame evaluator re-aggregates
+    // current→end for EVERY row (min has no inverse merge) — O(n²)
+    // per user again. Sorting DESC and taking the running min over
+    // [unboundedPreceding, currentRow] is the same quantity computed
+    // by Spark's incremental running-frame evaluator: one sort plus
+    // O(1) per row. Ties: under (ts_ns DESC, kind DESC) a same-ts
+    // purchase (kind 1) sorts BEFORE the click, so it is inside the
+    // click's preceding frame, matching the join form's pns >= cns.
     val ev = load(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts_ns"),
         when(col("event_type") === "purchase", col("ts_ns")).as("pns"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts_ns", "kind")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      .partitionBy("user_id").orderBy(col("ts_ns").desc, col("kind").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     ev.withColumn("next_pns", min(col("pns")).over(w))
       .filter(col("kind") === 0)
       .withColumn("converted",

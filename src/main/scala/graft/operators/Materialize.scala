@@ -30,31 +30,46 @@ object Materialize {
   // every live pin, per session: pins returned to callers (t_tfidf's tf
   // table, connectedComponents labels) hold persisted blocks that
   // outlive the consuming action — WITHOUT a registry each query run
-  // leaks its pins for the session lifetime. WeakHashMap keyed on the
-  // session object so entries die with their session.
+  // leaks its pins for the session lifetime. Two subtleties force the
+  // registry to hold the underlying persisted RDDs, not the Datasets:
+  //  - Dataset.unpersist only uncaches CacheManager entries; a
+  //    localCheckpoint's blocks are persisted at the RDD level
+  //    (LogicalRDD), so unpersisting the Dataset frees NOTHING — the
+  //    RDD itself must be unpersisted.
+  //  - a Dataset strongly references its SparkSession; storing it as a
+  //    WeakHashMap VALUE whose key is that same session is the
+  //    documented WeakHashMap anti-pattern (value pins key, entry is
+  //    immortal). An RDD references only the SparkContext, so entries
+  //    really do die with their session.
   private val pins =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.ArrayList[DataFrame]]()
+      java.util.ArrayList[org.apache.spark.rdd.RDD[_]]]()
 
   def pin(df: DataFrame): DataFrame = {
-    val out = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // checkpoint() alone computes the plan TWICE: the eager count job
       // materializes the un-persisted RDD, then ReliableRDDCheckpointData
       // runs a SECOND job to write the checkpoint files, recomputing
       // from scratch. The standard recipe: cache first (count populates
       // the cache, the write job reads it), release the cache after the
       // files exist. Set spark.cleaner.referenceTracking.cleanCheckpoints
-      // =true on long-lived apps or checkpoint dirs accumulate.
+      // =true on long-lived apps or checkpoint dirs accumulate. Reads
+      // come from the checkpoint FILES afterwards — no resident blocks
+      // to register.
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val checked = cached.checkpoint(true)
       cached.unpersist()
       checked
-    } else df.localCheckpoint(true)
-    synchronized {
-      pins.computeIfAbsent(df.sparkSession,
-        _ => new java.util.ArrayList[DataFrame]()).add(out)
+    } else {
+      val out = df.localCheckpoint(true)
+      org.apache.spark.sql.graft.GraftSql.underlyingRdd(out).foreach { rdd =>
+        synchronized {
+          pins.computeIfAbsent(df.sparkSession,
+            _ => new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]()).add(rdd)
+        }
+      }
+      out
     }
-    out
   }
 
   /** Unpersist every pin created for `spark` so far. Call AFTER the
@@ -66,6 +81,6 @@ object Materialize {
     */
   def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val l = synchronized { pins.remove(spark) }
-    if (l != null) l.forEach(_.unpersist())
+    if (l != null) l.forEach(_.unpersist(false))
   }
 }

@@ -48,6 +48,17 @@ object GraftSql {
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
 
+  /** The RDD a localCheckpoint'ed frame scans (its LogicalRDD leaf) —
+    * the thing that actually holds the persisted blocks. Needed because
+    * Dataset.unpersist only uncaches CacheManager entries and is a
+    * no-op for RDD-level persistence (see graft.operators.Materialize).
+    */
+  def underlyingRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** Expose the custom expressions to SQL: `SELECT float_dot(a, b)`. */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
