@@ -651,7 +651,84 @@ object Dedup {
        |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id)
        |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ------------------------------------------- duplicate substrings
+  /** Token length of the duplicated-substring unit — 13 grams, the
+    * decontamination-literature span (matches [[Curation.DecontamN]]).
+    */
+  val SubstrN = 13
+
+  /** Duplicate-substring detection (the span-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * find every maximal token span whose every 13-gram occurs ≥ 2
+    * times in the corpus — the memorization-prone boilerplate that
+    * document-level near-dup misses (licenses, headers, templates
+    * embedded in otherwise-unique docs). Output: one row per maximal
+    * duplicated span (doc, 1-based start token, token length, #grams).
+    *
+    * Shape: grams explode with their positions, duplication is a
+    * window count over the gram key — the exploded subplan is
+    * evaluated ONCE (a groupBy+join formulation would run the
+    * tokenize+explode once per join side), and the same hash(gram)
+    * exchange carries the count. Surviving (doc, pos) rows are merged
+    * into maximal spans with one gaps-and-islands pass per doc
+    * (consecutive duplicated grams at distance ≤ 13 overlap or
+    * adjoin). Only (gram, doc_id, pos) rows ever shuffle — grams as
+    * text here to stay oracle-exact; at 100 TB the key becomes an
+    * 8-byte gram hash (the [[graft.plans.ShingleHashSet]] treatment)
+    * and the span logic is unchanged.
+    */
+  def dSubstring(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Text.shingles(Text.tokens(col("text")), SubstrN))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val dup = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup
+      .withColumn("ni",
+        // sentinel −9999 (not Long.MinValue: pos − MinValue overflows)
+        // makes the first row of every doc open an island
+        when(col("pos") - coalesce(lag(col("pos"), 1).over(wDoc),
+          lit(-9999L)) > SubstrN, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + SubstrN - min(col("pos"))).cast("int").as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_len", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dSubstringSql: String = {
+    val n = SubstrN
+    val gram = (0 until n).map(k => s"toks[pos+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |  unnest(range(1, len(toks) - ${n - 2})) AS pos FROM t),
+       |g2 AS (SELECT doc_id, pos, $gram AS gram FROM g),
+       |c AS (SELECT doc_id, pos,
+       |  COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g2),
+       |f AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
+       |i AS (SELECT doc_id, pos, CASE WHEN pos - COALESCE(
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+       |    -9999) > $n THEN 1 ELSE 0 END AS ni FROM f),
+       |s AS (SELECT doc_id, pos, CAST(SUM(ni) OVER (PARTITION BY doc_id
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM i)
+       |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       |  CAST(MAX(pos) + $n - MIN(pos) AS INT) AS span_len,
+       |  COUNT(*) AS n_grams
+       |FROM s GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d_substring"   -> (dSubstring _, dSubstringSql),
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
     "d_simhash"     -> (dSimhash _, dSimhashSql),

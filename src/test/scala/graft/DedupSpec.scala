@@ -18,6 +18,33 @@ class DedupSpec extends SparkSpec {
     assert(groups.filter(col("keeper") < 0).count() === 0)
   }
 
+  test("duplicate substrings match an independent driver-side reimplementation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = Dedup.SubstrN
+    // independent recompute: gram multiset -> duplicated (doc, pos) ->
+    // greedy island merge at gap <= n
+    val occ = for { (id, toks) <- docs.toSeq; i <- 0 to toks.size - n }
+      yield (toks.slice(i, i + n).mkString(" "), id, i + 1L)
+    val counts = occ.groupBy(_._1).map { case (g, o) => g -> o.size }
+    val expected = occ.filter(o => counts(o._1) >= 2)
+      .groupBy(_._2).toSeq.flatMap { case (id, os) =>
+        val positions = os.map(_._3).sorted
+        val islands = positions.foldLeft(List.empty[List[Long]]) {
+          case (cur :: rest, p) if p - cur.head <= n => (p :: cur) :: rest
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map { isl =>
+          (id, isl.min.toInt, (isl.max + n - isl.min).toInt, isl.size.toLong)
+        }
+      }.sortBy(r => (r._1, r._2))
+    val got = Dedup.dSubstring(spark, sf)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain duplicated 13-gram spans")
+  }
+
   test("minhash-LSH and rare-shingle jaccard find the same near-dup pairs") {
     val lsh = Dedup.dMinhashLsh(spark, sf).select("a", "b")
       .as[(Long, Long)].collect().toSet
