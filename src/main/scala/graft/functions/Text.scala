@@ -33,6 +33,14 @@ object Text {
   val ToksSql: String =
     s"list_filter(string_split_regex(text, '$DelimRegexSql'), x -> length(x) > 0)"
 
+  /** DuckDB fragment: the space-joined n-gram starting at list index
+    * `$idx` of token list `$toks` — the single source of truth for
+    * oracle-side gram construction (decontamination, duplicate
+    * substrings), like [[ToksSql]] is for tokenization.
+    */
+  def gramConcatSql(toks: String, idx: String, n: Int): String =
+    (0 until n).map(k => s"$toks[$idx+$k]").mkString(" || ' ' || ")
+
   /** `text` → array<string> of tokens, empties removed.
     * filter(..) is a higher-order function, codegen-friendly, and keeps
     * the empty-drop INSIDE the array (no row explosion needed first).

@@ -202,7 +202,7 @@ object Curation {
 
   val pDecontaminateSql: String = {
     val n = DecontamN
-    val gram = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    val gram = Text.gramConcatSql("toks", "i", n)
     s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
        |g AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(toks) - ${n - 2}),

@@ -659,11 +659,17 @@ object Dedup {
 
   /** Duplicate-substring detection (the span-level dedup of
     * "Deduplicating Training Data Makes Language Models Better"):
-    * find every maximal token span whose every 13-gram occurs ≥ 2
-    * times in the corpus — the memorization-prone boilerplate that
-    * document-level near-dup misses (licenses, headers, templates
-    * embedded in otherwise-unique docs). Output: one row per maximal
-    * duplicated span (doc, 1-based start token, token length, #grams).
+    * per document, the maximal CONTIGUOUS token ranges covered by
+    * corpus-duplicated 13-grams — the memorization-prone boilerplate
+    * that document-level near-dup misses (licenses, headers, templates
+    * embedded in otherwise-unique docs). PRECISE SEMANTICS: a span is
+    * the union of the token coverage of grams occurring ≥ 2 times
+    * corpus-wide; it is NOT a guarantee that the whole span (or every
+    * sub-gram inside it) repeats — two different duplicated grams
+    * whose coverage merely touches merge into one flagged range, the
+    * standard over-approximation pipelines review or trim against.
+    * Output: one row per flagged range (doc, 1-based start token,
+    * token length, #duplicated grams covering it).
     *
     * Shape: grams explode with their positions, duplication is a
     * window count over the gram key — the exploded subplan is
@@ -707,7 +713,7 @@ object Dedup {
 
   val dSubstringSql: String = {
     val n = SubstrN
-    val gram = (0 until n).map(k => s"toks[pos+$k]").mkString(" || ' ' || ")
+    val gram = Text.gramConcatSql("toks", "pos", n)
     s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
        |g AS (SELECT doc_id, toks,
        |  unnest(range(1, len(toks) - ${n - 2})) AS pos FROM t),

@@ -10,7 +10,15 @@ import graft.operators.Materialize
   */
 class MaterializeSpec extends SparkSpec {
 
+  // both tests exercise the localCheckpoint branch of pin(), which is
+  // only taken when the shared session has NO checkpoint dir — another
+  // suite (DedupSpec) sets one temporarily, so clear it explicitly
+  // rather than depending on suite ordering
+  private def requireLocalPinPath(): Unit =
+    spark.sparkContext.setCheckpointDir(null)
+
   test("pin persists at the RDD level and releaseAll really unpersists it") {
+    requireLocalPinPath()
     val pinned = Materialize.pin(
       spark.range(1000).select(col("id"), (col("id") * 2).as("x")))
     val rdd = org.apache.spark.sql.graft.GraftSql.underlyingRdd(pinned)
@@ -24,6 +32,7 @@ class MaterializeSpec extends SparkSpec {
   }
 
   test("a released pin no longer occupies block-manager storage") {
+    requireLocalPinPath()
     val pinned = Materialize.pin(spark.range(5000).toDF("id"))
     assert(pinned.count() === 5000)
     val rdd = org.apache.spark.sql.graft.GraftSql.underlyingRdd(pinned).get
