@@ -160,6 +160,34 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- train/val/test split
+  /** Deterministic corpus split — the last stage before training:
+    * every doc gets exactly one of train/val/test by the first two hex
+    * digits of its salted key digest ('f0'+ ≈ last 6.25% → test,
+    * 'e0'..'ef' ≈ 6.25% → val, rest → train). Same digest idiom as
+    * [[sample]]: reproducible on any cluster at any partitioning,
+    * disjoint and exhaustive BY CONSTRUCTION (one CASE over one
+    * digest — no sampling twice and hoping), and a pure map the scan
+    * evaluates. Output includes the digest prefix so the assignment
+    * is auditable.
+    */
+  def pSplit(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), h.as("bucket"),
+        when(h >= "f0", "test").when(h >= "e0", "val").otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val pSplitSql: String =
+    """SELECT doc_id, source,
+      |  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+      |  CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'f0' THEN 'test'
+      |       WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'e0' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------- decontamination
   /** Benchmark decontamination — the GPT-3/Gopher-style n-gram overlap
     * gate: a training document is CONTAMINATED if any of its distinct
@@ -386,5 +414,6 @@ object Curation {
     "p_sample" -> (sample _, sampleSql),
     "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
     "p_sample_weighted" -> (pSampleWeighted _, pSampleWeightedSql),
+    "p_split" -> (pSplit _, pSplitSql),
   )
 }

@@ -59,6 +59,26 @@ class CurationSpec extends SparkSpec {
     } finally mix.unpersist()
   }
 
+  test("split: disjoint, exhaustive, deterministic, all three parts non-empty") {
+    val split = Curation.pSplit(spark, sf).cache()
+    try {
+      assert(split.count() === Tables.documents(spark, sf).count())
+      // one split label per doc (disjoint+exhaustive by construction,
+      // but pin it against a refactor to two independent samples)
+      assert(split.groupBy("doc_id").count().filter(col("count") =!= 1).count() === 0)
+      val parts = split.groupBy("split").count()
+        .as[(String, Long)].collect().toMap
+      assert(parts.keySet === Set("train", "val", "test"))
+      assert(parts("train") > parts("val") && parts("train") > parts("test"))
+      // label matches the emitted bucket on every row
+      val bad = split.filter(
+        (col("bucket") >= "f0" && col("split") =!= "test") ||
+        (col("bucket") >= "e0" && col("bucket") < "f0" && col("split") =!= "val") ||
+        (col("bucket") < "e0" && col("split") =!= "train"))
+      assert(bad.count() === 0)
+    } finally split.unpersist()
+  }
+
   test("weighted sample: length >= 400 chars is always kept, and the gate is deterministic") {
     val docs = Tables.documents(spark, sf)
     val kept = Curation.pSampleWeighted(spark, sf).select("doc_id").as[Long].collect().toSet
