@@ -78,16 +78,17 @@ object Dedup {
     * {lg, hg} are kept (an lg–lg pair belongs to the (lg, lg) bucket).
     * Output: columns `x`, `y` — the two payload structs.
     */
-  private[graft] def blockPairs(rows: DataFrame, cap: Int = BlockCap): DataFrame = {
-    val pairArr = flatten(transform(sequence(lit(1), size(col("m")) - 1), i =>
-      transform(sequence(i + 1, size(col("m"))), j =>
-        struct(element_at(col("m"), i).as("x"), element_at(col("m"), j).as("y")))))
+  private[graft] def blockPairs(rows: DataFrame, cap: Int = BlockCap): DataFrame =
+    // pair generation is the native PairExplode generator — the HOF
+    // equivalent (explode of a nested-transform struct array) was
+    // measured materializing the full m²/2 intermediate under the
+    // interpreted lambda evaluator before exploding
     saltedMembers(rows, cap)
-      .select(col("lg"), col("hg"), explode(pairArr).as("q"))
-      .filter(least(col("q.x.g"), col("q.y.g")) === col("lg") &&
-              greatest(col("q.x.g"), col("q.y.g")) === col("hg"))
-      .select(col("q.x.v").as("x"), col("q.y.v").as("y"))
-  }
+      .select(col("lg"), col("hg"),
+        org.apache.spark.sql.graft.GraftSql.pairExplode(col("m")).as(Seq("x", "y")))
+      .filter(least(col("x.g"), col("y.g")) === col("lg") &&
+              greatest(col("x.g"), col("y.g")) === col("hg"))
+      .select(col("x.v").as("x"), col("y.v").as("y"))
 
   // --------------------------------------------------------- exact dedup
   /** Exact duplicate groups keyed by content digest: keeper = min doc_id,

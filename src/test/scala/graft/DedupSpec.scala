@@ -100,6 +100,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length)  // ...exactly once
   }
 
+  test("pair_explode: edge cases (null, empty, singleton, duplicates) and HOF equality") {
+    val gs = org.apache.spark.sql.graft.GraftSql
+    val df = Seq(
+      (1L, Seq(10, 20, 30, 40)),
+      (2L, Seq(7)),          // no pairs
+      (3L, Seq.empty[Int]),  // no pairs
+      (4L, Seq(5, 5, 5))     // duplicate VALUES still pair positionally
+    ).toDF("id", "arr")
+    val got = df.select(col("id"), gs.pairExplode(col("arr")).as(Seq("x", "y")))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    // HOF reference form — same pairs, same multiplicity. Guarded to
+    // size >= 2: sequence(1, size-1) DESCENDS for smaller arrays (the
+    // trap production code filters before reaching), while pair_explode
+    // handles them natively
+    val hof = df.filter(size(col("arr")) >= 2)
+      .select(col("id"), explode(flatten(transform(
+        sequence(lit(1), size(col("arr")) - 1), i => transform(
+          sequence(i + 1, size(col("arr"))), j => struct(
+            element_at(col("arr"), i).as("x"), element_at(col("arr"), j).as("y"))))))
+        .as("q"))
+      .select(col("id"), col("q.x"), col("q.y"))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(got === hof)
+    assert(got.filter(_._1 == 1L).size === 6)
+    assert(got.filter(_._1 == 4L) === Seq((4L, 5, 5), (4L, 5, 5), (4L, 5, 5)))
+    assert(got.filterNot(r => r._1 == 1L || r._1 == 4L).isEmpty)
+    // null array -> no rows
+    val withNull = df.select(col("id"),
+      when(col("id") === 1L, col("arr")).as("arr"))
+    assert(withNull.select(gs.pairExplode(col("arr")).as(Seq("x", "y")))
+      .count() === 6)
+  }
+
   test("small blocks: salted pair generation equals naive all-pairs") {
     // mixed block sizes below and above the cap
     val data = (1L to 100L).map(i => (s"b${i % 7}", i))
