@@ -275,10 +275,15 @@ object Curation {
     */
   def pPack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(s, d)
+    // pinned: the shard-totals branch and the per-doc branch are
+    // optimizer-specialized consumers (the totals branch prunes
+    // doc_id), so unpinned each re-scans AND re-tokenizes the corpus.
+    // Materializing (doc_id, n, shard) is 24 bytes/doc vs a second
+    // full tokenize pass — the right trade at any scale.
+    val counts = Materialize.pin(Tables.documents(s, d)
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n"),
-        (col("doc_id") / 8192).cast("long").as("shard"))
+        (col("doc_id") / 8192).cast("long").as("shard")))
     // intra-shard running total (parallel across shards) ...
     val wShard = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
