@@ -467,21 +467,33 @@ object TextAnalysis {
     * bounded by document length, never by corpus size.
     */
   def tRepetition(s: SparkSession, d: String): DataFrame = {
-    val toks = col("toks")
-    val n = size(toks)
-    val nd = size(array_distinct(toks))
-    val topCnt = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
-    val bi = Text.shingles(toks, 2)
-    val nBi = size(bi)
-    val nBiD = size(array_distinct(bi))
-    docsWithTokens(s, d).select(
-      col("doc_id"),
-      when(n === 0, 0.0).otherwise(round(nd.cast("double") / n, 6)).as("ttr"),
-      when(n === 0, 0.0)
-        .otherwise(round(topCnt.cast("double") / n, 6)).as("top_tok_share"),
-      when(nBi === 0, 0.0)
-        .otherwise(round((nBi - nBiD).cast("double") / nBi, 6)).as("dup_bigram_share"))
+    // the three metrics are computed INSIDE one lambda over a
+    // let-bound token array and emitted through a Generate: a plain
+    // 3-column projection would let CollapseProject inline the whole
+    // metric expression (including the O(distinct·len) top-token scan)
+    // once per output column, and each inlined copy would re-tokenize —
+    // generator outputs are materialized attributes, so everything
+    // runs once per row
+    def metrics(toks: Column): Column = {
+      val n = size(toks)
+      val nd = size(array_distinct(toks))
+      val topCnt = array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t))))
+      val bi = Text.shingles(toks, 2)
+      val nBi = size(bi)
+      val nBiD = size(array_distinct(bi))
+      struct(
+        when(n === 0, 0.0).otherwise(round(nd.cast("double") / n, 6)).as("ttr"),
+        when(n === 0, 0.0)
+          .otherwise(round(topCnt.cast("double") / n, 6)).as("top_tok_share"),
+        when(nBi === 0, 0.0)
+          .otherwise(round((nBi - nBiD).cast("double") / nBi, 6)).as("dup_bigram_share"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(transform(array(Text.tokens(col("text"))), t => metrics(t))).as("m"))
+      .select(col("doc_id"), col("m.ttr"), col("m.top_tok_share"),
+        col("m.dup_bigram_share"))
       .orderBy("doc_id")
   }
 
