@@ -516,7 +516,47 @@ object Similarity {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  // ------------------------------------------------- recall evaluation
+  /** ANN recall@k — the evaluation every approximate-index deployment
+    * runs before trusting it: per query, |exact top-k ∩ IVF top-k| / k,
+    * composing the two verified paths ([[sCosineTopK]] ground truth,
+    * [[sAnnIvf]] approximate). Left join so a query whose probed cells
+    * miss everything still reports recall 0.0 rather than vanishing.
+    *
+    * Scale shape: both sides are per-query top-k sets (NumQueries·k
+    * rows — evaluation-sized, not corpus-sized); the join and the
+    * per-query aggregation are trivial. The expensive inputs reuse the
+    * operators' own scale design (broadcast query side, pinned
+    * centroid fit).
+    */
+  def sRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = sCosineTopK(s, d).select(col("q_id"), col("n_id"))
+    val approx = sAnnIvf(s, d)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("int").as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("int").as("n_match"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 6)
+          .as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle composes the two existing verified chains as subqueries
+    * (each keeps its own WITH scope).
+    */
+  val sRecallSql: String =
+    s"""SELECT ex.q_id, CAST(COUNT(*) AS INT) AS k,
+       |  CAST(SUM(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END) AS INT) AS n_match,
+       |  round(CAST(SUM(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS recall
+       |FROM ($sCosineTopKSql) ex
+       |LEFT JOIN ($sAnnIvfSql) ap
+       |  ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_recall"      -> (sRecall _, sRecallSql),
     "s_centroids"   -> (sCentroids _, sCentroidsSql),
     "d_semdedup"    -> (dSemdedup _, dSemdedupSql),
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),
