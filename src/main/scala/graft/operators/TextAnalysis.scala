@@ -689,7 +689,58 @@ object TextAnalysis {
        |FROM w LEFT JOIN v USING (word) CROSS JOIN o
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Conditional bigram LM scoring — the context-aware step past
+    * [[tUnigramLp]]: per document, the average log P(w_i | w_{i-1})
+    * where P(w2|w1) = c(w1 w2) / c(w1 ·), both counts from the corpus
+    * itself (self-scoring a corpus-trained LM means every observed
+    * bigram is in the table — no OOV branch needed; documents shorter
+    * than 2 tokens have no bigrams and drop out on both engines).
+    * Repetitive/templated text scores HIGH (predictable transitions),
+    * incoherent token salad scores LOW — the perplexity-style quality
+    * axis with one token of context.
+    *
+    * Scale shape: two aggregations bounded by the bigram vocabulary
+    * (with map-side partial collapse), then a broadcast of
+    * (bigram, logp) onto the exploded corpus — the same
+    * threshold-or-repartition note as [[tUnigramLp]] applies when the
+    * bigram table outgrows a broadcast. Determinism: ln of one
+    * division rounded once, per-doc mean via exact decimal sums.
+    */
+  def tBigramLp(s: SparkSession, d: String): DataFrame = {
+    val bi = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("bg"))
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val c1 = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cbg")).as("c1"))
+    val probs = bc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .select(col("bg"),
+        round(log(col("cbg").cast("double") / col("c1")), 6).as("logp"))
+    bi.join(broadcast(probs), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(sum(col("logp").cast("decimal(16,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val tBigramLpSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+       |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM i),
+       |bc AS (SELECT bg, COUNT(*) AS cbg FROM b GROUP BY 1),
+       |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(cbg) AS BIGINT) AS c1
+       |  FROM bc GROUP BY 1),
+       |pr AS (SELECT bg, round(ln(CAST(cbg AS DOUBLE) / c1), 6) AS logp
+       |  FROM bc JOIN c1 ON split_part(bc.bg, ' ', 1) = c1.w1)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       |  round(CAST(SUM(CAST(logp AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+       |FROM b JOIN pr USING (bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_bigram_lp" -> (tBigramLp _, tBigramLpSql),
     "t_unigram_lp" -> (tUnigramLp _, tUnigramLpSql),
     "t_inverted_index" -> (tInvertedIndex _, tInvertedIndexSql),
     "t_pii"          -> (tPii _, tPiiSql),

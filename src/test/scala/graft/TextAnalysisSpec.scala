@@ -227,6 +227,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: avg_logp matches conditional probabilities recomputed from tokens") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val allBigrams = docs.flatMap { case (_, t) => t.sliding(2).filter(_.size == 2).map(b => (b(0), b(1))) }
+    val cbg = allBigrams.groupBy(identity).map { case (b, o) => b -> o.length.toLong }
+    val c1 = allBigrams.groupBy(_._1).map { case (w, o) => w -> o.length.toLong }
+    val got = TextAnalysis.tBigramLp(spark, sf)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    docs.filter(_._2.size >= 2).foreach { case (id, t) =>
+      val lps = t.sliding(2).filter(_.size == 2).toSeq
+        .map(b => r6(math.log(cbg((b(0), b(1))).toDouble / c1(b(0)))))
+      val expected = r6(lps.map(BigDecimal(_)).sum.toDouble / lps.size)
+      val (_, n, avg) = got(id)
+      assert(n === lps.size, s"doc $id n_bigrams")
+      assert(math.abs(avg - expected) < 1e-9, s"doc $id avg_logp")
+    }
+    assert(got.keySet === docs.filter(_._2.size >= 2).map(_._1).toSet)
+  }
+
   test("pii audit finds and redacts constructed emails and digit runs") {
     val rows = Seq(
       (1L, "contact me at alice.smith+spam@example.co.uk today"),
