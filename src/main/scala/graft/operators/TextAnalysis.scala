@@ -117,16 +117,22 @@ object TextAnalysis {
     "zh" -> Seq("spark", "vector", "hash"))
 
   def tLangId(s: SparkSession, d: String): DataFrame = {
-    val base = docsWithTokens(s, d)
-    val counted = LangMarkers.foldLeft(base) { case (df0, (lang, words)) =>
-      df0.withColumn(s"c_$lang",
-        size(filter(col("toks"), t => t.isin(words: _*))))
-    }
-    val m = greatest(LangMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+    // per-language hit counts are computed ONCE into a struct emitted
+    // through a Generate: as plain projection aliases each reference
+    // (the max + every CASE branch) would re-inline its filter over a
+    // re-tokenized array (no CSE in projections or interpreted HOFs);
+    // generator outputs are materialized attributes, so the argmax
+    // below costs field reads
+    val counted = Tables.documents(s, d).select(col("doc_id"),
+      explode(transform(array(Text.tokens(col("text"))), t =>
+        struct(LangMarkers.map { case (l, words) =>
+          size(filter(t, x => x.isin(words: _*))).as(s"c_$l")
+        }: _*))).as("c"))
+    val m = greatest(LangMarkers.map { case (l, _) => col(s"c.c_$l") }: _*)
     // CASE evaluates top-down: first (alphabetically smallest) language
     // reaching the max wins — same tie-break as the oracle SQL.
     val predOrdered = LangMarkers.map { case (lang, _) =>
-      (col(s"c_$lang") === m, lit(lang))
+      (col(s"c.c_$lang") === m, lit(lang))
     }.reverse.foldLeft(lit("und"): Column) {
       case (acc, (cond, v)) => when(cond, v).otherwise(acc)
     }
@@ -166,20 +172,22 @@ object TextAnalysis {
   def tLangIdNgram(s: SparkSession, d: String): DataFrame = {
     // per-doc char trigrams over the padded tokens (word-boundary
     // markers match the profile derivation)
-    val grams = flatten(transform(col("toks"), w =>
+    def grams(toks: Column) = flatten(transform(toks, w =>
       filter(transform(
         sequence(lit(1), greatest(length(w) + 1, lit(1))),
         i => substring(concat(lit("^"), w, lit("$")), i, lit(3))),
         g => length(g) === 3)))
-    val counted = LangTrigramProfiles.foldLeft(
-        docsWithTokens(s, d).select(col("doc_id"), grams.as("grams"))) {
-      case (df0, (lang, profile)) =>
-        df0.withColumn(s"c_$lang",
-          size(filter(col("grams"), g => g.isin(profile: _*))))
-    }
-    val m = greatest(LangTrigramProfiles.map { case (l, _) => col(s"c_$l") }: _*)
+    // trigram construction + per-language hits run ONCE per row into a
+    // materialized struct (see tLangId — projection aliases would
+    // rebuild the trigram array per language and per CASE reference)
+    val counted = Tables.documents(s, d).select(col("doc_id"),
+      explode(transform(array(grams(Text.tokens(col("text")))), g =>
+        struct(LangTrigramProfiles.map { case (l, profile) =>
+          size(filter(g, x => x.isin(profile: _*))).as(s"c_$l")
+        }: _*))).as("c"))
+    val m = greatest(LangTrigramProfiles.map { case (l, _) => col(s"c.c_$l") }: _*)
     val predOrdered = LangTrigramProfiles.map { case (lang, _) =>
-      (col(s"c_$lang") === m, lit(lang))
+      (col(s"c.c_$lang") === m, lit(lang))
     }.reverse.foldLeft(lit("und"): Column) {
       case (acc, (cond, v)) => when(cond, v).otherwise(acc)
     }
@@ -213,27 +221,36 @@ object TextAnalysis {
     * pre-training corpus filters (length/punct/stopword heuristics).
     */
   def tQuality(s: SparkSession, d: String): DataFrame = {
-    val toks = col("toks")
-    val nToks = size(toks)
-    val charLen = length(col("text"))
-    val sumLen = aggregate(toks, lit(0), (acc, x) => acc + length(x))
-    val stopHits = size(filter(toks, x => x.isin("the", "a")))
-    val alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-    // Raw ratios feed the composite; rounding happens exactly ONCE per
-    // output column. Rounding twice (composite over rounded inputs)
-    // manufactures exact .xxx5 boundaries where Spark (shortest-repr
-    // HALF_UP) and DuckDB (raw-binary) disagree.
-    val stopRaw = when(nToks === 0, 0.0).otherwise(stopHits.cast("double") / nToks)
-    val alphaRaw = when(charLen === 0, 0.0).otherwise(alphaChars.cast("double") / charLen)
-    docsWithTokens(s, d).select(
-      col("doc_id"),
-      nToks.as("n_tokens"),
-      when(nToks === 0, 0.0)
-        .otherwise(round(sumLen.cast("double") / nToks, 6)).as("avg_token_len"),
-      round(stopRaw, 6).as("stopword_ratio"),
-      round(alphaRaw, 6).as("alpha_ratio"),
-      round(least(nToks.cast("double") / lit(100.0), lit(1.0)) * 0.5
-        + alphaRaw * 0.3 + (lit(1.0) - stopRaw) * 0.2, 6).as("quality"))
+    // all five metrics computed in one lambda over a let-bound token
+    // array and emitted through a Generate (see tRepetition — a plain
+    // 5-column projection would re-tokenize per column reference)
+    def metrics(toks: Column, text: Column): Column = {
+      val nToks = size(toks)
+      val charLen = length(text)
+      val sumLen = aggregate(toks, lit(0), (acc, x) => acc + length(x))
+      val stopHits = size(filter(toks, x => x.isin("the", "a")))
+      val alphaChars = length(regexp_replace(text, "[^A-Za-z]", ""))
+      // Raw ratios feed the composite; rounding happens exactly ONCE per
+      // output column. Rounding twice (composite over rounded inputs)
+      // manufactures exact .xxx5 boundaries where Spark (shortest-repr
+      // HALF_UP) and DuckDB (raw-binary) disagree.
+      val stopRaw = when(nToks === 0, 0.0).otherwise(stopHits.cast("double") / nToks)
+      val alphaRaw = when(charLen === 0, 0.0).otherwise(alphaChars.cast("double") / charLen)
+      struct(
+        nToks.as("n_tokens"),
+        when(nToks === 0, 0.0)
+          .otherwise(round(sumLen.cast("double") / nToks, 6)).as("avg_token_len"),
+        round(stopRaw, 6).as("stopword_ratio"),
+        round(alphaRaw, 6).as("alpha_ratio"),
+        round(least(nToks.cast("double") / lit(100.0), lit(1.0)) * 0.5
+          + alphaRaw * 0.3 + (lit(1.0) - stopRaw) * 0.2, 6).as("quality"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(transform(array(Text.tokens(col("text"))),
+          t => metrics(t, col("text")))).as("m"))
+      .select(col("doc_id"), col("m.n_tokens"), col("m.avg_token_len"),
+        col("m.stopword_ratio"), col("m.alpha_ratio"), col("m.quality"))
       .orderBy("doc_id")
   }
 
