@@ -332,7 +332,106 @@ object Events {
       |  CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained
       |FROM l GROUP BY day ORDER BY day""".stripMargin
 
+  // ------------------------------------------------- anomaly detection
+  /** Trailing-window z-score outliers: for every event with a full
+    * 10-event same-user history (itself included), flag |z| ≥ 2 where
+    * z standardizes `value` against the trailing window's mean/stddev
+    * — the streaming-monitoring shape (rate spikes, fraud velocity)
+    * as one user-partitioned window pass: no self-join, per-row state
+    * is the 10-row frame, and the only shuffle is the user partition.
+    *
+    * Determinism across engines: windowed SUM over decimals is EXACT
+    * and order-free, so mean and variance come out of closed-form
+    * double arithmetic over exact sums — written as the identical
+    * operation sequence (divide, multiply, subtract, sqrt, divide,
+    * round) on both sides, IEEE-identical; no engine-native
+    * stddev/avg (whose summation order and algorithm — naive vs
+    * Welford — differ per engine) touches the data. The |z| cut is
+    * applied to the ROUNDED value so the boundary can't disagree.
+    * Population variance (the /n form): the frame IS the population
+    * being standardized against, and n is a constant 10.
+    */
+  val AnomalyWin = 10
+
+  def eAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-(AnomalyWin - 1), Window.currentRow)
+    val n = lit(AnomalyWin.toDouble)
+    val mean = col("ws") / n
+    val vr = col("wss") / n - (col("ws") / n) * (col("ws") / n)
+    val z = round((col("vd") - col("ws") / n) / sqrt(vr), 6)
+    load(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"),
+        valDec.cast("double").as("vd"),
+        count(lit(1)).over(w).as("wn"),
+        sum(valDec).over(w).cast("double").as("ws"),
+        sum(valDec * valDec).over(w).cast("double").as("wss"))
+      .filter(col("wn") === AnomalyWin && vr > 1e-12)
+      .select(col("event_id"), col("user_id"), col("value"), z.as("z"))
+      .filter(abs(col("z")) >= 2.0)
+      .orderBy("event_id")
+  }
+
+  val eAnomalySql: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ns, value,
+       |  CAST(value AS DECIMAL(12,2)) AS dec FROM events),
+       |w AS (SELECT event_id, user_id, value,
+       |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS vd,
+       |  COUNT(*) OVER win AS wn,
+       |  CAST(SUM(dec) OVER win AS DOUBLE) AS ws,
+       |  CAST(SUM(dec * dec) OVER win AS DOUBLE) AS wss
+       |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ns, event_id
+       |    ROWS BETWEEN ${AnomalyWin - 1} PRECEDING AND CURRENT ROW)),
+       |z AS (SELECT event_id, user_id, value,
+       |  round((vd - ws / $AnomalyWin.0) /
+       |    sqrt(wss / $AnomalyWin.0 - (ws / $AnomalyWin.0) * (ws / $AnomalyWin.0)), 6) AS z
+       |  FROM w WHERE wn = $AnomalyWin
+       |    AND wss / $AnomalyWin.0 - (ws / $AnomalyWin.0) * (ws / $AnomalyWin.0) > 1e-12)
+       |SELECT event_id, user_id, value, z FROM z WHERE abs(z) >= 2.0
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------- event-type transitions
+  /** First-order Markov transition matrix over per-user event
+    * sequences: counts and row-normalized probabilities of event_type
+    * bigrams (prev → next, consecutive by time within a user) — the
+    * session-modeling / next-action-prediction shape. One lag window
+    * per user plus a |types|²-bounded aggregation; the row
+    * normalization reuses the prev_type grouping as a broadcast-size
+    * window, so nothing user-sized shuffles twice.
+    */
+  def eTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val wPrev = Window.partitionBy("prev_type")
+    load(s, d)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wu))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(wPrev), 6))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n"), col("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val eTransitionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_ns(ts) AS ns FROM events),
+      |l AS (SELECT event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS prev_type
+      |  FROM e),
+      |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_anomaly"    -> (eAnomaly _, eAnomalySql),
+    "e_transitions" -> (eTransitions _, eTransitionsSql),
     "e_funnel"     -> (eFunnel _, eFunnelSql),
     "e_retention"  -> (eRetention _, eRetentionSql),
     "e_tumbling"   -> (eTumbling _, eTumblingSql),

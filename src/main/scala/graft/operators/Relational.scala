@@ -646,6 +646,38 @@ object Relational {
       |             ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  // ---------------------------------- window: first/last/nth value
+  /** Frame-sensitive navigation functions: per customer (ordered by
+    * order key), the first, last, and second order totals over the
+    * WHOLE partition — which requires the explicit
+    * [unbounded preceding, unbounded following] frame: the SQL default
+    * frame for an ordered window ends at CURRENT ROW, making
+    * last_value silently return the current row's value (the classic
+    * window-frame trap both engines share; stating the frame makes
+    * them agree). Decimal-exact values, one hash-partition shuffle.
+    */
+  def qWindowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val price = col("o_totalprice").cast("decimal(12,2)")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(price).over(w).cast("double").as("first_total"),
+        last(price).over(w).cast("double").as("last_total"),
+        nth_value(price, 2).over(w).cast("double").as("second_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(first_value(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS first_total,
+      |  CAST(last_value(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS last_total,
+      |  CAST(nth_value(CAST(o_totalprice AS DECIMAL(12,2)), 2) OVER w AS DOUBLE) AS second_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------- window: RANGE frame
   /** Value-based (RANGE) window-frame SEMANTICS: for each supplier-day,
     * revenue within the trailing 7 days — the time-decayed rolling
@@ -853,6 +885,7 @@ object Relational {
     "q_scalar_subquery" -> (qScalarSubquery _, qScalarSubquerySql),
     "q_string_agg"     -> (qStringAgg _, qStringAggSql),
     "q_window_dist"    -> (qWindowDist _, qWindowDistSql),
+    "q_window_firstlast" -> (qWindowFirstLast _, qWindowFirstLastSql),
     "q_window_range_frame" -> (qWindowRangeFrame _, qWindowRangeFrameSql),
     "q_correlated_subquery" -> (qCorrelatedSubquery _, qCorrelatedSubquerySql),
   )

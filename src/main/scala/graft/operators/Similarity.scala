@@ -315,14 +315,19 @@ object Similarity {
     * adding bands/planes trades recall for candidates without touching
     * the plan shape.
     */
+  /** One row per (vector, band) with that band's 4-bit sign bucket —
+    * the shared candidate-blocking projection of [[sAnnLsh]] and
+    * [[sKnnGraph]].
+    */
+  private def banded(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until LshBands).map(b =>
+        struct(lit(b).as("band"), bandBucket(col("embedding"), b).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
   def sAnnLsh(s: SparkSession, d: String): DataFrame = {
     val base = withNorm(s, d)
-    def banded(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array((0 until LshBands).map(b =>
-          struct(lit(b).as("band"), bandBucket(col("embedding"), b).as("bucket"))): _*)).as("bb"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val qs = banded(base.filter(col("vec_id") < NumQueries))
       .toDF("q_id", "q_emb", "q_nrm", "band", "bucket")
     val cos = round(
@@ -355,6 +360,61 @@ object Similarity {
        |  FROM cand)
        |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= $TopK
        |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // ------------------------------------------------------ k-NN graph
+  /** Approximate k-NN GRAPH: top-[[KnnK]] cosine neighbors for EVERY
+    * vector (not just a query set) among candidates sharing an LSH
+    * band bucket — the all-pairs primitive behind semantic-dedup
+    * clustering, graph-based label propagation, and kNN-classifier
+    * features. Differs from [[sAnnLsh]] in that there is no broadcast
+    * query side: candidate generation is a bucket-keyed SELF-join
+    * (shuffle both sides on (band, bucket)), and every vector ranks
+    * its own neighbor list.
+    *
+    * Scale shape: per-bucket candidate pairs are quadratic in bucket
+    * size — the knob is the number of sign planes: buckets per band =
+    * 2^4 here, and growing planes with log₂(N) holds expected bucket
+    * size (N/2^bits) — and so per-task cost — constant; the plan
+    * (bucket-keyed exchange + window top-k) is unchanged. Recall is
+    * approximate by construction (a true neighbor in neither shared
+    * band is missed) — [[sRecall]] quantifies the same trade for the
+    * query-set path.
+    */
+  val KnnK = 3
+
+  def sKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val b = banded(base).toDF("n_id", "n_emb", "n_nrm", "band", "bucket")
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("n_emb")),
+        col("nrm"), col("n_nrm")), 6)
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("n_id"))
+    banded(base).join(b, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .select(col("vec_id"), col("n_id"), cos.as("cos"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .orderBy("vec_id", "rnk")
+  }
+
+  val sKnnGraphSql: String = {
+    val bandSelects = (0 until LshBands).map(b =>
+      s"SELECT vec_id, embedding, nrm, $b AS band, ${bandBucketSql(b)} AS bucket FROM n")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $NORM_CTE,
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id, c.vec_id AS n_id,
+       |    ${cosSql("a", "c")} AS cos
+       |  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+       |    AND a.vec_id <> c.vec_id),
+       |ranked AS (SELECT vec_id, n_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM cand)
+       |SELECT vec_id, n_id, cos, rnk FROM ranked WHERE rnk <= $KnnK
+       |ORDER BY vec_id, rnk""".stripMargin
   }
 
   // ------------------------------------------------ int8 quantization
@@ -562,6 +622,7 @@ object Similarity {
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),
     "s_ann_ivf"     -> (sAnnIvf _, sAnnIvfSql),
     "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),
+    "s_knn_graph"   -> (sKnnGraph _, sKnnGraphSql),
     "s_quantize"    -> (sQuantize _, sQuantizeSql),
   )
 }

@@ -756,7 +756,49 @@ object TextAnalysis {
        |FROM b JOIN pr USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- character diversity
+  /** Character-level diversity signals — the quality-filter companion
+    * to [[tQuality]]'s token ratios: total/distinct codepoints,
+    * Simpson diversity (1 − Σn²/N², the repeated-character-spam
+    * detector: a doc of one repeated char scores 0), and the top
+    * character's share. All four histogram ingredients come from ONE
+    * native per-row pass (graft.plans.CharStats — exact integers, no
+    * per-char explode+shuffle for a per-document scalar), and the two
+    * ratios are single double divisions on both engines: nothing
+    * order-dependent anywhere. The struct is emitted through a
+    * Generate so the histogram pass runs once, not once per output
+    * column (the tQuality/tRepetition materialization pattern).
+    */
+  def tCharStats(s: SparkSession, d: String): DataFrame = {
+    val st = org.apache.spark.sql.graft.GraftSql.charStats(col("text"))
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(array(st)).as("cs"))
+      .select(col("doc_id"),
+        col("cs.n_chars"), col("cs.n_distinct"),
+        round(lit(1.0) - col("cs.sum_sq").cast("double") /
+          (col("cs.n_chars").cast("double") * col("cs.n_chars").cast("double")), 6)
+          .as("simpson"),
+        round(col("cs.max_cnt").cast("double") / col("cs.n_chars"), 6)
+          .as("top_char_share"))
+      .orderBy("doc_id")
+  }
+
+  val tCharStatsSql: String =
+    """WITH c AS (SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+      |  WHERE length(text) > 0),
+      |f AS (SELECT doc_id, ch, COUNT(*) AS n FROM c GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot,
+      |  CAST(COUNT(*) AS INT) AS nd, CAST(SUM(n * n) AS BIGINT) AS ss,
+      |  CAST(MAX(n) AS INT) AS mx FROM f GROUP BY 1)
+      |SELECT doc_id, CAST(tot AS INT) AS n_chars, nd AS n_distinct,
+      |  round(1.0 - CAST(ss AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+      |    AS simpson,
+      |  round(CAST(mx AS DOUBLE) / tot, 6) AS top_char_share
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_char_stats" -> (tCharStats _, tCharStatsSql),
     "t_bigram_lp" -> (tBigramLp _, tBigramLpSql),
     "t_unigram_lp" -> (tUnigramLp _, tUnigramLpSql),
     "t_inverted_index" -> (tInvertedIndex _, tInvertedIndexSql),

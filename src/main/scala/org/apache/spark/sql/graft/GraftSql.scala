@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.plans.{FloatDotProduct, PairExplode, ShingleHashSet, ShingleMinHash,
-  ShingleSet, SimHash16Expr, SimHash64Expr, SortedIntersectCount}
+import graft.plans.{CharStats, FloatDotProduct, PairExplode, ShingleHashSet,
+  ShingleMinHash, ShingleSet, SimHash16Expr, SimHash64Expr, SortedIntersectCount}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -47,6 +47,9 @@ object GraftSql {
   /** Merge-walk intersection count of two sorted long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+
+  /** Exact codepoint-histogram stats struct (see graft.plans.CharStats). */
+  def charStats(text: Column): Column = column(CharStats(expression(text)))
 
   /** All unordered element pairs of an array (see graft.plans.PairExplode). */
   def pairExplode(m: Column): Column = column(PairExplode(expression(m)))

@@ -120,6 +120,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.exists(_._3 == 0)) // threshold actually bites on fixtures
   }
 
+  test("knn graph: <= K ranked neighbors per vector; agrees with sAnnLsh on the query set") {
+    val g = Similarity.sKnnGraph(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    // dense ranks 1..k, cosine non-increasing within each vector
+    g.groupBy(_._1).foreach { case (_, ns) =>
+      val sorted = ns.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length))
+      assert(sorted.length <= Similarity.KnnK)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq)
+    }
+    // same buckets, same candidates: for the query set, the graph's
+    // top-3 must equal the first 3 rows of the ANN query path
+    val lsh = Similarity.sAnnLsh(spark, sf)
+      .filter(col("rnk") <= Similarity.KnnK)
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (q, n, r, c) => (q, n, c, r) }.sortBy(t => (t._1, t._4))
+    val gq = g.filter(_._1 < Similarity.NumQueries).sortBy(t => (t._1, t._4))
+    assert(gq.toSeq === lsh.toSeq)
+  }
+
   test("IVF searches fewer candidates than brute force") {
     // structural: every IVF result must also be a valid vector id and
     // self-matches are excluded
