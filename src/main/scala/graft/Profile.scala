@@ -31,6 +31,9 @@ object Profile {
       // t_regex…) would time the bare scan instead of their expressions
       SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       val dt = (System.nanoTime() - t0) / 1e9
+      // drop this rep's Materialize pins (same as Bench): without this,
+      // pin-using queries leak persisted blocks once per rep
+      graft.operators.Materialize.releaseAll(spark)
       times(n) = dt :: times(n)
       println(f"[profile] $n%-20s rep$r%-3d $dt%7.3f s")
     }

@@ -652,6 +652,89 @@ object Dedup {
        |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id)
        |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ----------------------------------------------------- PageRank
+  val PrIters = 3
+  val PrDamping = 0.85
+
+  /** PageRank over an undirected pair graph (symmetrized edges, so no
+    * dangling nodes: every node that appears has degree ≥ 1) — the
+    * centrality companion to [[connectedComponents]]: within a near-dup
+    * cluster it ranks the most-connected (most-duplicated) documents,
+    * the natural keeper-selection / review-priority signal. Fixed
+    * [[PrIters]] supersteps over a [[pin]]ned edge list; the frontier
+    * stays lazy — see the loop comment for why this inverts the CC
+    * loop's checkpoint-per-superstep choice.
+    *
+    * Cross-engine determinism: the per-edge contribution pr(u)/deg(u)
+    * is a single double division, QUANTIZED to decimal(28,14) before
+    * the per-node sum — decimal sums are exact and order-free, so the
+    * shuffle's reduction order (the classic float-sum
+    * nondeterminism) can't reach the result; the damping update is
+    * then the identical (divide, multiply, add) double sequence on
+    * both engines. The oracle unrolls the same [[PrIters]] iterations
+    * as chained CTEs (recursive CTEs can't aggregate in the recursive
+    * term).
+    *
+    * Scale shape per superstep: one join of edges against the pr
+    * frontier (both keyed by node id) + one exchange for the per-node
+    * sum — the standard distributed PageRank; frontier size is nodes,
+    * never edges², and the pinned frontier keeps the plan flat across
+    * supersteps.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = PrIters): DataFrame = {
+    val sym = pin(pairs.select(explode(array(
+        struct(col("a").cast("long").as("id"), col("b").cast("long").as("nbr")),
+        struct(col("b").cast("long").as("id"), col("a").cast("long").as("nbr")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr")))
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("deg"))
+    // one driver-side scalar (node count) seeds the teleport term —
+    // the same count() the CC loop pays per superstep for convergence;
+    // it also materializes the sym pin, so everything below reads the
+    // flat checkpointed edge list
+    val n = deg.count().toDouble
+    // UNLIKE the CC loop, supersteps here stay LAZY: the iteration
+    // count is a small constant, so the plan nests only `iters` join+agg
+    // layers over the pinned leaf — no exponential lineage to truncate,
+    // and skipping the per-superstep checkpoint saves one full
+    // materialization job each (measured 10.9 s → mostly pin overhead
+    // on a graph whose frontier is thousands of rows)
+    var pr = deg.select(col("id"), col("deg"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(pr.select(col("id").as("nbr"), col("deg").as("ndeg"), col("pr").as("npr")),
+          "nbr")
+        .select(col("id"), (col("npr") / col("ndeg")).cast("decimal(28,14)").as("c"))
+      pr = contrib.groupBy("id")
+        .agg(sum(col("c")).as("s"))
+        .join(deg, "id")
+        .select(col("id"), col("deg"),
+          (lit(0.15 / n) + lit(PrDamping) * col("s").cast("double")).as("pr"))
+    }
+    pr.select(col("id"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** Driver-checked PageRank over the LSH near-dup pair graph. */
+  def dPagerank(s: SparkSession, d: String): DataFrame =
+    pageRank(dMinhashLsh(s, d).select(col("a"), col("b")))
+      .orderBy("id")
+
+  lazy val dPagerankSql: String = {
+    val step = (k: Int) =>
+      s"""pr$k AS (SELECT s.id, d.deg,
+         |  0.15 / (SELECT n FROM n) + $PrDamping *
+         |    CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(28,14))) AS DOUBLE) AS pr
+         |  FROM sym s JOIN pr${k - 1} p ON s.nbr = p.id JOIN deg d ON d.id = s.id
+         |  GROUP BY s.id, d.deg)"""
+    s"""WITH p AS ($dMinhashLshSql),
+       |sym AS (SELECT a AS id, b AS nbr FROM p
+       |        UNION ALL SELECT b AS id, a AS nbr FROM p),
+       |deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+       |pr0 AS (SELECT id, deg, 1.0 / (SELECT n FROM n) AS pr FROM deg),
+       |${(1 to PrIters).map(step).mkString(",\n")}
+       |SELECT id, round(pr, 6) AS pr FROM pr$PrIters ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------- duplicate substrings
   /** Token length of the duplicated-substring unit — 13 grams, the
     * decontamination-literature span (matches [[Curation.DecontamN]]).
@@ -746,5 +829,6 @@ object Dedup {
     "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),
     "d_cluster"     -> (dCluster _, dClusterSql),
     "d_components"  -> (dComponents _, dComponentsSql),
+    "d_pagerank"    -> (dPagerank _, dPagerankSql),
   )
 }

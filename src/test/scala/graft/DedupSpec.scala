@@ -190,6 +190,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: mass conserved; star center outranks leaves") {
+    // star: center 1 with leaves 2..6, plus an isolated pair {10, 11}
+    val star = (2L to 6L).map(i => (1L, i))
+    val pr = Dedup.pageRank((star ++ Seq((10L, 11L))).toDF("a", "b"))
+      .as[(Long, Double)].collect().toMap
+    // teleport + damping conserve total mass = 1 (no dangling nodes in
+    // a symmetrized graph); rounding loses at most 5e-7 per node
+    assert(math.abs(pr.values.sum - 1.0) < 1e-5)
+    val center = pr(1L)
+    (2L to 6L).foreach(i => assert(center > pr(i), s"leaf $i outranks center"))
+    // the isolated pair splits its mass evenly
+    assert(pr(10L) === pr(11L))
+  }
+
   test("simhash64 pairs (hamming<=3) concentrate inside jaccard near-dups") {
     val sp = Dedup.dSimhashPairs(spark, sf).select("a", "b")
       .as[(Long, Long)].collect().toSet
