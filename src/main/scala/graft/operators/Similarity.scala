@@ -320,11 +320,14 @@ object Similarity {
     * [[sKnnGraph]].
     */
   private def banded(df: DataFrame): DataFrame =
+    // native one-pass signature (graft.plans.SignBands): all 8 signed
+    // projections ride one codegen'd loop per vector, vs interpreting
+    // planes×dim lambda steps per REFERENCE of the HOF fold (this
+    // subplan sits on both sides of the k-NN self-join).
+    // SimilaritySpec pins bucket equality against the HOF form.
     df.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until LshBands).map(b =>
-        struct(lit(b).as("band"), bandBucket(col("embedding"), b).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      posexplode(org.apache.spark.sql.graft.GraftSql.signBands(
+        col("embedding"), LshPlanes, LshBands, 64)).as(Seq("band", "bucket")))
 
   def sAnnLsh(s: SparkSession, d: String): DataFrame = {
     val base = withNorm(s, d)

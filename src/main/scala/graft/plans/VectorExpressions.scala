@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: Σ aᵢ·bᵢ over two ArrayType(FloatType)
   * columns, accumulating in double, left-to-right.
@@ -69,4 +70,88 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatDotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native sign-random-projection LSH band buckets: all `planes` signed
+  * projections of an ArrayType(FloatType) vector in ONE pass, sliced
+  * into `bands` bucket strings of planes/bands sign bits each —
+  * bit-identical to the higher-order form in
+  * graft.operators.Similarity (per plane j, a left fold over positions
+  * i = 1..dim of acc + emb[i]·w(i,j), with the ±1 weight from the same
+  * Knuth-style integer mix (i·2654435761 + j·40503) mod 97 mod 2, and
+  * bucket char '1' iff the projection is ≥ 0).
+  *
+  * Why: the HOF formulation interprets planes·dim lambda steps per
+  * vector per reference, and the LSH family (`s_ann_lsh`,
+  * `s_knn_graph`, `s_recall`) references it on BOTH join sides — the
+  * signature was the dominant cost of the self-join k-NN graph. Here
+  * the eight accumulators ride one dim-length loop, fused into
+  * whole-stage codegen.
+  *
+  * Degenerate-input parity: for vectors SHORTER than `dim`, the HOF's
+  * out-of-range element_at yields a null that poisons the whole fold,
+  * and `null >= 0` is false — every bucket char becomes '0'. Mirrored
+  * here explicitly (all-zero buckets when numElements < dim).
+  */
+case class SignBands(child: Expression, planes: Int, bands: Int, dim: Int)
+    extends UnaryExpression {
+  require(planes % bands == 0, "planes must divide evenly into bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_bands expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sign_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignBands.compute(input.asInstanceOf[ArrayData], planes, bands, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.plans.SignBands.compute($c, $planes, $bands, $dim);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
+}
+
+object SignBands {
+  def compute(emb: ArrayData, planes: Int, bands: Int, dim: Int): ArrayData = {
+    val width = planes / bands
+    val out = new Array[Any](bands)
+    if (emb.numElements() < dim) {
+      val zeros = UTF8String.fromString("0" * width)
+      var b = 0
+      while (b < bands) { out(b) = zeros; b += 1 }
+      return new GenericArrayData(out)
+    }
+    val acc = new Array[Double](planes)
+    var i = 0
+    while (i < dim) {
+      val x = emb.getFloat(i).toDouble
+      val mixBase = (i + 1).toLong * 2654435761L
+      var j = 0
+      while (j < planes) {
+        val w = if (((mixBase + j * 40503L) % 97L) % 2L == 0L) 1.0 else -1.0
+        acc(j) += x * w
+        j += 1
+      }
+      i += 1
+    }
+    var b = 0
+    while (b < bands) {
+      val chars = new Array[Byte](width)
+      var k = 0
+      while (k < width) {
+        chars(k) = if (acc(b * width + k) >= 0) '1'.toByte else '0'.toByte
+        k += 1
+      }
+      out(b) = UTF8String.fromBytes(chars)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
 import graft.plans.{CharStats, FloatDotProduct, PairExplode, ShingleHashSet,
-  ShingleMinHash, ShingleSet, SimHash16Expr, SimHash64Expr, SortedIntersectCount}
+  ShingleMinHash, ShingleSet, SignBands, SimHash16Expr, SimHash64Expr,
+  SortedIntersectCount}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -47,6 +48,10 @@ object GraftSql {
   /** Merge-walk intersection count of two sorted long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+
+  /** Sign-projection LSH band buckets in one pass (see graft.plans.SignBands). */
+  def signBands(emb: Column, planes: Int, bands: Int, dim: Int): Column =
+    column(SignBands(expression(emb), planes, bands, dim))
 
   /** Exact codepoint-histogram stats struct (see graft.plans.CharStats). */
   def charStats(text: Column): Column = column(CharStats(expression(text)))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
 
@@ -138,6 +138,35 @@ class SimilaritySpec extends SparkSpec {
       .map { case (q, n, r, c) => (q, n, c, r) }.sortBy(t => (t._1, t._4))
     val gq = g.filter(_._1 < Similarity.NumQueries).sortBy(t => (t._1, t._4))
     assert(gq.toSeq === lsh.toSeq)
+  }
+
+  test("native SignBands == the HOF sign-projection fold, every fixture vector") {
+    import org.apache.spark.sql.Column
+    // independent restatement of the published formula (Similarity
+    // keeps its HOF twin private): left fold over i=1..64 of
+    // acc + emb[i]·(±1 from (i·2654435761 + j·40503) % 97 % 2)
+    def planeDot(emb: Column, j: Int): Column =
+      aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+        acc + element_at(emb, i).cast("double") *
+          when(pmod(pmod(i.cast("long") * 2654435761L + lit(j * 40503L), lit(97L)),
+            lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+    def hofBucket(emb: Column, b: Int): Column =
+      concat((4 * b until 4 * b + 4).map(j =>
+        when(planeDot(emb, j) >= 0, "1").otherwise("0")): _*)
+    val native = org.apache.spark.sql.graft.GraftSql.signBands(
+      col("embedding"), Similarity.LshPlanes, Similarity.LshBands, 64)
+    val diff = Tables.embeddings(spark, sf)
+      .select(
+        element_at(native, 1).as("n0"), element_at(native, 2).as("n1"),
+        hofBucket(col("embedding"), 0).as("h0"), hofBucket(col("embedding"), 1).as("h1"))
+      .filter(col("n0") =!= col("h0") || col("n1") =!= col("h1"))
+    assert(diff.count() === 0)
+    // degenerate short vector: HOF's out-of-range element_at poisons
+    // the fold to null -> all-'0' buckets; native mirrors it
+    val short = Seq(Seq(1.0f, -2.0f)).toDF("embedding")
+      .select(org.apache.spark.sql.graft.GraftSql.signBands(col("embedding"), 8, 2, 64).as("s"))
+      .as[Seq[String]].head()
+    assert(short === Seq("0000", "0000"))
   }
 
   test("IVF searches fewer candidates than brute force") {
