@@ -756,6 +756,63 @@ object TextAnalysis {
        |FROM b JOIN pr USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- PMI collocations
+  /** Pointwise-mutual-information collocation mining: the top
+    * [[PmiTopK]] bigrams by PMI = ln(P(w₁w₂) / (P₁(w₁)·P₂(w₂)))
+    * (position-specific unigram marginals), restricted to bigrams
+    * seen ≥ [[PmiMinCount]] times — the phrase-detection /
+    * tokenizer-merge-candidate shape (a high-PMI bigram is a
+    * collocation: "new york", not "of the"). All probabilities are
+    * ratios of exact integer counts, and PMI is one multiply/divide
+    * chain + ln rounded once — the [[tUnigramLp]] ln-parity
+    * precedent. Scale: every aggregation is bigram-vocabulary-bounded
+    * with map-side partial collapse; the count-threshold prunes the
+    * join inputs; the final top-k is a TakeOrdered, not a full sort
+    * materialization.
+    */
+  val PmiMinCount = 5
+  val PmiTopK = 100
+
+  def tPmi(s: SparkSession, d: String): DataFrame = {
+    val bi = docsWithTokens(s, d)
+      .select(explode(Text.shingles(col("toks"), 2)).as("bg"))
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val c1 = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cbg")).as("c1"))
+    val c2 = bc.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum(col("cbg")).as("c2"))
+    val tot = bc.agg(sum(col("cbg")).cast("double").as("total"))
+    bc.filter(col("cbg") >= PmiMinCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), col("cbg"),
+        round(log(col("cbg").cast("double") * col("total") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(PmiTopK)
+  }
+
+  val tPmiSql: String =
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
+       |i AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+       |b AS (SELECT toks[i] || ' ' || toks[i+1] AS bg FROM i),
+       |bc AS (SELECT bg, COUNT(*) AS cbg FROM b GROUP BY 1),
+       |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(cbg) AS BIGINT) AS c1
+       |  FROM bc GROUP BY 1),
+       |c2 AS (SELECT split_part(bg, ' ', 2) AS w2, CAST(SUM(cbg) AS BIGINT) AS c2
+       |  FROM bc GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cbg) AS DOUBLE) AS total FROM bc)
+       |SELECT bg, cbg,
+       |  round(ln(CAST(cbg AS DOUBLE) * total /
+       |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+       |FROM bc JOIN c1 ON split_part(bg, ' ', 1) = w1
+       |  JOIN c2 ON split_part(bg, ' ', 2) = w2
+       |  CROSS JOIN tot
+       |WHERE cbg >= $PmiMinCount
+       |ORDER BY pmi DESC, bg LIMIT $PmiTopK""".stripMargin
+
   // ------------------------------------------- character diversity
   /** Character-level diversity signals — the quality-filter companion
     * to [[tQuality]]'s token ratios: total/distinct codepoints,
@@ -799,6 +856,7 @@ object TextAnalysis {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_char_stats" -> (tCharStats _, tCharStatsSql),
+    "t_pmi" -> (tPmi _, tPmiSql),
     "t_bigram_lp" -> (tBigramLp _, tBigramLpSql),
     "t_unigram_lp" -> (tUnigramLp _, tUnigramLpSql),
     "t_inverted_index" -> (tInvertedIndex _, tInvertedIndexSql),

@@ -121,6 +121,59 @@ object EventStreams {
       }
   }
 
+  case class AnomEvent(event_id: Long, ts_ns: Long, user_id: Long, value: Double)
+  case class Anomaly(event_id: Long, user_id: Long, value: Double, z: Double)
+
+  /** Streaming trailing z-score anomalies — the stateful-stream twin of
+    * the oracle-checked batch [[graft.operators.Events.eAnomaly]]: per
+    * user, each event with a full [[graft.operators.Events.AnomalyWin]]-
+    * event history is standardized against its trailing window, |z| ≥ 2
+    * emitted. State per user is a ring of the last W−1 (ts, id, value)
+    * tuples — bounded, independent of stream length; the same exact-
+    * decimal-sums math as the batch query, so StreamingSpec asserts
+    * row-level equality against it.
+    *
+    * Ordering contract: events must arrive in per-user event-time order
+    * ACROSS micro-batches (within a batch they are sorted here). The
+    * ring keeps only the tail, so an event older than the ring would be
+    * scored against the wrong window — in production, front this with a
+    * watermark-delayed sorted replay (or accept approximate windows at
+    * the late tail), the standard trade for O(1) state.
+    */
+  def trailingZScores(events: Dataset[AnomEvent]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    val W = graft.operators.Events.AnomalyWin
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[AnomEvent], Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AnomEvent], state: GroupState[List[AnomEvent]]) =>
+          var win = state.getOption.getOrElse(Nil) // oldest-first, ≤ W−1
+          val out = Seq.newBuilder[Anomaly]
+          rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            win = (win :+ e).takeRight(W)
+            if (win.length == W) {
+              // identical arithmetic to the batch query: exact decimal
+              // sums, then the same closed-form double sequence
+              val decs = win.map(x =>
+                BigDecimal(x.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+              val n = W.toDouble
+              val ws = decs.sum.toDouble
+              val wss = decs.map(v => v * v).sum.toDouble
+              val mean = ws / n
+              val vr = wss / n - mean * mean
+              if (vr > 1e-12) {
+                val z = BigDecimal((decs.last.toDouble - mean) / math.sqrt(vr))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(z) >= 2.0) out += Anomaly(e.event_id, uid, e.value, z)
+              }
+            }
+          }
+          state.update(win.takeRight(W - 1))
+          out.result().iterator
+      }
+  }
+
   /** Watermarked stream-stream inner join: click events joined to the
     * same user's purchase events within the following 30 minutes. Both
     * sides buffer state bounded by watermark + time-range condition —

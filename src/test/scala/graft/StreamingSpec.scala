@@ -117,6 +117,26 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows === batch)
   }
 
+  test("streaming trailing z-scores == the oracle-checked batch e_anomaly") {
+    val anomEvents = Events.load(spark, sf)
+      .select("event_id", "ts_ns", "user_id", "value")
+      .as[EventStreams.AnomEvent].collect().toSeq
+      .sortBy(e => (e.ts_ns, e.event_id)) // per-user order across chunks
+    val input = MemoryStream[EventStreams.AnomEvent](spark)
+    val q = EventStreams.trailingZScores(input.toDS())
+      .writeStream.format("memory").queryName("t_zscore").outputMode("append").start()
+    try {
+      anomEvents.grouped(math.max(1, anomEvents.size / 4)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_zscore")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val batch = Events.eAnomaly(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("parquet file-stream reader drives the tumbling pipeline") {
     val q = EventStreams.tumblingCounts(
         EventStreams.readEventStream(spark, sf))
