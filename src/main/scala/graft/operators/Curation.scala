@@ -411,8 +411,35 @@ object Curation {
        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin
   }
 
+  // --------------------------------------------- curriculum interleave
+  /** Curriculum-ordered source interleaving: rank documents within
+    * each source easy→hard (ascending length, ties by doc_id), then
+    * emit rank-major / source-minor — at every difficulty rank the
+    * sources round-robin, the standard curriculum + mixture-stability
+    * ordering for training-data writes. The interleaved order IS the
+    * output sort (range-partitioned, parallel); the only other
+    * machinery is one per-source row_number window — there is no
+    * global single-partition window anywhere, which is what makes the
+    * shape survive a corpus that doesn't fit one task.
+    */
+  def pInterleave(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .orderBy("rn", "source", "doc_id")
+  }
+
+  val pInterleaveSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars, doc_id) AS INT) AS rn
+      |FROM documents ORDER BY rn, source, doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_curate" -> (curate _, curateSql),
+    "p_interleave" -> (pInterleave _, pInterleaveSql),
     "p_decontaminate" -> (pDecontaminate _, pDecontaminateSql),
     "p_mix" -> (pMix _, pMixSql),
     "p_pack" -> (pPack _, pPackSql),

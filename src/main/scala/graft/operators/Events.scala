@@ -429,8 +429,54 @@ object Events {
       |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  // ---------------------------------------------- last-touch attribution
+  /** Last-touch attribution: every purchase is credited to the SAME
+    * user's most recent preceding click (ties at one instant break by
+    * event_id, purchases with no prior click stay unattributed with
+    * NULL click columns) — the marketing-attribution / referrer shape,
+    * and the coverage home of `last_value ... IGNORE NULLS` over a
+    * running frame ([[Relational.qWindowFirstLast]] covers the
+    * no-skip variants). One user-partitioned window pass — no
+    * click×purchase join, state per task is one remembered click.
+    * Both conditional last_values share a single Window node (same
+    * spec). Time math is in MICROS, not nanos: a raw ns delta in the
+    * OUTPUT would expose that DuckDB's TIMESTAMP truncates parquet
+    * nanos to µs (epoch_ns returns µs·1000) — the comparison-only ns
+    * uses elsewhere never surface the lost digits, a subtraction
+    * does.
+    */
+  def eAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isClick = col("event_type") === "click"
+    load(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("click_id", last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us", last(when(isClick, col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), (col("us") - col("click_us")).as("delta_us"))
+      .orderBy("purchase_id")
+  }
+
+  val eAttributionSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |a AS (SELECT event_id, user_id, event_type, us,
+      |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |    OVER w AS click_id,
+      |  last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+      |    OVER w AS click_us
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS purchase_id, user_id, click_id, us - click_us AS delta_us
+      |FROM a WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),
+    "e_attribution" -> (eAttribution _, eAttributionSql),
     "e_transitions" -> (eTransitions _, eTransitionsSql),
     "e_funnel"     -> (eFunnel _, eFunnelSql),
     "e_retention"  -> (eRetention _, eRetentionSql),

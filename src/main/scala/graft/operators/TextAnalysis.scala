@@ -776,7 +776,13 @@ object TextAnalysis {
   def tPmi(s: SparkSession, d: String): DataFrame = {
     val bi = docsWithTokens(s, d)
       .select(explode(Text.shingles(col("toks"), 2)).as("bg"))
-    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    // pin the bigram-count table: its FOUR consumers (filtered main
+    // branch, both marginal aggregations, the total) are
+    // optimizer-specialized copies no reuse mechanism dedupes — the
+    // final adaptive plan showed the tokenize+explode+count subplan
+    // evaluated once per consumer (the t_tfidf disease). The pinned
+    // frame is bigram-vocabulary-bounded; the corpus tokenizes once.
+    val bc = Materialize.pin(bi.groupBy("bg").agg(count(lit(1)).as("cbg")))
     val c1 = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cbg")).as("c1"))
     val c2 = bc.groupBy(substring_index(col("bg"), " ", -1).as("w2"))

@@ -59,6 +59,20 @@ class CurationSpec extends SparkSpec {
     } finally mix.unpersist()
   }
 
+  test("interleave: covers every doc once; each rank round-robins the sources") {
+    val rows = Curation.pInterleave(spark, sf)
+      .select("doc_id", "source", "rn").as[(Long, String, Int)].collect()
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // within a source, ranks are dense 1..n
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      assert(docs.map(_._3).sorted.toSeq === (1 to docs.length))
+    }
+    // the emitted order is rank-major: a source appears at most once per rank
+    rows.groupBy(_._3).foreach { case (_, atRank) =>
+      assert(atRank.map(_._2).distinct.length === atRank.length)
+    }
+  }
+
   test("split: disjoint, exhaustive, deterministic, all three parts non-empty") {
     val split = Curation.pSplit(spark, sf).cache()
     try {

@@ -47,6 +47,17 @@ class EventsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("e_attribution: one row per purchase; attributed clicks precede, deltas non-negative") {
+    val a = Events.eAttribution(spark, sf)
+    val purchases = Events.load(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(a.count() === purchases)
+    assert(a.filter(col("click_id").isNotNull && col("delta_us") < 0).count() === 0)
+    // unattributed purchases have BOTH click columns null
+    assert(a.filter(col("click_id").isNull =!= col("delta_us").isNull).count() === 0)
+    assert(a.filter(col("click_id").isNotNull).count() > 0)
+  }
+
   test("e_transitions: counts cover exactly the non-first events; rows of p sum to 1") {
     val t = Events.eTransitions(spark, sf)
     val totalN = t.agg(sum("n")).as[Long].head()
