@@ -128,31 +128,38 @@ object Dedup {
     * bucket (all-identical spam docs) is bounded by [[blockPairs]]'s
     * salt-group split — per-task state stays ~2·[[BlockCap]] members.
     */
-  def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  /** One row per (doc, band): the K-component MinHash signature plus
+    * that band's bucket key — the shared LSH projection of
+    * [[dMinhashLsh]] and [[dIncremental]]. The signature is the native
+    * one-loop graft.plans.ShingleMinHash (shingle bytes built once,
+    * all K salted digests per shingle, byte-wise mins — ~an order of
+    * magnitude over the interpreted HOF fold, provably identical
+    * output: min over distinct == min over all, hex order ==
+    * digest-byte order), let-bound in a single-element `transform` so
+    * CollapseProject cannot re-inline the fold per band reference.
+    */
+  private def minhashBanded(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-    // native one-loop signature (graft.plans.ShingleMinHash): shingle
-    // bytes built once, all K salted digests per shingle, byte-wise
-    // mins — ~an order of magnitude over the interpreted HOF fold, and
-    // provably identical output (min over distinct == min over all;
-    // hex order == digest-byte order)
     val sigExpr = org.apache.spark.sql.graft.GraftSql.shingleMinHash(
       col("toks"), 3, (0 until MinhashK).map(j => s"$j|"))
     def bucketOf(sig: Column, b: Column): Column =
       concat(b.cast("string"), lit("|"),
         md5(array_join(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand)), "|")
           .cast("binary")))
-    // let-binding: array(sigExpr) → lambda evaluates sigExpr ONCE, then
-    // derives all band buckets from the bound value.
     val bandArr = element_at(
       transform(array(sigExpr), sig =>
         transform(sequence(lit(0), lit(Bands - 1)), b =>
           struct(sig.as("sig"), bucketOf(sig, b).as("bucket")))), 1)
-    val banded = base
-      .select(col("doc_id"), explode(bandArr).as("bb"))
-      .select(col("bb.bucket").as("blk"),
-        struct(col("doc_id"), col("bb.sig").as("sig")).as("v"))
+    base.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.sig").as("sig"), col("bb.bucket").as("bucket"))
+  }
+
+  def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val banded = minhashBanded(Tables.documents(s, d))
+      .select(col("bucket").as("blk"),
+        struct(col("doc_id"), col("sig")).as("v"))
     val agree = size(filter(
       zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y), (b: Column) => b))
     blockPairs(banded)
@@ -191,6 +198,97 @@ object Dedup {
        |FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b
        |WHERE round(CAST($agree AS DOUBLE) / $MinhashK, 6) >= 0.5
        |ORDER BY a, b""".stripMargin
+  }
+
+  // ------------------------------------------- incremental dedup
+  /** Incremental dedup of a NEW batch against an EXISTING reference
+    * corpus — the shape every recurring crawl runs: never re-dedup the
+    * whole corpus, screen the increment against what's already kept.
+    * Fixture split: even doc_ids are the reference, odd the batch.
+    * Per batch doc: `exact_dup` (its digest exists in the reference —
+    * a 16-byte-key semi-join, bodies never shuffle), `near_dup` (some
+    * reference doc shares an LSH band bucket AND ≥ half the MinHash
+    * signature agrees — the [[dMinhashLsh]] decision rule applied
+    * across the corpus boundary via [[minhashBanded]] on both sides),
+    * and the resulting `keep` flag.
+    *
+    * Scale shape: both probes are joins keyed by digest / band bucket
+    * — the reference is scanned once per probe, only (key, id) pairs
+    * shuffle, and the batch side is increment-sized. Per-bucket cost
+    * is |batch∩bucket|·|ref∩bucket|; uniform md5 buckets keep that
+    * tiny and AQE's skew split bounds a degenerate bucket (the
+    * symmetric blockPairs salt-cap doesn't apply to an asymmetric
+    * containment probe). At 100 TB the reference's digests/signatures
+    * would be a maintained TABLE (written once by the previous run)
+    * rather than recomputed — the probe side of this plan is
+    * unchanged.
+    */
+  def dIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val exactIds = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(ref.select(md5(col("text").cast("binary")).as("fp")), Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("ehit", lit(1))
+    val nb = minhashBanded(batch)
+    val rb = minhashBanded(ref).toDF("r_id", "r_sig", "bucket")
+    val agree = size(filter(
+      zip_with(col("sig"), col("r_sig"), (x, y) => x === y), (b: Column) => b))
+    val nearIds = nb.join(rb, "bucket")
+      .filter(agree.cast("double") / MinhashK >= 0.5)
+      .select(col("doc_id")).distinct().withColumn("nhit", lit(1))
+    batch.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ehit").isNotNull, 1).otherwise(0).as("exact_dup"),
+        when(col("nhit").isNotNull, 1).otherwise(0).as("near_dup"),
+        when(col("ehit").isNull && col("nhit").isNull, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dIncrementalSql: String = {
+    val sigExprs = (0 until MinhashK).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS sig_$j").mkString(",\n  ")
+    def bandSelects(p: String) = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"sig_${b * RowsPerBand + r}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sigs_$p"
+    }.mkString("\n  UNION ALL ")
+    def sigChain(p: String) =
+      s"""sh_$p AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM $p WHERE len(toks) >= 3),
+         |sigs_$p AS (SELECT doc_id,
+         |  $sigExprs
+         |FROM sh_$p WHERE len(sh) > 0),
+         |banded_$p AS (
+         |  ${bandSelects(p)})"""
+    val agreeSql = (0 until MinhashK)
+      .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text, ${Text.ToksSql} AS toks FROM documents),
+       |ref AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+       |bat AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+       |ex AS (SELECT DISTINCT b.doc_id FROM bat b JOIN ref r
+       |  ON md5(b.text) = md5(r.text)),
+       |${sigChain("ref")},
+       |${sigChain("bat")},
+       |cand AS (SELECT DISTINCT nb.doc_id AS bid, rb.doc_id AS rid
+       |  FROM banded_bat nb JOIN banded_ref rb
+       |    ON nb.band = rb.band AND nb.bucket = rb.bucket),
+       |near AS (SELECT DISTINCT bid AS doc_id FROM cand
+       |  JOIN sigs_bat sa ON sa.doc_id = bid
+       |  JOIN sigs_ref sb ON sb.doc_id = rid
+       |  WHERE CAST($agreeSql AS DOUBLE) / $MinhashK >= 0.5)
+       |SELECT b.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       |  CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       |  CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM bat b LEFT JOIN ex e ON e.doc_id = b.doc_id
+       |  LEFT JOIN near n ON n.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------ SimHash
@@ -821,6 +919,7 @@ object Dedup {
     "d_substring"   -> (dSubstring _, dSubstringSql),
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
+    "d_incremental" -> (dIncremental _, dIncrementalSql),
     "d_simhash"     -> (dSimhash _, dSimhashSql),
     "d_simhash_pairs" -> (dSimhashPairs _, dSimhashPairsSql),
     "d_simhash64"   -> (dSimhash64 _, dSimhash64Sql),

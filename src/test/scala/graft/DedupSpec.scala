@@ -190,6 +190,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: exact flags match a driver-side digest check") {
+    val res = Dedup.dIncremental(spark, sf)
+      .as[(Long, Int, Int, Int)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val refTexts = docs.filter(_._1 % 2 == 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 2 == 1).toMap
+    assert(res.length === batch.size)
+    res.foreach { case (id, ex, nr, keep) =>
+      assert(id % 2 == 1)
+      assert(ex === (if (refTexts(batch(id))) 1 else 0), s"doc $id exact flag")
+      assert(keep === (if (ex == 0 && nr == 0) 1 else 0))
+    }
+    // cross-boundary near-dups exist at this SF (exact ones only appear
+    // at sf0.1 — the row-wise digest check above covers the zero case)
+    assert(res.exists(_._3 == 1) && res.exists(_._4 == 1))
+  }
+
   test("pagerank: mass conserved; star center outranks leaves") {
     // star: center 1 with leaves 2..6, plus an isolated pair {10, 11}
     val star = (2L to 6L).map(i => (1L, i))
