@@ -453,8 +453,13 @@ object Events {
     load(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts_ns div 1000").as("us"))
-      .withColumn("click_id", last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("click_us", last(when(isClick, col("us")), ignoreNulls = true).over(w))
+      // ONE select, not chained withColumns: chaining puts a Project
+      // between the two window expressions and Spark then plans TWO
+      // Window nodes (two passes) instead of sharing one — PlanSpec
+      // pins the single-node shape
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"),
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w).as("click_id"),
+        last(when(isClick, col("us")), ignoreNulls = true).over(w).as("click_us"))
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("click_id"), (col("us") - col("click_us")).as("delta_us"))

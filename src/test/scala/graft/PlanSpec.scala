@@ -69,6 +69,41 @@ class PlanSpec extends SparkSpec {
       "tf not read from the materialized table:\n" + p.take(1200))
   }
 
+  test("pmi tokenizes once: all four consumers scan the pinned bigram counts") {
+    val p = plan(graft.operators.TextAnalysis.tPmi(spark, sf))
+    // un-pinned, the tokenize+shingle Generate appeared once per
+    // consumer (main, both marginals, total) in the final plan
+    assert(!p.contains("Generate explode"), p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 4,
+      "bigram counts not read from the materialized table:\n" + p.take(1200))
+  }
+
+  /** The AQE plan string prints "== Final Plan ==" then repeats the
+    * pre-execution guess under "== Initial Plan ==" — node COUNTS must
+    * only see the final section or everything double-counts.
+    */
+  private def finalOnly(p: String): String = p.split("== Initial Plan ==")(0)
+
+  test("anomaly + attribution: one window pass, no self-join") {
+    val pa = finalOnly(plan(graft.operators.Events.eAnomaly(spark, sf)))
+    assert("Window ".r.findAllIn(pa).length === 1, pa.take(1200))
+    assert(!pa.contains("Join"), pa.take(1200))
+    val pt = finalOnly(plan(graft.operators.Events.eAttribution(spark, sf)))
+    // both conditional last_values share a single Window node
+    assert("Window ".r.findAllIn(pt).length === 1, pt.take(1200))
+    assert(!pt.contains("Join"), pt.take(1200))
+  }
+
+  test("knn graph + char stats use the native one-pass expressions") {
+    val pk = finalOnly(plan(Similarity.sKnnGraph(spark, sf)))
+    assert(pk.contains("sign_bands"), pk.take(1200))
+    val pc = finalOnly(plan(graft.operators.TextAnalysis.tCharStats(spark, sf)))
+    // the stats struct is materialized through one Generate, so the
+    // histogram pass runs once, not once per output column
+    assert("Generate explode\\(array\\(char_stats".r.findAllIn(pc).length === 1,
+      pc.take(1200))
+  }
+
   test("similarity queries use the native float_dot expression") {
     assert(plan(Similarity.sCosineTopK(spark, sf)).contains("float_dot"))
     assert(plan(graft.operators.Dedup.dEmbeddingNearDup(spark, sf)).contains("float_dot"))
