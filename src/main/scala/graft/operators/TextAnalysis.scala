@@ -756,6 +756,47 @@ object TextAnalysis {
        |FROM b JOIN pr USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- overlapping chunks
+  /** Overlapping fixed-window document chunking — the RAG-indexing /
+    * context-window-splitting shape: windows of [[ChunkChars]]
+    * characters every [[ChunkStride]] (25 % overlap so no span is cut
+    * without a neighbor covering it), one row per chunk with its
+    * offset, actual length (the tail chunk is shorter), and content
+    * digest. A bounded generator (explode of a stride sequence) over a
+    * pure per-row map — chunk text never shuffles; only the emitted
+    * digests would feed a downstream index. Offsets count CHARACTERS
+    * (codepoints — both engines' substring/length semantics), not
+    * bytes: byte slicing isn't expressible in the oracle (DuckDB can't
+    * substring BLOBs) and character windows are what embedding
+    * pipelines want anyway.
+    */
+  val ChunkChars = 200
+  val ChunkStride = 150
+
+  def tChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")), lit(ChunkStride)))
+          .as(Seq("chunk_idx", "off")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("off").cast("int").as("off"),
+        least(lit(ChunkChars), length(col("text")) - col("off") + 1)
+          .cast("int").as("chunk_len"),
+        md5(expr(s"substring(text, off, $ChunkChars)").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val tChunkSql: String =
+    s"""WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE length(text) > 0),
+       |c AS (SELECT doc_id, text, n, CAST(i AS INT) AS chunk_idx,
+       |  CAST(1 + i * $ChunkStride AS INT) AS off
+       |  FROM p, unnest(range(0, (n - 1) // $ChunkStride + 1)) t(i))
+       |SELECT doc_id, chunk_idx, off,
+       |  CAST(LEAST($ChunkChars, n - off + 1) AS INT) AS chunk_len,
+       |  md5(substring(text, off, $ChunkChars)) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // --------------------------------------------- PMI collocations
   /** Pointwise-mutual-information collocation mining: the top
     * [[PmiTopK]] bigrams by PMI = ln(P(w₁w₂) / (P₁(w₁)·P₂(w₂)))
@@ -863,6 +904,7 @@ object TextAnalysis {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_char_stats" -> (tCharStats _, tCharStatsSql),
     "t_pmi" -> (tPmi _, tPmiSql),
+    "t_chunk" -> (tChunk _, tChunkSql),
     "t_bigram_lp" -> (tBigramLp _, tBigramLpSql),
     "t_unigram_lp" -> (tUnigramLp _, tUnigramLpSql),
     "t_inverted_index" -> (tInvertedIndex _, tInvertedIndexSql),
