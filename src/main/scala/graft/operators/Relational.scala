@@ -432,6 +432,38 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------- LATERAL subquery
+  /** Correlated LATERAL subquery in FROM — the top-N-per-group idiom
+    * stated relationally (per nation, its two highest-balance
+    * customers), exercising the decorrelation path the optimizer must
+    * take for a per-row derived TABLE (scalar/EXISTS subqueries are
+    * covered elsewhere). Catalyst rewrites the correlated limit into
+    * a ranked window over the join — the same physical shape as
+    * [[qTopK]]'s per-group rank, so LATERAL costs nothing extra at
+    * scale; it's surface, not a new operator.
+    */
+  def qLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT n.n_name, c.c_name,
+             CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+      FROM nation_v n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer_v
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      ORDER BY n.n_name, acctbal DESC, c.c_name""")
+  }
+
+  val qLateralSql: String =
+    """SELECT n.n_name, c.c_name,
+      |  CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin
+
   // -------------------------------------------------------- grouping sets
   /** Explicit GROUPING SETS (the general form behind rollup/cube),
     * through the SQL surface — Spark's DataFrame API exposes only
@@ -877,6 +909,7 @@ object Relational {
     "q_scalar_math"    -> (qScalarMath _, qScalarMathSql),
     "q_case_expr"      -> (qCaseExpr _, qCaseExprSql),
     "q_sql_interface"  -> (qSqlInterface _, qSqlInterfaceSql),
+    "q_lateral"        -> (qLateral _, qLateralSql),
     "q_grouping_sets"  -> (qGroupingSets _, qGroupingSetsSql),
     "q_percentile"     -> (qPercentile _, qPercentileSql),
     "q_stats"          -> (qStats _, qStatsSql),
