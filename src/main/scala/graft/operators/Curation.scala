@@ -411,6 +411,36 @@ object Curation {
        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin
   }
 
+  // ------------------------------------------------- dataset card
+  /** Per-source dataset-card statistics — the summary table every
+    * curated corpus ships with (datasheets/data-cards reporting): doc
+    * counts, language coverage, exact char totals, and length
+    * quantiles per source. One vocabulary-of-sources-bounded
+    * aggregation; the exact-interpolation percentile is the same
+    * cross-engine-stable choice as the relational `q_percentile`
+    * (the t-digest sketch is engine-specific), and the mean is one
+    * double division of an exact integer sum.
+    */
+  def pDatacard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+      .orderBy("source")
+
+  val pDatacardSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------- curriculum interleave
   /** Curriculum-ordered source interleaving: rank documents within
     * each source easy→hard (ascending length, ties by doc_id), then
@@ -440,6 +470,7 @@ object Curation {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_curate" -> (curate _, curateSql),
     "p_interleave" -> (pInterleave _, pInterleaveSql),
+    "p_datacard" -> (pDatacard _, pDatacardSql),
     "p_decontaminate" -> (pDecontaminate _, pDecontaminateSql),
     "p_mix" -> (pMix _, pMixSql),
     "p_pack" -> (pPack _, pPackSql),
