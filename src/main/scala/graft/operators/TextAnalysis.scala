@@ -671,7 +671,13 @@ object TextAnalysis {
   def tUnigramLp(s: SparkSession, d: String): DataFrame = {
     val toks = docsWithTokens(s, d)
       .select(col("doc_id"), explode(col("toks")).as("word"))
-    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // pin the (vocabulary-bounded) word counts: total and the vocab
+    // gate are optimizer-specialized consumers, so unpinned each
+    // re-ran the tokenize+explode+count over the corpus (the t_pmi /
+    // t_tfidf disease) — with the pin the corpus tokenizes once here
+    // plus once for the final per-doc join (corpus-sized, not worth
+    // materializing)
+    val counts = Materialize.pin(toks.groupBy("word").agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum(col("cnt")).as("total"))
     val vocab = counts.filter(col("cnt") >= UnigramMinCount)
       .crossJoin(broadcast(total))
@@ -726,7 +732,10 @@ object TextAnalysis {
   def tBigramLp(s: SparkSession, d: String): DataFrame = {
     val bi = docsWithTokens(s, d)
       .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("bg"))
-    val bc = bi.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    // pinned for the same reason as t_unigram_lp's counts / t_pmi's
+    // bigram table: the context-count and probability branches are
+    // specialized copies that each re-shingled the corpus
+    val bc = Materialize.pin(bi.groupBy("bg").agg(count(lit(1)).as("cbg")))
     val c1 = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cbg")).as("c1"))
     val probs = bc
