@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -429,6 +429,75 @@ object Events {
       |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  // -------------------------------------------------- RFM segmentation
+  /** RFM (recency / frequency / monetary) user segmentation: per-user
+    * aggregates bucketed into quartiles per axis — the classic
+    * cohorting op. Buckets come from broadcast percentile THRESHOLDS
+    * (scan-parallel: one comparison chain per row), NOT a global
+    * ntile window — rank-based quartiling needs a total order over
+    * all users, a single-partition window that dies at real user
+    * counts; threshold binning differs only on exact-boundary ties
+    * and keeps every stage keyed or broadcast. The per-user frame is
+    * pinned: the threshold aggregate and the final projection are
+    * specialized consumers, and the frame is user-bounded (not
+    * event-bounded) — cheap to materialize, saves re-aggregating the
+    * event stream twice. Monetary sums are exact decimals; the
+    * exact-interpolation percentile is the cross-engine-stable choice
+    * (q_percentile precedent).
+    */
+  def eRfm(s: SparkSession, d: String): DataFrame = {
+    val base = Materialize.pin(load(s, d)
+      .groupBy("user_id")
+      .agg(max(expr("ts_ns div 86400000000000")).as("recency_day"),
+        count(lit(1)).as("frequency"),
+        sum(valDec).cast("double").as("monetary")))
+    val th = base.agg(
+      expr("percentile(recency_day, 0.25)").as("r25"),
+      expr("percentile(recency_day, 0.5)").as("r50"),
+      expr("percentile(recency_day, 0.75)").as("r75"),
+      expr("percentile(frequency, 0.25)").as("f25"),
+      expr("percentile(frequency, 0.5)").as("f50"),
+      expr("percentile(frequency, 0.75)").as("f75"),
+      expr("percentile(monetary, 0.25)").as("m25"),
+      expr("percentile(monetary, 0.5)").as("m50"),
+      expr("percentile(monetary, 0.75)").as("m75"))
+    def q(x: Column, p25: Column, p50: Column, p75: Column): Column =
+      (lit(1) + when(x > p25, 1).otherwise(0) + when(x > p50, 1).otherwise(0) +
+        when(x > p75, 1).otherwise(0)).cast("int")
+    base.crossJoin(broadcast(th))
+      .select(col("user_id"), col("recency_day"), col("frequency"), col("monetary"),
+        q(col("recency_day"), col("r25"), col("r50"), col("r75")).as("r_q"),
+        q(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_q"),
+        q(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_q"))
+      .orderBy("user_id")
+  }
+
+  val eRfmSql: String =
+    """WITH b AS (SELECT user_id,
+      |  MAX(epoch_ns(ts) // 86400000000000) AS recency_day,
+      |  COUNT(*) AS frequency,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT
+      |  quantile_cont(recency_day, 0.25) AS r25, quantile_cont(recency_day, 0.5) AS r50,
+      |  quantile_cont(recency_day, 0.75) AS r75,
+      |  quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+      |  quantile_cont(frequency, 0.75) AS f75,
+      |  quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
+      |  quantile_cont(monetary, 0.75) AS m75
+      |  FROM b)
+      |SELECT user_id, recency_day, frequency, monetary,
+      |  CAST(1 + (CASE WHEN recency_day > r25 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN recency_day > r50 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN recency_day > r75 THEN 1 ELSE 0 END) AS INT) AS r_q,
+      |  CAST(1 + (CASE WHEN frequency > f25 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN frequency > f50 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN frequency > f75 THEN 1 ELSE 0 END) AS INT) AS f_q,
+      |  CAST(1 + (CASE WHEN monetary > m25 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN monetary > m50 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN monetary > m75 THEN 1 ELSE 0 END) AS INT) AS m_q
+      |FROM b CROSS JOIN t ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------- last-touch attribution
   /** Last-touch attribution: every purchase is credited to the SAME
     * user's most recent preceding click (ties at one instant break by
@@ -482,6 +551,7 @@ object Events {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),
     "e_attribution" -> (eAttribution _, eAttributionSql),
+    "e_rfm"        -> (eRfm _, eRfmSql),
     "e_transitions" -> (eTransitions _, eTransitionsSql),
     "e_funnel"     -> (eFunnel _, eFunnelSql),
     "e_retention"  -> (eRetention _, eRetentionSql),
