@@ -833,6 +833,70 @@ object Dedup {
        |SELECT id, round(pr, 6) AS pr FROM pr$PrIters ORDER BY id""".stripMargin
   }
 
+  // ------------------------------------------------------ triangles
+  /** Per-node triangle counts and local clustering coefficient over
+    * the near-dup pair graph — completes the graph family (degree →
+    * components → PageRank → triangles): a high coefficient marks
+    * tight mutual-duplicate cliques (template families), a low one
+    * marks chain-like drift. Standard oriented wedge join: edges are
+    * kept as a<b, wedges (a<b, b<c) probe for the closing edge (a,c),
+    * so each triangle is found exactly once; per-node counts explode
+    * the 3 corners and the coefficient is 2T / (deg·(deg−1)) — exact
+    * integers, one double division. Nodes in no triangle keep a row
+    * (left join) with coefficient 0.
+    *
+    * Scale: the wedge join is the canonical distributed triangle
+    * count; orienting by id bounds nothing by itself — at real scale
+    * orient by (degree, id) so every wedge pivots on its
+    * LOWEST-degree corner, which caps wedge fanout at the degeneracy
+    * (the standard trick; id-orientation keeps the oracle simple at
+    * fixture scale and the join SHAPE is identical).
+    */
+  def dTriangles(s: SparkSession, d: String): DataFrame =
+    triangles(dMinhashLsh(s, d).select(col("a"), col("b")))
+
+  /** Core of [[dTriangles]] over any (a, b) pair frame with a < b —
+    * package-private so DedupSpec can drive constructed graphs.
+    */
+  private[graft] def triangles(pairs: DataFrame): DataFrame = {
+    val e = pin(pairs)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = e.join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+    val triCnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(triCnt, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          round(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+            (col("deg").cast("double") * (col("deg") - 1)), 6))
+          .otherwise(0.0).as("clustering"))
+      .orderBy("id")
+  }
+
+  lazy val dTrianglesSql: String =
+    s"""WITH p AS ($dMinhashLshSql),
+       |e AS (SELECT a, b FROM p),
+       |deg AS (SELECT id, COUNT(*) AS deg FROM (
+       |  SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) t GROUP BY 1),
+       |tri AS (SELECT w.a, w.b, w.c
+       |  FROM (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+       |        JOIN e e2 ON e2.a = e1.b) w
+       |  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+       |tc AS (SELECT id, COUNT(*) AS triangles FROM (
+       |  SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+       |  UNION ALL SELECT c AS id FROM tri) t GROUP BY 1)
+       |SELECT deg.id, deg.deg, COALESCE(tc.triangles, 0) AS triangles,
+       |  CASE WHEN deg.deg >= 2 THEN
+       |    round(CAST(COALESCE(tc.triangles, 0) AS DOUBLE) * 2 /
+       |      (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6)
+       |  ELSE 0.0 END AS clustering
+       |FROM deg LEFT JOIN tc ON tc.id = deg.id
+       |ORDER BY deg.id""".stripMargin
+
   // ------------------------------------------- duplicate substrings
   /** Token length of the duplicated-substring unit — 13 grams, the
     * decontamination-literature span (matches [[Curation.DecontamN]]).
@@ -929,5 +993,6 @@ object Dedup {
     "d_cluster"     -> (dCluster _, dClusterSql),
     "d_components"  -> (dComponents _, dComponentsSql),
     "d_pagerank"    -> (dPagerank _, dPagerankSql),
+    "d_triangles"   -> (dTriangles _, dTrianglesSql),
   )
 }

@@ -208,6 +208,20 @@ class DedupSpec extends SparkSpec {
     assert(res.exists(_._3 == 1) && res.exists(_._4 == 1))
   }
 
+  test("triangles: clique corners close, chain interiors don't") {
+    // triangle {1,2,3} + chain 10-11-12 (a wedge that must NOT count)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val got = Dedup.triangles(pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) === ((2L, 1L, 1.0)), s"clique corner $id")
+    }
+    assert(got(11L) === ((2L, 0L, 0.0)), "chain interior is an open wedge")
+    Seq(10L, 12L).foreach(id => assert(got(id) === ((1L, 0L, 0.0))))
+  }
+
   test("pagerank: mass conserved; star center outranks leaves") {
     // star: center 1 with leaves 2..6, plus an isolated pair {10, 11}
     val star = (2L to 6L).map(i => (1L, i))
