@@ -548,8 +548,170 @@ object Events {
       |SELECT event_id AS purchase_id, user_id, click_id, us - click_us AS delta_us
       |FROM a WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  // ------------------------------------------- ordered sequence match
+  /** Strict-order multi-step funnel (view → click → purchase): per
+    * user, the earliest chain with strictly increasing timestamps —
+    * t1 = first view, t2 = first click after t1, t3 = first purchase
+    * after t2 — and how many steps were reached. Greedy-earliest is
+    * exact for existence (taking the minimum at each step never
+    * forecloses a later step), so this matches the "did the user ever
+    * complete the sequence" MATCH_RECOGNIZE shape.
+    *
+    * Join-free: the [[eFunnel]] running-min trick, twice. One
+    * user-partitioned sort carries both window layers (the second
+    * Window's required distribution/ordering is already satisfied, so
+    * Spark plans one Exchange + one Sort and streams two Window
+    * passes); per-row state is two remembered minima. The user-keyed
+    * 3-way join form the oracle uses re-probes every click per view
+    * and every purchase per click — quadratic per hot user at 100 TB.
+    *
+    * `∃ view strictly before this click` ⟺ `running min view ts < ts`
+    * (a same-µs view fails both the strict compare and the oracle's
+    * `>` — ties are consistent by construction, no tiebreak needed).
+    * All time math in µs: both engines compare the same truncated
+    * values (parquet ns → DuckDB TIMESTAMP is µs; see eAttribution).
+    */
+  def eSequence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = load(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"),
+        when(col("event_type") === "view", expr("ts_ns div 1000")).as("vus"))
+    base
+      .withColumn("min_view", min(col("vus")).over(w))
+      .withColumn("cus", when(col("event_type") === "click" &&
+        col("min_view") < col("us"), col("us")))
+      .withColumn("min_click", min(col("cus")).over(w))
+      .withColumn("pus", when(col("event_type") === "purchase" &&
+        col("min_click") < col("us"), col("us")))
+      .groupBy("user_id")
+      .agg(min(col("vus")).as("t1_us"), min(col("cus")).as("t2_us"),
+        min(col("pus")).as("t3_us"))
+      .filter(col("t1_us").isNotNull)
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t3_us").isNotNull, 3).when(col("t2_us").isNotNull, 2)
+          .otherwise(1).cast("int").as("reached"))
+      .orderBy("user_id")
+  }
+
+  val eSequenceSql: String =
+    """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+      |  JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+      |  JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1)
+      |SELECT v.user_id, v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us,
+      |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+      |    WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS reached
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |  LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // ------------------------------------------------ DAU / WAU stickiness
+  /** Daily active users vs rolling 7-day actives and their ratio (the
+    * DAU/WAU "stickiness" health metric). Rolling DISTINCT can't ride
+    * an incremental window frame (distinct has no inverse merge), and
+    * the textbook day-grid self-join re-scans the activity table per
+    * day — instead each distinct (user, day) pair is EXPLODED to the
+    * ≤ 7 window-days it contributes to, then counted distinct per
+    * window-day: one bounded ×7 fan-out of the already-deduplicated
+    * pair set (tiny relative to raw events), shuffles keyed on day.
+    * Early days aggregate a truncated trailing window (standard);
+    * future phantom days are clipped at the max observed day with a
+    * broadcast scalar, not a driver collect. At 100 TB the exact
+    * count_distinct shuffle is (user, wday) pairs — swap for HLL
+    * (approx_count_distinct) when ±2 % is acceptable.
+    */
+  def eStickiness(s: SparkSession, d: String): DataFrame = {
+    val du = load(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val mx = du.agg(max(col("day")).as("max_day"))
+    val wau = du
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        explode(sequence(col("day"), least(col("day") + 6, col("max_day")))).as("wday"))
+      .groupBy("wday")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    wau.join(dau, wau("wday") === dau("day"), "left")
+      .select(col("wday").as("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau"),
+        round(coalesce(col("dau"), lit(0L)).cast("double") / col("wau"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val eStickinessSql: String =
+    """WITH du AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |mx AS (SELECT MAX(day) AS max_day FROM du),
+      |contrib AS (SELECT du.user_id, du.day + j AS wday
+      |  FROM du CROSS JOIN range(0, 7) t(j) CROSS JOIN mx
+      |  WHERE du.day + j <= mx.max_day),
+      |wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1)
+      |SELECT w.wday AS day, COALESCE(d.dau, 0) AS dau, w.wau AS wau,
+      |  round(CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau, 6) AS stickiness
+      |FROM wau w LEFT JOIN dau d ON d.day = w.wday
+      |ORDER BY day""".stripMargin
+
+  // --------------------------------------------- state-change intervals
+  /** Run-length state intervals (the SCD2-build op): per user, collapse
+    * CONSECUTIVE events of the same type into one validity interval
+    * [start_us, end_us] with its event count — the gaps-and-islands
+    * construction that turns an event log into a slowly-changing
+    * dimension. Distinct from [[eSession]]: islands break on VALUE
+    * change, not time gap. One user-partitioned sort feeds both the
+    * lag (change flags) and the running sum (island ids); the interval
+    * aggregation is keyed on (user, island), so per-task state is one
+    * open interval per user — nothing event-sized is held or joined.
+    */
+  def eScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wo).isNull ||
+          lag(col("event_type"), 1).over(wo) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("island", sum(col("chg")).over(wr))
+      .groupBy("user_id", "island")
+      .agg(min(col("event_type")).as("event_type"), min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("event_type"), col("start_us"),
+        col("end_us"), col("n"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val eScd2Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |l AS (SELECT user_id, event_id, event_type, us,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |  FROM e),
+      |g AS (SELECT user_id, event_type, us,
+      |  SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM l)
+      |SELECT user_id, MIN(event_type) AS event_type, MIN(us) AS start_us,
+      |  MAX(us) AS end_us, COUNT(*) AS n
+      |FROM g GROUP BY user_id, island
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),
+    "e_sequence"   -> (eSequence _, eSequenceSql),
+    "e_stickiness" -> (eStickiness _, eStickinessSql),
+    "e_scd2"       -> (eScd2 _, eScd2Sql),
     "e_attribution" -> (eAttribution _, eAttributionSql),
     "e_rfm"        -> (eRfm _, eRfmSql),
     "e_transitions" -> (eTransitions _, eTransitionsSql),

@@ -58,6 +58,73 @@ class EventsSpec extends SparkSpec {
     assert(a.filter(col("click_id").isNotNull).count() > 0)
   }
 
+  test("e_sequence: greedy chain matches an independent driver-side recomputation") {
+    val seqRows = Events.eSequence(spark, sf).collect()
+    assert(seqRows.nonEmpty)
+    assert(seqRows.exists(_.getInt(4) === 3), "fixture should have full-chain users")
+    // invariants: strict ordering of reached steps, null tail after a miss
+    seqRows.foreach { r =>
+      val t1 = r.getLong(1)
+      val t2 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val t3 = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      if (t2.isEmpty) assert(t3.isEmpty)
+      t2.foreach(v => assert(v > t1))
+      (t2 zip t3).foreach { case (a, b) => assert(b > a) }
+      assert(r.getInt(4) === (1 + t2.size + t3.size))
+    }
+    // exact greedy recomputation for a handful of users
+    seqRows.take(5).foreach { r =>
+      val uid = r.getLong(0)
+      val hist = Events.load(spark, sf)
+        .filter(col("user_id") === uid)
+        .select(expr("ts_ns div 1000"), col("event_type"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val t1 = hist.collectFirst { case (us, "view") => us }
+      val t2 = t1.flatMap(a => hist.collectFirst { case (us, "click") if us > a => us })
+      val t3 = t2.flatMap(a => hist.collectFirst { case (us, "purchase") if us > a => us })
+      assert(t1.contains(r.getLong(1)))
+      assert(t2 === (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      assert(t3 === (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }
+  }
+
+  test("e_stickiness: wau bounds dau; sampled days match a direct distinct count") {
+    val st = Events.eStickiness(spark, sf).collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1)) // wau >= dau
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val du = Events.load(spark, sf)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    st.take(3).++(st.takeRight(3)).foreach { r =>
+      val day = r.getLong(0)
+      val wau = du.filter(p => p._2 >= day - 6 && p._2 <= day).map(_._1).distinct.length
+      val dau = du.count(_._2 == day)
+      assert(r.getLong(1) === dau, s"day $day dau")
+      assert(r.getLong(2) === wau, s"day $day wau")
+    }
+  }
+
+  test("e_scd2: intervals tile each user's history with no adjacent same-type runs") {
+    val iv = Events.eScd2(spark, sf)
+    val total = Events.load(spark, sf).count()
+    assert(iv.agg(sum("n")).as[Long].head() === total)
+    val byUser = iv.select("user_id", "event_type", "start_us", "end_us")
+      .as[(Long, String, Long, Long)].collect().groupBy(_._1)
+    byUser.values.foreach { runs =>
+      val sorted = runs.sortBy(_._3)
+      sorted.foreach { case (_, _, s, e) => assert(s <= e) }
+      sorted.sliding(2).foreach {
+        case Array((_, ta, _, ea), (_, tb, sb, _)) =>
+          assert(ea <= sb, "intervals must not overlap")
+          assert(ta != tb, "adjacent runs must differ in type")
+        case _ =>
+      }
+    }
+  }
+
   test("e_transitions: counts cover exactly the non-first events; rows of p sum to 1") {
     val t = Events.eTransitions(spark, sf)
     val totalN = t.agg(sum("n")).as[Long].head()
