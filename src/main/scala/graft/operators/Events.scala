@@ -628,9 +628,14 @@ object Events {
     * (approx_count_distinct) when ±2 % is acceptable.
     */
   def eStickiness(s: SparkSession, d: String): DataFrame = {
-    val du = load(s, d)
+    // pinned: three consumers (wau explode, dau, max_day scalar) would
+    // otherwise each re-scan events and re-run the distinct — the
+    // optimizer specializes each copy (different pruned columns), so
+    // nothing dedupes them. The pinned frame is the deduplicated
+    // (user, day) pair set — orders of magnitude smaller than events.
+    val du = Materialize.pin(load(s, d)
       .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
-      .distinct()
+      .distinct())
     val mx = du.agg(max(col("day")).as("max_day"))
     val wau = du
       .crossJoin(broadcast(mx))

@@ -94,6 +94,24 @@ class PlanSpec extends SparkSpec {
     assert(!pt.contains("Join"), pt.take(1200))
   }
 
+  test("sequence + scd2: chained windows share one user sort, no join") {
+    // e_sequence stacks two running-min Window layers; same partition
+    // and order spec, so the second requires no new Exchange or Sort
+    val ps = finalOnly(plan(graft.operators.Events.eSequence(spark, sf)))
+    assert("Window ".r.findAllIn(ps).length === 2, ps.take(1500))
+    assert("Sort \\[user_id.* ASC NULLS FIRST, us".r.findAllIn(ps).length === 1,
+      ps.take(1500))
+    assert(!ps.contains("Join"), ps.take(1500))
+    // e_scd2: lag + running-sum windows over the same sort; the
+    // (user, island) aggregation is satisfied by the user_id
+    // clustering, so no exchange sits between Window and aggregate
+    val pc = finalOnly(plan(graft.operators.Events.eScd2(spark, sf)))
+    assert("Window ".r.findAllIn(pc).length === 2, pc.take(1500))
+    assert("Sort \\[user_id.* ASC NULLS FIRST, us".r.findAllIn(pc).length === 1,
+      pc.take(1500))
+    assert(!pc.contains("Join"), pc.take(1500))
+  }
+
   test("knn graph + char stats use the native one-pass expressions") {
     val pk = finalOnly(plan(Similarity.sKnnGraph(spark, sf)))
     assert(pk.contains("sign_bands"), pk.take(1200))
