@@ -70,10 +70,83 @@ object GraftSql {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
-  /** Expose the custom expressions to SQL: `SELECT float_dot(a, b)`. */
+  // ------------------------------------------------- SQL function surface
+  // One shared description table drives BOTH registration paths
+  // (programmatic ensureRegistered and config-driven GraftExtensions),
+  // so the SQL surface can't drift between them.
+
+  private def arity(fn: String, n: Int, es: Seq[Expression]): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${es.length}")
+
+  /** Scalar literal extraction for the shape parameters (shingle width,
+    * signature length, plane counts): these pick a CODE SHAPE at plan
+    * time — per-row values can't, so anything non-foldable is rejected
+    * at analysis rather than mis-planned.
+    */
+  private def intArg(fn: String, pos: Int, es: Seq[Expression]): Int = {
+    val e = es(pos)
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
+      e.eval().asInstanceOf[Int]
+    else throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a foldable INT literal, got ${e.sql}")
+  }
+
+  /** (name, implementing class, builder) for every native expression.
+    * shingle_minhash(toks, n, k) uses the library's salt convention
+    * ("0|", "1|", …) so SQL callers get bit-identical signatures to the
+    * Scala operators.
+    */
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("float_dot", classOf[FloatDotProduct].getName,
+      es => { arity("float_dot", 2, es); FloatDotProduct(es(0), es(1)) }),
+    ("shingle_minhash", classOf[ShingleMinHash].getName,
+      es => { arity("shingle_minhash", 3, es)
+        val k = intArg("shingle_minhash", 2, es)
+        ShingleMinHash(es(0), intArg("shingle_minhash", 1, es),
+          (0 until k).map(j => s"$j|")) }),
+    ("shingle_set", classOf[ShingleSet].getName,
+      es => { arity("shingle_set", 2, es)
+        ShingleSet(es(0), intArg("shingle_set", 1, es)) }),
+    ("shingle_hash_set", classOf[ShingleHashSet].getName,
+      es => { arity("shingle_hash_set", 2, es)
+        ShingleHashSet(es(0), intArg("shingle_hash_set", 1, es)) }),
+    ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
+      es => { arity("sorted_intersect_count", 2, es)
+        SortedIntersectCount(es(0), es(1)) }),
+    ("simhash64", classOf[SimHash64Expr].getName,
+      es => { arity("simhash64", 1, es); SimHash64Expr(es(0)) }),
+    ("simhash16", classOf[SimHash16Expr].getName,
+      es => { arity("simhash16", 1, es); SimHash16Expr(es(0)) }),
+    ("sign_bands", classOf[SignBands].getName,
+      es => { arity("sign_bands", 4, es)
+        SignBands(es(0), intArg("sign_bands", 1, es),
+          intArg("sign_bands", 2, es), intArg("sign_bands", 3, es)) }),
+    ("char_stats", classOf[CharStats].getName,
+      es => { arity("char_stats", 1, es); CharStats(es(0)) }),
+    ("pair_explode", classOf[PairExplode].getName,
+      es => { arity("pair_explode", 1, es); PairExplode(es(0)) }),
+  )
+
+  /** The injectFunction-shaped descriptions for [[GraftExtensions]]. */
+  private[graft] def functionDescriptions: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    functions.map { case (name, cls, builder) =>
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls, name),
+        builder)
+    }
+
+  /** Expose every custom expression to SQL on an existing session:
+    * `SELECT simhash64(tokens), float_dot(a, b) …`. Idempotent.
+    */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
 
 /** SparkSessionExtensions entry point — the config-driven registration
@@ -84,15 +157,11 @@ object GraftSql {
   * }}}
   *
   * Injects the same functions [[GraftSql.ensureRegistered]] adds
-  * programmatically. Query functions still call ensureRegistered
+  * programmatically (one shared description table — the two paths
+  * cannot drift). Query functions still call ensureRegistered
   * defensively, so either path (or both) works.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[FloatDotProduct].getName, "float_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatDotProduct(exprs.head, exprs(1))))
+    GraftSql.functionDescriptions.foreach(e.injectFunction)
 }

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftExtensions, GraftSql}
+
+/** The SQL function surface: every native Catalyst expression must be
+  * reachable from plain SQL through BOTH registration paths — the
+  * extensions injector (`spark.sql.extensions=…GraftExtensions`, the
+  * cluster deployment story) and the programmatic
+  * `GraftSql.ensureRegistered` — and return bit-identical results to
+  * the Column API. The two paths share one description table in
+  * GraftSql, so this spec mostly guards the plumbing: builder arity,
+  * literal-argument extraction, generator registration, and the
+  * extensions class being loadable by name from conf.
+  *
+  * `spark.sql.extensions` is a STATIC conf — honored only at
+  * SparkContext creation — so the conf-driven path runs in a forked
+  * JVM ([[ExtensionsProbe]]); the in-JVM tests exercise the same
+  * injector through `Builder.withExtensions` on a fresh session over
+  * the suite's shared context.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  /** A fresh session with the injector applied (sharing the suite's
+    * SparkContext), the suite session restored after.
+    */
+  private def withExtensionsSession[T](f: SparkSession => T): T = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[8]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      f(s2)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  private val fixtureSql =
+    """SELECT array('the', 'fast', 'key', 'the', 'fast') AS toks,
+      |  'Hello, World 42!' AS txt,
+      |  array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT),
+      |        CAST(2.0 AS FLOAT), CAST(0.25 AS FLOAT)) AS vec""".stripMargin
+
+  private def columnTwin(base: DataFrame): DataFrame =
+    base.select(
+      GraftSql.simHash64(col("toks")).as("h64"),
+      GraftSql.simHash16(col("toks")).as("h16"),
+      GraftSql.shingleSet(col("toks"), 2).as("ss"),
+      GraftSql.shingleHashSet(col("toks"), 2).as("shs"),
+      GraftSql.shingleMinHash(col("toks"), 2, (0 until 4).map(j => s"$j|")).as("mh"),
+      GraftSql.sortedIntersectCount(
+        GraftSql.shingleHashSet(col("toks"), 2),
+        GraftSql.shingleHashSet(col("toks"), 2)).as("ic"),
+      GraftSql.charStats(col("txt")).as("cs"),
+      GraftSql.floatDot(col("vec"), col("vec")).as("fd"),
+      GraftSql.signBands(col("vec"), 8, 2, 4).as("sb"))
+
+  private val scalarCallsSql =
+    """SELECT
+      |  simhash64(toks) AS h64,
+      |  simhash16(toks) AS h16,
+      |  shingle_set(toks, 2) AS ss,
+      |  shingle_hash_set(toks, 2) AS shs,
+      |  shingle_minhash(toks, 2, 4) AS mh,
+      |  sorted_intersect_count(shingle_hash_set(toks, 2),
+      |                         shingle_hash_set(toks, 2)) AS ic,
+      |  char_stats(txt) AS cs,
+      |  float_dot(vec, vec) AS fd,
+      |  sign_bands(vec, 8, 2, 4) AS sb
+      |FROM fixture""".stripMargin
+
+  test("injector session answers SQL == Column API, all scalar functions") {
+    withExtensionsSession { s2 =>
+      s2.sql(fixtureSql).createOrReplaceTempView("fixture")
+      val viaSql = s2.sql(scalarCallsSql).collect().map(_.toString).toSeq
+      val viaCols = columnTwin(s2.sql(fixtureSql)).collect().map(_.toString).toSeq
+      assert(viaSql === viaCols)
+      assert(viaSql.head.nonEmpty)
+    }
+  }
+
+  test("pair_explode generator is SQL-callable and yields i<j pairs") {
+    withExtensionsSession { s2 =>
+      val rows = s2.sql("SELECT x, y FROM (SELECT pair_explode(array(1, 2, 3)))")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(rows === Seq((1, 2), (1, 3), (2, 3)))
+    }
+  }
+
+  test("shape parameters must be foldable int literals") {
+    withExtensionsSession { s2 =>
+      val err = intercept[Exception] {
+        s2.sql("SELECT shingle_set(array('a', 'b'), CAST(id AS INT)) FROM range(2)")
+          .collect()
+      }
+      assert(err.getMessage.contains("foldable"), err.getMessage)
+    }
+  }
+
+  test("ensureRegistered exposes the same surface on an existing session; idempotent") {
+    GraftSql.ensureRegistered(spark)
+    GraftSql.ensureRegistered(spark)
+    spark.sql(fixtureSql).createOrReplaceTempView("fixture")
+    val viaSql = spark.sql(scalarCallsSql).collect().map(_.toString).toSeq
+    val viaCols = columnTwin(spark.sql(fixtureSql)).collect().map(_.toString).toSeq
+    assert(viaSql === viaCols)
+  }
+
+  test("conf path: spark.sql.extensions resolves the injector in a fresh JVM") {
+    val java = sys.props("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.master=local[2]",
+      "-Dspark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions",
+      "-Xmx2g", "-cp", sys.props("java.class.path"), "graft.ExtensionsProbe")
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() === 0, out.takeRight(1500))
+    assert(out.contains("EXTENSIONS_OK"), out.takeRight(1500))
+  }
+}
+
+/** Forked-JVM probe for the conf-driven extensions path: builds a
+  * session purely from `spark.*` system properties (SparkConf loads
+  * them), so `spark.sql.extensions` is honored at context creation —
+  * then proves a native function resolves from SQL.
+  */
+object ExtensionsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().getOrCreate()
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(shingle_hash_set(array('a','b','c'), 2), " +
+        "shingle_hash_set(array('a','b','c'), 2)) AS n")
+      .collect().head.getInt(0)
+    // two distinct 2-shingles intersected with themselves
+    assert(n == 2, s"expected 2, got $n")
+    println("EXTENSIONS_OK")
+    spark.stop()
+  }
+}
