@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming pipelines over event streams.
   *
@@ -119,6 +120,46 @@ object EventStreams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** The same running stats on the Spark 4.x arbitrary-state API
+    * (`transformWithState`): a [[StatefulProcessor]] holding one typed
+    * [[ValueState]] per user. Functionally identical to
+    * [[runningUserStats]] — kept side by side because the APIs differ
+    * where it matters at scale: transformWithState gives TYPED state
+    * variables (value/list/map) that read/write incrementally against
+    * the store instead of round-tripping one opaque blob per key, plus
+    * per-state TTL and timers. ListState appends, for example, don't
+    * rewrite the whole list — the difference between O(1) and O(n)
+    * per event for long-history keys. Streaming runs REQUIRE the
+    * RocksDB state store provider ([[useRocksDbStateStore]]); the
+    * HDFS-backed default refuses transformWithState queries.
+    */
+  class RunningStatsProcessor extends StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var stats: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[UserStats]("stats",
+        Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserStats] = {
+      val prev = if (stats.exists()) stats.get() else UserStats(uid, 0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserStats(uid, n, total)
+      stats.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class AnomEvent(event_id: Long, ts_ns: Long, user_id: Long, value: Double)

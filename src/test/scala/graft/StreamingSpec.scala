@@ -117,6 +117,47 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows === batch)
   }
 
+  test("transformWithState running stats == flatMapGroupsWithState (RocksDB)") {
+    // the 4.x arbitrary-state API refuses the HDFS-backed default
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreams.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[EventStreams.UserEvent](spark)
+      val q = EventStreams.runningUserStatsTws(input.toDS())
+        .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+      try {
+        batchEvents.grouped(300).foreach { g =>
+          input.addData(g.map(e => EventStreams.UserEvent(e.user_id, e.value)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // the final state per user (the row with the max n) == batch fold
+      val finalRows = spark.table("t_tws")
+        .groupBy("user_id")
+        .agg(max("n").as("n"), expr("max_by(total, n)").as("total"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = batchEvents.groupBy(_.user_id).view.mapValues { evs =>
+        (evs.size.toLong, evs.map(_.value).sum)
+      }.toMap
+      assert(finalRows.keySet === batch.keySet)
+      finalRows.foreach { case (u, (n, tot)) =>
+        assert(n === batch(u)._1, s"user $u count")
+        // float accumulation order differs between fold sites
+        assert(math.abs(tot - batch(u)._2) < 1e-6, s"user $u total")
+      }
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("streaming trailing z-scores == the oracle-checked batch e_anomaly") {
     val anomEvents = Events.load(spark, sf)
       .select("event_id", "ts_ns", "user_id", "value")
