@@ -910,7 +910,38 @@ object TextAnalysis {
       |  round(CAST(mx AS DOUBLE) / tot, 6) AS top_char_share
       |FROM a ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- feature hashing
+  /** Hashing-trick token features (HashingTF): 256-bucket counts per
+    * document, bucket = first md5 byte of the token. The fixed-width,
+    * vocabulary-FREE featurization in front of linear/NB training —
+    * no vocab table to build, broadcast, or keep consistent across a
+    * corpus, so the op stays one scan + one (doc, bucket)-keyed
+    * aggregation at any corpus size (contrast t_tfidf's corpus-wide
+    * document-frequency join). Bucket collisions are the accepted
+    * trade of the technique; both engines derive the bucket from the
+    * same md5 hex prefix, so the outputs are bit-identical — Spark's
+    * `conv(hex, 16, 10)` and DuckDB's `'0x…'::INT` read the identical
+    * two hex chars.
+    */
+  def tHashTf(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word").cast("binary")), 1, 2), 16, 10)
+          .cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+
+  val tHashTfSql: String =
+    s"""SELECT doc_id,
+       |  CAST('0x' || substr(md5(word), 1, 2) AS INT) AS bucket,
+       |  COUNT(*) AS n
+       |FROM (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents)
+       |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_hashtf" -> (tHashTf _, tHashTfSql),
     "t_char_stats" -> (tCharStats _, tCharStatsSql),
     "t_pmi" -> (tPmi _, tPmiSql),
     "t_chunk" -> (tChunk _, tChunkSql),

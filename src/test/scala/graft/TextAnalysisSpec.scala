@@ -249,6 +249,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keySet === docs.filter(_._2.size >= 2).map(_._1).toSet)
   }
 
+  test("hashing-trick features match a driver-side md5-bucket recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].take(80)
+    val got = TextAnalysis.tHashTf(spark, sf)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(r => r._2 -> r._3).toMap
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      val tk = new java.util.StringTokenizer(text)
+      val words = Iterator.continually(tk).takeWhile(_.hasMoreTokens)
+        .map(_.nextToken()).toList
+      val expected = words
+        .map(w => md.digest(w.getBytes("UTF-8"))(0) & 0xff)
+        .groupBy(identity).map { case (b, ws) => b -> ws.size.toLong }
+      if (words.isEmpty) assert(!got.contains(id), s"doc $id should emit no buckets")
+      else assert(got(id) === expected, s"doc $id buckets")
+    }
+    // bucket domain is the full byte
+    val all = TextAnalysis.tHashTf(spark, sf)
+    assert(all.filter(col("bucket") < 0 || col("bucket") > 255).count() === 0)
+  }
+
   test("pii audit finds and redacts constructed emails and digit runs") {
     val rows = Seq(
       (1L, "contact me at alice.smith+spam@example.co.uk today"),
