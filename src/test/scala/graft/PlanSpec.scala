@@ -152,6 +152,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("hashtf: one explode, partial+final aggregate, pruned scan") {
+    val p = plan(graft.operators.TextAnalysis.tHashTf(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    // one tokenize+explode feeding the (doc,bucket) agg — the op's
+    // whole point is no vocab join, so any Join here is a regression
+    assert("Generate explode".r.findAllIn(finalSection).length === 1,
+      finalSection.take(1200))
+    assert("HashAggregate".r.findAllIn(finalSection).length >= 2,
+      "map-side combine lost:\n" + finalSection.take(1200))
+    assert(!p.contains("Join"), "hashtf must not join:\n" + finalSection.take(800))
+    assert(!p.contains("lang") && !p.contains("source"),
+      "column pruning lost: unused document columns read")
+  }
+
+  test("editdist: no cartesian; bodies fetched by id after blocking") {
+    val p = plan(graft.operators.Dedup.dEditDist(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "editdist degenerated to an unblocked pairing:\n" + finalSection.take(1200))
+    // the DP prices only surviving pairs: levenshtein must sit above
+    // the text-fetch joins, never inside the blocking exchange
+    assert(finalSection.contains("levenshtein"), finalSection.take(1200))
+  }
+
   test("scalar subquery threshold is pushed into the parquet scan") {
     val p = Relational.qScalarSubquery(spark, sf)
       .queryExecution.executedPlan.toString
