@@ -509,6 +509,45 @@ object Relational {
       |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------- skew diagnostics
+  /** Per-key skew diagnostics over the fact table's join key — the
+    * measurement you run BEFORE choosing a skew mitigation (plain join
+    * vs hot-key salting vs AQE skew split): distinct-key count, max and
+    * quantile per-key row counts, max/avg ratio, and the top-1 key's
+    * row share. The probe is itself skew-proof by construction: the
+    * per-key counts combine map-side (partial aggregation), so the hot
+    * key this query exists to find cannot hot-spot the query — each
+    * task contributes one partial count per key it saw. The second
+    * aggregation is global over ONE ROW PER DISTINCT KEY, bounded by
+    * key cardinality, not corpus size; at extreme key cardinality
+    * swap the exact percentile for approx_percentile and this stays a
+    * two-stage tree aggregation.
+    */
+  def qSkewStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("total"),
+        max("cnt").as("max_cnt"),
+        round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+      .select(col("n_keys"), col("total"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("total"), 6)
+          .as("skew_ratio"),
+        round(col("max_cnt").cast("double") / col("total"), 6).as("top1_share"))
+
+  val qSkewStatsSql: String =
+    """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+      |SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total,
+      |  MAX(cnt) AS max_cnt,
+      |  round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+      |  round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+      |  round(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6) AS skew_ratio,
+      |  round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------- statistical aggs
   /** Variance and correlation — computed from EXACT decimal sums with
     * one double evaluation at the end, not via the native stddev/corr
@@ -913,6 +952,7 @@ object Relational {
     "q_grouping_sets"  -> (qGroupingSets _, qGroupingSetsSql),
     "q_percentile"     -> (qPercentile _, qPercentileSql),
     "q_stats"          -> (qStats _, qStatsSql),
+    "q_skew_stats"     -> (qSkewStats _, qSkewStatsSql),
     "q_pivot"          -> (qPivot _, qPivotSql),
     "q_unpivot"        -> (qUnpivot _, qUnpivotSql),
     "q_scalar_subquery" -> (qScalarSubquery _, qScalarSubquerySql),

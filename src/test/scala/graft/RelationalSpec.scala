@@ -116,6 +116,25 @@ class RelationalSpec extends SparkSpec {
     assert(hot > 0 && cold > 0)
   }
 
+  test("skew stats agree with direct recounts of the key distribution") {
+    val row = Relational.qSkewStats(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    val (nKeys, total, maxCnt, p50, p99, skewRatio, top1) = row
+    val li = Tables.lineitem(spark, sf)
+    assert(total === li.count())
+    assert(nKeys === li.select("l_suppkey").distinct().count())
+    val trueMax = li.groupBy("l_suppkey").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxCnt === trueMax)
+    // ratio/share recomputed from the already-verified integers
+    assert(math.abs(skewRatio - BigDecimal(maxCnt.toDouble * nKeys / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(top1 - BigDecimal(maxCnt.toDouble / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(skewRatio >= 1.0 && top1 > 0.0 && top1 <= 1.0)
+    assert(p50 <= p99 && p99 <= maxCnt.toDouble)
+  }
+
   test("sql interface result equals the DataFrame-API semi join shape") {
     val viaSql = Relational.qSqlInterface(spark, sf).as[(String, Long)].collect().toMap
     val viaApi = Tables.orders(spark, sf)
