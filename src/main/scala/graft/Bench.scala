@@ -55,10 +55,21 @@ object Bench {
       // query is pre-run, every query starts from identically-warm
       // tables. toRdd (not count()) forces all column pages — count()
       // over parquet reads only metadata.
+      // events.parquet carries TIMESTAMP(NANOS) — readable only with
+      // nanosAsLong, exactly how Events.load reads it; set it before
+      // the loop. And warm each file under its OWN try: one unreadable
+      // file must not silently leave every alphabetically-later table
+      // cold (the round-4 shape did exactly that — events aborted the
+      // loop and lineitem..supplier stayed unwarmed).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .foreach(f => spark.read.parquet(f.getAbsolutePath)
-          .queryExecution.toRdd.foreach(_ => ()))
+        .foreach { f =>
+          try spark.read.parquet(f.getAbsolutePath)
+            .queryExecution.toRdd.foreach(_ => ())
+          catch { case e: Throwable => System.err.println(
+            s"[bench] warmup scan failed for ${f.getName}: ${e.getMessage}") }
+        }
     } catch { case e: Throwable =>
       // a silently-aborted warmup would put the JIT cost back on the
       // first sorted queries and taint every cross-round comparison —
@@ -68,7 +79,8 @@ object Bench {
     }
     // fixed (sorted) execution order: stable warmup attribution and
     // directly comparable per-query numbers across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runPass(): Seq[(String, Double, Boolean)] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // full plan evaluation, NOT count(): under count() Catalyst prunes
       // projections and drops sorts, so map-only queries would time the
@@ -83,6 +95,32 @@ object Bench {
       // aren't measured against another query's resident blocks
       graft.operators.Materialize.releaseAll(spark)
       (name, elapsed, ok)
+    }
+    // Per-query MINIMUM over ≥2 full passes. A single pass is hostage to
+    // host stalls: the round-4 driver run hit a multi-minute tenant
+    // stall that inflated one CONTIGUOUS stretch of the sorted order
+    // (q_window_range_frame printed 794 s against a 1.9-s-scale warm
+    // median; adjacent hand runs gave 674 s vs 578 s totals with
+    // opposite outlier sets). A minimum never under-reports real work —
+    // every reported number is a complete measured execution — it only
+    // discards pass-local scheduling noise. A third pass runs when the
+    // first two disagree by >25 % (a stall plausibly covered one of
+    // them) and the wall budget allows it.
+    val benchStart = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2400").toDouble
+    def elapsedSec = (System.nanoTime() - benchStart) / 1e9
+    val p1 = runPass()
+    val p2 = runPass()
+    val t1 = p1.map(_._2).sum
+    val t2 = p2.map(_._2).sum
+    val disagree = math.max(t1, t2) > 1.25 * math.min(t1, t2)
+    val passes =
+      if (disagree && elapsedSec < budgetSec) Seq(p1, p2, runPass())
+      else Seq(p1, p2)
+    System.err.println(f"[bench] pass totals: ${passes.map(p => f"${p.map(_._2).sum}%.1f").mkString(", ")} s (min-of-${passes.length} reported)")
+    val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
+      val runs = passes.map(_(i))
+      (name, runs.map(_._2).min, runs.forall(_._3))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

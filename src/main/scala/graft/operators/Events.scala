@@ -691,9 +691,15 @@ object Events {
       .groupBy("user_id", "island")
       .agg(min(col("event_type")).as("event_type"), min(col("us")).as("start_us"),
         max(col("us")).as("end_us"), count(lit(1)).as("n"))
+      // island id as tiebreak: two adjacent islands can share a
+      // truncated-µs start (same-µs events of different types), so
+      // (user_id, start_us) alone is not a total order. The island id
+      // is deterministic (derived from the (us, event_id) sort) and
+      // strictly increasing per user; sort on it BEFORE projecting it
+      // away — a narrow Project above the Sort preserves row order.
+      .orderBy("user_id", "start_us", "island")
       .select(col("user_id"), col("event_type"), col("start_us"),
         col("end_us"), col("n"))
-      .orderBy("user_id", "start_us")
   }
 
   val eScd2Sql: String =
@@ -710,7 +716,7 @@ object Events {
       |SELECT user_id, MIN(event_type) AS event_type, MIN(us) AS start_us,
       |  MAX(us) AS end_us, COUNT(*) AS n
       |FROM g GROUP BY user_id, island
-      |ORDER BY user_id, start_us""".stripMargin
+      |ORDER BY user_id, start_us, island""".stripMargin
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),

@@ -86,16 +86,25 @@ object GraftSql {
     */
   private def intArg(fn: String, pos: Int, es: Seq[Expression]): Int = {
     val e = es(pos)
-    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
-      e.eval().asInstanceOf[Int]
-    else throw new IllegalArgumentException(
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType) {
+      // eval once and reject a foldable NULL (e.g. CAST(NULL AS INT))
+      // here: null.asInstanceOf[Int] would silently unbox to 0 and
+      // plan a shape parameter of 0 instead of failing analysis
+      val v = e.eval()
+      if (v == null) throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a non-NULL INT literal, got ${e.sql}")
+      v.asInstanceOf[Int]
+    } else throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be a foldable INT literal, got ${e.sql}")
   }
 
   /** (name, implementing class, builder) for every native expression.
-    * shingle_minhash(toks, n, k) uses the library's salt convention
-    * ("0|", "1|", …) so SQL callers get bit-identical signatures to the
-    * Scala operators.
+    * shingle_minhash(toks, n, k) uses the LSH signature salt convention
+    * ("0|", "1|", …) — bit-identical to dMinhashLsh and the bench. The
+    * one exception: the k=1 Jaccard BLOCKING key (sizedShinglePairs)
+    * salts with "" rather than "0|", so SQL callers cannot reproduce
+    * that key through this function; use shingle_hash_set + a manual
+    * min over the hashes if blocking-key parity is needed.
     */
   private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("float_dot", classOf[FloatDotProduct].getName,

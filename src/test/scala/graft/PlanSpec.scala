@@ -162,8 +162,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(finalSection).length >= 2,
       "map-side combine lost:\n" + finalSection.take(1200))
     assert(!p.contains("Join"), "hashtf must not join:\n" + finalSection.take(800))
-    assert(!p.contains("lang") && !p.contains("source"),
-      "column pruning lost: unused document columns read")
+    // match the scan's ReadSchema section specifically, not the whole
+    // plan string — a node label elsewhere containing "lang"/"source"
+    // must not trip a pruning assertion
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(readSchemas.nonEmpty, "no ReadSchema in plan:\n" + p.take(800))
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("lang") && !rs.contains("source"),
+        s"column pruning lost: unused document columns read: $rs")
+    }
   }
 
   test("editdist: no cartesian; bodies fetched by id after blocking") {
