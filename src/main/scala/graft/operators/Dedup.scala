@@ -291,6 +291,53 @@ object Dedup {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // ------------------------------------- Bloom-prefiltered incremental
+  /** Exact incremental dedup with a Bloom pre-filter: batch docs whose
+    * text already exists in the reference corpus, found WITHOUT
+    * shuffling the whole batch into the semi-join. A one-row Bloom
+    * sketch of the reference digests is built by Spark's own
+    * runtime-filter aggregate (`BloomFilterAggregate`, planted as a
+    * scalar subquery exactly like `InjectRuntimeFilter` does), probed
+    * map-side on the batch, and only the survivors (true hits + the
+    * sketch's false-positive rate) reach the exact-verify semi-join.
+    *
+    * Why this matters at 100 TB: the reference corpus is huge but its
+    * SKETCH is bounded (numBits caps the size independent of corpus
+    * cardinality, trading fpp) — so the daily-batch dedup reads the new
+    * data once, drops the overwhelming non-duplicate majority at the
+    * scan, and shuffles only candidate digests. False positives are
+    * removed by the verify join, so results are exact — the oracle is
+    * the plain semi-join, sketch-free.
+    */
+  def dIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    val gs = org.apache.spark.sql.graft.GraftSql
+    val docs = Tables.documents(s, d)
+    // doc-head fingerprint (first 100 chars): the fixture corpus has no
+    // byte-exact full-text duplicates, but near-dup families share
+    // their opening — the head digest is the cheap exact key real
+    // crawl pipelines use before any similarity pass
+    val headFp = md5(substring(col("text"), 1, 100).cast("binary")).as("fp")
+    val ref = docs.filter(col("doc_id") % 2 === 0).select(headFp)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), headFp)
+    // 1M expected items / 8M bits ≈ 2% fpp at sf1; the sketch stays
+    // 1 MiB regardless of reference size — only fpp degrades with scale
+    val bloom = ref.agg(gs.bloomFilterAgg(
+      xxhash64(col("fp")), 1000000L, 8388608L).as("bf"))
+    batch
+      .filter(gs.bloomMightContain(bloom, xxhash64(col("fp"))))
+      .join(ref, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val dIncrementalBloomSql: String =
+    """SELECT b.doc_id FROM documents b
+      |WHERE b.doc_id % 2 = 1
+      |  AND substring(b.text, 1, 100) IN
+      |    (SELECT substring(r.text, 1, 100) FROM documents r WHERE r.doc_id % 2 = 0)
+      |ORDER BY b.doc_id""".stripMargin
+
   // ------------------------------------------------------------ SimHash
   /** 16-bit SimHash from token-multiset md5s: bit i is set iff the
     * majority of token hashes have the top bit of hex digit i set.
@@ -1039,6 +1086,7 @@ object Dedup {
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
     "d_incremental" -> (dIncremental _, dIncrementalSql),
+    "d_incremental_bloom" -> (dIncrementalBloom _, dIncrementalBloomSql),
     "d_simhash"     -> (dSimhash _, dSimhashSql),
     "d_simhash_pairs" -> (dSimhashPairs _, dSimhashPairsSql),
     "d_simhash64"   -> (dSimhash64 _, dSimhash64Sql),

@@ -59,6 +59,34 @@ object GraftSql {
   /** All unordered element pairs of an array (see graft.plans.PairExplode). */
   def pairExplode(m: Column): Column = column(PairExplode(expression(m)))
 
+  /** One-row BINARY Bloom sketch over a LONG key column — Spark's own
+    * runtime-filter aggregate (`BloomFilterAggregate`). Feed it
+    * `xxhash64(key)`: the sketch stores the 64-bit hash, and the probe
+    * side ([[bloomMightContain]]) must hash identically.
+    */
+  def bloomFilterAgg(keyHash: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(keyHash),
+        Literal(estimatedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Probe a Bloom sketch built by [[bloomFilterAgg]]. `BloomFilterMightContain`
+    * requires its sketch argument to be foldable or a scalar subquery —
+    * the one-row aggregated frame is wrapped as a programmatic
+    * ScalarSubquery, exactly how Spark's InjectRuntimeFilter plants
+    * runtime filters. The subquery executes once (its own tiny job) and
+    * the deserialized sketch is then probed per row with no join in the
+    * main plan.
+    */
+  def bloomMightContain(bloomDf: org.apache.spark.sql.DataFrame,
+      keyHash: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloomDf.queryExecution.analyzed),
+      expression(keyHash)))
+
   /** The RDD a localCheckpoint'ed frame scans (its LogicalRDD leaf) —
     * the thing that actually holds the persisted blocks. Needed because
     * Dataset.unpersist only uncaches CacheManager entries and is a

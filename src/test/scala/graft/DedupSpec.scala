@@ -208,6 +208,24 @@ class DedupSpec extends SparkSpec {
     assert(res.exists(_._3 == 1) && res.exists(_._4 == 1))
   }
 
+  test("bloom incremental: equals sketch-free semi-join; probe is in the plan") {
+    val got = Dedup.dIncrementalBloom(spark, sf).as[Long].collect()
+    // sketch-free reference: same head-digest semi-join without the probe
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(col("text"), 1, 100).as("h"))
+      .as[(Long, String)].collect()
+    val refHeads = docs.filter(_._1 % 2 == 0).map(_._2).toSet
+    val want = docs.filter(d => d._1 % 2 == 1 && refHeads(d._2)).map(_._1).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty, "fixture must exercise the bloom-hit path")
+    // the probe must be a pre-join filter: might_contain over a scalar
+    // subquery, present in the optimized plan below the semi-join
+    val plan = Dedup.dIncrementalBloom(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing:\n" + plan.take(1200))
+    assert(plan.contains("scalar-subquery"), "sketch not planted as scalar subquery:\n" + plan.take(1200))
+  }
+
   test("triangles: clique corners close, chain interiors don't") {
     // triangle {1,2,3} + chain 10-11-12 (a wedge that must NOT count)
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L))
