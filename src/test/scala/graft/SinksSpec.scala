@@ -29,4 +29,45 @@ class SinksSpec extends SparkSpec {
     val total = spark.read.parquet(out).count()
     assert(total === ev.count())
   }
+
+  test("shard sink: fixed-size shards hold exact rank ranges; manifest agrees") {
+    import spark.implicits._
+    import graft.sources.ShardSink
+    val out = Files.createTempDirectory("graft_shard").toFile.getAbsolutePath + "/docs"
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val n = docs.count()
+    val per = 128L
+    ShardSink.writeShards(docs, out, per, Seq("doc_id"))
+
+    // shard k must hold exactly ranks [k*per, (k+1)*per) of the doc_id order
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val expected = ids.grouped(per.toInt).toSeq
+    val back = spark.read.parquet(out)
+    assert(back.count() === n)
+    expected.zipWithIndex.foreach { case (want, k) =>
+      val got = back.filter(col("shard") === k)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq === want.toSeq, s"shard $k membership")
+    }
+    // one data file per shard: the pre-write repartition on shard id
+    // puts each shard in one task
+    val shardDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === expected.length)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"${d.getName} not a single file")
+    }
+    // manifest: row counts and key ranges per shard, readable on its own
+    val man = spark.read.parquet(s"$out/_manifest")
+      .select("shard", "rows", "first_key", "last_key")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(man.length === expected.length)
+    man.foreach { case (k, rows, first, last) =>
+      val want = expected(k.toInt)
+      assert(rows === want.length && first === want.head && last === want.last,
+        s"manifest shard $k")
+    }
+    // _manifest must be invisible to a plain read of the shard path
+    assert(!back.columns.contains("rows"))
+  }
 }
