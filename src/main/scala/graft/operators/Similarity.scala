@@ -618,8 +618,123 @@ object Similarity {
        |  ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
 
+  // ------------------------------------------- sparse TF-IDF cosine
+  /** Rare-feature blocking for sparse-vector candidates: a pair is
+    * scored only if it shares a word 3-gram with 2 ≤ df ≤ cap.
+    * Blocking feature (distinctive gram) ≠ scoring feature (word
+    * vector) is the standard record-linkage split. Per-gram pair
+    * fanout is ≤ cap², so candidate volume is linear in the number of
+    * rare-gram postings — and the long tail IS most of the gram
+    * space, which is why the blocking key shuffles (gram-keyed join),
+    * never broadcasts. Single words don't block here: the fixture's
+    * (and any small-vocab corpus') word dfs are all corpus-scale,
+    * carrying zero blocking power.
+    */
+  val SparseDfCap = 10
+  val SparseGramN = 3
+  /** Report pairs at/above this exact cosine. */
+  val SparseCosT = 0.90
+
+  /** Document similarity WITHOUT embeddings: exact TF-IDF cosine over
+    * the token space, candidates from rare-gram blocking. The weighted
+    * complement of `d_jaccard` (set overlap) and the sparse complement
+    * of `s_cosine_topk` (dense vectors) — the classic
+    * inverted-index-join shape real search engines use.
+    *
+    * Determinism across engines: weights are the exact `t_tfidf`
+    * formula rounded to 6 dp (ln parity holds at that precision);
+    * every SUM (norms, dot products) quantizes its terms to
+    * DECIMAL(28,9) first, so reduction order — any cluster, any
+    * partitioning — cannot change a bit. sqrt/÷ are IEEE
+    * correctly-rounded on identical inputs.
+    *
+    * Scale: tokenize runs once into the pinned tf table; tf and the
+    * weight table shuffle (id, word, value) triples only, never text.
+    * The candidate self-join is gram-keyed with df ≤ cap bounding
+    * per-key fanout; the dot-product join touches candidates' shared
+    * words only. Recall is bounded by the blocking contract (pairs
+    * sharing NO rare gram are not scored) — stated in the semantics,
+    * like `d_jaccard`'s min-shingle blocking.
+    */
+  def sSparseCosine(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = Materialize.pin(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // df is vocab-bounded (aggregated) → broadcast to keep tf unshuffled
+    val w = Materialize.pin(tf.join(broadcast(dfw), "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6)
+          .as("w")))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(round(col("w") * col("w"), 9).cast(DecimalType(28, 9)))
+        .cast("double")).as("nrm"))
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Text.shingles(
+          graft.functions.Text.tokens(col("text")), SparseGramN))).as("gram"))
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val post = grams.join(
+      gdf.filter(col("gdf").between(2, SparseDfCap)).select("gram"), "gram")
+    val cand = post.select(col("doc_id").as("a"), col("gram"))
+      .join(post.select(col("doc_id").as("b"), col("gram")), "gram")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val dot = cand
+      .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), "a")
+      .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")), Seq("b", "word"))
+      .groupBy("a", "b")
+      .agg(sum(round(col("wa") * col("wb"), 9).cast(DecimalType(28, 9)))
+        .cast("double").as("dp"))
+    dot
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("dp") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= SparseCosT)
+      .orderBy("a", "b")
+  }
+
+  val sSparseCosineSql: String = {
+    val toks = graft.functions.Text.ToksSql
+    s"""WITH toks AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dft AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |w AS (SELECT doc_id, word,
+       |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS w
+       |  FROM tf JOIN dft USING (word) CROSS JOIN n),
+       |norms AS (SELECT doc_id,
+       |    sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+       |  FROM w GROUP BY 1),
+       |t2 AS (SELECT doc_id, $toks AS toks FROM documents),
+       |gi AS (SELECT doc_id, toks,
+       |  unnest(range(1, len(toks) - ${SparseGramN - 2})) AS pos FROM t2),
+       |g AS (SELECT DISTINCT doc_id,
+       |  ${graft.functions.Text.gramConcatSql("toks", "pos", SparseGramN)} AS gram FROM gi),
+       |gdf AS (SELECT gram, COUNT(*) AS gdf FROM g GROUP BY 1),
+       |rare AS (SELECT gram FROM gdf WHERE gdf BETWEEN 2 AND $SparseDfCap),
+       |cand AS (SELECT DISTINCT ga.doc_id AS a, gb.doc_id AS b
+       |  FROM g ga JOIN rare USING (gram) JOIN g gb USING (gram)
+       |  WHERE ga.doc_id < gb.doc_id),
+       |dot AS (SELECT c.a, c.b,
+       |    CAST(SUM(CAST(round(wa.w * wb.w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dp
+       |  FROM cand c
+       |  JOIN w wa ON wa.doc_id = c.a
+       |  JOIN w wb ON wb.doc_id = c.b AND wb.word = wa.word
+       |  GROUP BY 1, 2)
+       |SELECT a, b, round(dp / (na.nrm * nb.nrm), 6) AS cos
+       |FROM dot JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+       |WHERE round(dp / (na.nrm * nb.nrm), 6) >= $SparseCosT
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_recall"      -> (sRecall _, sRecallSql),
+    "s_sparse_cosine" -> (sSparseCosine _, sSparseCosineSql),
     "s_centroids"   -> (sCentroids _, sCentroidsSql),
     "d_semdedup"    -> (dSemdedup _, dSemdedupSql),
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),

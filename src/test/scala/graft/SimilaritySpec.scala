@@ -169,6 +169,42 @@ class SimilaritySpec extends SparkSpec {
     assert(short === Seq("0000", "0000"))
   }
 
+  test("sparse cosine: pairs a<b above threshold; scores match a driver-side recompute") {
+    import spark.implicits._
+    val got = Similarity.sSparseCosine(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "fixture must yield sparse near-dup pairs")
+    got.foreach { case (a, b, c) =>
+      assert(a < b, s"pair order ($a,$b)")
+      assert(c >= Similarity.SparseCosT, s"below threshold: ($a,$b,$c)")
+    }
+    // recompute TF-IDF cosine for every reported pair from raw text
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val nDocs = docs.size
+    def tf(id: Long): Map[String, Long] =
+      docs(id).split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tfs = docs.keys.map(id => id -> tf(id)).toMap
+    val dfm = tfs.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    def weights(id: Long): Map[String, Double] = tfs(id).map { case (w, t) =>
+      w -> BigDecimal(t * (math.log((nDocs + 1.0) / (dfm(w) + 1.0)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def norm(ws: Map[String, Double]): Double =
+      math.sqrt(ws.values.toSeq.map(x => BigDecimal(x * x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    got.foreach { case (a, b, c) =>
+      val (wa, wb) = (weights(a), weights(b))
+      // .toSeq: keys is a Set — mapping a Set would DEDUP equal products
+      val dp = wa.keys.toSeq.filter(wb.contains).map(k => BigDecimal(wa(k) * wb(k))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val want = BigDecimal(dp / (norm(wa) * norm(wb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(want - c) < 1e-9, s"pair ($a,$b): got $c want $want")
+    }
+  }
+
   test("IVF searches fewer candidates than brute force") {
     // structural: every IVF result must also be a valid vector id and
     // self-matches are excluded
