@@ -188,6 +188,32 @@ object Curation {
       |       ELSE 'train' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- epoch shuffle
+  /** Deterministic epoch shuffle — the order a training run actually
+    * consumes. A seeded digest of the doc id is the permutation key:
+    * reproducible on any cluster at any partitioning (same digest
+    * idiom as [[sample]]/[[pSplit]]), a NEW permutation per epoch by
+    * changing the seed, and at scale the final ORDER BY is one range
+    * exchange over (16-byte key, id) pairs — document bodies are
+    * fetched per shard afterwards, or equivalently the key feeds
+    * [[graft.sources.ShardSink]] directly as the total order, which
+    * then writes the epoch's fixed-size shards. The full md5 key is
+    * collision-free for practical corpus sizes and emitted for
+    * auditability.
+    */
+  def pShuffle(s: SparkSession, d: String): DataFrame = {
+    val key = md5(concat(lit("epoch1|"), col("doc_id").cast("string"))
+      .cast("binary"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), key.as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+  }
+
+  val pShuffleSql: String =
+    """SELECT doc_id, source,
+      |  md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
   // ---------------------------------------------- decontamination
   /** Benchmark decontamination — the GPT-3/Gopher-style n-gram overlap
     * gate: a training document is CONTAMINATED if any of its distinct
@@ -475,6 +501,7 @@ object Curation {
     "p_mix" -> (pMix _, pMixSql),
     "p_pack" -> (pPack _, pPackSql),
     "p_sample" -> (sample _, sampleSql),
+    "p_shuffle" -> (pShuffle _, pShuffleSql),
     "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
     "p_sample_weighted" -> (pSampleWeighted _, pSampleWeightedSql),
     "p_split" -> (pSplit _, pSplitSql),

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("observe() telemetry arrives per microbatch; totals equal batch") {
+    // pins the Telemetry claim: the same observe call that feeds the
+    // batch quality gate surfaces per-microbatch via
+    // StreamingQueryProgress.observedMetrics — no listener subclass
+    // needed, progress objects carry them
+    val input = MemoryStream[Ev](spark)
+    val observed = input.toDF().observe("ev_gate",
+      count(lit(1)).as("n"),
+      sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("hot_values"))
+    val q = observed.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("tele_gate")
+      .outputMode("complete").start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / 3)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ev_gate")))
+      assert(perBatch.nonEmpty, "no observedMetrics in any progress")
+      val totalN = perBatch.map(_.getAs[Long]("n")).sum
+      val totalHot = perBatch.map(_.getAs[Long]("hot_values")).sum
+      assert(totalN === batchEvents.size.toLong)
+      assert(totalHot === batchEvents.count(_.value > 50.0).toLong)
+    } finally q.stop()
+  }
+
   test("tumbling window: streaming (3 chunks) == batch") {
     val streamed = runStream("t_tumb", 3, EventStreams.tumblingCounts)
       .as[(Timestamp, String, Long)].collect().toSet
