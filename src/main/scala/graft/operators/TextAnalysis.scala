@@ -940,6 +940,89 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents)
        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
 
+  // ------------------------------------------------------ BPE training
+  /** Number of merge rules to learn. Bounded like the PageRank
+    * superstep count — each merge is one pass over the VOCABULARY
+    * table, not the corpus.
+    */
+  val BpeMerges = 8
+
+  /** TRAIN a byte-pair-encoding tokenizer (the op `t_token_bpe` only
+    * APPLIES a fixed pattern): learn the first [[BpeMerges]] merge
+    * rules from the corpus, exactly the HF-tokenizers/GPT-2 word-level
+    * algorithm — count adjacent symbol pairs weighted by word
+    * frequency, merge the most frequent pair everywhere
+    * (left-to-right, non-overlapping), repeat.
+    *
+    * Scale structure (why this works at 100 TB): the CORPUS is
+    * touched exactly once, by the word-count aggregation; every merge
+    * superstep runs on the word-frequency table, which is
+    * VOCABULARY-bounded — independent of corpus size. Each superstep
+    * is explode-pairs → sum-by-pair → 1-row argmax (the only driver
+    * round-trip, like the CC convergence flag), then a per-word
+    * symbol-array rewrite expressed as an `aggregate` HOF fold (the
+    * greedy non-overlapping merge is sequential WITHIN a word — a
+    * per-row fold, embarrassingly parallel across words). Vocab
+    * frames are pinned per superstep so lineage stays flat.
+    *
+    * Deterministic: ties on pair count break lexicographically
+    * (left, then right). Not SQL-expressible (the greedy in-list
+    * rewrite needs a sequential fold per iteration) → no_oracle,
+    * rows-only driver check; `TextAnalysisSpec` verifies the learned
+    * rules against an independent driver-side reference trainer.
+    */
+  def tBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
+    // one corpus pass: word → total occurrences; then split to chars
+    var words = Materialize.pin(Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // filter the trailing "" that split-with-limit -1 emits
+      .select(filter(split(col("word"), ""), x => x =!= "").as("syms"), col("cnt")))
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val pairs = words
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val l: String = best(0).getString(0)
+        val r: String = best(0).getString(1)
+        val n: Long = best(0).getLong(2)
+        rules += ((step, l, r, n))
+        val merged = l + r
+        // greedy non-overlapping left-to-right merge: fold with a
+        // one-symbol lookbehind ("" = nothing pending; symbols are
+        // never empty, split("") yields single chars/merged tokens)
+        val apply = aggregate(
+          col("syms"),
+          struct(array().cast("array<string>").as("arr"), lit("").as("prev")),
+          (acc, x) => when(acc.getField("prev") === "", struct(acc.getField("arr").as("arr"), x.as("prev")))
+            .when(acc.getField("prev") === l && x === r,
+              struct(concat(acc.getField("arr"), array(lit(merged))).as("arr"), lit("").as("prev")))
+            .otherwise(struct(concat(acc.getField("arr"), array(acc.getField("prev"))).as("arr"), x.as("prev"))),
+          acc => when(acc.getField("prev") === "", acc.getField("arr"))
+            .otherwise(concat(acc.getField("arr"), array(acc.getField("prev")))))
+        val next = Materialize.pin(words.select(apply.as("syms"), col("cnt")))
+        words = next
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(rules.toSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)), 1),
+      schema).orderBy("step")
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_hashtf" -> (tHashTf _, tHashTfSql),
     "t_char_stats" -> (tCharStats _, tCharStatsSql),

@@ -10,6 +10,50 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bpe train: learned merges equal an independent reference trainer") {
+    import spark.implicits._
+    val got = TextAnalysis.tBpeTrain(spark, sf)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got.size === TextAnalysis.BpeMerges)
+
+    // reference trainer: plain Scala, no Spark — word-level BPE with
+    // frequency-weighted pair counts and (count desc, left, right)
+    // tie-break, greedy non-overlapping left-to-right application
+    val wordCounts = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var vocab: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to TextAnalysis.BpeMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pairCounts((p(0), p(1))) = pairCounts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (pairCounts.nonEmpty) {
+        val ((l, r), n) = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        want += ((step, l, r, n))
+        def applyMerge(syms: Vector[String]): Vector[String] = {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }
+        vocab = vocab.toSeq.map { case (s2, c) => applyMerge(s2) -> c }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    assert(got === want.toSeq)
+  }
+
   test("token counts: tf sums to the corpus token count, df <= n_docs") {
     val tc = TextAnalysis.tTokenCounts(spark, sf)
     val totalTf = tc.agg(sum("tf")).as[Long].head()
