@@ -683,29 +683,22 @@ object Similarity {
       .join(post.select(col("doc_id").as("b"), col("gram")), "gram")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // dot product via per-doc weight MAPS: joining candidates to the
-    // (doc,word,w) table explodes each pair into its shared words —
-    // ~30× the pair count through two shuffles and a re-aggregation.
-    // One map per doc instead: two narrow joins on the pair ids, one
-    // fold over the smaller map per pair, no explode, no regroup. The
-    // fold accumulates the SAME round(wa*wb,9)-quantized decimal terms
-    // the join-aggregate summed, so the result is bit-identical.
-    val wmap = w.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("word"), col("w")))).as("wm"))
-    // accumulator stays DECIMAL(28,9): (28,9)+(28,9) → (29,9) keeps
-    // scale 9 (a 38-precision accumulator would widen to scale 8 and
-    // round the 9th digit); the re-cast to (28,9) is exact at these
-    // magnitudes, so the fold sums the identical terms the
-    // join-aggregate form summed
-    val zero = lit(0).cast(DecimalType(28, 9))
+    // dot product as an exploded join-aggregate: each candidate pair
+    // expands into its shared words (~30× the pair count) through two
+    // hash joins and a regroup — MORE rows than a per-doc-map fold,
+    // but every operator here is whole-stage-codegen'd. The map-fold
+    // alternative (two narrow joins + one `aggregate` HOF per pair)
+    // was A/B'd and REJECTED: HOFs evaluate interpreted, and in a
+    // long-lived session the fold's ~13M interpreted steps run at
+    // JIT-profile-polluted dispatch speed — 3.1 s isolated but
+    // 7–17 s with ANY prior queries in the session (measured; see
+    // docs/PLANS.md round-5). Stability under the multi-pass bench
+    // beats the isolated win; this is the codegen-friendly shape.
     val dot = cand
-      .join(wmap.select(col("doc_id").as("a"), col("wm").as("ma")), "a")
-      .join(wmap.select(col("doc_id").as("b"), col("wm").as("mb")), "b")
-      .select(col("a"), col("b"), aggregate(
-        map_entries(col("ma")), zero,
-        (acc, e) => (acc + coalesce(
-          round(e.getField("value") * element_at(col("mb"), e.getField("key")), 9)
-            .cast(DecimalType(28, 9)), zero)).cast(DecimalType(28, 9)))
+      .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), "a")
+      .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")), Seq("b", "word"))
+      .groupBy("a", "b")
+      .agg(sum(round(col("wa") * col("wb"), 9).cast(DecimalType(28, 9)))
         .cast("double").as("dp"))
     dot
       .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")

@@ -30,6 +30,45 @@ class SinksSpec extends SparkSpec {
     assert(total === ev.count())
   }
 
+  test("dynamic partition overwrite: backfill replaces only its partitions") {
+    // the idempotent-backfill contract at 100 TB: re-running one day's
+    // job must replace THAT day's partitions and leave every other
+    // partition untouched — static overwrite mode would truncate the
+    // whole table first
+    val out = Files.createTempDirectory("graft_dynpart").toFile.getAbsolutePath + "/ev"
+    val ev = Events.load(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    // materialize every before-state number NOW — the frame is lazy
+    // and would re-list the rewritten files after the backfill
+    val before = spark.read.parquet(out)
+    val clicksBefore = before.filter(col("event_type") === "click").count()
+    val othersBefore = before.filter(col("event_type") =!= "click").count()
+    val sumBefore = before.filter(col("event_type") === "click")
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+
+    val old = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // "backfill" the click partition with a corrected (halved) value
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") / 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    val after = spark.read.parquet(out)
+    assert(after.filter(col("event_type") === "click").count() === clicksBefore)
+    assert(after.filter(col("event_type") =!= "click").count() === othersBefore,
+      "non-click partitions must survive the backfill untouched")
+    // the backfilled partition really carries the new values
+    val sumAfter = after.filter(col("event_type") === "click")
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(sumAfter - sumBefore / 2) < 1e-6)
+  }
+
   test("shard sink: fixed-size shards hold exact rank ranges; manifest agrees") {
     import spark.implicits._
     import graft.sources.ShardSink
