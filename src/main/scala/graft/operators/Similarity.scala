@@ -683,23 +683,22 @@ object Similarity {
       .join(post.select(col("doc_id").as("b"), col("gram")), "gram")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // dot product as an exploded join-aggregate: each candidate pair
-    // expands into its shared words (~30× the pair count) through two
-    // hash joins and a regroup — MORE rows than a per-doc-map fold,
-    // but every operator here is whole-stage-codegen'd. The map-fold
-    // alternative (two narrow joins + one `aggregate` HOF per pair)
-    // was A/B'd and REJECTED: HOFs evaluate interpreted, and in a
-    // long-lived session the fold's ~13M interpreted steps run at
-    // JIT-profile-polluted dispatch speed — 3.1 s isolated but
-    // 7–17 s with ANY prior queries in the session (measured; see
-    // docs/PLANS.md round-5). Stability under the multi-pass bench
-    // beats the isolated win; this is the codegen-friendly shape.
+    // pair scoring: one codegen'd merge-walk per candidate over the two
+    // docs' SORTED weight vectors (graft.plans.SparseDotProduct) —
+    // decimal-exact twin of SUM(CAST(round(wa*wb,9) AS DECIMAL(28,9)))
+    // over the exploded shared-word join, without pushing
+    // |pairs|·|shared words| (~13M at sf0.1) rows through two hash
+    // joins and a regroup. An `aggregate`-HOF fold was also A/B'd and
+    // rejected — interpreted lambdas run 3–5× slower once unrelated
+    // queries pollute the evaluator's dispatch profile (PLANS.md
+    // round-5); a native Expression with doGenCode is immune.
+    val gs = org.apache.spark.sql.graft.GraftSql
+    val wlist = w.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("wv"))
     val dot = cand
-      .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), "a")
-      .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")), Seq("b", "word"))
-      .groupBy("a", "b")
-      .agg(sum(round(col("wa") * col("wb"), 9).cast(DecimalType(28, 9)))
-        .cast("double").as("dp"))
+      .join(wlist.select(col("doc_id").as("a"), col("wv").as("va")), "a")
+      .join(wlist.select(col("doc_id").as("b"), col("wv").as("vb")), "b")
+      .select(col("a"), col("b"), gs.sparseDot(col("va"), col("vb")).as("dp"))
     dot
       .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")), "a")
       .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")), "b")

@@ -155,3 +155,85 @@ object SignBands {
     new GenericArrayData(out)
   }
 }
+
+/** Native sparse dot product over two SORTED weight vectors
+  * (array<struct<word: string, w: double>>, sorted ascending by word —
+  * the `sort_array(collect_list(struct(word, w)))` shape): a merge-walk
+  * over the two arrays multiplies weights of shared words, quantizing
+  * every term to scale 9 (HALF_UP via `BigDecimal.valueOf`, matching
+  * `round(wa*wb, 9)` on doubles exactly) and summing in an exact
+  * BigDecimal accumulator — bit-identical to
+  * `SUM(CAST(round(wa*wb, 9) AS DECIMAL(28,9)))::DOUBLE` over the
+  * exploded shared-word join, for ANY evaluation order, because the
+  * terms are identical decimals and decimal addition is exact.
+  *
+  * Why it exists (SURVEY.md §4 bar — a measured gap): the exploded
+  * join-aggregate pushes |pairs|·|shared words| rows (~30×) through two
+  * hash joins and a re-aggregation; this expression makes the pair
+  * scoring one codegen'd O(|a|+|b|) call per candidate row — no
+  * explode, no second exchange, no regroup, and no interpreted-HOF
+  * evaluator in the hot path (an `aggregate` lambda fold was measured
+  * 3–5× slower after unrelated queries polluted its dispatch profile;
+  * docs/PLANS.md round-5).
+  *
+  * Word comparison is UTF8String binary order — the same ordering
+  * `sort_array` applies to the struct's leading string field, so the
+  * merge-walk's sortedness precondition is exactly what the producer
+  * guarantees.
+  */
+case class SparseDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _) =>
+      fields.length == 2 && fields(0).dataType == StringType &&
+        fields(1).dataType == DoubleType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot expects two array<struct<string,double>> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "sparse_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SparseDotProduct.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.plans.SparseDotProduct.compute($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SparseDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object SparseDotProduct {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2)
+      val rb = b.getStruct(j, 2)
+      val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (cmp == 0) {
+        // exactly round(wa*wb, 9) on doubles: BigDecimal.valueOf goes
+        // through Double.toString like Spark's Round, then HALF_UP
+        acc = acc.add(java.math.BigDecimal
+          .valueOf(ra.getDouble(1) * rb.getDouble(1))
+          .setScale(9, java.math.RoundingMode.HALF_UP))
+        i += 1; j += 1
+      } else if (cmp < 0) i += 1
+      else j += 1
+    }
+    acc.doubleValue()
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 
 import graft.plans.{CharStats, FloatDotProduct, PairExplode, ShingleHashSet,
   ShingleMinHash, ShingleSet, SignBands, SimHash16Expr, SimHash64Expr,
-  SortedIntersectCount}
+  SortedIntersectCount, SparseDotProduct}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -58,6 +58,12 @@ object GraftSql {
 
   /** All unordered element pairs of an array (see graft.plans.PairExplode). */
   def pairExplode(m: Column): Column = column(PairExplode(expression(m)))
+
+  /** Decimal-exact sparse dot product over two sorted
+    * array<struct<word,w>> weight vectors (see graft.plans.SparseDotProduct).
+    */
+  def sparseDot(a: Column, b: Column): Column =
+    column(SparseDotProduct(expression(a), expression(b)))
 
   /** One-row BINARY Bloom sketch over a LONG key column — Spark's own
     * runtime-filter aggregate (`BloomFilterAggregate`). Feed it
@@ -163,6 +169,8 @@ object GraftSql {
       es => { arity("char_stats", 1, es); CharStats(es(0)) }),
     ("pair_explode", classOf[PairExplode].getName,
       es => { arity("pair_explode", 1, es); PairExplode(es(0)) }),
+    ("sparse_dot", classOf[SparseDotProduct].getName,
+      es => { arity("sparse_dot", 2, es); SparseDotProduct(es(0), es(1)) }),
   )
 
   /** The injectFunction-shaped descriptions for [[GraftExtensions]]. */

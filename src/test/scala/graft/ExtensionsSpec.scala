@@ -48,7 +48,10 @@ class ExtensionsSpec extends SparkSpec {
     """SELECT array('the', 'fast', 'key', 'the', 'fast') AS toks,
       |  'Hello, World 42!' AS txt,
       |  array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT),
-      |        CAST(2.0 AS FLOAT), CAST(0.25 AS FLOAT)) AS vec""".stripMargin
+      |        CAST(2.0 AS FLOAT), CAST(0.25 AS FLOAT)) AS vec,
+      |  array(struct('alpha' AS word, CAST(1.5 AS DOUBLE) AS w),
+      |        struct('beta' AS word, CAST(-2.25 AS DOUBLE) AS w),
+      |        struct('gamma' AS word, CAST(0.125 AS DOUBLE) AS w)) AS sv""".stripMargin
 
   private def columnTwin(base: DataFrame): DataFrame =
     base.select(
@@ -62,7 +65,8 @@ class ExtensionsSpec extends SparkSpec {
         GraftSql.shingleHashSet(col("toks"), 2)).as("ic"),
       GraftSql.charStats(col("txt")).as("cs"),
       GraftSql.floatDot(col("vec"), col("vec")).as("fd"),
-      GraftSql.signBands(col("vec"), 8, 2, 4).as("sb"))
+      GraftSql.signBands(col("vec"), 8, 2, 4).as("sb"),
+      GraftSql.sparseDot(col("sv"), col("sv")).as("sd"))
 
   private val scalarCallsSql =
     """SELECT
@@ -75,7 +79,8 @@ class ExtensionsSpec extends SparkSpec {
       |                         shingle_hash_set(toks, 2)) AS ic,
       |  char_stats(txt) AS cs,
       |  float_dot(vec, vec) AS fd,
-      |  sign_bands(vec, 8, 2, 4) AS sb
+      |  sign_bands(vec, 8, 2, 4) AS sb,
+      |  sparse_dot(sv, sv) AS sd
       |FROM fixture""".stripMargin
 
   test("injector session answers SQL == Column API, all scalar functions") {

@@ -67,6 +67,52 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("sparse_dot == exploded decimal join-aggregate, bit-exact, on fixture docs") {
+    import org.apache.spark.sql.graft.GraftSql
+    import org.apache.spark.sql.types.DecimalType
+    // per-doc TF weight vectors from the fixture (plain tf as weight —
+    // the expression doesn't care how weights were derived)
+    val w = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).cast("double").as("w"))
+    val wlist = w.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("word"), col("w")))).as("wv"))
+    // a deterministic band of pairs, including disjoint-vocab ones
+    val pairs = wlist.select(col("doc_id").as("a"), col("wv").as("va"))
+      .join(wlist.select(col("doc_id").as("b"), col("wv").as("vb")),
+        col("a") + 1 === col("b") || col("a") + 137 === col("b"))
+    val native = pairs
+      .select(col("a"), col("b"), GraftSql.sparseDot(col("va"), col("vb")).as("dp"))
+    val reference = pairs.select(col("a"), col("b"))
+      .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), "a")
+      .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")), Seq("b", "word"))
+      .groupBy("a", "b")
+      .agg(sum(round(col("wa") * col("wb"), 9).cast(DecimalType(28, 9)))
+        .cast("double").as("ref"))
+    val joined = native.join(reference, Seq("a", "b"), "left")
+      .select(col("dp"), coalesce(col("ref"), lit(0.0)).as("ref"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("dp") =!= col("ref")).count() === 0,
+      "native sparse_dot diverged from the decimal join-aggregate")
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(native.filter(col("dp").isNull).count() === 0)
+      val interp = native.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withSQLConf("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+        val cg = native.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(interp === cg)
+      }
+    }
+    // edge cases: empty side via the SQL registration path → exact zero
+    GraftSql.ensureRegistered(spark)
+    val empty = spark.sql(
+      """SELECT sparse_dot(
+        |  CAST(array() AS array<struct<word string, w double>>),
+        |  array(struct('x' AS word, CAST(2.0 AS DOUBLE) AS w))) AS d""".stripMargin)
+    assert(empty.collect()(0).getDouble(0) === 0.0)
+  }
+
   test("native ShingleMinHash == HOF minhash signature, exactly") {
     import graft.functions.Text
     val salts = (0 until 12).map(j => s"$j|")
