@@ -188,6 +188,78 @@ object Curation {
       |       ELSE 'train' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- contrastive triplets
+  /** Contrastive training triplets (anchor, positive, negative) — the
+    * dataset shape behind embedding/contrastive objectives. Anchors
+    * are docs with at least one verified MinHash-LSH near-dup; the
+    * positive is the smallest such partner (deterministic). The
+    * negative is the smallest-salted-digest OTHER doc in the anchor's
+    * 256-way digest bucket — a deterministic stand-in for "random
+    * negative" that is reproducible on any cluster and SQL-expressible,
+    * computed with per-BUCKET windows (parallel, bounded — NOT a
+    * global digest sort, which would funnel the corpus through one
+    * task). A bucket-mate that happens to be a near-dup of the anchor
+    * is dropped (stated contract: in-batch negatives are filtered
+    * against the near-dup graph, exactly what real contrastive
+    * pipelines do to avoid false negatives).
+    *
+    * Scale: the pair graph comes from the verified LSH chain (keys
+    * and signatures shuffle, bodies don't); the negative pick is one
+    * 256-partition window over (bucket, digest, id) triples; the
+    * final assembly joins on ids only.
+    */
+  def pTriplets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.operators.Dedup.dMinhashLsh(s, d).select("a", "b")
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val pos = sym.groupBy(col("a").as("anchor")).agg(min(col("b")).as("positive"))
+    val ranked = Tables.documents(s, d).select(col("doc_id"),
+      md5(concat(lit("neg|"), col("doc_id").cast("string")).cast("binary")).as("nk"))
+      .withColumn("bucket", substring(col("nk"), 1, 2))
+    val w = Window.partitionBy("bucket").orderBy("nk", "doc_id")
+    val first2 = ranked
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy("bucket")
+      .agg(min(when(col("rnk") === 1, col("doc_id"))).as("n1"),
+        min(when(col("rnk") === 2, col("doc_id"))).as("n2"))
+    val negs = ranked.join(first2, "bucket")
+      .select(col("doc_id").as("anchor"),
+        when(col("n1") =!= col("doc_id"), col("n1")).otherwise(col("n2")).as("negative"))
+      .filter(col("negative").isNotNull)
+    pos.join(negs, "anchor")
+      // a negative that is itself a near-dup of the anchor is a false
+      // negative — drop it via the symmetric pair graph
+      .join(sym.select(col("a").as("anchor"), col("b").as("negative")),
+        Seq("anchor", "negative"), "left_anti")
+      .select(col("anchor"), col("positive"), col("negative"))
+      .orderBy("anchor")
+  }
+
+  lazy val pTripletsSql: String =
+    s"""WITH p AS (${graft.operators.Dedup.dMinhashLshSql}),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       |pos AS (SELECT a AS anchor, MIN(b) AS positive FROM sym GROUP BY 1),
+       |ranked AS (SELECT doc_id, md5('neg|' || CAST(doc_id AS VARCHAR)) AS nk,
+       |  substr(md5('neg|' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+       |  FROM documents),
+       |rr AS (SELECT doc_id, bucket,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY nk, doc_id) AS rnk
+       |  FROM ranked),
+       |first2 AS (SELECT bucket,
+       |  MIN(CASE WHEN rnk = 1 THEN doc_id END) AS n1,
+       |  MIN(CASE WHEN rnk = 2 THEN doc_id END) AS n2
+       |  FROM rr WHERE rnk <= 2 GROUP BY 1),
+       |negs AS (SELECT r.doc_id AS anchor,
+       |  CASE WHEN f.n1 <> r.doc_id THEN f.n1 ELSE f.n2 END AS negative
+       |  FROM ranked r JOIN first2 f USING (bucket)
+       |  WHERE (CASE WHEN f.n1 <> r.doc_id THEN f.n1 ELSE f.n2 END) IS NOT NULL)
+       |SELECT anchor, positive, negative
+       |FROM pos JOIN negs USING (anchor)
+       |WHERE NOT EXISTS (SELECT 1 FROM sym s
+       |  WHERE s.a = anchor AND s.b = negative)
+       |ORDER BY anchor""".stripMargin
+
   // ---------------------------------------------- epoch shuffle
   /** Deterministic epoch shuffle — the order a training run actually
     * consumes. A seeded digest of the doc id is the permutation key:
@@ -502,6 +574,7 @@ object Curation {
     "p_pack" -> (pPack _, pPackSql),
     "p_sample" -> (sample _, sampleSql),
     "p_shuffle" -> (pShuffle _, pShuffleSql),
+    "p_triplets" -> (pTriplets _, pTripletsSql),
     "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
     "p_sample_weighted" -> (pSampleWeighted _, pSampleWeightedSql),
     "p_split" -> (pSplit _, pSplitSql),

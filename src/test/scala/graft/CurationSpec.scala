@@ -14,6 +14,28 @@ class CurationSpec extends SparkSpec {
     .select(size(graft.functions.Text.tokens(col("text"))).cast("long").as("n"))
     .agg(sum("n")).as[Long].head()
 
+  test("triplets: anchors have LSH partners, positive is the min partner, negative is clean") {
+    import spark.implicits._
+    val trips = Curation.pTriplets(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(trips.nonEmpty)
+    val pairs = graft.operators.Dedup.dMinhashLsh(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect()
+    val partners = (pairs ++ pairs.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    trips.foreach { case (anchor, positive, negative) =>
+      assert(partners.contains(anchor), s"anchor $anchor has no near-dup partner")
+      assert(positive === partners(anchor).min, s"positive of $anchor not the min partner")
+      assert(!partners(anchor).contains(negative),
+        s"negative $negative of $anchor is a near-dup (false negative)")
+      assert(negative != anchor)
+      assert(positive != anchor)
+    }
+    // negatives are deterministic: a second run yields the identical set
+    val again = Curation.pTriplets(spark, sf).as[(Long, Long, Long)].collect()
+    assert(trips.toSeq === again.toSeq)
+  }
+
   test("pack: conserves every token, fills every sequence but the last") {
     val packed = Curation.pPack(spark, sf)
       .select("seq_id", "n_docs", "n_tokens").as[(Int, Int, Int)].collect()
