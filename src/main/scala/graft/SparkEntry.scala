@@ -36,6 +36,7 @@ object SparkEntry {
       // superstep — not SQL-expressible; verified against an
       // independent driver-side reference trainer in TextAnalysisSpec
       "t_bpe_train" -> ((s, d) => TextAnalysis.tBpeTrain(s, d)),
+      "t_bpe_encode" -> ((s, d) => TextAnalysis.tBpeEncode(s, d)),
     )
     base ++
       Relational.queries.map { case (k, (fn, _)) => k -> fn } ++

@@ -971,14 +971,21 @@ object TextAnalysis {
     * rows-only driver check; `TextAnalysisSpec` verifies the learned
     * rules against an independent driver-side reference trainer.
     */
-  def tBpeTrain(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
+  /** Shared merge loop: returns the vocabulary after [[BpeMerges]]
+    * greedy merges — (word, syms, cnt), `syms` being the word's BPE
+    * token sequence — and the learned rules. Used by both the trainer
+    * (which emits the rules) and the encoder (which emits per-doc
+    * token counts from the vocab).
+    */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     // one corpus pass: word → total occurrences; then split to chars
     var words = Materialize.pin(Tables.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // filter the trailing "" that split-with-limit -1 emits
-      .select(filter(split(col("word"), ""), x => x =!= "").as("syms"), col("cnt")))
+      .select(col("word"),
+        filter(split(col("word"), ""), x => x =!= "").as("syms"), col("cnt")))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to BpeMerges) {
       val pairs = words
@@ -1008,19 +1015,49 @@ object TextAnalysis {
             .otherwise(struct(concat(acc.getField("arr"), array(acc.getField("prev"))).as("arr"), x.as("prev"))),
           acc => when(acc.getField("prev") === "", acc.getField("arr"))
             .otherwise(concat(acc.getField("arr"), array(acc.getField("prev")))))
-        val next = Materialize.pin(words.select(apply.as("syms"), col("cnt")))
+        val next = Materialize.pin(
+          words.select(col("word"), apply.as("syms"), col("cnt")))
         words = next
       }
     }
+    (words, rules.toSeq)
+  }
+
+  def tBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
+    val (_, rules) = bpeLearn(s, d)
     val schema = StructType(Seq(
       StructField("step", IntegerType, nullable = false),
       StructField("left", StringType, nullable = false),
       StructField("right", StringType, nullable = false),
       StructField("pair_count", LongType, nullable = false)))
     s.createDataFrame(
-      s.sparkContext.parallelize(rules.toSeq.map(t =>
+      s.sparkContext.parallelize(rules.map(t =>
         org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)), 1),
       schema).orderBy("step")
+  }
+
+  /** ENCODE with the learned tokenizer: per-document BPE token counts.
+    * The per-word token count after [[BpeMerges]] merges comes from
+    * the vocabulary table the trainer already built — encoding the
+    * corpus is then one broadcast join (the vocab is tiny by
+    * definition) and a per-doc sum; the documents are never touched by
+    * the merge loop itself. This is the token-budget measurement a
+    * packing/pricing pass runs (`p_pack` uses whitespace tokens; this
+    * is the subword-accurate version). Not SQL-expressible (the train
+    * loop isn't) → no_oracle; the spec checks doc counts against a
+    * driver-side re-application of the learned rules.
+    */
+  def tBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (vocab, _) = bpeLearn(s, d)
+    val perWord = vocab.select(col("word"), size(col("syms")).as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .join(broadcast(perWord), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(

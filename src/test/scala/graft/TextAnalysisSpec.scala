@@ -52,6 +52,22 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
     assert(got === want.toSeq)
+
+    // encoder: per-doc BPE token counts equal re-applying the learned
+    // rules (the same reference vocab) to every document's words
+    val refSubCount: Map[String, Int] =
+      vocab.map { case (syms, _) => syms.mkString -> syms.length }
+    val enc = TextAnalysis.tBpeEncode(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(enc.length === docs.length)
+    val encMap = enc.map(e => e._1 -> e).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+      val (nw, nb) = (ws.length.toLong, ws.map(w => refSubCount(w).toLong).sum)
+      assert(encMap(id) === ((id, nw, nb)), s"doc $id")
+    }
   }
 
   test("token counts: tf sums to the corpus token count, df <= n_docs") {
