@@ -672,10 +672,14 @@ object Similarity {
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(round(col("w") * col("w"), 9).cast(DecimalType(28, 9)))
         .cast("double")).as("nrm"))
+    // native ShingleSet == array_distinct(shingles(…)) in one codegen'd
+    // loop (exact-equality tested in VectorExprSpec); this subplan is
+    // evaluated for the gdf aggregate and the self-join, whose two
+    // identical branches collapse into a ReusedExchange (pinning was
+    // A/B'd and lost — docs/PLANS.md round-5)
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.Text.shingles(
-          graft.functions.Text.tokens(col("text")), SparseGramN))).as("gram"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.GraftSql
+        .shingleSet(graft.functions.Text.tokens(col("text")), SparseGramN)).as("gram"))
     val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
     val post = grams.join(
       gdf.filter(col("gdf").between(2, SparseDfCap)).select("gram"), "gram")
