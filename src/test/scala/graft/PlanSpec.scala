@@ -183,6 +183,20 @@ class PlanSpec extends SparkSpec {
     assert(finalSection.contains("levenshtein"), finalSection.take(1200))
   }
 
+  test("sparse cosine: no cartesian, native expressions in plan, vocab side broadcast") {
+    val p = plan(graft.operators.Similarity.sSparseCosine(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "sparse cosine degenerated to an unblocked pairing:\n" + finalSection.take(1200))
+    // pair scoring must be the native merge-walk, gram construction the
+    // native set expression — both codegen'd, neither an interpreted HOF
+    assert(p.contains("sparse_dot"), "native SparseDotProduct missing:\n" + finalSection.take(1200))
+    assert(p.contains("shingle_set"), "native ShingleSet missing:\n" + finalSection.take(1200))
+    // the (word, df) side is vocabulary-bounded and must broadcast
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "vocab-side broadcast lost:\n" + finalSection.take(1200))
+  }
+
   test("scalar subquery threshold is pushed into the parquet scan") {
     val p = Relational.qScalarSubquery(spark, sf)
       .queryExecution.executedPlan.toString
