@@ -332,6 +332,36 @@ object Events {
       |  CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained
       |FROM l GROUP BY day ORDER BY day""".stripMargin
 
+  // ------------------------------------------------- cohort matrix
+  /** Weekly cohort-retention matrix — the growth-analytics staple that
+    * [[eRetention]]'s day-over-day view doesn't give: users grouped by
+    * their FIRST-seen week (the cohort), then counted in every later
+    * week they return, keyed by the offset. One distinct pass to
+    * (user, week), one per-user min (window, same user-keyed exchange),
+    * one count per (cohort, offset) — at 100 TB everything shuffles
+    * (user, week) pairs, never events, and the output is bounded by
+    * weeks². `n_users` at offset 0 is the cohort size, so rates are
+    * derivable downstream without a second scan.
+    */
+  def eCohort(s: SparkSession, d: String): DataFrame = {
+    val uw = load(s, d)
+      .select(col("user_id"), expr("ts_ns div 604800000000000").as("week"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    uw.withColumn("cohort_week", min(col("week")).over(w))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eCohortSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week
+      |  FROM events),
+      |c AS (SELECT user_id, week,
+      |  MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw)
+      |SELECT cohort_week, week - cohort_week AS week_offset, COUNT(*) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   // ------------------------------------------------- anomaly detection
   /** Trailing-window z-score outliers: for every event with a full
     * 10-event same-user history (itself included), flag |z| ≥ 2 where
@@ -728,6 +758,7 @@ object Events {
     "e_transitions" -> (eTransitions _, eTransitionsSql),
     "e_funnel"     -> (eFunnel _, eFunnelSql),
     "e_retention"  -> (eRetention _, eRetentionSql),
+    "e_cohort"     -> (eCohort _, eCohortSql),
     "e_tumbling"   -> (eTumbling _, eTumblingSql),
     "e_sliding"    -> (eSliding _, eSlidingSql),
     "e_gapfill"    -> (eGapfill _, eGapfillSql),

@@ -13,6 +13,26 @@ import graft.operators.Events
 class EventsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cohort matrix: offset-0 row counts every cohort member; matrix conserves activity") {
+    val m = Events.eCohort(spark, sf).as[(Long, Long, Long)].collect()
+    assert(m.nonEmpty)
+    assert(m.forall(_._2 >= 0), "negative week offset")
+    // offset-0 cells partition the user base by first-seen week
+    val cohortSizes = m.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    val totalUsers = Events.load(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cohortSizes.values.sum === totalUsers)
+    // no cell can exceed its cohort's size
+    m.foreach { case (cw, off, n) =>
+      assert(n <= cohortSizes(cw), s"cell ($cw,$off) exceeds cohort size")
+    }
+    // matrix total = distinct (user, week) activity pairs
+    val activity = Events.load(spark, sf)
+      .select(col("user_id"), expr("ts_ns div 604800000000000").as("w"))
+      .distinct().count()
+    assert(m.map(_._3).sum === activity)
+  }
+
   test("e_anomaly: flagged z matches an independent driver-side recomputation") {
     val flagged = Events.eAnomaly(spark, sf)
     val rows = flagged.limit(3).collect()
