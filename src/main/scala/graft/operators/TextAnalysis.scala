@@ -940,6 +940,85 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents)
        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
 
+  // ------------------------------------------------------ TextRank
+  /** WEIGHTED TextRank keyword scores (Mihalcea & Tarau's original
+    * formulation): PageRank over the word co-occurrence graph with
+    * edge weight = corpus-wide adjacent-co-occurrence count, each
+    * node's outgoing mass split proportionally to edge weight. The
+    * weights matter: on a small-vocabulary corpus the UNWEIGHTED
+    * graph saturates (every pair co-occurs somewhere → complete graph
+    * → uniform PageRank, measured exactly 1/|V| on the fixture);
+    * frequencies are what discriminate.
+    *
+    * Same engine-determinism treatment as [[graft.operators.Dedup.pageRank]]:
+    * per-edge contributions pr(u)·w/W(u) are quantized to
+    * DECIMAL(28,14) before the per-node sum, so shuffle reduction
+    * order can't reach the result; the oracle unrolls the identical
+    * iterations as chained CTEs.
+    *
+    * Scale: edge extraction touches the corpus once; the weighted
+    * graph is vocabulary²-bounded and each superstep shuffles
+    * (word, contribution) pairs over it. The word keys stay strings —
+    * no id indirection needed when the node set is vocab-bounded.
+    */
+  val TrIters = 3
+  def tTextrank(s: SparkSession, d: String): DataFrame = {
+    val adj = Tables.documents(s, d)
+      .select(Text.tokens(col("text")).as("toks"))
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(least(x, y).as("a"), greatest(x, y).as("b")))).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("wa"), col("p.b").as("wb"))
+      .agg(count(lit(1)).as("w"))
+    val sym = Materialize.pin(adj.select(explode(array(
+        struct(col("wa").as("word"), col("wb").as("nbr"), col("w")),
+        struct(col("wb").as("word"), col("wa").as("nbr"), col("w")))).as("e"))
+      .select(col("e.word").as("word"), col("e.nbr").as("nbr"), col("e.w").as("w")))
+    val wtot = sym.groupBy("word").agg(sum(col("w")).as("wt"))
+    val n = wtot.count().toDouble
+    var pr = wtot.select(col("word"), col("wt"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to TrIters) {
+      val contrib = sym
+        .join(pr.select(col("word").as("nbr"), col("wt").as("nwt"), col("pr").as("npr")),
+          "nbr")
+        .select(col("word"),
+          (col("npr") * col("w") / col("nwt")).cast("decimal(28,14)").as("c"))
+      pr = contrib.groupBy("word")
+        .agg(sum(col("c")).as("s"))
+        .join(wtot, "word")
+        .select(col("word"), col("wt"),
+          (lit(0.15 / n) + lit(Dedup.PrDamping) * col("s").cast("double")).as("pr"))
+    }
+    pr.select(col("word"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("word"))
+  }
+
+  lazy val tTextrankSql: String = {
+    val damping = Dedup.PrDamping
+    val step = (k: Int) =>
+      s"""pr$k AS (SELECT s.word, t.wt,
+         |  0.15 / (SELECT n FROM n) + $damping *
+         |    CAST(SUM(CAST(p.pr * s.w / p.wt AS DECIMAL(28,14))) AS DOUBLE) AS pr
+         |  FROM sym s JOIN pr${k - 1} p ON s.nbr = p.word
+         |  JOIN wtot t ON t.word = s.word
+         |  GROUP BY s.word, t.wt)"""
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
+       |idx AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+       |adj AS (SELECT least(toks[i], toks[i+1]) AS wa,
+       |    greatest(toks[i], toks[i+1]) AS wb, COUNT(*) AS w
+       |  FROM idx WHERE toks[i] <> toks[i+1] GROUP BY 1, 2),
+       |sym AS (SELECT wa AS word, wb AS nbr, w FROM adj
+       |        UNION ALL SELECT wb AS word, wa AS nbr, w FROM adj),
+       |wtot AS (SELECT word, SUM(w) AS wt FROM sym GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wtot),
+       |pr0 AS (SELECT word, wt, 1.0 / (SELECT n FROM n) AS pr FROM wtot),
+       |${(1 to TrIters).map(step).mkString(",\n")}
+       |SELECT word, round(pr, 6) AS pr FROM pr$TrIters
+       |ORDER BY pr DESC, word""".stripMargin
+  }
+
   // ------------------------------------------------------ BPE training
   /** Number of merge rules to learn. Bounded like the PageRank
     * superstep count — each merge is one pass over the VOCABULARY
@@ -1062,6 +1141,7 @@ object TextAnalysis {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_hashtf" -> (tHashTf _, tHashTfSql),
+    "t_textrank" -> (tTextrank _, tTextrankSql),
     "t_char_stats" -> (tCharStats _, tCharStatsSql),
     "t_pmi" -> (tPmi _, tPmiSql),
     "t_chunk" -> (tChunk _, tChunkSql),

@@ -70,6 +70,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("textrank: mass conserved, scores discriminate, frequency-heavy word on top") {
+    val r = TextAnalysis.tTextrank(spark, sf).as[(String, Double)].collect()
+    assert(r.nonEmpty)
+    // no dangling nodes (symmetrized graph) → total mass stays 1
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-3, s"mass ${r.map(_._2).sum}")
+    // weighted edges must discriminate — the unweighted variant
+    // measured exactly uniform (1/|V|) on this corpus
+    assert(r.map(_._2).distinct.length > 1, "uniform scores: weights lost")
+    // output order is (pr desc, word)
+    assert(r.sliding(2).forall { case Array(x, y) =>
+      x._2 > y._2 || (x._2 == y._2 && x._1 < y._1) })
+    // the top word should be among the most co-occurring ones: check it
+    // has the highest weighted degree (or ties within rounding)
+    val toks = Tables.documents(spark, sf).select("text").as[String].collect()
+      .map(_.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty))
+    val wdeg = scala.collection.mutable.Map.empty[String, Long]
+    toks.foreach(ts => ts.sliding(2).filter(p => p.length == 2 && p(0) != p(1))
+      .foreach { p =>
+        wdeg(p(0)) = wdeg.getOrElse(p(0), 0L) + 1
+        wdeg(p(1)) = wdeg.getOrElse(p(1), 0L) + 1
+      })
+    val topByDeg = wdeg.maxBy(_._2)._1
+    assert(r.take(3).map(_._1).contains(topByDeg),
+      s"highest-weighted-degree word $topByDeg not in top-3 ${r.take(3).map(_._1).toSeq}")
+  }
+
   test("token counts: tf sums to the corpus token count, df <= n_docs") {
     val tc = TextAnalysis.tTokenCounts(spark, sf)
     val totalTf = tc.agg(sum("tf")).as[Long].head()
