@@ -120,7 +120,13 @@ object Bench {
     System.err.println(f"[bench] pass totals: ${passes.map(p => f"${p.map(_._2).sum}%.1f").mkString(", ")} s (min-of-${passes.length} reported)")
     val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
       val runs = passes.map(_(i))
-      (name, runs.map(_._2).min, runs.forall(_._3))
+      // min over SUCCESSFUL runs when any exist: a pass that crashed in
+      // 0.1 s must not report its time-to-crash as the query's time
+      // (the failed flag below stays strict — any failed pass marks the
+      // query, so flakiness is still surfaced, just not as a fake win)
+      val succ = runs.filter(_._3)
+      val timed = if (succ.nonEmpty) succ else runs
+      (name, timed.map(_._2).min, runs.forall(_._3))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,7 +35,11 @@ object Telemetry {
     val obs = Observation(name)
     val observed = df.observe(obs,
       count(lit(1)).as("rows"),
-      sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("blank_texts"),
+      // isNull first: a NULL text would make the length() condition
+      // NULL and fall through otherwise(0) — counting the classic
+      // upstream-parse failure as healthy
+      sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+        .otherwise(0L)).as("blank_texts"),
       sum(octet_length(col("text")).cast("long")).as("text_bytes"),
       min(length(col("text"))).as("min_len"),
       max(length(col("text"))).as("max_len"))

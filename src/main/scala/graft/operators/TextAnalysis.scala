@@ -965,6 +965,11 @@ object TextAnalysis {
   def tTextrank(s: SparkSession, d: String): DataFrame = {
     val adj = Tables.documents(s, d)
       .select(Text.tokens(col("text")).as("toks"))
+      // <2-token docs contribute no pairs; without the guard,
+      // slice(toks, 1, size-1) gets a NEGATIVE length on an empty
+      // token array and Spark's Slice throws (the oracle's
+      // range(1, len) is simply empty — same result, no crash)
+      .filter(size(col("toks")) >= 2)
       .select(explode(zip_with(
         slice(col("toks"), lit(1), size(col("toks")) - 1),
         slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -1130,12 +1135,20 @@ object TextAnalysis {
   def tBpeEncode(s: SparkSession, d: String): DataFrame = {
     val (vocab, _) = bpeLearn(s, d)
     val perWord = vocab.select(col("word"), size(col("syms")).as("n_sub"))
-    Tables.documents(s, d)
+    val counts = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
       .join(broadcast(perWord), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).as("n_bpe_tokens"))
+    // left join from documents: a zero-token doc yields no explode row,
+    // but the token-budget report must still carry it as (id, 0, 0) —
+    // silently dropping docs under-reports the doc set
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 

@@ -184,6 +184,10 @@ object SignBands {
 case class SparseDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // containsNull stays accepted (DDL-cast array types default to
+  // containsNull=true, so rejecting it would refuse legitimate SQL
+  // literals); null ELEMENTS and null word fields are skipped at eval —
+  // they sort nowhere in the merge-walk and contribute nothing.
   private def ok(dt: DataType): Boolean = dt match {
     case ArrayType(org.apache.spark.sql.types.StructType(fields), _) =>
       fields.length == 2 && fields(0).dataType == StringType &&
@@ -223,6 +227,11 @@ object SparseDotProduct {
     while (i < na && j < nb) {
       val ra = a.getStruct(i, 2)
       val rb = b.getStruct(j, 2)
+      // null elements / null words contribute nothing; skip rather
+      // than NPE in compareTo (see the containsNull note above)
+      if (ra == null || ra.isNullAt(0)) { i += 1 }
+      else if (rb == null || rb.isNullAt(0)) { j += 1 }
+      else {
       val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
       if (cmp == 0) {
         // exactly round(wa*wb, 9) on doubles: BigDecimal.valueOf goes
@@ -233,6 +242,7 @@ object SparseDotProduct {
         i += 1; j += 1
       } else if (cmp < 0) i += 1
       else j += 1
+      }
     }
     acc.doubleValue()
   }

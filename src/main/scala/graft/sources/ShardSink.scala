@@ -53,8 +53,13 @@ object ShardSink {
       .sortWithinPartitions((Seq("shard") ++ orderCols).map(col): _*)
       .drop("__rank")
     sharded.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    // manifest from the WRITTEN files, not the plan: re-aggregating
+    // `sharded` would re-execute the whole global sort + zipWithIndex +
+    // repartition lineage a second time — on the corpus this sink is
+    // for, a full extra sort. The read-back scans only (shard, key)
+    // columns of the data just written.
     val key = col(orderCols.head)
-    sharded.groupBy("shard")
+    spark.read.parquet(path).groupBy("shard")
       .agg(count(lit(1)).as("rows"),
         min(key).as("first_key"), max(key).as("last_key"))
       .coalesce(1)

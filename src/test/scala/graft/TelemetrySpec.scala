@@ -21,7 +21,8 @@ class TelemetrySpec extends SparkSpec {
     val m = obs.get
     val want = docs.agg(
       count(lit(1)).as("rows"),
-      sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("blank_texts"),
+      sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+        .otherwise(0L)).as("blank_texts"),
       sum(octet_length(col("text")).cast("long")).as("text_bytes"),
       min(length(col("text"))).as("min_len"),
       max(length(col("text"))).as("max_len")).collect()(0)

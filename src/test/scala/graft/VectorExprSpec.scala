@@ -111,6 +111,14 @@ class VectorExprSpec extends SparkSpec {
         |  CAST(array() AS array<struct<word string, w double>>),
         |  array(struct('x' AS word, CAST(2.0 AS DOUBLE) AS w))) AS d""".stripMargin)
     assert(empty.collect()(0).getDouble(0) === 0.0)
+    // null elements and null word fields are skipped, not NPE'd
+    val nulls = spark.sql(
+      """SELECT sparse_dot(
+        |  array(struct('x' AS word, CAST(2.0 AS DOUBLE) AS w),
+        |        CAST(NULL AS struct<word string, w double>)),
+        |  array(struct(CAST(NULL AS STRING) AS word, CAST(9.0 AS DOUBLE) AS w),
+        |        struct('x' AS word, CAST(3.0 AS DOUBLE) AS w))) AS d""".stripMargin)
+    assert(nulls.collect()(0).getDouble(0) === 6.0)
   }
 
   test("native ShingleMinHash == HOF minhash signature, exactly") {
