@@ -618,6 +618,129 @@ object Similarity {
        |  ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
 
+  // --------------------------------------------------- MMR re-ranking
+  /** Maximal-marginal-relevance diversified top-k: greedily pick the
+    * candidate maximizing λ·cos(q,c) − (1−λ)·max_{s∈selected} sim(c,s)
+    * — the standard de-duplicating re-ranker over a retrieval shortlist
+    * (Carbonell & Goldstein). The greedy loop is SEQUENTIAL by
+    * definition, but k is a small constant, so the steps are UNROLLED:
+    * each is one ranked window over the (query, candidate) frame —
+    * which also makes the whole thing SQL-expressible, unlike a loop.
+    *
+    * Scale: the shortlist is [[MmrCand]] per query (the expensive part
+    * is the retrieval, delegated to the verified top-k machinery);
+    * candidate-pair sims are |Q|·C² rows, all bounded by construction.
+    * Scores rank on values rounded to 6 dp (cos and sim already are),
+    * ties by candidate id — deterministic on both engines.
+    */
+  val MmrLambda = 0.5
+  val MmrCand = 8
+  def sMmr(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val q = base.toDF("q_id", "q_emb", "q_nrm").filter(col("q_id") < NumQueries)
+    val qcos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")), 6)
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val cand = broadcast(q).crossJoin(base)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), qcos.as("cos"),
+        col("embedding").as("emb"), col("nrm").as("cnrm"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= MmrCand)
+    val ccos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("a_emb"), col("b_emb")),
+        col("a_nrm"), col("b_nrm")), 6)
+    val pairs = cand
+      .select(col("q_id"), col("n_id").as("a"), col("emb").as("a_emb"), col("cnrm").as("a_nrm"))
+      .join(cand.select(col("q_id"), col("n_id").as("b"),
+        col("emb").as("b_emb"), col("cnrm").as("b_nrm")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"), ccos.as("sim"))
+    val c0 = cand.select("q_id", "n_id", "cos")
+    def pick(scored: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col(scoreCol).desc, col("n_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    }
+    // rank 1: pure relevance (empty selected set → no penalty term)
+    val sel1 = pick(c0.withColumn("score",
+        round(lit(MmrLambda) * col("cos"), 6)), "score")
+      .select(col("q_id"), col("n_id").as("s1"), col("score").as("score1"))
+    // rank 2: penalized by similarity to the rank-1 pick
+    val sc2 = c0.join(sel1.select("q_id", "s1"), "q_id")
+      .filter(col("n_id") =!= col("s1"))
+      .join(pairs.select(col("q_id"), col("a").as("n_id"),
+        col("b").as("s1"), col("sim")), Seq("q_id", "n_id", "s1"))
+      .withColumn("score", round(
+        lit(MmrLambda) * col("cos") - lit(1 - MmrLambda) * col("sim"), 6))
+    val sel2 = pick(sc2, "score")
+      .select(col("q_id"), col("n_id").as("s2"), col("score").as("score2"))
+    // rank 3: penalized by the max similarity to either pick
+    val sc3 = c0
+      .join(sel1.select("q_id", "s1"), "q_id")
+      .join(sel2.select("q_id", "s2"), "q_id")
+      .filter(col("n_id") =!= col("s1") && col("n_id") =!= col("s2"))
+      .join(pairs.select(col("q_id"), col("a").as("n_id"),
+        col("b").as("s1"), col("sim").as("sim1")), Seq("q_id", "n_id", "s1"))
+      .join(pairs.select(col("q_id"), col("a").as("n_id"),
+        col("b").as("s2"), col("sim").as("sim2")), Seq("q_id", "n_id", "s2"))
+      .withColumn("score", round(lit(MmrLambda) * col("cos")
+        - lit(1 - MmrLambda) * greatest(col("sim1"), col("sim2")), 6))
+    val sel3 = pick(sc3, "score")
+      .select(col("q_id"), col("n_id").as("s3"), col("score").as("score3"))
+    sel1.select(col("q_id"), lit(1).as("rank"), col("s1").as("n_id"), col("score1").as("score"))
+      .union(sel2.select(col("q_id"), lit(2).as("rank"), col("s2").as("n_id"), col("score2").as("score")))
+      .union(sel3.select(col("q_id"), lit(3).as("rank"), col("s3").as("n_id"), col("score3").as("score")))
+      .orderBy("q_id", "rank")
+  }
+
+  val sMmrSql: String = {
+    val lam = MmrLambda
+    s"""WITH $NORM_CTE,
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id AS n_id, ${cosSql("q", "b")} AS cos,
+       |    b.embedding AS emb, b.nrm AS cnrm
+       |  FROM n q JOIN n b ON q.vec_id < $NumQueries AND q.vec_id <> b.vec_id),
+       |cand AS (SELECT * FROM (SELECT q_id, n_id, cos, emb, cnrm,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored) WHERE rnk <= $MmrCand),
+       |pairs AS (SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+       |    round(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(x.emb[i] AS DOUBLE) * CAST(y.emb[i] AS DOUBLE)),
+       |      (u, v) -> u + v) / (x.cnrm * y.cnrm), 6) AS sim
+       |  FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.n_id <> y.n_id),
+       |sel1 AS (SELECT q_id, n_id AS s1, score AS score1 FROM (
+       |  SELECT q_id, n_id, round($lam * cos, 6) AS score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round($lam * cos, 6) DESC, n_id) AS r
+       |  FROM cand) WHERE r = 1),
+       |sc2 AS (SELECT c.q_id, c.n_id,
+       |    round($lam * c.cos - ${1 - lam} * p.sim, 6) AS score
+       |  FROM cand c JOIN sel1 ON c.q_id = sel1.q_id AND c.n_id <> sel1.s1
+       |  JOIN pairs p ON p.q_id = c.q_id AND p.a = c.n_id AND p.b = sel1.s1),
+       |sel2 AS (SELECT q_id, n_id AS s2, score AS score2 FROM (
+       |  SELECT q_id, n_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS r
+       |  FROM sc2) WHERE r = 1),
+       |sc3 AS (SELECT c.q_id, c.n_id,
+       |    round($lam * c.cos - ${1 - lam} * greatest(p1.sim, p2.sim), 6) AS score
+       |  FROM cand c
+       |  JOIN sel1 ON c.q_id = sel1.q_id AND c.n_id <> sel1.s1
+       |  JOIN sel2 ON c.q_id = sel2.q_id AND c.n_id <> sel2.s2
+       |  JOIN pairs p1 ON p1.q_id = c.q_id AND p1.a = c.n_id AND p1.b = sel1.s1
+       |  JOIN pairs p2 ON p2.q_id = c.q_id AND p2.a = c.n_id AND p2.b = sel2.s2),
+       |sel3 AS (SELECT q_id, n_id AS s3, score AS score3 FROM (
+       |  SELECT q_id, n_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS r
+       |  FROM sc3) WHERE r = 1)
+       |SELECT q_id, CAST(1 AS INT) AS rank, s1 AS n_id, score1 AS score FROM sel1
+       |UNION ALL
+       |SELECT q_id, CAST(2 AS INT) AS rank, s2 AS n_id, score2 AS score FROM sel2
+       |UNION ALL
+       |SELECT q_id, CAST(3 AS INT) AS rank, s3 AS n_id, score3 AS score FROM sel3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------- sparse TF-IDF cosine
   /** Rare-feature blocking for sparse-vector candidates: a pair is
     * scored only if it shares a word 3-gram with 2 ≤ df ≤ cap.
@@ -749,6 +872,7 @@ object Similarity {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_recall"      -> (sRecall _, sRecallSql),
     "s_sparse_cosine" -> (sSparseCosine _, sSparseCosineSql),
+    "s_mmr"         -> (sMmr _, sMmrSql),
     "s_centroids"   -> (sCentroids _, sCentroidsSql),
     "d_semdedup"    -> (dSemdedup _, dSemdedupSql),
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),

@@ -169,6 +169,51 @@ class SimilaritySpec extends SparkSpec {
     assert(short === Seq("0000", "0000"))
   }
 
+  test("mmr: rank1 is relevance top-1; every pick maximizes the greedy objective") {
+    import spark.implicits._
+    val res = Similarity.sMmr(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(res.nonEmpty)
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (embs(a), embs(b))
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < va.length) {
+        dp += va(i).toDouble * vb(i).toDouble
+        na += va(i).toDouble * va(i).toDouble
+        nb += vb(i).toDouble * vb(i).toDouble
+        i += 1
+      }
+      r6(dp / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val lam = Similarity.MmrLambda
+    res.foreach { case (qid, picks) =>
+      assert(picks.map(_._2).toSeq === Seq(1, 2, 3))
+      assert(picks.map(_._3).distinct.length === 3, "duplicate picks")
+      val cands = embs.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(qid, c)).sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.MmrCand)
+      // rank 1 = pure relevance
+      assert(picks(0)._3 === cands.head._1)
+      assert(picks(0)._4 === r6(lam * cands.head._2))
+      // each later pick maximizes the penalized objective given priors
+      def objective(c: (Long, Double), selected: Seq[Long]): Double =
+        r6(lam * c._2 - (1 - lam) * selected.map(s => cos(c._1, s)).max)
+      Seq(2, 3).foreach { k =>
+        val selected = picks.take(k - 1).map(_._3).toSeq
+        val rest = cands.filterNot(c => selected.contains(c._1))
+        val best = rest.map(c => (c._1, objective(c, selected)))
+          .sortBy { case (c, s) => (-s, c) }.head
+        assert(picks(k - 1)._3 === best._1, s"q$qid rank$k pick")
+        assert(picks(k - 1)._4 === best._2, s"q$qid rank$k score")
+      }
+    }
+  }
+
   test("sparse cosine: pairs a<b above threshold; scores match a driver-side recompute") {
     import spark.implicits._
     val got = Similarity.sSparseCosine(spark, sf)
