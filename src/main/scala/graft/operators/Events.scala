@@ -332,6 +332,56 @@ object Events {
       |  CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained
       |FROM l GROUP BY day ORDER BY day""".stripMargin
 
+  // ------------------------------------------------- trailing EWMA
+  /** Trailing exponentially-weighted moving average (α = 1/2) of each
+    * user's last 8 event values — the smoothing/forecast primitive
+    * (monitoring baselines, rate estimates). Computed as 8 explicit
+    * lag columns folded in ONE expression tree: every weight 2⁻ᵏ is an
+    * exact power of two, so each product is an exact IEEE scaling, and
+    * the numerator/denominator sums evaluate in the same fixed
+    * left-associated order on both engines — bit-identical WITHOUT the
+    * decimal quantization the order-free window sums need. Short
+    * histories renormalize by the present-weight sum (the standard
+    * bias correction).
+    *
+    * Scale: one user-keyed window pass, per-row state = 8 lags; the
+    * only shuffle is the user partition. Ordering is (µs, event_id) —
+    * the ns→µs truncation rule from FIXTURES.md.
+    */
+  val EwmaLags = 8
+  def eEwma(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val lagged = load(s, d)
+      .select(Seq(col("event_id"), col("user_id")) ++
+        (0 until EwmaLags).map(k => lag(col("value"), k).over(w).as(s"l$k")): _*)
+    val num = (0 until EwmaLags)
+      .map(k => coalesce(col(s"l$k") * lit(math.pow(0.5, k)), lit(0.0)))
+      .reduce(_ + _)
+    val den = (0 until EwmaLags)
+      .map(k => when(col(s"l$k").isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    lagged.select(col("event_id"), col("user_id"),
+        round(num / den, 6).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  lazy val eEwmaSql: String = {
+    val lags = (0 until EwmaLags)
+      .map(k => s"lag(value, $k) OVER w AS l$k").mkString(",\n  ")
+    val num = (0 until EwmaLags)
+      .map(k => s"COALESCE(l$k * ${math.pow(0.5, k)}, 0)").mkString(" + ")
+    val den = (0 until EwmaLags)
+      .map(k => s"CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH l AS (SELECT event_id, user_id,
+       |  $lags
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+       |SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
+       |FROM l ORDER BY event_id""".stripMargin
+  }
+
   // ------------------------------------------------- cohort matrix
   /** Weekly cohort-retention matrix — the growth-analytics staple that
     * [[eRetention]]'s day-over-day view doesn't give: users grouped by
@@ -759,6 +809,7 @@ object Events {
     "e_funnel"     -> (eFunnel _, eFunnelSql),
     "e_retention"  -> (eRetention _, eRetentionSql),
     "e_cohort"     -> (eCohort _, eCohortSql),
+    "e_ewma"       -> (eEwma _, eEwmaSql),
     "e_tumbling"   -> (eTumbling _, eTumblingSql),
     "e_sliding"    -> (eSliding _, eSlidingSql),
     "e_gapfill"    -> (eGapfill _, eGapfillSql),

@@ -13,6 +13,30 @@ import graft.operators.Events
 class EventsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ewma: matches a driver-side recompute over each user's ordered history") {
+    val got = Events.eEwma(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val hist = Events.load(spark, sf)
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("us"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(e => (e._3, e._1))).toMap
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.size === hist.values.map(_.size).sum)
+    hist.values.foreach { es =>
+      es.indices.foreach { i =>
+        val window = (0 until Events.EwmaLags).flatMap { k =>
+          if (i - k >= 0) Some(es(i - k)._4 * math.pow(0.5, k)) else None
+        }
+        val den = (0 until Events.EwmaLags).collect {
+          case k if i - k >= 0 => math.pow(0.5, k)
+        }.sum
+        val want = r6(window.sum / den)
+        assert(got(es(i)._1) === want, s"event ${es(i)._1}")
+      }
+    }
+  }
+
   test("cohort matrix: offset-0 row counts every cohort member; matrix conserves activity") {
     val m = Events.eCohort(spark, sf).as[(Long, Long, Long)].collect()
     assert(m.nonEmpty)
