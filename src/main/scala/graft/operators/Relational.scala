@@ -692,6 +692,32 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ----------------------------------- window: rolling distinct count
+  /** Rolling distinct cardinality — distinct order priorities among
+    * each customer's trailing 5 orders. Spark's window aggregates
+    * don't support DISTINCT, so the idiom is
+    * `size(collect_set(x).over(w))` — the set is bounded by the frame
+    * (5 rows), so per-row window state stays constant no matter how
+    * hot the key; DuckDB states the same thing directly as
+    * `count(DISTINCT x) OVER w`.
+    */
+  def qWindowDistinctRoll(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(-4, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        size(collect_set(col("o_orderpriority")).over(w)).as("distinct_prio"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val qWindowDistinctRollSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(count(DISTINCT o_orderpriority) OVER w AS INT) AS distinct_prio
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // -------------------------------------- window: distribution family
   /** Rank-distribution window functions — ntile buckets, percent_rank,
     * cume_dist — over the unique order key (deterministic ordering).
@@ -958,6 +984,7 @@ object Relational {
     "q_scalar_subquery" -> (qScalarSubquery _, qScalarSubquerySql),
     "q_string_agg"     -> (qStringAgg _, qStringAggSql),
     "q_window_dist"    -> (qWindowDist _, qWindowDistSql),
+    "q_window_distinct_roll" -> (qWindowDistinctRoll _, qWindowDistinctRollSql),
     "q_window_firstlast" -> (qWindowFirstLast _, qWindowFirstLastSql),
     "q_window_range_frame" -> (qWindowRangeFrame _, qWindowRangeFrameSql),
     "q_correlated_subquery" -> (qCorrelatedSubquery _, qCorrelatedSubquerySql),
