@@ -188,6 +188,47 @@ object Curation {
       |       ELSE 'train' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- snapshot diff
+  /** Corpus snapshot diff — the data-versioning primitive behind
+    * incremental re-crawls: FULL OUTER join of two snapshot digest
+    * tables on doc id, classifying every id as added / removed /
+    * changed / unchanged. Only (id, 16-byte digest) pairs shuffle;
+    * bodies are read once per side to hash and never move. The
+    * fixture's two "snapshots" are deterministic slices (v1 = ids
+    * ∉ 5ℤ, v2 = ids ∉ 7ℤ) with a deterministic revision (ids ∈ 11ℤ
+    * hash an upcased body in v2), so all four statuses occur.
+    */
+  def pSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")).cast("binary")).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val pSnapshotDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents
+      |  WHERE doc_id % 5 <> 0),
+      |v2 AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS fp2
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CASE WHEN v1.fp1 IS NULL THEN 'added'
+      |       WHEN v2.fp2 IS NULL THEN 'removed'
+      |       WHEN v1.fp1 <> v2.fp2 THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------- contrastive triplets
   /** Contrastive training triplets (anchor, positive, negative) — the
     * dataset shape behind embedding/contrastive objectives. Anchors
@@ -575,6 +616,7 @@ object Curation {
     "p_sample" -> (sample _, sampleSql),
     "p_shuffle" -> (pShuffle _, pShuffleSql),
     "p_triplets" -> (pTriplets _, pTripletsSql),
+    "p_snapshot_diff" -> (pSnapshotDiff _, pSnapshotDiffSql),
     "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
     "p_sample_weighted" -> (pSampleWeighted _, pSampleWeightedSql),
     "p_split" -> (pSplit _, pSplitSql),
