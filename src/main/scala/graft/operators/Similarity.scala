@@ -662,17 +662,26 @@ object Similarity {
       val w = Window.partitionBy("q_id").orderBy(col(scoreCol).desc, col("n_id"))
       scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
     }
-    // rank 1: pure relevance (empty selected set → no penalty term)
-    val sel1 = pick(c0.withColumn("score",
-        round(lit(MmrLambda) * col("cos"), 6)), "score")
-      .select(col("q_id"), col("n_id").as("s1"), col("score").as("score1"))
+    // Scores round at 7 dp, NOT 6: λ = ½ times a 6-dp value is an
+    // EXACT 7-digit decimal, so 7-dp rounding has no ties to resolve
+    // and both engines recover the identical decimal — while at 6 dp
+    // every odd-last-digit cosine lands on a .…5 tie where Spark
+    // (HALF_UP over the shortest decimal string) and DuckDB
+    // (std::round(x·1e6)/1e6) measurably disagree (~1 % of ties —
+    // caught in review; the three SFs had been green by luck).
+    // rank 1: pure relevance — rank on the cosine itself (rounding a
+    // derived score could collapse two distinct cosines into a tie and
+    // let the id tie-break pick the lower-relevance one)
+    val sel1 = pick(c0, "cos")
+      .select(col("q_id"), col("n_id").as("s1"),
+        round(lit(MmrLambda) * col("cos"), 7).as("score1"))
     // rank 2: penalized by similarity to the rank-1 pick
     val sc2 = c0.join(sel1.select("q_id", "s1"), "q_id")
       .filter(col("n_id") =!= col("s1"))
       .join(pairs.select(col("q_id"), col("a").as("n_id"),
         col("b").as("s1"), col("sim")), Seq("q_id", "n_id", "s1"))
       .withColumn("score", round(
-        lit(MmrLambda) * col("cos") - lit(1 - MmrLambda) * col("sim"), 6))
+        lit(MmrLambda) * col("cos") - lit(1 - MmrLambda) * col("sim"), 7))
     val sel2 = pick(sc2, "score")
       .select(col("q_id"), col("n_id").as("s2"), col("score").as("score2"))
     // rank 3: penalized by the max similarity to either pick
@@ -685,7 +694,7 @@ object Similarity {
       .join(pairs.select(col("q_id"), col("a").as("n_id"),
         col("b").as("s2"), col("sim").as("sim2")), Seq("q_id", "n_id", "s2"))
       .withColumn("score", round(lit(MmrLambda) * col("cos")
-        - lit(1 - MmrLambda) * greatest(col("sim1"), col("sim2")), 6))
+        - lit(1 - MmrLambda) * greatest(col("sim1"), col("sim2")), 7))
     val sel3 = pick(sc3, "score")
       .select(col("q_id"), col("n_id").as("s3"), col("score").as("score3"))
     sel1.select(col("q_id"), lit(1).as("rank"), col("s1").as("n_id"), col("score1").as("score"))
@@ -709,13 +718,13 @@ object Similarity {
        |      i -> CAST(x.emb[i] AS DOUBLE) * CAST(y.emb[i] AS DOUBLE)),
        |      (u, v) -> u + v) / (x.cnrm * y.cnrm), 6) AS sim
        |  FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.n_id <> y.n_id),
-       |sel1 AS (SELECT q_id, n_id AS s1, score AS score1 FROM (
-       |  SELECT q_id, n_id, round($lam * cos, 6) AS score,
+       |sel1 AS (SELECT q_id, n_id AS s1, round($lam * cos, 7) AS score1 FROM (
+       |  SELECT q_id, n_id, cos,
        |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY round($lam * cos, 6) DESC, n_id) AS r
+       |      ORDER BY cos DESC, n_id) AS r
        |  FROM cand) WHERE r = 1),
        |sc2 AS (SELECT c.q_id, c.n_id,
-       |    round($lam * c.cos - ${1 - lam} * p.sim, 6) AS score
+       |    round($lam * c.cos - ${1 - lam} * p.sim, 7) AS score
        |  FROM cand c JOIN sel1 ON c.q_id = sel1.q_id AND c.n_id <> sel1.s1
        |  JOIN pairs p ON p.q_id = c.q_id AND p.a = c.n_id AND p.b = sel1.s1),
        |sel2 AS (SELECT q_id, n_id AS s2, score AS score2 FROM (
@@ -723,7 +732,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS r
        |  FROM sc2) WHERE r = 1),
        |sc3 AS (SELECT c.q_id, c.n_id,
-       |    round($lam * c.cos - ${1 - lam} * greatest(p1.sim, p2.sim), 6) AS score
+       |    round($lam * c.cos - ${1 - lam} * greatest(p1.sim, p2.sim), 7) AS score
        |  FROM cand c
        |  JOIN sel1 ON c.q_id = sel1.q_id AND c.n_id <> sel1.s1
        |  JOIN sel2 ON c.q_id = sel2.q_id AND c.n_id <> sel2.s2

@@ -190,6 +190,8 @@ class SimilaritySpec extends SparkSpec {
       }
       r6(dp / (math.sqrt(na) * math.sqrt(nb)))
     }
+    def r7(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
     val lam = Similarity.MmrLambda
     res.foreach { case (qid, picks) =>
       assert(picks.map(_._2).toSeq === Seq(1, 2, 3))
@@ -199,10 +201,10 @@ class SimilaritySpec extends SparkSpec {
         .take(Similarity.MmrCand)
       // rank 1 = pure relevance
       assert(picks(0)._3 === cands.head._1)
-      assert(picks(0)._4 === r6(lam * cands.head._2))
+      assert(picks(0)._4 === r7(lam * cands.head._2))
       // each later pick maximizes the penalized objective given priors
       def objective(c: (Long, Double), selected: Seq[Long]): Double =
-        r6(lam * c._2 - (1 - lam) * selected.map(s => cos(c._1, s)).max)
+        r7(lam * c._2 - (1 - lam) * selected.map(s => cos(c._1, s)).max)
       Seq(2, 3).foreach { k =>
         val selected = picks.take(k - 1).map(_._3).toSeq
         val rest = cands.filterNot(c => selected.contains(c._1))
