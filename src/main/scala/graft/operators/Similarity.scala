@@ -59,21 +59,33 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
 
   // --------------------------------------------------- brute-force top-k
-  def sCosineTopK(s: SparkSession, d: String): DataFrame = {
+  /** Shared exact shortlist: broadcast query set × corpus scan, rounded
+    * cosine, ranked (cos desc, n_id), kept to `k` per query. The ONE
+    * place the brute-force retrieval idiom lives — sCosineTopK emits
+    * it directly, sMmr re-ranks it (keepVecs carries the candidate
+    * embeddings through for the pairwise penalty sims).
+    */
+  private def cosineShortlist(s: SparkSession, d: String, k: Int,
+      keepVecs: Boolean): DataFrame = {
     val base = withNorm(s, d)
     val q = base.toDF("q_id", "q_emb", "q_nrm").filter(col("q_id") < NumQueries)
     val cos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
         col("q_nrm"), col("nrm")), 6)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val extra = if (keepVecs)
+      Seq(col("embedding").as("emb"), col("nrm").as("cnrm")) else Seq.empty
     broadcast(q).crossJoin(base)
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .select(Seq(col("q_id"), col("vec_id").as("n_id"), cos.as("cos")) ++ extra: _*)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
+      .filter(col("rnk") <= k)
+  }
+
+  def sCosineTopK(s: SparkSession, d: String): DataFrame =
+    cosineShortlist(s, d, TopK, keepVecs = false)
       .select("q_id", "n_id", "rnk", "cos")
       .orderBy("q_id", "rnk")
-  }
 
   /** DuckDB fragment: cosine between tables aliased a (query) and b. */
   private def cosSql(a: String, b: String): String =
@@ -636,18 +648,7 @@ object Similarity {
   val MmrLambda = 0.5
   val MmrCand = 8
   def sMmr(s: SparkSession, d: String): DataFrame = {
-    val base = withNorm(s, d)
-    val q = base.toDF("q_id", "q_emb", "q_nrm").filter(col("q_id") < NumQueries)
-    val qcos = round(
-      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
-        col("q_nrm"), col("nrm")), 6)
-    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val cand = broadcast(q).crossJoin(base)
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), qcos.as("cos"),
-        col("embedding").as("emb"), col("nrm").as("cnrm"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= MmrCand)
+    val cand = cosineShortlist(s, d, MmrCand, keepVecs = true)
     val ccos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("a_emb"), col("b_emb")),
         col("a_nrm"), col("b_nrm")), 6)
