@@ -61,8 +61,13 @@ object Bench {
       // file must not silently leave every alphabetically-later table
       // cold (the round-4 shape did exactly that — events aborted the
       // loop and lineitem..supplier stayed unwarmed).
+      // scope the flag to the warmup loop (save/restore, the SinksSpec
+      // partitionOverwriteMode pattern): leaving it set would silently
+      // change parquet timestamp decoding for every query that runs
+      // after — Events.load sets it itself when it needs it
+      val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+      try Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
         .foreach { f =>
           try spark.read.parquet(f.getAbsolutePath)
@@ -70,6 +75,10 @@ object Bench {
           catch { case e: Throwable => System.err.println(
             s"[bench] warmup scan failed for ${f.getName}: ${e.getMessage}") }
         }
+      finally prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     } catch { case e: Throwable =>
       // a silently-aborted warmup would put the JIT cost back on the
       // first sorted queries and taint every cross-round comparison —

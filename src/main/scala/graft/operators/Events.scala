@@ -92,7 +92,10 @@ object Events {
     val span = ev.agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
     val spine = span
       .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("bucket_start"))
-      .crossJoin(ev.select("event_type").distinct())
+      // the distinct dim's size estimate is unknown pre-AQE — hint it
+      // broadcast (like the spines below) so the planner can never fall
+      // back to a CartesianProduct of two shuffles
+      .crossJoin(broadcast(ev.select("event_type").distinct()))
     spine.join(agg, Seq("bucket_start", "event_type"), "left")
       .select(col("bucket_start"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"))

@@ -58,8 +58,13 @@ object ShardSink {
     // repartition lineage a second time — on the corpus this sink is
     // for, a full extra sort. The read-back scans only (shard, key)
     // columns of the data just written.
+    // explicit schema on the read-back: an empty input wrote zero data
+    // files (schema inference would throw), and partition DISCOVERY
+    // types `shard=<k>` dirs as INT — the writer's schema says LONG.
+    // Passing the written schema fixes both: empty path → empty frame →
+    // empty (but readable) manifest; shard comes back as LONG.
     val key = col(orderCols.head)
-    spark.read.parquet(path).groupBy("shard")
+    spark.read.schema(sharded.schema).parquet(path).groupBy("shard")
       .agg(count(lit(1)).as("rows"),
         min(key).as("first_key"), max(key).as("last_key"))
       .coalesce(1)

@@ -197,6 +197,16 @@ class PlanSpec extends SparkSpec {
       "vocab-side broadcast lost:\n" + finalSection.take(1200))
   }
 
+  test("gapfill spine-dim cross join broadcasts, never CartesianProduct") {
+    // spine × event_type dim: both sides are tiny but the distinct
+    // aggregate's size estimate is unknown pre-AQE — the broadcast hint
+    // must pin the plan to BroadcastNestedLoopJoin
+    val p = plan(graft.operators.Events.eGapfill(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "gapfill spine join fell back to CartesianProduct:\n" + p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("scalar subquery threshold is pushed into the parquet scan") {
     val p = Relational.qScalarSubquery(spark, sf)
       .queryExecution.executedPlan.toString
