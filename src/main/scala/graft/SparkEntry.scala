@@ -32,11 +32,6 @@ object SparkEntry {
       // sketch internals differ per engine → rows-only check, no oracle
       "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
       "q_approx_percentile" -> ((s, d) => Relational.qApproxPercentile(s, d)),
-      // iterative greedy merges need a sequential per-word fold per
-      // superstep — not SQL-expressible; verified against an
-      // independent driver-side reference trainer in TextAnalysisSpec
-      "t_bpe_train" -> ((s, d) => TextAnalysis.tBpeTrain(s, d)),
-      "t_bpe_encode" -> ((s, d) => TextAnalysis.tBpeEncode(s, d)),
     )
     base ++
       Relational.queries.map { case (k, (fn, _)) => k -> fn } ++

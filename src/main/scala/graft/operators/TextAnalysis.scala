@@ -1050,10 +1050,13 @@ object TextAnalysis {
     * frames are pinned per superstep so lineage stays flat.
     *
     * Deterministic: ties on pair count break lexicographically
-    * (left, then right). Not SQL-expressible (the greedy in-list
-    * rewrite needs a sequential fold per iteration) → no_oracle,
-    * rows-only driver check; `TextAnalysisSpec` verifies the learned
-    * rules against an independent driver-side reference trainer.
+    * (left, then right). Oracled by [[tBpeTrainSql]]: the merge loop
+    * unrolls into [[BpeMerges]] chained CTE blocks (the
+    * [[tTextrankSql]] / `lloydSql` recipe) and the greedy rewrite is a
+    * DuckDB `list_reduce` fold — the literal twin of the Spark
+    * `aggregate` fold below. `TextAnalysisSpec` additionally verifies
+    * the learned rules against an independent driver-side reference
+    * trainer.
     */
   /** Shared merge loop: returns the vocabulary after [[BpeMerges]]
     * greedy merges — (word, syms, cnt), `syms` being the word's BPE
@@ -1128,9 +1131,17 @@ object TextAnalysis {
     * definition) and a per-doc sum; the documents are never touched by
     * the merge loop itself. This is the token-budget measurement a
     * packing/pricing pass runs (`p_pack` uses whitespace tokens; this
-    * is the subword-accurate version). Not SQL-expressible (the train
-    * loop isn't) → no_oracle; the spec checks doc counts against a
-    * driver-side re-application of the learned rules.
+    * is the subword-accurate version). Oracled by [[tBpeEncodeSql]]
+    * off the same unrolled vocab CTE chain the trainer oracle uses;
+    * the spec additionally checks doc counts against a driver-side
+    * re-application of the learned rules.
+    *
+    * The in-query retrain (`bpeLearn` again) is forced by the
+    * per-query driver contract — each registered query is a
+    * self-contained (session, dir) => DataFrame. At production scale
+    * encode does NOT retrain: the trainer persists its rules table
+    * once and every encode pass loads it (a [[BpeMerges]]-row
+    * broadcast); training twice per pipeline run is never the shape.
     */
   def tBpeEncode(s: SparkSession, d: String): DataFrame = {
     val (vocab, _) = bpeLearn(s, d)
@@ -1152,7 +1163,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shared oracle CTE chain: vocab0 (word counts split to chars) then
+    * [[BpeMerges]] unrolled merge blocks — per step a pairs CTE
+    * (zip-adjacent via index unnest, sum by pair), a 1-row argmax CTE
+    * (ORDER BY n DESC, l, r LIMIT 1 — the Spark tie-break), and the
+    * greedy non-overlapping rewrite as a `list_reduce` fold.
+    *
+    * Fold-state encoding: DuckDB 1.0's `list_reduce` loses LIST-typed
+    * fields inside a STRUCT accumulator (they come back empty every
+    * iteration), so the state lives in ONE list — the emitted symbols
+    * plus the pending symbol as the last element, with `''` as the
+    * no-pending sentinel ('' can never be a symbol: tokens are
+    * non-empty and so is every merge product). That is bit-for-bit the
+    * Spark `aggregate` fold's {arr, prev} state, just flattened.
+    * LEFT JOIN ON true (not CROSS) against the 1-row argmax keeps the
+    * vocab unchanged if a step finds no pairs — matching the Spark
+    * loop's `best.nonEmpty` guard.
+    */
+  private lazy val bpeVocabCtes: String = {
+    val mergeStep = (k: Int) =>
+      s"""pairs$k AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS n
+         |  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM vocab${k - 1})
+         |  GROUP BY 1, 2),
+         |best$k AS (SELECT $k AS step, l, r, n FROM pairs$k
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |vocab$k AS (SELECT word, cnt,
+         |    CASE WHEN f IS NULL THEN syms
+         |         WHEN f[-1] = '' THEN array_pop_back(f) ELSE f END AS syms
+         |  FROM (SELECT w.word, w.cnt, w.syms,
+         |      CASE WHEN b.l IS NULL THEN NULL
+         |      ELSE list_reduce(list_transform(w.syms, x -> [x]),
+         |        (acc, e) -> CASE
+         |          WHEN acc[-1] = '' THEN list_append(array_pop_back(acc), e[1])
+         |          WHEN acc[-1] = b.l AND e[1] = b.r
+         |            THEN list_append(list_append(array_pop_back(acc), b.l || b.r), '')
+         |          ELSE list_append(acc, e[1]) END) END AS f
+         |    FROM vocab${k - 1} w LEFT JOIN best$k b ON true))"""
+    s"""tok AS (SELECT unnest(${graft.functions.Text.ToksSql}) AS word FROM documents),
+       |vocab0 AS (SELECT word, COUNT(*) AS cnt,
+       |    list_filter(string_split(word, ''), x -> x <> '') AS syms
+       |  FROM tok GROUP BY word),
+       |${(1 to BpeMerges).map(mergeStep).mkString(",\n")}""".stripMargin
+  }
+
+  lazy val tBpeTrainSql: String =
+    s"""WITH $bpeVocabCtes,
+       |rules AS (${(1 to BpeMerges).map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")})
+       |SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right",
+       |  CAST(n AS BIGINT) AS pair_count
+       |FROM rules ORDER BY step""".stripMargin
+
+  lazy val tBpeEncodeSql: String =
+    s"""WITH $bpeVocabCtes,
+       |perword AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM vocab$BpeMerges),
+       |dtok AS (SELECT doc_id, unnest(${graft.functions.Text.ToksSql}) AS word FROM documents),
+       |counts AS (SELECT t.doc_id, COUNT(*) AS n_words, SUM(p.n_sub) AS n_bpe_tokens
+       |  FROM dtok t JOIN perword p USING (word) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(c.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(c.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN counts c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_bpe_train"    -> (tBpeTrain _, tBpeTrainSql),
+    "t_bpe_encode"   -> (tBpeEncode _, tBpeEncodeSql),
     "t_hashtf" -> (tHashTf _, tHashTfSql),
     "t_textrank" -> (tTextrank _, tTextrankSql),
     "t_char_stats" -> (tCharStats _, tCharStatsSql),
