@@ -20,15 +20,35 @@ import graft.Tables
   */
 object Events {
 
-  /** events with `ts` as TimestampType (µs, truncated from ns) plus the
-    * raw epoch-nano long as `ts_ns`.
+  /** events with `ts` as TimestampType (µs) plus the epoch-nano long
+    * as `ts_ns`, whatever the fixture's physical encoding.
+    *
+    * The fixture has shipped both ways across rounds: parquet
+    * TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy flag,
+    * arriving as epoch-nano LONG) and TIMESTAMP(MICROS) (arriving as a
+    * timestamp — NTZ under Spark 4's inferTimestampNTZ default).
+    * Normalizing on the READ side keeps every downstream query and
+    * oracle identical: fixture wall times are UTC instants and every
+    * runner pins the session timezone to UTC, so the NTZ→instant cast
+    * is shift-free, mirroring DuckDB's naive-timestamp `epoch_ns`.
     */
   def load(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, d)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    normalizeTs(Tables.events(s, d))
   }
+
+  /** See [[load]]: LONG `ts` (nanos fixture) or timestamp `ts` (micros
+    * fixture) → (`ts` TimestampType µs, `ts_ns` epoch-nano long).
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
 
   private val valDec = col("value").cast("decimal(12,2)")
 

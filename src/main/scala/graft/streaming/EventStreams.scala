@@ -249,13 +249,12 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      // glob form: FileStreamSource wants a directory or glob, and the
-      // fixture is a single file
-      .parquet(s"$dir/events*.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.operators.Events.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        // glob form: FileStreamSource wants a directory or glob, and the
+        // fixture is a single file
+        .parquet(s"$dir/events*.parquet"))
   }
 }
