@@ -29,9 +29,6 @@ object SparkEntry {
         WordScore.wordScoreSalted(Tables.documents(s, d),
           org.apache.spark.sql.functions.col("doc_id") % 5 + 1,
           org.apache.spark.sql.functions.col("text"))),
-      // sketch internals differ per engine → rows-only check, no oracle
-      "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
-      "q_approx_percentile" -> ((s, d) => Relational.qApproxPercentile(s, d)),
     )
     base ++
       Relational.queries.map { case (k, (fn, _)) => k -> fn } ++

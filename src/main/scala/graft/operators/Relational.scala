@@ -988,35 +988,94 @@ object Relational {
     "q_window_firstlast" -> (qWindowFirstLast _, qWindowFirstLastSql),
     "q_window_range_frame" -> (qWindowRangeFrame _, qWindowRangeFrameSql),
     "q_correlated_subquery" -> (qCorrelatedSubquery _, qCorrelatedSubquerySql),
+    "q_approx_distinct"   -> (qApproxDistinct _, qApproxDistinctSql),
+    "q_approx_percentile" -> (qApproxPercentile _, qApproxPercentileSql),
   )
 
   // ------------------------------------------------ approximate distinct
-  /** HLL++ sketch cardinality (sketch internals are implementation-
-    * specific → no cross-engine oracle; RelationalSpec bounds the
-    * relative error against the exact count instead). The sketch is
-    * ALONE in the plan — benching it next to an exact countDistinct
-    * would pay the very distinct-shuffle the sketch exists to avoid.
-    * At 100 TB the sketch is the difference between a mergeable
-    * fixed-size state and an unbounded distinct shuffle.
+  /** HLL++ sketch cardinality, hash-checkable: the sketch estimate is
+    * engine-specific, so the QUERY emits the exact cardinality plus a
+    * deterministic `within_bound` validating the sketch against it
+    * (rsd 0.02, bound 10% = 5σ — the sketch is hash-deterministic for
+    * a given input, so the boolean is too). The DuckDB oracle computes
+    * the same exact count and a literal TRUE. The production op at
+    * 100 TB is the sketch ALONE (mergeable fixed-size state, no
+    * distinct shuffle); the exact side here is the validation harness,
+    * the same split RelationalSpec uses — now a CORRECTNESS row too.
     */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.10)).as("within_bound"))
       .orderBy("l_returnflag")
 
-  /** Mergeable quantile sketch (percentile_approx) — the bounded-state
-    * companion to the exact ordered-set aggregates in [[qPercentile]]:
-    * at 100 TB the sketch keeps per-group state fixed-size where exact
-    * interpolation would buffer every value. Sketch internals are
-    * implementation-specific → rows-only driver check; RelationalSpec
-    * bounds the rank error against the exact percentiles.
+  lazy val qApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mergeable quantile sketch (percentile_approx), hash-checkable the
+    * same way: the query emits the exact DISCRETE percentiles (the
+    * element at rank ⌈p·n⌉ — pure integer rank selection, no
+    * interpolation, so the value is a bit-exact copy of an input and
+    * cross-engine safe) plus `within_bound` checking the sketch value
+    * lands between the elements at ranks ⌈p·n⌉ ∓ max(1, n/100) —
+    * generous next to the sketch's n/accuracy = n/10000 rank-error
+    * guarantee, and deterministic because the sketch is. Oracle: same
+    * integer-rank selection + literal TRUE. At 100 TB the sketch keeps
+    * per-group state fixed-size where exact selection would sort every
+    * value; the exact side here is the validation harness.
     */
-  def qApproxPercentile(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+    val cnts = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    // rank positions as pure integer arithmetic (`div`), mirrored
+    // verbatim by the oracle's `//` — no float ceil at a boundary
+    val ranked = li
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+      .join(broadcast(cnts), "l_returnflag")
+      .withColumn("r50", expr("(cnt + 1) div 2"))
+      .withColumn("r95", expr("(19 * cnt + 19) div 20"))
+      .withColumn("tol", greatest(expr("cnt div 100"), lit(1L)))
+    val exact = ranked.groupBy("l_returnflag").agg(
+      max(when(col("rn") === col("r50"), col("l_extendedprice"))).as("p50_exact"),
+      max(when(col("rn") === col("r95"), col("l_extendedprice"))).as("p95_exact"),
+      max(when(col("rn") === greatest(col("r50") - col("tol"), lit(1L)),
+        col("l_extendedprice"))).as("lo50"),
+      max(when(col("rn") === least(col("r50") + col("tol"), col("cnt")),
+        col("l_extendedprice"))).as("hi50"),
+      max(when(col("rn") === greatest(col("r95") - col("tol"), lit(1L)),
+        col("l_extendedprice"))).as("lo95"),
+      max(when(col("rn") === least(col("r95") + col("tol"), col("cnt")),
+        col("l_extendedprice"))).as("hi95"))
+    val sketch = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
+    exact.join(sketch, "l_returnflag")
+      .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+        (col("p50_approx").between(col("lo50"), col("hi50")) &&
+         col("p95_approx").between(col("lo95"), col("hi95"))).as("within_bound"))
       .orderBy("l_returnflag")
+  }
+
+  lazy val qApproxPercentileSql: String =
+    """WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem),
+      |cnts AS (SELECT l_returnflag, COUNT(*) AS cnt FROM li GROUP BY 1),
+      |ranked AS (SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice) AS rn FROM li)
+      |SELECT r.l_returnflag,
+      |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN l_extendedprice END) AS p50_exact,
+      |  MAX(CASE WHEN rn = (19 * cnt + 19) // 20 THEN l_extendedprice END) AS p95_exact,
+      |  TRUE AS within_bound
+      |FROM ranked r JOIN cnts c USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1066,6 +1066,45 @@ object TextAnalysis {
     */
   private def bpeLearn(s: SparkSession, d: String)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val (words, rules, _) = bpeLearnBatched(s, d, batch = 1)
+    (words, rules)
+  }
+
+  /** The merge loop, generalized to B merges per superstep — the
+    * classic distributed-BPE batching that makes production merge
+    * counts (32k–50k rules) feasible: at B=1 every merge is one Spark
+    * job plus a 1-row argmax collect, a driver-side scheduling
+    * bottleneck by design; batching applies the top-B frequency pairs
+    * with PAIRWISE-DISJOINT symbol support in one rewrite pass,
+    * cutting supersteps ~B×.
+    *
+    * Compatibility: merging (l1,r1)→M rewrites "x l1 r1 y" to
+    * "x M y", so the only pair counts it perturbs are (·,l1), (l1,r1)
+    * and (r1,·). A later candidate (l2,r2) is count-INVARIANT under
+    * the batch iff r2 is no accepted LEFT and l2 is no accepted RIGHT
+    * — and under that condition no two rules' matches can overlap a
+    * position (an overlap would need l2 = r1 or r2 = l1), so one
+    * left-to-right fold with a clause per rule applies the batch
+    * exactly as sequential rule-by-rule application would, greedy
+    * non-overlap included. Acceptance stops at the FIRST incompatible
+    * candidate (prefix rule): below that rank, the perturbed pair —
+    * or a pair the merges newly create — may overtake, which is
+    * exactly where strict-sequential order can change. The residual
+    * approximation vs strict BPE is creation-overtaking WITHIN the
+    * accepted prefix (a created pair outranking a later accepted
+    * candidate) — the standard distributed-BPE trade. At B=1 the loop
+    * is bit-identical to strict BPE, which is what [[tBpeTrain]]
+    * ships and what [[tBpeTrainSql]] oracles — `TextAnalysisSpec`
+    * pins that the fixture learns IDENTICAL rules at B=16, in fewer
+    * supersteps (the measured counts live in docs/SCALE.md).
+    *
+    * Returns (vocab after the merges, rules in acceptance order,
+    * supersteps executed).
+    */
+  private[graft] def bpeLearnBatched(s: SparkSession, d: String, batch: Int,
+      merges: Int = BpeMerges)
+      : (DataFrame, Seq[(Int, String, String, Long)], Int) = {
+    require(batch >= 1, "batch must be >= 1")
     // one corpus pass: word → total occurrences; then split to chars
     var words = Materialize.pin(Tables.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("word"))
@@ -1074,7 +1113,9 @@ object TextAnalysis {
       .select(col("word"),
         filter(split(col("word"), ""), x => x =!= "").as("syms"), col("cnt")))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (step <- 1 to BpeMerges) {
+    var steps = 0
+    var exhausted = false
+    while (rules.size < merges && !exhausted) {
       val pairs = words
         .select(col("cnt"), explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -1082,32 +1123,56 @@ object TextAnalysis {
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
-      val best = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1)
-        .collect()
-      if (best.nonEmpty) {
-        val l: String = best(0).getString(0)
-        val r: String = best(0).getString(1)
-        val n: Long = best(0).getLong(2)
-        rules += ((step, l, r, n))
-        val merged = l + r
+      val want = math.min(batch, merges - rules.size)
+      // candidate margin over the batch size absorbs disjointness
+      // rejections; still a bounded driver read (vocab-scale rows)
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r"))
+        .limit(math.max(4 * want, 4)).collect()
+      // greedy prefix in (n DESC, l, r) rank order: accept while
+      // count-invariant under the earlier acceptances (see scaladoc),
+      // stop at the first candidate that isn't
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val usedL = scala.collection.mutable.Set.empty[String]
+      val usedR = scala.collection.mutable.Set.empty[String]
+      var blocked = false
+      val it = top.iterator
+      while (!blocked && accepted.size < want && it.hasNext) {
+        val row = it.next()
+        val l = row.getString(0); val r = row.getString(1); val n = row.getLong(2)
+        if (!usedL(r) && !usedR(l)) {
+          accepted += ((l, r, n)); usedL += l; usedR += r
+        } else blocked = true
+      }
+      if (accepted.isEmpty) exhausted = true
+      else {
+        steps += 1
+        accepted.foreach { case (l, r, n) => rules += ((rules.size + 1, l, r, n)) }
         // greedy non-overlapping left-to-right merge: fold with a
         // one-symbol lookbehind ("" = nothing pending; symbols are
-        // never empty, split("") yields single chars/merged tokens)
+        // never empty, split("") yields single chars/merged tokens).
+        // One chained-when clause per accepted rule — disjoint supports
+        // mean at most one clause can match any (prev, x).
         val apply = aggregate(
           col("syms"),
           struct(array().cast("array<string>").as("arr"), lit("").as("prev")),
-          (acc, x) => when(acc.getField("prev") === "", struct(acc.getField("arr").as("arr"), x.as("prev")))
-            .when(acc.getField("prev") === l && x === r,
-              struct(concat(acc.getField("arr"), array(lit(merged))).as("arr"), lit("").as("prev")))
-            .otherwise(struct(concat(acc.getField("arr"), array(acc.getField("prev"))).as("arr"), x.as("prev"))),
+          (acc, x) => {
+            val start = when(acc.getField("prev") === "",
+              struct(acc.getField("arr").as("arr"), x.as("prev")))
+            accepted.foldLeft(start) { case (w, (l, r, _)) =>
+              w.when(acc.getField("prev") === l && x === r,
+                struct(concat(acc.getField("arr"), array(lit(l + r))).as("arr"),
+                  lit("").as("prev")))
+            }.otherwise(struct(
+              concat(acc.getField("arr"), array(acc.getField("prev"))).as("arr"),
+              x.as("prev")))
+          },
           acc => when(acc.getField("prev") === "", acc.getField("arr"))
             .otherwise(concat(acc.getField("arr"), array(acc.getField("prev")))))
-        val next = Materialize.pin(
+        words = Materialize.pin(
           words.select(col("word"), apply.as("syms"), col("cnt")))
-        words = next
       }
     }
-    (words, rules.toSeq)
+    (words, rules.toSeq, steps)
   }
 
   def tBpeTrain(s: SparkSession, d: String): DataFrame = {

