@@ -776,9 +776,12 @@ object Similarity {
     *
     * Determinism across engines: weights are the exact `t_tfidf`
     * formula rounded to 6 dp (ln parity holds at that precision);
-    * every SUM (norms, dot products) quantizes its terms to
-    * DECIMAL(28,9) first, so reduction order — any cluster, any
-    * partitioning — cannot change a bit. sqrt/÷ are IEEE
+    * every SUM term (norms, dot products) is computed on the EXACT
+    * decimal path — cast the 6-dp weight to DECIMAL(18,6) (an exact
+    * recovery in both engines), multiply exactly at scale 12, round
+    * the exact product to 9 dp HALF_UP — so reduction order AND
+    * double-representation ties at the 10th digit (real for products
+    * of 6-dp decimals) cannot change a bit. sqrt/÷ are IEEE
     * correctly-rounded on identical inputs.
     *
     * Scale: tokenize runs once into the pinned tf table; tf and the
@@ -802,9 +805,16 @@ object Similarity {
       .select(col("doc_id"), col("word"),
         round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6)
           .as("w")))
+    // exact decimal quantization (the a24c5dd oracle-pairing rule):
+    // w IS a 6-dp decimal (round(·,6) upstream), so the DECIMAL(18,6)
+    // cast recovers it exactly in both engines; the square is exact
+    // decimal at scale 12 and the 9-dp round happens on THAT — no
+    // double-representation tie can diverge cross-engine, unlike
+    // rounding the double product (a 12-dp product of 6-dp decimals
+    // can sit exactly on a .5 boundary at the 10th digit)
+    val w6 = col("w").cast(DecimalType(18, 6))
     val norms = w.groupBy("doc_id")
-      .agg(sqrt(sum(round(col("w") * col("w"), 9).cast(DecimalType(28, 9)))
-        .cast("double")).as("nrm"))
+      .agg(sqrt(sum(round(w6 * w6, 9)).cast("double")).as("nrm"))
     // native ShingleSet == array_distinct(shingles(…)) in one codegen'd
     // loop (exact-equality tested in VectorExprSpec); this subplan is
     // evaluated for the gdf aggregate and the self-join, whose two
@@ -822,8 +832,8 @@ object Similarity {
       .select("a", "b").distinct()
     // pair scoring: one codegen'd merge-walk per candidate over the two
     // docs' SORTED weight vectors (graft.plans.SparseDotProduct) —
-    // decimal-exact twin of SUM(CAST(round(wa*wb,9) AS DECIMAL(28,9)))
-    // over the exploded shared-word join, without pushing
+    // decimal-exact twin of SUM(round(w6a * w6b, 9)) over the exploded
+    // shared-word join, without pushing
     // |pairs|·|shared words| (~13M at sf0.1) rows through two hash
     // joins and a regroup. An `aggregate`-HOF fold was also A/B'd and
     // rejected — interpreted lambdas run 3–5× slower once unrelated
@@ -855,7 +865,8 @@ object Similarity {
        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS w
        |  FROM tf JOIN dft USING (word) CROSS JOIN n),
        |norms AS (SELECT doc_id,
-       |    sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+       |    sqrt(CAST(SUM(round(CAST(w AS DECIMAL(18,6)) * CAST(w AS DECIMAL(18,6)), 9))
+       |         AS DOUBLE)) AS nrm
        |  FROM w GROUP BY 1),
        |t2 AS (SELECT doc_id, $toks AS toks FROM documents),
        |gi AS (SELECT doc_id, toks,
@@ -868,7 +879,8 @@ object Similarity {
        |  FROM g ga JOIN rare USING (gram) JOIN g gb USING (gram)
        |  WHERE ga.doc_id < gb.doc_id),
        |dot AS (SELECT c.a, c.b,
-       |    CAST(SUM(CAST(round(wa.w * wb.w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dp
+       |    CAST(SUM(round(CAST(wa.w AS DECIMAL(18,6)) * CAST(wb.w AS DECIMAL(18,6)), 9))
+       |         AS DOUBLE) AS dp
        |  FROM cand c
        |  JOIN w wa ON wa.doc_id = c.a
        |  JOIN w wb ON wb.doc_id = c.b AND wb.word = wa.word

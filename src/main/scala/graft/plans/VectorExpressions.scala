@@ -159,13 +159,23 @@ object SignBands {
 /** Native sparse dot product over two SORTED weight vectors
   * (array<struct<word: string, w: double>>, sorted ascending by word —
   * the `sort_array(collect_list(struct(word, w)))` shape): a merge-walk
-  * over the two arrays multiplies weights of shared words, quantizing
-  * every term to scale 9 (HALF_UP via `BigDecimal.valueOf`, matching
-  * `round(wa*wb, 9)` on doubles exactly) and summing in an exact
-  * BigDecimal accumulator — bit-identical to
-  * `SUM(CAST(round(wa*wb, 9) AS DECIMAL(28,9)))::DOUBLE` over the
-  * exploded shared-word join, for ANY evaluation order, because the
-  * terms are identical decimals and decimal addition is exact.
+  * over the two arrays multiplies weights of shared words through an
+  * EXACT decimal path — each weight is quantized to scale 6 (HALF_UP;
+  * for the producer's `round(w, 6)` doubles this is an exact recovery
+  * of the 6-dp decimal, since no shorter decimal can live within a
+  * half-ulp), the product is exact decimal arithmetic at scale 12,
+  * each term is rounded to scale 9 (HALF_UP on the EXACT decimal — no
+  * double-representation tie can sneak in), and terms sum in an exact
+  * BigDecimal accumulator. Bit-identical to
+  * `SUM(round(CAST(wa AS DECIMAL(18,6)) * CAST(wb AS DECIMAL(18,6)),
+  * 9))::DOUBLE` over the exploded shared-word join — in Spark AND in
+  * DuckDB, for ANY evaluation order, because every step is exact
+  * decimal arithmetic with a deterministic rounding mode. (The earlier
+  * form rounded the double product at 9 dp, which both engines did
+  * through different decimal paths — a representable .5 tie at the
+  * 10th digit of a 12-dp product could diverge; products of 6-dp
+  * decimals land on such boundaries, so the hazard was real. Routing
+  * the quantization through the exact product removes it.)
   *
   * Why it exists (SURVEY.md §4 bar — a measured gap): the exploded
   * join-aggregate pushes |pairs|·|shared words| rows (~30×) through two
@@ -234,10 +244,14 @@ object SparseDotProduct {
       else {
       val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
       if (cmp == 0) {
-        // exactly round(wa*wb, 9) on doubles: BigDecimal.valueOf goes
-        // through Double.toString like Spark's Round, then HALF_UP
-        acc = acc.add(java.math.BigDecimal
-          .valueOf(ra.getDouble(1) * rb.getDouble(1))
+        // exact decimal path (see scaladoc): quantize each weight at
+        // scale 6 (exact for round(·,6)-produced doubles), multiply
+        // exactly, round the exact 12-dp product to 9 dp
+        val wa = java.math.BigDecimal.valueOf(ra.getDouble(1))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        val wb = java.math.BigDecimal.valueOf(rb.getDouble(1))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        acc = acc.add(wa.multiply(wb)
           .setScale(9, java.math.RoundingMode.HALF_UP))
         i += 1; j += 1
       } else if (cmp < 0) i += 1

@@ -87,7 +87,7 @@ class VectorExprSpec extends SparkSpec {
       .join(w.select(col("doc_id").as("a"), col("word"), col("w").as("wa")), "a")
       .join(w.select(col("doc_id").as("b"), col("word"), col("w").as("wb")), Seq("b", "word"))
       .groupBy("a", "b")
-      .agg(sum(round(col("wa") * col("wb"), 9).cast(DecimalType(28, 9)))
+      .agg(sum(round(col("wa").cast(DecimalType(18, 6)) * col("wb").cast(DecimalType(18, 6)), 9))
         .cast("double").as("ref"))
     val joined = native.join(reference, Seq("a", "b"), "left")
       .select(col("dp"), coalesce(col("ref"), lit(0.0)).as("ref"))
@@ -119,6 +119,17 @@ class VectorExprSpec extends SparkSpec {
         |  array(struct(CAST(NULL AS STRING) AS word, CAST(9.0 AS DOUBLE) AS w),
         |        struct('x' AS word, CAST(3.0 AS DOUBLE) AS w))) AS d""".stripMargin)
     assert(nulls.collect()(0).getDouble(0) === 6.0)
+    // the representable-tie case the exact decimal path exists for:
+    // 0.000025 * 0.00002 = 5e-10 EXACTLY as decimals — a .5 boundary
+    // at the 10th digit. HALF_UP on the exact product gives 1e-9;
+    // rounding the DOUBLE product would depend on which side of 5e-10
+    // the nearest double lands, per engine. DuckDB's
+    // round(DECIMAL(18,6)*DECIMAL(18,6), 9) was probed to agree.
+    val tie = spark.sql(
+      """SELECT sparse_dot(
+        |  array(struct('x' AS word, CAST(0.000025 AS DOUBLE) AS w)),
+        |  array(struct('x' AS word, CAST(0.00002 AS DOUBLE) AS w))) AS d""".stripMargin)
+    assert(tie.collect()(0).getDouble(0) === 1e-9)
   }
 
   test("native ShingleMinHash == HOF minhash signature, exactly") {
