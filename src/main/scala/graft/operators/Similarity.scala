@@ -484,6 +484,120 @@ object Similarity {
       |    (a, b) -> a + b) AS q_check
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ product quantization
+  val PqM = 4        // subspaces
+  val PqSub = 16     // dims per subspace (PqM * PqSub = 64)
+  val PqK = 8        // codebook entries per subspace (seeded vec_id < K)
+
+  /** Product quantization — the codebook compression behind IVF-PQ,
+    * the standard way 100 TB of vectors fits a search tier: split each
+    * vector into [[PqM]] subvectors, learn a tiny per-subspace
+    * codebook (here [[PqK]] entries via one deterministic Lloyd step
+    * on squared-L2: seed from vec_id < K, assign, recompute means),
+    * store each vector as M code ids — M bytes instead of 4·dim,
+    * a 64× compression at these constants — plus the reconstruction
+    * error the codes carry.
+    *
+    * Scale shape: subspaces are processed LONG-FORM (vec_id, m, sub)
+    * in one plan, not M cloned branches; codebooks are M·K rows —
+    * broadcast — so assignment is map-side over the corpus with ZERO
+    * vector shuffles (same contract as the IVF fit); the means
+    * aggregation explodes components but partial aggregation bounds
+    * the shuffle at M·K·dim rows. At real scale the codebook is
+    * trained on a sample and persisted; inlined here to stay a pure
+    * (session, dir) query.
+    *
+    * Determinism: distances are left-to-right double folds of
+    * (x−c)², rounded at 6 dp before ranking (ties by centroid id);
+    * means go through exact DECIMAL(20,8) sums (order-free; the
+    * double→decimal cast is half-away-from-zero in BOTH engines —
+    * probed, including the representable 1/512 tie) with one double
+    * division; the per-vector error is the fixed-order sum of the M
+    * rounded subspace distances, rounded once.
+    */
+  def sPq(s: SparkSession, d: String): DataFrame = {
+    val dist = (a: Column, b: Column) => round(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v), 6)
+    // long form: one row per (vector, subspace)
+    val sub = Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          transform(slice(col("embedding"), m * PqSub + 1, PqSub),
+            x => x.cast("double")).as("sub"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.m"), col("p.sub"))
+    val seeds = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("c_id"), col("sub").as("c_sub"))
+    val w0 = Window.partitionBy("m", "vec_id").orderBy(col("d0").asc, col("c_id"))
+    val assign0 = sub.join(broadcast(seeds), "m")
+      .select(col("m"), col("vec_id"), col("sub"), col("c_id"),
+        dist(col("sub"), col("c_sub")).as("d0"))
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1)
+      .select(col("m"), col("vec_id"), col("sub"), col("c_id").as("cell"))
+    // codebook update: exact-decimal component means per (m, cell)
+    val means = assign0
+      .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("m", "cell", "pos")
+      .agg((sum(col("v").cast("decimal(20,8)")).cast("double") / count(lit(1))).as("mv"))
+    val codebook = means.groupBy("m", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("m"), col("cell"),
+        transform(col("pm"), p => p.getField("mv")).as("c_emb"))
+    val wF = Window.partitionBy("m", "vec_id").orderBy(col("d").asc, col("cell"))
+    val coded = sub.join(broadcast(codebook), "m")
+      .select(col("m"), col("vec_id"), col("cell"),
+        dist(col("sub"), col("c_emb")).as("d"))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") === 1)
+    coded.groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("cell"))).cast("int").as("c0"),
+        max(when(col("m") === 1, col("cell"))).cast("int").as("c1"),
+        max(when(col("m") === 2, col("cell"))).cast("int").as("c2"),
+        max(when(col("m") === 3, col("cell"))).cast("int").as("c3"),
+        round(max(when(col("m") === 0, col("d"))) + max(when(col("m") === 1, col("d")))
+          + max(when(col("m") === 2, col("d"))) + max(when(col("m") === 3, col("d"))), 6)
+          .as("err"))
+      .orderBy("vec_id")
+  }
+
+  lazy val sPqSql: String = {
+    val distSql = (sub: String, cb: String) =>
+      s"""round(list_reduce(list_transform(range(1, ${PqSub + 1}),
+         |      i -> ($sub[i] - $cb[i]) * ($sub[i] - $cb[i])),
+         |      (x, y) -> x + y), 6)""".stripMargin
+    s"""WITH sub AS (SELECT vec_id, m,
+       |    list_transform(range(1, ${PqSub + 1}),
+       |      i -> CAST(embedding[m * $PqSub + i] AS DOUBLE)) AS sub
+       |  FROM embeddings CROSS JOIN range(0, $PqM) t(m)),
+       |seed AS (SELECT m, vec_id AS c_id, sub AS c_sub FROM sub WHERE vec_id < $PqK),
+       |a0 AS (SELECT m, vec_id, sub, cell FROM (
+       |  SELECT s.m, s.vec_id, s.sub, c.c_id AS cell,
+       |    row_number() OVER (PARTITION BY s.m, s.vec_id
+       |      ORDER BY ${distSql("s.sub", "c.c_sub")} ASC, c.c_id) AS rn
+       |  FROM sub s JOIN seed c USING (m)) WHERE rn = 1),
+       |mm AS (SELECT m, cell, i AS pos,
+       |    CAST(SUM(CAST(sub[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS mv
+       |  FROM a0 CROSS JOIN range(1, ${PqSub + 1}) t(i) GROUP BY 1, 2, 3),
+       |cb AS (SELECT m, cell, list(mv ORDER BY pos) AS c_emb FROM mm GROUP BY 1, 2),
+       |fin AS (SELECT m, vec_id, cell, d FROM (
+       |  SELECT q.m, q.vec_id, q.cell, q.d,
+       |    row_number() OVER (PARTITION BY q.m, q.vec_id
+       |      ORDER BY q.d ASC, q.cell) AS rn
+       |  FROM (SELECT s.m, s.vec_id, c.cell,
+       |      ${distSql("s.sub", "c.c_emb")} AS d
+       |    FROM sub s JOIN cb c USING (m)) q) WHERE rn = 1)
+       |SELECT vec_id,
+       |  CAST(MAX(CASE WHEN m = 0 THEN cell END) AS INT) AS c0,
+       |  CAST(MAX(CASE WHEN m = 1 THEN cell END) AS INT) AS c1,
+       |  CAST(MAX(CASE WHEN m = 2 THEN cell END) AS INT) AS c2,
+       |  CAST(MAX(CASE WHEN m = 3 THEN cell END) AS INT) AS c3,
+       |  round(MAX(CASE WHEN m = 0 THEN d END) + MAX(CASE WHEN m = 1 THEN d END)
+       |    + MAX(CASE WHEN m = 2 THEN d END) + MAX(CASE WHEN m = 3 THEN d END), 6) AS err
+       |FROM fin GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------ per-label centroids
   /** Per-label mean embedding (class centroids, dim-major rows) — the
     * aggregation behind cluster summaries, classifier prototypes, and
@@ -902,5 +1016,6 @@ object Similarity {
     "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),
     "s_knn_graph"   -> (sKnnGraph _, sKnnGraphSql),
     "s_quantize"    -> (sQuantize _, sQuantizeSql),
+    "s_pq"          -> (sPq _, sPqSql),
   )
 }

@@ -85,6 +85,66 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq: codes in range, coding beats seed assignment, reconstruction correlates") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.sPq(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Double)].collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
+    assert(rows.length === emb.size)
+    rows.foreach { case (id, c0, c1, c2, c3, err) =>
+      Seq(c0, c1, c2, c3).foreach(c =>
+        assert(c >= 0 && c < Similarity.PqK, s"vec $id code $c out of range"))
+      assert(err >= 0.0, s"vec $id negative reconstruction error")
+    }
+    // the refined codebook must beat raw seed assignment on total error:
+    // recompute the seed-assignment error driver-side (nearest of the
+    // first PqK subvectors, squared L2) and compare sums
+    val seeds = (0L until Similarity.PqK).map(emb(_)).toArray
+    def subv(v: Seq[Float], m: Int): Array[Double] =
+      v.slice(m * Similarity.PqSub, (m + 1) * Similarity.PqSub).map(_.toDouble).toArray
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seedErr = emb.values.map { v =>
+      (0 until Similarity.PqM).map { m =>
+        seeds.map(sv => l2(subv(v, m), subv(sv, m))).min
+      }.sum
+    }.sum
+    val codedErr = rows.map(_._6).sum
+    assert(codedErr < seedErr,
+      s"one Lloyd step did not improve on seeds: $codedErr vs $seedErr")
+    // the emitted (code, error) pairs are a full driver-side replay of
+    // the algorithm: assign to seeds, mean per SEED cell (that is the
+    // codebook — the final code may move a vector to a different cell),
+    // then nearest mean
+    val seedCells = emb.toSeq.flatMap { case (id, v) =>
+      (0 until Similarity.PqM).map { m =>
+        val sv = subv(v, m)
+        val cell = seeds.zipWithIndex
+          .map { case (s2, c) => (l2(sv, subv(s2, m)), c) }.min._2
+        (m, cell) -> sv
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val meanOf = seedCells.map { case (k, members) =>
+      k -> (0 until Similarity.PqSub).map(i =>
+        members.map(_(i)).sum / members.size).toArray
+    }
+    emb.take(25).foreach { case (id, v) =>
+      val (wantCodes, wantErr) = (0 until Similarity.PqM).map { m =>
+        val sv = subv(v, m)
+        meanOf.collect { case ((mm, c), mean) if mm == m => (l2(sv, mean), c) }
+          .toSeq.min
+      }.map { case (dd, c) => (c, dd) }.unzip
+      val got = rows.find(_._1 == id).get
+      assert(Seq(got._2, got._3, got._4, got._5) === wantCodes,
+        s"vec $id codes")
+      // driver means skip the decimal quantization + per-term round-6,
+      // so compare the error loosely
+      assert(math.abs(got._6 - wantErr.sum) < 1e-3,
+        s"vec $id err ${got._6} vs driver ${wantErr.sum}")
+    }
+  }
+
   test("centroids match a driver-side naive mean within quantization error") {
     import spark.implicits._
     val got = Similarity.sCentroids(spark, sf)
