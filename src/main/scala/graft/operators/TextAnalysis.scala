@@ -1024,6 +1024,65 @@ object TextAnalysis {
        |ORDER BY pr DESC, word""".stripMargin
   }
 
+  // ------------------------------------------------ heavy hitters (MG)
+  /** Misra–Gries capacity. Sized so every fixture's top-[[HhTopK]]
+    * 3-gram count clears the N/(cap+1) guarantee threshold (measured:
+    * sf0.1 has N=260,704 gram occurrences, N/(cap+1)=15.9, 10th count
+    * 23) — which makes `within_bound` THEOREM-true, not luck-true:
+    * membership and the error bound below the threshold would be
+    * partition-order-dependent, above it they are certain.
+    */
+  val HhCap = 16384
+  val HhTopK = 10
+
+  /** Frequent n-grams at bounded state — the boilerplate/template
+    * detector a crawl pipeline runs where exact gram counts are the
+    * un-shufflable part (the 3-gram key space grows with the corpus,
+    * unlike the word vocabulary): a [[graft.functions.MisraGries]]
+    * summary holds ≤ [[HhCap]] counters per partition and merges with
+    * the same bound, so frequent-gram detection costs one corpus pass
+    * and a cap-bounded state, no corpus-keyed shuffle.
+    *
+    * Emitted shape is the validation-report pattern (like
+    * `q_approx_distinct`): the exact top-[[HhTopK]] grams with exact
+    * counts (ties (n DESC, gram)), plus `within_bound` checking the MG
+    * summary against each — present, undercount-only, error within
+    * N/cap. Every emitted column is deterministic: the exact side by
+    * construction, the boolean by the MG guarantees (the raw summary
+    * CONTENT is order-dependent and is deliberately not emitted). The
+    * exact aggregation here is the validation harness; the production
+    * shape at 100 TB is the summary alone (or summary → candidate
+    * semi-join → exact counts of candidates only, the two-pass exact
+    * variant). The gram frame is pinned for the harness's three
+    * consumers; the production single-pass needs no pin.
+    */
+  def tHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val grams = Materialize.pin(docsWithTokens(s, d)
+      .select(explode(Text.shingles(col("toks"), 3)).as("gram")))
+    val exact = Materialize.pin(
+      grams.groupBy("gram").agg(count(lit(1)).as("n")))
+    val top = exact.orderBy(col("n").desc, col("gram")).limit(HhTopK)
+    val tot = exact.agg(sum(col("n")).as("total"))
+    val mg = udaf(new graft.functions.MisraGries(HhCap), Encoders.STRING)
+    val summary = grams.agg(mg(col("gram")).as("mg"))
+    val est = element_at(col("mg"), col("gram"))
+    top.crossJoin(broadcast(summary)).crossJoin(broadcast(tot))
+      .select(col("gram"), col("n"),
+        (est.isNotNull && est <= col("n") &&
+          (col("n") - est) * lit(HhCap.toLong) <= col("total"))
+          .as("within_bound"))
+      .orderBy(col("n").desc, col("gram"))
+  }
+
+  lazy val tHeavyHittersSql: String =
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
+       |i AS (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+       |g AS (SELECT ${Text.gramConcatSql("toks", "i", 3)} AS gram FROM i),
+       |c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1)
+       |SELECT gram, n, TRUE AS within_bound
+       |FROM c ORDER BY n DESC, gram LIMIT $HhTopK""".stripMargin
+
   // ------------------------------------------------------ BPE training
   /** Number of merge rules to learn. Bounded like the PageRank
     * superstep count — each merge is one pass over the VOCABULARY
@@ -1317,5 +1376,6 @@ object TextAnalysis {
     "t_token_bpe"    -> (tTokenCountBpe _, tTokenCountBpeSql),
     "t_fingerprint"  -> (tFingerprint _, tFingerprintSql),
     "t_winnow"       -> (tWinnow _, tWinnowSql),
+    "t_heavy_hitters" -> (tHeavyHitters _, tHeavyHittersSql),
   )
 }

@@ -84,6 +84,41 @@ class TextAnalysisSpec extends SparkSpec {
     info(s"supersteps: B=1 → $steps1, B=16 → $steps16")
   }
 
+  test("misra-gries: guarantees hold at a small cap under adversarial partitioning") {
+    import org.apache.spark.sql.{functions => F}
+    val grams = Tables.documents(spark, sf)
+      .select(F.explode(graft.functions.Text.shingles(
+        graft.functions.Text.tokens(F.col("text")), 3)).as("gram"))
+      .as[String].collect()
+    val exact = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = grams.length.toLong
+    val cap = 64 // far below the vocab: decrement/merge paths must fire
+    val mg = F.udaf(new graft.functions.MisraGries(cap),
+      org.apache.spark.sql.Encoders.STRING)
+    for (parts <- Seq(1, 7, 32)) {
+      val summary = spark.createDataset(grams.toSeq).repartition(parts)
+        .agg(mg(F.col("value"))).as[Map[String, Long]].collect()(0)
+      assert(summary.size <= cap, s"parts=$parts overflowed cap")
+      val bound = n / (cap + 1)
+      exact.foreach { case (g, c) =>
+        if (c > bound)
+          assert(summary.contains(g), s"parts=$parts lost heavy gram '$g' ($c > $bound)")
+      }
+      summary.foreach { case (g, est) =>
+        assert(est <= exact(g), s"parts=$parts overcounted '$g'")
+        assert(exact(g) - est <= bound, s"parts=$parts error on '$g' above $bound")
+      }
+    }
+    // the shipped query: every within_bound true, exact side correct
+    val rows = TextAnalysis.tHeavyHitters(spark, sf)
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.length === TextAnalysis.HhTopK)
+    rows.foreach { case (g, c, ok) =>
+      assert(ok, s"'$g' failed its bound")
+      assert(exact(g) === c)
+    }
+  }
+
   test("textrank: mass conserved, scores discriminate, frequency-heavy word on top") {
     val r = TextAnalysis.tTextrank(spark, sf).as[(String, Double)].collect()
     assert(r.nonEmpty)
