@@ -515,23 +515,31 @@ object Similarity {
     * division; the per-vector error is the fixed-order sum of the M
     * rounded subspace distances, rounded once.
     */
-  def sPq(s: SparkSession, d: String): DataFrame = {
-    val dist = (a: Column, b: Column) => round(aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v), 6)
-    // long form: one row per (vector, subspace)
-    val sub = Tables.embeddings(s, d)
+  private val pqDist = (a: Column, b: Column) => round(aggregate(
+    zip_with(a, b, (x, y) => (x - y) * (x - y)),
+    lit(0.0), (acc, v) => acc + v), 6)
+
+  /** Long form (vec_id, m, sub double[PqSub]): one row per subspace. */
+  private def pqSub(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("vec_id"), explode(array((0 until PqM).map(m =>
         struct(lit(m).as("m"),
           transform(slice(col("embedding"), m * PqSub + 1, PqSub),
             x => x.cast("double")).as("sub"))): _*)).as("p"))
       .select(col("vec_id"), col("p.m"), col("p.sub"))
+
+  /** The fitted model: codebook (m, cell, c_emb) — M·K rows, pinned —
+    * and per-vector codes (m, vec_id, cell, d) long-form. Shared by
+    * [[sPq]] (emits codes) and [[sAnnPq]] (searches on them).
+    */
+  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sub = pqSub(s, d)
     val seeds = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("c_id"), col("sub").as("c_sub"))
     val w0 = Window.partitionBy("m", "vec_id").orderBy(col("d0").asc, col("c_id"))
     val assign0 = sub.join(broadcast(seeds), "m")
       .select(col("m"), col("vec_id"), col("sub"), col("c_id"),
-        dist(col("sub"), col("c_sub")).as("d0"))
+        pqDist(col("sub"), col("c_sub")).as("d0"))
       .withColumn("rn", row_number().over(w0))
       .filter(col("rn") === 1)
       .select(col("m"), col("vec_id"), col("sub"), col("c_id").as("cell"))
@@ -540,16 +548,22 @@ object Similarity {
       .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy("m", "cell", "pos")
       .agg((sum(col("v").cast("decimal(20,8)")).cast("double") / count(lit(1))).as("mv"))
-    val codebook = means.groupBy("m", "cell")
+    val codebook = Materialize.pin(means.groupBy("m", "cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
       .select(col("m"), col("cell"),
-        transform(col("pm"), p => p.getField("mv")).as("c_emb"))
+        transform(col("pm"), p => p.getField("mv")).as("c_emb")))
     val wF = Window.partitionBy("m", "vec_id").orderBy(col("d").asc, col("cell"))
-    val coded = sub.join(broadcast(codebook), "m")
+    val codes = sub.join(broadcast(codebook), "m")
       .select(col("m"), col("vec_id"), col("cell"),
-        dist(col("sub"), col("c_emb")).as("d"))
+        pqDist(col("sub"), col("c_emb")).as("d"))
       .withColumn("rn", row_number().over(wF))
       .filter(col("rn") === 1)
+      .select(col("m"), col("vec_id"), col("cell"), col("d"))
+    (codebook, codes)
+  }
+
+  def sPq(s: SparkSession, d: String): DataFrame = {
+    val (_, coded) = pqModel(s, d)
     coded.groupBy("vec_id")
       .agg(
         max(when(col("m") === 0, col("cell"))).cast("int").as("c0"),
@@ -562,12 +576,16 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  lazy val sPqSql: String = {
-    val distSql = (sub: String, cb: String) =>
-      s"""round(list_reduce(list_transform(range(1, ${PqSub + 1}),
-         |      i -> ($sub[i] - $cb[i]) * ($sub[i] - $cb[i])),
-         |      (x, y) -> x + y), 6)""".stripMargin
-    s"""WITH sub AS (SELECT vec_id, m,
+  private def pqDistSql(sub: String, cb: String): String =
+    s"""round(list_reduce(list_transform(range(1, ${PqSub + 1}),
+       |      i -> ($sub[i] - $cb[i]) * ($sub[i] - $cb[i])),
+       |      (x, y) -> x + y), 6)""".stripMargin
+
+  /** Shared oracle CTE chain mirroring [[pqModel]]: sub → seed → a0 →
+    * mm → cb (codebook) → fin (per-vector codes + distances).
+    */
+  private lazy val pqCtesSql: String =
+    s"""sub AS (SELECT vec_id, m,
        |    list_transform(range(1, ${PqSub + 1}),
        |      i -> CAST(embedding[m * $PqSub + i] AS DOUBLE)) AS sub
        |  FROM embeddings CROSS JOIN range(0, $PqM) t(m)),
@@ -575,7 +593,7 @@ object Similarity {
        |a0 AS (SELECT m, vec_id, sub, cell FROM (
        |  SELECT s.m, s.vec_id, s.sub, c.c_id AS cell,
        |    row_number() OVER (PARTITION BY s.m, s.vec_id
-       |      ORDER BY ${distSql("s.sub", "c.c_sub")} ASC, c.c_id) AS rn
+       |      ORDER BY ${pqDistSql("s.sub", "c.c_sub")} ASC, c.c_id) AS rn
        |  FROM sub s JOIN seed c USING (m)) WHERE rn = 1),
        |mm AS (SELECT m, cell, i AS pos,
        |    CAST(SUM(CAST(sub[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS mv
@@ -586,8 +604,11 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q.m, q.vec_id
        |      ORDER BY q.d ASC, q.cell) AS rn
        |  FROM (SELECT s.m, s.vec_id, c.cell,
-       |      ${distSql("s.sub", "c.c_emb")} AS d
-       |    FROM sub s JOIN cb c USING (m)) q) WHERE rn = 1)
+       |      ${pqDistSql("s.sub", "c.c_emb")} AS d
+       |    FROM sub s JOIN cb c USING (m)) q) WHERE rn = 1)""".stripMargin
+
+  lazy val sPqSql: String =
+    s"""WITH $pqCtesSql
        |SELECT vec_id,
        |  CAST(MAX(CASE WHEN m = 0 THEN cell END) AS INT) AS c0,
        |  CAST(MAX(CASE WHEN m = 1 THEN cell END) AS INT) AS c1,
@@ -596,7 +617,55 @@ object Similarity {
        |  round(MAX(CASE WHEN m = 0 THEN d END) + MAX(CASE WHEN m = 1 THEN d END)
        |    + MAX(CASE WHEN m = 2 THEN d END) + MAX(CASE WHEN m = 3 THEN d END), 6) AS err
        |FROM fin GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ANN search ON the PQ codes — asymmetric distance computation
+    * (ADC), the query path IVF-PQ actually runs at 100 TB: per query,
+    * distances to all M·K codebook entries form a tiny lookup table
+    * ([[NumQueries]]·[[PqM]]·[[PqK]] rows — broadcast); a candidate's
+    * approximate distance is then the SUM of M table lookups on its
+    * codes — the corpus is scanned as codes only (M small ints per
+    * vector), never as vectors. That asymmetry (full-precision query,
+    * compressed corpus) is what makes exhaustive scan over billions of
+    * codes feasible where float vectors would not even fit.
+    *
+    * Scale shape: codes long-form join the broadcast table map-side —
+    * zero corpus shuffles; ranking shuffles (q, id, dist) triples.
+    * Determinism: table entries are 6-dp-rounded folds; the M-term sum
+    * goes through exact DECIMAL(16,6) (order-free); rank ties by n_id.
+    */
+  def sAnnPq(s: SparkSession, d: String): DataFrame = {
+    val (codebook, codes) = pqModel(s, d)
+    val queries = pqSub(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"))
+    val dtab = queries.join(codebook, "m")
+      .select(col("q_id"), col("m"), col("cell"),
+        pqDist(col("sub"), col("c_emb")).as("dq"))
+    val wR = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id"))
+    codes.join(broadcast(dtab), Seq("m", "cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("dq").cast("decimal(16,6)")).cast("double").as("adist"))
+      .withColumn("rnk", row_number().over(wR).cast("int"))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "n_id", "rnk", "adist")
+      .orderBy("q_id", "rnk")
   }
+
+  lazy val sAnnPqSql: String =
+    s"""WITH $pqCtesSql,
+       |qd AS (SELECT s.vec_id AS q_id, s.m, c.cell,
+       |    ${pqDistSql("s.sub", "c.c_emb")} AS dq
+       |  FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $NumQueries),
+       |adc AS (SELECT q.q_id, f.vec_id AS n_id,
+       |    CAST(SUM(CAST(q.dq AS DECIMAL(16,6))) AS DOUBLE) AS adist
+       |  FROM fin f JOIN qd q ON q.m = f.m AND q.cell = f.cell
+       |    AND q.q_id <> f.vec_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT q_id, n_id, adist,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist ASC, n_id) AS INT) AS rnk FROM adc)
+       |SELECT q_id, n_id, rnk, adist FROM r WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
 
   // ------------------------------------------------ per-label centroids
   /** Per-label mean embedding (class centroids, dim-major rows) — the
@@ -1017,5 +1086,6 @@ object Similarity {
     "s_knn_graph"   -> (sKnnGraph _, sKnnGraphSql),
     "s_quantize"    -> (sQuantize _, sQuantizeSql),
     "s_pq"          -> (sPq _, sPqSql),
+    "s_ann_pq"      -> (sAnnPq _, sAnnPqSql),
   )
 }

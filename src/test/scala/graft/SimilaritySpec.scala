@@ -143,6 +143,27 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(got._6 - wantErr.sum) < 1e-3,
         s"vec $id err ${got._6} vs driver ${wantErr.sum}")
     }
+
+    // ADC search: a candidate's approximate distance is the sum of its
+    // codes' lookup-table entries — replay one query driver-side
+    val adc = Similarity.sAnnPq(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(adc.length === Similarity.NumQueries * Similarity.TopK)
+    val codeOf = rows.map(r => r._1 -> Array(r._2, r._3, r._4, r._5)).toMap
+    val q0 = emb(0L)
+    val want0 = emb.collect { case (id, v) if id != 0L =>
+      val d = (0 until Similarity.PqM).map { m =>
+        val mean = meanOf((m, codeOf(id)(m)))
+        l2(subv(q0, m), mean)
+      }.sum
+      (d, id)
+    }.toSeq.sorted.take(Similarity.TopK)
+    val got0 = adc.filter(_._1 == 0L).sortBy(_._3)
+    assert(got0.map(_._2).toSeq === want0.map(_._2),
+      s"ADC top-${Similarity.TopK} for query 0 diverged from driver replay")
+    got0.zip(want0).foreach { case ((_, _, _, ga), (wa, _)) =>
+      assert(math.abs(ga - wa) < 1e-3, s"adist $ga vs $wa")
+    }
   }
 
   test("centroids match a driver-side naive mean within quantization error") {
