@@ -813,6 +813,70 @@ object Similarity {
        |  ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
 
+  /** Recall@k of the PQ/ADC path against the exact squared-L2 ground
+    * truth (PQ quantizes L2, so L2 — not cosine — is its ground
+    * truth). Same evaluation-sized shape as [[sRecall]]: both inputs
+    * are per-query top-k sets; the expensive parts reuse each
+    * operator's own scale design (broadcast lookup tables, codes-only
+    * corpus scan on the ADC side; broadcast query side on the exact
+    * side). The ADC recall is structurally LOSSY (M·K codebook cells
+    * can't preserve all neighborhoods) — this query is how a
+    * deployment measures whether the loss is acceptable before
+    * trusting the compressed index. Measured on the fixtures: mean
+    * recall@5 ≈ 0.24 at sf0.01 — the UNIFORM random fixture is PQ's
+    * hardest case (no cluster structure for 4×8 codebook cells to
+    * exploit; 4 bytes per vector is a 64× compression), which is
+    * precisely why the evaluation query exists: the compression knob
+    * (M, K) is tuned against THIS number on real, clustered data.
+    */
+  def sRecallPq(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = base.toDF("q_id", "q_emb").filter(col("q_id") < NumQueries)
+    val l2 = round(aggregate(
+      zip_with(col("q_emb"), col("embedding"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id"))
+    val exact = broadcast(q).crossJoin(base)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), l2.as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "n_id")
+    val approx = sAnnPq(s, d)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("int").as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("int").as("n_match"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 6)
+          .as("recall"))
+      .orderBy("q_id")
+  }
+
+  lazy val sRecallPqSql: String = {
+    val l2Sql =
+      s"""round(list_reduce(list_transform(range(1, ${PqM * PqSub + 1}),
+         |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+         |      (x, y) -> x + y), 6)""".stripMargin
+    s"""SELECT ex.q_id, CAST(COUNT(*) AS INT) AS k,
+       |  CAST(SUM(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END) AS INT) AS n_match,
+       |  round(CAST(SUM(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS recall
+       |FROM (SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $l2Sql ASC, b.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings b
+       |      ON q.vec_id < $NumQueries AND q.vec_id <> b.vec_id)
+       |  WHERE rnk <= $TopK) ex
+       |LEFT JOIN ($sAnnPqSql) ap
+       |  ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+  }
+
   // --------------------------------------------------- MMR re-ranking
   /** Maximal-marginal-relevance diversified top-k: greedily pick the
     * candidate maximizing λ·cos(q,c) − (1−λ)·max_{s∈selected} sim(c,s)
@@ -1087,5 +1151,6 @@ object Similarity {
     "s_quantize"    -> (sQuantize _, sQuantizeSql),
     "s_pq"          -> (sPq _, sPqSql),
     "s_ann_pq"      -> (sAnnPq _, sAnnPqSql),
+    "s_recall_pq"   -> (sRecallPq _, sRecallPqSql),
   )
 }
