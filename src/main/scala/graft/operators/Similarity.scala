@@ -667,6 +667,96 @@ object Similarity {
        |SELECT q_id, n_id, rnk, adist FROM r WHERE rnk <= $TopK
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Composed IVF-PQ — the production ANN query at 100 TB: IVF cells
+    * cut CANDIDATES (search only the query's [[NumProbes]] probed
+    * cells, ~nProbe/K of the corpus), PQ codes cut BYTES (candidates
+    * are scored by ADC table lookups on M small ints, never on float
+    * vectors). This is the composition FAISS/ScaNN-class systems
+    * deploy; both halves are the separately-verified [[sAnnIvf]] and
+    * [[sAnnPq]] machinery, so this query is their join, not new math.
+    *
+    * Scale shape: at production layout the code table is partitioned
+    * BY IVF CELL (the inverted lists), so probing is partition
+    * pruning — only nProbe/K of the code files are read; here the
+    * same restriction is the candidates⋈codes join. The ADC table is
+    * |Q|·M·K rows, broadcast. Ranking shuffles (q, id, dist) triples
+    * of the probed minority only.
+    */
+  def sIvfPq(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, LloydIters)
+    val assign = ivfAssignment(base, cent).select(col("vec_id"), col("cell").as("ivf_cell"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val probes = base.filter(col("vec_id") < NumQueries)
+      .toDF("q_id", "q_emb", "q_nrm")
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("c_id"),
+        round(Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NumProbes)
+      .select(col("q_id"), col("c_id").as("ivf_cell"))
+    val cand = probes.join(assign, "ivf_cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+    val (codebook, codes) = pqModel(s, d)
+    val dtab = pqSub(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"))
+      .join(codebook, "m")
+      .select(col("q_id"), col("m"), col("cell"),
+        pqDist(col("sub"), col("c_emb")).as("dq"))
+    val wR = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id"))
+    cand.join(codes.select(col("vec_id"), col("m"), col("cell")), "vec_id")
+      .join(broadcast(dtab), Seq("q_id", "m", "cell"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("dq").cast("decimal(16,6)")).cast("double").as("adist"))
+      .withColumn("rnk", row_number().over(wR).cast("int"))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "n_id", "rnk", "adist")
+      .orderBy("q_id", "rnk")
+  }
+
+  lazy val sIvfPqSql: String = {
+    val centFinal = if (LloydIters == 0) "cent0" else s"cent$LloydIters"
+    val lloydCtes = (1 to LloydIters)
+      .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
+      .mkString(",\n")
+    val ivfCtes = (Seq(
+      NORM_CTE,
+      s"cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK)")
+      ++ (if (LloydIters == 0) Nil else Seq(lloydCtes))).mkString(",\n")
+    s"""WITH $ivfCtes,
+       |assign AS (SELECT vec_id, c_id AS ivf_cell FROM (
+       |  SELECT v.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
+       |  FROM n v CROSS JOIN $centFinal c) WHERE arn = 1),
+       |probes AS (SELECT q_id, ivf_cell FROM (
+       |  SELECT q.vec_id AS q_id, c.c_id AS ivf_cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q", "c")} DESC, c.c_id) AS prn
+       |  FROM n q CROSS JOIN $centFinal c WHERE q.vec_id < $NumQueries)
+       |  WHERE prn <= $NumProbes),
+       |cand AS (SELECT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a USING (ivf_cell)
+       |  WHERE p.q_id <> a.vec_id),
+       |$pqCtesSql,
+       |qd AS (SELECT s.vec_id AS q_id, s.m, c.cell,
+       |    ${pqDistSql("s.sub", "c.c_emb")} AS dq
+       |  FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $NumQueries),
+       |adc AS (SELECT cd.q_id, cd.vec_id AS n_id,
+       |    CAST(SUM(CAST(q.dq AS DECIMAL(16,6))) AS DOUBLE) AS adist
+       |  FROM cand cd
+       |  JOIN fin f ON f.vec_id = cd.vec_id
+       |  JOIN qd q ON q.q_id = cd.q_id AND q.m = f.m AND q.cell = f.cell
+       |  GROUP BY 1, 2),
+       |r AS (SELECT q_id, n_id, adist,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist ASC, n_id) AS INT) AS rnk FROM adc)
+       |SELECT q_id, n_id, rnk, adist FROM r WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------ per-label centroids
   /** Per-label mean embedding (class centroids, dim-major rows) — the
     * aggregation behind cluster summaries, classifier prototypes, and
@@ -1152,5 +1242,6 @@ object Similarity {
     "s_pq"          -> (sPq _, sPqSql),
     "s_ann_pq"      -> (sAnnPq _, sAnnPqSql),
     "s_recall_pq"   -> (sRecallPq _, sRecallPqSql),
+    "s_ivf_pq"      -> (sIvfPq _, sIvfPqSql),
   )
 }
