@@ -67,6 +67,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"))
 
+  /** Hourly distinct-user cardinality per event type via the HLL++
+    * sketch — streaming cardinality monitoring at bounded state: exact
+    * windowed COUNT(DISTINCT) would hold every seen id per open
+    * window; the sketch holds a fixed-size register array that merges
+    * across micro-batches. The sketch state is max-per-register, so
+    * the estimate is ORDER-INSENSITIVE: streaming (any chunking) and
+    * batch produce the identical number — StreamingSpec pins
+    * streaming == batch equality, unlike order-dependent summaries
+    * (Misra–Gries) which can't promise content equality and stay
+    * batch-side.
+    */
+  def distinctUsersPerWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("approx_users"))
+
   /** Gap-based sessions (5 min) per user. */
   def sessionize(events: DataFrame): DataFrame =
     events

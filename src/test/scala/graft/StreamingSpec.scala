@@ -74,6 +74,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("windowed HLL distinct users: streaming == batch EXACTLY (order-free sketch)") {
+    val streamed = runStream("t_hll", 5, EventStreams.distinctUsersPerWindow)
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = EventStreams.distinctUsersPerWindow(batchEvents.toDF())
+      .as[(Timestamp, String, Long)].collect().toSet
+    // HLL state is max-per-register → estimates are identical numbers
+    // under any chunking, not merely close
+    assert(streamed === batch && batch.nonEmpty)
+    // and the sketch tracks the exact per-window cardinality
+    val exact = batchEvents.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    batch.foreach { case (b, t, est) =>
+      val e = exact((b, t))
+      assert(math.abs(est - e).toDouble / math.max(e, 1L) < 0.10,
+        s"window $b/$t: sketch $est vs exact $e")
+    }
+  }
+
   test("sliding window: streaming == batch, each event in 3 windows") {
     val streamed = runStream("t_slide", 4, EventStreams.slidingCounts)
       .as[(Timestamp, String, Long)].collect().toSet
