@@ -1287,6 +1287,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** ENCODE to token-ID sequences — the artifact a trainer actually
+    * consumes (ids in document order), where [[tBpeEncode]] reports
+    * budgets: token ids are the dense lexicographic rank over the
+    * final symbol vocabulary (deterministic, engine-independent), each
+    * word maps to its ordered id sequence once (vocabulary-bounded),
+    * and each document's stream is the in-order concatenation of its
+    * words' sequences. Output stays scalar per the driver contract:
+    * (doc_id, n_tokens, md5 of the space-joined id stream) — the
+    * fingerprint IS the artifact check (any id, anywhere, in any doc,
+    * diverging flips the hash).
+    *
+    * Scale: the id table and word→ids map are vocabulary-bounded
+    * (the one single-partition window ranks ~|symbols| rows — by
+    * construction bounded, like the CC convergence read); documents
+    * carry (position, word) pairs through ONE broadcast join; the
+    * in-order reassembly is a per-doc sort of its own tokens, not a
+    * global sort.
+    */
+  def tBpeIds(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (vocab, _) = bpeLearn(s, d)
+    val symIds = vocab.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy("sym")))
+    val wordIds = vocab.select(col("word"), posexplode(col("syms")).as(Seq("j", "sym")))
+      .join(broadcast(symIds), "sym")
+      .groupBy("word")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("j"), col("tok_id")))),
+          p => p.getField("tok_id").cast("string"))).as("ids"),
+        count(lit(1)).as("n_sub"))
+    val dtok = docsWithTokens(s, d)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "word")))
+    val enc = dtok.join(broadcast(wordIds), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_sub")).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("ids")))),
+          p => p.getField("ids"))).cast("binary")).as("ids_md5"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("ids_md5"), md5(lit("").cast("binary"))).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  lazy val tBpeIdsSql: String =
+    s"""WITH $bpeVocabCtes,
+       |symids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS INT) AS tok_id
+       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM vocab$BpeMerges)),
+       |wpos AS (SELECT word, unnest(range(1, len(syms) + 1)) AS j, syms
+       |  FROM vocab$BpeMerges),
+       |wordids AS (SELECT word,
+       |    string_agg(CAST(tok_id AS VARCHAR), ' ' ORDER BY j) AS ids,
+       |    COUNT(*) AS n_sub
+       |  FROM (SELECT word, j, syms[j] AS sym FROM wpos)
+       |  JOIN symids USING (sym) GROUP BY word),
+       |dtok AS (SELECT doc_id, i, toks[i] AS word FROM (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+       |  FROM (SELECT doc_id, ${graft.functions.Text.ToksSql} AS toks FROM documents))),
+       |docids AS (SELECT d.doc_id, SUM(w.n_sub) AS n_tokens,
+       |    md5(string_agg(w.ids, ' ' ORDER BY d.i)) AS ids_md5
+       |  FROM dtok d JOIN wordids w USING (word) GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  COALESCE(ids_md5, md5('')) AS ids_md5
+       |FROM documents LEFT JOIN docids USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared oracle CTE chain: vocab0 (word counts split to chars) then
     * [[BpeMerges]] unrolled merge blocks — per step a pairs CTE
     * (zip-adjacent via index unnest, sum by pair), a 1-row argmax CTE
@@ -1352,6 +1422,7 @@ object TextAnalysis {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_bpe_train"    -> (tBpeTrain _, tBpeTrainSql),
     "t_bpe_encode"   -> (tBpeEncode _, tBpeEncodeSql),
+    "t_bpe_ids"      -> (tBpeIds _, tBpeIdsSql),
     "t_hashtf" -> (tHashTf _, tHashTfSql),
     "t_textrank" -> (tTextrank _, tTextrankSql),
     "t_char_stats" -> (tCharStats _, tCharStatsSql),

@@ -70,6 +70,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpe ids: token totals equal the encode budgets; streams discriminate docs") {
+    val ids = TextAnalysis.tBpeIds(spark, sf).as[(Long, Long, String)].collect()
+    val enc = TextAnalysis.tBpeEncode(spark, sf).as[(Long, Long, Long)].collect()
+      .map(e => e._1 -> e._3).toMap
+    assert(ids.length === enc.size)
+    // the id stream's length IS the token budget — the two encode
+    // views must agree doc-for-doc
+    ids.foreach { case (d, n, _) => assert(enc(d) === n, s"doc $d") }
+    // and the fingerprint discriminates: md5 of the ordered stream
+    // should be unique per distinct document content
+    assert(ids.map(_._3).distinct.length > ids.length / 2,
+      "id-stream fingerprints collapse — ordering lost?")
+  }
+
   test("batched bpe (B=16): identical rules to sequential, fewer supersteps") {
     val (_, seq1, steps1) = TextAnalysis.bpeLearnBatched(spark, sf, batch = 1)
     val (_, seq16, steps16) = TextAnalysis.bpeLearnBatched(spark, sf, batch = 16)
