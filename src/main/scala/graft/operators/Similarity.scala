@@ -696,7 +696,10 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= NumProbes)
       .select(col("q_id"), col("c_id").as("ivf_cell"))
-    val cand = probes.join(assign, "ivf_cell")
+    // probes is |Q|·nProbe rows ALWAYS — hint it broadcast (the
+    // window-filtered frame has no size estimate, so the planner would
+    // otherwise stage a shuffle join of the corpus-sized assignment)
+    val cand = assign.join(broadcast(probes), "ivf_cell")
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
     val (codebook, codes) = pqModel(s, d)
