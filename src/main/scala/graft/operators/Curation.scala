@@ -413,7 +413,6 @@ object Curation {
     * the longest document, not the corpus).
     */
   def pPack(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // pinned: the shard-totals branch and the per-doc branch are
     // optimizer-specialized consumers (the totals branch prunes
     // doc_id), so unpinned each re-scans AND re-tokenizes the corpus.
@@ -423,6 +422,15 @@ object Curation {
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n"),
         (col("doc_id") / 8192).cast("long").as("shard")))
+    packScan(counts)
+  }
+
+  /** The distributed two-level prefix scan + boundary explode shared
+    * by [[pPack]] (whitespace counts) and [[pPackBpe]] (subword
+    * counts). `counts` must carry (doc_id, n, shard), pinned.
+    */
+  private def packScan(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // intra-shard running total (parallel across shards) ...
     val wShard = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -457,6 +465,51 @@ object Curation {
     */
   val pPackSql: String =
     s"""WITH t AS (SELECT doc_id, CAST(len(${Text.ToksSql}) AS BIGINT) AS n FROM documents),
+       |o AS (SELECT doc_id, n,
+       |  CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+       |  FROM t),
+       |sp AS (SELECT end_off - n AS start_off, end_off,
+       |  unnest(range((end_off - n) // $PackSeqLen, (end_off - 1) // $PackSeqLen + 1)) AS seq_id
+       |  FROM o WHERE n > 0)
+       |SELECT CAST(seq_id AS INT) AS seq_id,
+       |  CAST(COUNT(*) AS INT) AS n_docs,
+       |  CAST(SUM(least(end_off, (seq_id + 1) * $PackSeqLen) -
+       |    greatest(start_off, seq_id * $PackSeqLen)) AS INT) AS n_tokens
+       |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  /** [[pPack]] with the budget a training run actually bills by —
+    * SUBWORD counts from the learned BPE vocabulary
+    * ([[TextAnalysis.tBpeEncode]]'s measurement feeding the packer):
+    * per word a broadcast (word → token count) lookup, per doc one
+    * aggregation, then the same distributed two-level scan and
+    * boundary explode as whitespace packing. Whitespace counts
+    * under-bill multi-subword tokens, so whitespace-packed sequences
+    * OVERFLOW a real token budget — this is the variant whose 512 is
+    * the model's actual context length. (In-query retrain of the
+    * vocab is the per-query contract, as documented on tBpeEncode.)
+    */
+  def pPackBpe(s: SparkSession, d: String): DataFrame = {
+    val perWord = TextAnalysis.bpePerWordCounts(s, d)
+    val bpeN = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .join(broadcast(perWord), "word")
+      .groupBy("doc_id").agg(sum(col("n_sub")).as("n"))
+    val counts = Materialize.pin(Tables.documents(s, d).select(col("doc_id"))
+      .join(bpeN, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n"),
+        (col("doc_id") / 8192).cast("long").as("shard")))
+    packScan(counts)
+  }
+
+  lazy val pPackBpeSql: String =
+    s"""WITH ${TextAnalysis.bpeVocabCtesSql},
+       |perword AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
+       |  FROM vocab${TextAnalysis.BpeMerges}),
+       |dtok AS (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents),
+       |bc AS (SELECT doc_id, SUM(n_sub) AS n FROM dtok JOIN perword USING (word)
+       |  GROUP BY 1),
+       |t AS (SELECT d.doc_id, CAST(COALESCE(bc.n, 0) AS BIGINT) AS n
+       |  FROM documents d LEFT JOIN bc USING (doc_id)),
        |o AS (SELECT doc_id, n,
        |  CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
        |  FROM t),
@@ -613,6 +666,7 @@ object Curation {
     "p_decontaminate" -> (pDecontaminate _, pDecontaminateSql),
     "p_mix" -> (pMix _, pMixSql),
     "p_pack" -> (pPack _, pPackSql),
+    "p_pack_bpe" -> (pPackBpe _, pPackBpeSql),
     "p_sample" -> (sample _, sampleSql),
     "p_shuffle" -> (pShuffle _, pShuffleSql),
     "p_triplets" -> (pTriplets _, pTripletsSql),

@@ -1234,6 +1234,18 @@ object TextAnalysis {
     (words, rules.toSeq, steps)
   }
 
+  /** (word, n_sub) from the learned vocabulary — the per-word subword
+    * counts, exposed for composition ([[Curation.pPackBpe]] bills its
+    * packing budget with them).
+    */
+  private[operators] def bpePerWordCounts(s: SparkSession, d: String): DataFrame = {
+    val (vocab, _) = bpeLearn(s, d)
+    vocab.select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+  }
+
+  /** The shared vocab CTE chain, exposed for composed oracles. */
+  private[operators] def bpeVocabCtesSql: String = bpeVocabCtes
+
   def tBpeTrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
     val (_, rules) = bpeLearn(s, d)

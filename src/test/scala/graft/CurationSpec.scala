@@ -59,6 +59,23 @@ class CurationSpec extends SparkSpec {
     assert(contributions > nDocs)
   }
 
+  test("pack_bpe: conserves the subword budget; bills more than whitespace packing") {
+    val packed = Curation.pPackBpe(spark, sf)
+      .select("seq_id", "n_docs", "n_tokens").as[(Int, Int, Int)].collect()
+    // conservation: total packed tokens == total BPE token budget from
+    // the independent encode view
+    val budget = graft.operators.TextAnalysis.tBpeEncode(spark, sf)
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    assert(packed.map(_._3.toLong).sum === budget)
+    assert(packed.map(_._1).toSeq === (0 until packed.length))
+    packed.dropRight(1).foreach { case (id, _, n) =>
+      assert(n === Curation.PackSeqLen, s"seq $id")
+    }
+    // subword counts >= whitespace counts (every word is >= 1 subword),
+    // so the BPE-billed corpus needs at least as many sequences
+    assert(packed.length >= Curation.pPack(spark, sf).count())
+  }
+
   test("mix: whole-epoch sources replicate exactly, fractional gate is per-doc stable") {
     val docs = Tables.documents(spark, sf)
     val mix = Curation.pMix(spark, sf).cache()
