@@ -522,6 +522,55 @@ object Curation {
        |    greatest(start_off, seq_id * $PackSeqLen)) AS INT) AS n_tokens
        |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  // ---------------------------------------------- curriculum ordering
+  /** Curriculum schedule — the easy→hard consumption order curriculum
+    * training runs: documents are staged by quality quartile (stage 0
+    * = top quartile first) and shuffled WITHIN each stage by the same
+    * seeded-digest permutation idiom as [[pShuffle]], so the schedule
+    * is reproducible on any cluster and re-drawable per epoch by
+    * reseeding. The total consumption order is (stage,
+    * curriculum_key, doc_id) — exactly the `orderCols` contract
+    * [[graft.sources.ShardSink]] consumes, which is how the schedule
+    * becomes shards without any global window here.
+    *
+    * Scale: the quality score is a per-row map (tQuality's one-pass
+    * metrics); the quartile cutoffs are ONE exact ordered-set
+    * aggregate row broadcast back (at 100 TB the cutoffs come from
+    * the mergeable quantile sketch instead — same shape, bounded
+    * state); staging is then a pure scan-side CASE. Cutoffs are
+    * rounded at 6 dp in both engines; comparisons are safe because
+    * interpolated cutoffs either equal a 6-dp data value exactly or
+    * sit ≥ 5e-7 away from every one — no boundary can flip on a ulp.
+    */
+  def pCurriculum(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.tQuality(s, d).select(col("doc_id"), col("quality"))
+    val cuts = scored.agg(
+      round(expr("percentile(quality, 0.75)"), 6).as("c3"),
+      round(expr("percentile(quality, 0.5)"), 6).as("c2"),
+      round(expr("percentile(quality, 0.25)"), 6).as("c1"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("quality"),
+        when(col("quality") >= col("c3"), 0)
+          .when(col("quality") >= col("c2"), 1)
+          .when(col("quality") >= col("c1"), 2)
+          .otherwise(3).as("stage"),
+        md5(concat(lit("cur1|"), col("doc_id").cast("string")).cast("binary"))
+          .as("curriculum_key"))
+      .orderBy("stage", "curriculum_key", "doc_id")
+  }
+
+  lazy val pCurriculumSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql})),
+       |cuts AS (SELECT round(quantile_cont(quality, 0.75), 6) AS c3,
+       |  round(quantile_cont(quality, 0.5), 6) AS c2,
+       |  round(quantile_cont(quality, 0.25), 6) AS c1 FROM q)
+       |SELECT doc_id, quality,
+       |  CASE WHEN quality >= c3 THEN 0 WHEN quality >= c2 THEN 1
+       |       WHEN quality >= c1 THEN 2 ELSE 3 END AS stage,
+       |  md5('cur1|' || CAST(doc_id AS VARCHAR)) AS curriculum_key
+       |FROM q CROSS JOIN cuts
+       |ORDER BY stage, curriculum_key, doc_id""".stripMargin
+
   // ---------------------------------------------- weighted sampling
   /** Quality-weighted deterministic sampling: keep probability
     * proportional to document length, p = min(1, n_chars/400). The
@@ -667,6 +716,7 @@ object Curation {
     "p_mix" -> (pMix _, pMixSql),
     "p_pack" -> (pPack _, pPackSql),
     "p_pack_bpe" -> (pPackBpe _, pPackBpeSql),
+    "p_curriculum" -> (pCurriculum _, pCurriculumSql),
     "p_sample" -> (sample _, sampleSql),
     "p_shuffle" -> (pShuffle _, pShuffleSql),
     "p_triplets" -> (pTriplets _, pTripletsSql),

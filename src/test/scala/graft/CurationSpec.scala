@@ -76,6 +76,27 @@ class CurationSpec extends SparkSpec {
     assert(packed.length >= Curation.pPack(spark, sf).count())
   }
 
+  test("curriculum: stages are quality-ordered quartiles; schedule is reproducible") {
+    val rows = Curation.pCurriculum(spark, sf)
+      .select("doc_id", "quality", "stage", "curriculum_key")
+      .as[(Long, Double, Int, String)].collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    assert(rows.map(_._3).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+    // monotone: every stage-k doc has quality >= every stage-(k+1) doc
+    val byStage = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (k <- 0 to 2)
+      assert(byStage(k).min >= byStage(k + 1).max,
+        s"stage $k min ${byStage(k).min} < stage ${k + 1} max ${byStage(k + 1).max}")
+    // quartiles are roughly balanced (cutoff ties can shift members)
+    byStage.values.foreach(v =>
+      assert(v.size > rows.length / 8, "degenerate stage"))
+    // deterministic: a second run yields the identical schedule
+    val again = Curation.pCurriculum(spark, sf)
+      .select("doc_id", "quality", "stage", "curriculum_key")
+      .as[(Long, Double, Int, String)].collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("mix: whole-epoch sources replicate exactly, fractional gate is per-doc stable") {
     val docs = Tables.documents(spark, sf)
     val mix = Curation.pMix(spark, sf).cache()
