@@ -1081,8 +1081,47 @@ object Dedup {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // ------------------------------------------------ detector evaluation
+  /** Evaluation of the banded-MinHash near-dup detector against the
+    * blocked exact-Jaccard pairs — the measurement a pipeline runs
+    * before trusting LSH at scale (band/row counts are tuned against
+    * THIS number, the same trust-but-verify role `s_recall` plays for
+    * ANN): recall = how many exact near-dup pairs (jac ≥ 0.6) the
+    * detector surfaces, precision = how many detector pairs clear the
+    * exact bar (the est ≥ 0.5 threshold deliberately over-generates —
+    * candidates are cheap, misses are not). Both inputs are the
+    * separately hash-verified chains; this query is their join.
+    * Evaluation-sized: pair sets, not corpora.
+    */
+  def dLshEval(s: SparkSession, d: String): DataFrame = {
+    val exact = dJaccard(s, d).select(col("a"), col("b"))
+    val lsh = dMinhashLsh(s, d).select(col("a"), col("b"))
+    val hit = exact.join(lsh, Seq("a", "b"))
+    val rate = (n: Column, den: Column) =>
+      when(den === 0, 0.0).otherwise(round(n.cast("double") / den, 6))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        rate(col("n_hit"), col("n_exact")).as("recall"),
+        rate(col("n_hit"), col("n_lsh")).as("precision"))
+  }
+
+  lazy val dLshEvalSql: String =
+    s"""SELECT n_exact, n_lsh, n_hit,
+       |  round(CASE WHEN n_exact = 0 THEN 0.0
+       |    ELSE CAST(n_hit AS DOUBLE) / n_exact END, 6) AS recall,
+       |  round(CASE WHEN n_lsh = 0 THEN 0.0
+       |    ELSE CAST(n_hit AS DOUBLE) / n_lsh END, 6) AS precision
+       |FROM (SELECT COUNT(*) AS n_exact FROM ($dJaccardSql))
+       |CROSS JOIN (SELECT COUNT(*) AS n_lsh FROM ($dMinhashLshSql))
+       |CROSS JOIN (SELECT COUNT(*) AS n_hit FROM
+       |  (SELECT a, b FROM ($dJaccardSql)) e
+       |  JOIN (SELECT a, b FROM ($dMinhashLshSql)) l USING (a, b))""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d_substring"   -> (dSubstring _, dSubstringSql),
+    "d_lsh_eval"    -> (dLshEval _, dLshEvalSql),
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
     "d_incremental" -> (dIncremental _, dIncrementalSql),

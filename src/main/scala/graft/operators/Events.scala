@@ -821,7 +821,40 @@ object Events {
       |FROM g GROUP BY user_id, island
       |ORDER BY user_id, start_us, island""".stripMargin
 
+  // ------------------------------------------------- windowed top-k
+  /** Trending / leaderboard: top-3 most active users per UTC day —
+    * the per-window top-k every activity dashboard and trending feed
+    * runs. Counts aggregate with map-side partials keyed by (day,
+    * user); the rank window partitions by DAY, so its state is one
+    * day's active-user counts (bounded by DAU, not the corpus) and
+    * days rank in parallel. Ties break by user_id; output keys are
+    * epoch-second day starts per the events-oracle convention.
+    */
+  def eTrending(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day_start").orderBy(col("n").desc, col("user_id"))
+    load(s, d)
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("day_start"),
+        col("user_id"), col("n"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .orderBy("day_start", "rnk")
+  }
+
+  val eTrendingSql: String =
+    """WITH b AS (SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_start,
+      |    user_id FROM events),
+      |c AS (SELECT day_start, user_id, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |r AS (SELECT day_start, user_id, n,
+      |  CAST(row_number() OVER (PARTITION BY day_start
+      |    ORDER BY n DESC, user_id) AS INT) AS rnk FROM c)
+      |SELECT day_start, user_id, n, rnk FROM r WHERE rnk <= 3
+      |ORDER BY day_start, rnk""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_trending"   -> (eTrending _, eTrendingSql),
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),
     "e_sequence"   -> (eSequence _, eSequenceSql),
     "e_stickiness" -> (eStickiness _, eStickinessSql),
