@@ -1024,6 +1024,65 @@ object TextAnalysis {
        |ORDER BY pr DESC, word""".stripMargin
   }
 
+  // ------------------------------------------------ Zipf diagnostics
+  /** Zipf-law fit over the word frequency distribution — the corpus
+    * health check (natural language sits near slope −1 on ln freq vs
+    * ln rank; generated/templated text and scraped boilerplate bend
+    * the curve): least-squares slope and intercept over
+    * (ln rank, ln freq), plus the vocabulary and token totals.
+    *
+    * Scale: the frequency table is vocabulary-bounded; the rank
+    * window is a single ordered pass over THAT table (bounded by
+    * construction — the wordscore sort's acceptance), and the
+    * regression is one aggregate row. Determinism: x = round(ln rank,
+    * 6) and y = round(ln freq, 6) are single lns of integers rounded
+    * once; every regression sum quantizes through DECIMAL(18,6) with
+    * exact products at scale 12 (the sparse-cosine rule), so
+    * reduction order cannot move a bit; the two divisions happen in
+    * double on identical inputs and round once.
+    */
+  def tZipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docsWithTokens(s, d)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+    val d6 = (c: Column) => c.cast(DecimalType(18, 6))
+    val xy = ranked.select(col("freq"),
+      round(log(col("rank").cast("double")), 6).as("x"),
+      round(log(col("freq").cast("double")), 6).as("y"))
+    val agg = xy.agg(
+      count(lit(1)).as("n"), sum(col("freq")).as("total_tokens"),
+      sum(d6(col("x"))).as("sx"), sum(d6(col("y"))).as("sy"),
+      sum(d6(col("x")) * d6(col("y"))).as("sxy"),
+      sum(d6(col("x")) * d6(col("x"))).as("sxx"))
+    agg.select(
+      col("n").cast("int").as("vocab"), col("total_tokens"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")), 6)
+        .as("slope"))
+  }
+
+  lazy val tZipfSql: String =
+    s"""WITH w AS (SELECT unnest(${Text.ToksSql}) AS word FROM documents),
+       |c AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+       |r AS (SELECT freq,
+       |  row_number() OVER (ORDER BY freq DESC, word) AS rank FROM c),
+       |xy AS (SELECT freq,
+       |  round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+       |  round(ln(CAST(freq AS DOUBLE)), 6) AS y FROM r),
+       |a AS (SELECT COUNT(*) AS n, CAST(SUM(freq) AS BIGINT) AS total_tokens,
+       |  SUM(CAST(x AS DECIMAL(18,6))) AS sx, SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+       |  SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))) AS sxy,
+       |  SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS sxx
+       |  FROM xy)
+       |SELECT CAST(n AS INT) AS vocab, total_tokens,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+       |FROM a""".stripMargin
+
   // ------------------------------------------------ heavy hitters (MG)
   /** Misra–Gries capacity. Sized so every fixture's top-[[HhTopK]]
     * 3-gram count clears the N/(cap+1) guarantee threshold (measured:
@@ -1460,5 +1519,6 @@ object TextAnalysis {
     "t_fingerprint"  -> (tFingerprint _, tFingerprintSql),
     "t_winnow"       -> (tWinnow _, tWinnowSql),
     "t_heavy_hitters" -> (tHeavyHitters _, tHeavyHittersSql),
+    "t_zipf"         -> (tZipf _, tZipfSql),
   )
 }

@@ -98,6 +98,28 @@ class TextAnalysisSpec extends SparkSpec {
     info(s"supersteps: B=1 → $steps1, B=16 → $steps16")
   }
 
+  test("zipf: slope matches a driver-side regression; flags the synthetic corpus") {
+    val (vocab, total, slope) = TextAnalysis.tZipf(spark, sf)
+      .as[(Int, Long, Double)].collect()(0)
+    val freqs = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(vocab === freqs.size)
+    assert(total === freqs.values.sum)
+    val pts = freqs.toSeq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((_, f), i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - want) < 1e-4, s"slope $slope vs driver $want")
+    // the synthetic near-uniform vocabulary is NOT Zipfian (natural
+    // language sits near -1) — the diagnostic must say so
+    assert(slope > -0.5 && slope < 0.0, s"unexpected slope $slope")
+  }
+
   test("misra-gries: guarantees hold at a small cap under adversarial partitioning") {
     import org.apache.spark.sql.{functions => F}
     val grams = Tables.documents(spark, sf)
