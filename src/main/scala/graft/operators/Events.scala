@@ -821,6 +821,46 @@ object Events {
       |FROM g GROUP BY user_id, island
       |ORDER BY user_id, start_us, island""".stripMargin
 
+  // --------------------------------------------- inter-arrival stats
+  /** Per-user inter-arrival gap statistics — the behavioral-cadence
+    * signal behind bot detection and engagement scoring (machine
+    * traffic has near-constant gaps, humans are bursty): per user,
+    * the gap count, exact mean gap (decimal-summed microsecond deltas,
+    * one division, rounded once) and min/max gaps in seconds. The lag
+    * window partitions by USER — state is one user's events, users
+    * process in parallel; gaps order by (ts_ns, event_id) so same-
+    * timestamp events have a deterministic order on both engines.
+    */
+  def eInterarrival(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    load(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        round((sum(col("gap_us").cast("decimal(20,0)")).cast("double")
+          / count(lit(1))) / 1e6, 6).as("avg_gap_s"),
+        round(min(col("gap_us")).cast("double") / 1e6, 6).as("min_gap_s"),
+        round(max(col("gap_us")).cast("double") / 1e6, 6).as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
+  val eInterarrivalSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |g AS (SELECT user_id,
+      |    ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS gap_us
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_gaps,
+      |  round((CAST(SUM(CAST(gap_us AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*)) / 1e6, 6)
+      |    AS avg_gap_s,
+      |  round(CAST(MIN(gap_us) AS DOUBLE) / 1e6, 6) AS min_gap_s,
+      |  round(CAST(MAX(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------- windowed top-k
   /** Trending / leaderboard: top-3 most active users per UTC day —
     * the per-window top-k every activity dashboard and trending feed
@@ -855,6 +895,7 @@ object Events {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_trending"   -> (eTrending _, eTrendingSql),
+    "e_interarrival" -> (eInterarrival _, eInterarrivalSql),
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),
     "e_sequence"   -> (eSequence _, eSequenceSql),
     "e_stickiness" -> (eStickiness _, eStickinessSql),
