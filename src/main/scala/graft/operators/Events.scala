@@ -825,11 +825,17 @@ object Events {
   /** Per-user inter-arrival gap statistics — the behavioral-cadence
     * signal behind bot detection and engagement scoring (machine
     * traffic has near-constant gaps, humans are bursty): per user,
-    * the gap count, exact mean gap (decimal-summed microsecond deltas,
-    * one division, rounded once) and min/max gaps in seconds. The lag
-    * window partitions by USER — state is one user's events, users
-    * process in parallel; gaps order by (ts_ns, event_id) so same-
-    * timestamp events have a deterministic order on both engines.
+    * the gap count and mean/min/max gaps in PURE INTEGER microseconds
+    * (mean = floor division). Integer outputs on purpose: sum/n is a
+    * small-denominator rational whose decimal expansion lands exactly
+    * on rounding-boundary ties (a sf0.1 user measured avg
+    * ...xxx.5 µs — Spark HALF_UP vs DuckDB nearbyint half-even
+    * diverged by one 6-dp step), so no float rounding is allowed
+    * anywhere in this query — the a24c5dd oracle-pairing rule applied
+    * as "don't round, stay integral". The lag window partitions by
+    * USER — state is one user's events, users process in parallel;
+    * gaps order by (ts_us, event_id) so same-timestamp events have a
+    * deterministic order on both engines.
     */
   def eInterarrival(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -840,10 +846,9 @@ object Events {
       .filter(col("gap_us").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"),
-        round((sum(col("gap_us").cast("decimal(20,0)")).cast("double")
-          / count(lit(1))) / 1e6, 6).as("avg_gap_s"),
-        round(min(col("gap_us")).cast("double") / 1e6, 6).as("min_gap_s"),
-        round(max(col("gap_us")).cast("double") / 1e6, 6).as("max_gap_s"))
+        expr("sum(gap_us) div count(1)").as("avg_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
       .orderBy("user_id")
   }
 
@@ -854,10 +859,9 @@ object Events {
       |      ORDER BY ts_us, event_id) AS gap_us
       |  FROM e)
       |SELECT user_id, COUNT(*) AS n_gaps,
-      |  round((CAST(SUM(CAST(gap_us AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*)) / 1e6, 6)
-      |    AS avg_gap_s,
-      |  round(CAST(MIN(gap_us) AS DOUBLE) / 1e6, 6) AS min_gap_s,
-      |  round(CAST(MAX(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
+      |  SUM(gap_us) // COUNT(*) AS avg_gap_us,
+      |  MIN(gap_us) AS min_gap_us,
+      |  MAX(gap_us) AS max_gap_us
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
