@@ -1094,8 +1094,12 @@ object Dedup {
     * Evaluation-sized: pair sets, not corpora.
     */
   def dLshEval(s: SparkSession, d: String): DataFrame = {
-    val exact = dJaccard(s, d).select(col("a"), col("b"))
-    val lsh = dMinhashLsh(s, d).select(col("a"), col("b"))
+    // Pin both pair sets before fanning into the three 1-row count
+    // aggregates + the hit join — without the pin each expensive
+    // upstream chain (shingle→minhash→band join / blocked exact
+    // Jaccard) executes twice. Evaluation-sized, so the pin is cheap.
+    val exact = Materialize.pin(dJaccard(s, d).select(col("a"), col("b")))
+    val lsh = Materialize.pin(dMinhashLsh(s, d).select(col("a"), col("b")))
     val hit = exact.join(lsh, Seq("a", "b"))
     val rate = (n: Column, den: Column) =>
       when(den === 0, 0.0).otherwise(round(n.cast("double") / den, 6))

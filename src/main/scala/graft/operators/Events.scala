@@ -859,7 +859,7 @@ object Events {
       |      ORDER BY ts_us, event_id) AS gap_us
       |  FROM e)
       |SELECT user_id, COUNT(*) AS n_gaps,
-      |  SUM(gap_us) // COUNT(*) AS avg_gap_us,
+      |  CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_gap_us,
       |  MIN(gap_us) AS min_gap_us,
       |  MAX(gap_us) AS max_gap_us
       |FROM g WHERE gap_us IS NOT NULL

@@ -1023,9 +1023,13 @@ object Relational {
     * element at rank ⌈p·n⌉ — pure integer rank selection, no
     * interpolation, so the value is a bit-exact copy of an input and
     * cross-engine safe) plus `within_bound` checking the sketch value
-    * lands between the elements at ranks ⌈p·n⌉ ∓ max(1, n/100) —
-    * generous next to the sketch's n/accuracy = n/10000 rank-error
-    * guarantee, and deterministic because the sketch is. Oracle: same
+    * lands between the elements at ranks ⌈p·n⌉ ∓ max(1, n/100).
+    * The boolean is stable because that ±max(1, n/100) rank tolerance
+    * is ~100× the sketch's n/accuracy = n/10000 guarantee — NOT
+    * because the sketch is deterministic: percentile_approx's
+    * QuantileSummaries is merge-order sensitive, so its value can
+    * shift with partitioning/task order. Do not tighten the tolerance
+    * below that order-sensitivity margin. Oracle: same
     * integer-rank selection + literal TRUE. At 100 TB the sketch keeps
     * per-group state fixed-size where exact selection would sort every
     * value; the exact side here is the validation harness.

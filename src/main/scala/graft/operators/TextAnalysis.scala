@@ -1028,8 +1028,12 @@ object TextAnalysis {
   /** Zipf-law fit over the word frequency distribution — the corpus
     * health check (natural language sits near slope −1 on ln freq vs
     * ln rank; generated/templated text and scraped boilerplate bend
-    * the curve): least-squares slope and intercept over
-    * (ln rank, ln freq), plus the vocabulary and token totals.
+    * the curve): the least-squares slope over (ln rank, ln freq),
+    * plus the vocabulary and token totals. (Only the slope is
+    * emitted: the intercept is a second double division whose 6-dp
+    * rounding can land on a cross-engine tie — the e_interarrival
+    * class — for no extra diagnostic power; slope alone carries the
+    * Zipf health signal.)
     *
     * Scale: the frequency table is vocabulary-bounded; the rank
     * window is a single ordered pass over THAT table (bounded by

@@ -169,6 +169,29 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("e_interarrival: half-integer mean floors (the sf0.1 tie pinned as a unit case)") {
+    // The scenario behind commit baea844 (Events.scala scaladoc): a
+    // user whose gap mean lands exactly on .5 — HALF_UP rounding
+    // (Spark) vs half-even (DuckDB nearbyint) diverge there, which is
+    // why the query emits floor-division integers. Pin it: 3 events at
+    // 0/3/5 µs → gaps (3, 2), sum 5 over 2 gaps → true mean 2.5, and
+    // the output must be the floored 2 (DuckDB's `//` floors too).
+    // Also pin the output TYPE: LongType, matching the oracle's
+    // CAST(... AS BIGINT) — the r6 hash miss was this dtype drifting.
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toFile.getAbsolutePath
+    spark.createDataFrame(Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.EPOCH), 7L),
+      (2L, java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(3000L)), 7L),
+      (3L, java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(5000L)), 7L)))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.eInterarrival(spark, dir)
+    assert(out.schema("avg_gap_us").dataType === org.apache.spark.sql.types.LongType)
+    val row = out.as[(Long, Long, Long, Long, Long)].collect()
+    assert(row === Array((7L, 2L, 2L, 2L, 3L)),
+      "expected floor(5/2)=2 mean, min 2, max 3: " + row.mkString(","))
+  }
+
   test("e_transitions: counts cover exactly the non-first events; rows of p sum to 1") {
     val t = Events.eTransitions(spark, sf)
     val totalN = t.agg(sum("n")).as[Long].head()

@@ -152,6 +152,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("PQ ADC search: broadcast distance table, group-limited top-k") {
+    // the ADC table (|Q|·M·K rows) must broadcast onto the code scan —
+    // losing the hint stages a corpus-sized shuffle of the codes
+    val p = plan(Similarity.sAnnPq(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "ADC table no longer broadcasts onto the codes:\n" + p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("IVF-PQ: probes and ADC table broadcast, group-limited top-k") {
+    // two load-bearing hints (Similarity.scala sIvfPq): the window-
+    // filtered probe set (|Q|·nProbe rows, no planner size estimate)
+    // and the ADC table — each lost hint stages a corpus shuffle
+    val p = plan(Similarity.sIvfPq(spark, sf))
+    val nBcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBcast >= 2,
+      s"expected probes + ADC table broadcasts, found $nBcast:\n" + p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("hashtf: one explode, partial+final aggregate, pruned scan") {
     val p = plan(graft.operators.TextAnalysis.tHashTf(spark, sf))
     val finalSection = p.split("== Initial Plan ==").head

@@ -155,6 +155,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitters: every fixture's top-k clears the MG threshold with margin") {
+    // within_bound is THEOREM-true only while each fixture's top-HhTopK
+    // 3-gram count exceeds N/(HhCap+1) — below that threshold MG
+    // membership is partition-order-dependent and the oracle's literal
+    // TRUE becomes luck. The driver REGENERATES /root/testdata every
+    // round, so a fixture drift could silently cross the line (sf0.1's
+    // measured margin is the thinnest: 10th count 23 vs threshold
+    // 15.9 ≈ 1.45×). Fail loudly here, in sbt test, if any regenerated
+    // fixture's margin drops below 1.2× — rather than as an opaque
+    // driver hash mismatch.
+    import org.apache.spark.sql.{functions => F}
+    val margin = 1.2
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val counts = Tables.documents(spark, dir)
+        .select(F.explode(graft.functions.Text.shingles(
+          graft.functions.Text.tokens(F.col("text")), 3)).as("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).as("n"))
+      val total = counts.agg(F.sum("n")).as[Long].head()
+      val kth = counts.orderBy(F.col("n").desc, F.col("gram"))
+        .limit(TextAnalysis.HhTopK).orderBy(F.col("n").asc)
+        .select("n").as[Long].head()
+      val threshold = total.toDouble / (TextAnalysis.HhCap + 1)
+      assert(kth >= threshold * margin,
+        s"$dir: ${TextAnalysis.HhTopK}th gram count $kth is within " +
+          s"${margin}x of the MG threshold $threshold (N=$total) — " +
+          "within_bound is no longer theorem-true; raise HhCap or lower HhTopK")
+    }
+  }
+
   test("textrank: mass conserved, scores discriminate, frequency-heavy word on top") {
     val r = TextAnalysis.tTextrank(spark, sf).as[(String, Double)].collect()
     assert(r.nonEmpty)

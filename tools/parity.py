@@ -34,14 +34,25 @@ for name, sql in sorted(oracles.items()):
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
         scols = spark_rel.columns
         srows = spark_rel.fetchall()
+        sdtypes = {c: str(t) for c, t in spark_rel.df().dtypes.items()}
         duck_rel = con.sql(sql)
         dcols = duck_rel.columns
         drows = duck_rel.fetchall()
+        ddtypes = {c: str(t) for c, t in duck_rel.df().dtypes.items()}
     except Exception as e:
         fails.append((name, str(e))); print(f"FAIL {name}: {e}"); continue
     if sorted(scols) != sorted(dcols):
         fails.append((name, f"schema {sorted(scols)} vs {sorted(dcols)}"))
         print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}"); continue
+    # The driver hashes the pandas frames bit-level, so a dtype drift
+    # (e.g. DuckDB promoting SUM(BIGINT) to HUGEINT -> float64/object
+    # while Spark stays int64) fails there even when values match.
+    # Model that here: pandas dtype per column must agree exactly.
+    badtypes = [(c, sdtypes[c], ddtypes[c]) for c in sorted(scols)
+                if sdtypes[c] != ddtypes[c]]
+    if badtypes:
+        fails.append((name, f"dtype {badtypes}"))
+        print(f"FAIL {name}: dtype mismatch {badtypes}"); continue
     sidx = [scols.index(c) for c in sorted(scols)]
     didx = [dcols.index(c) for c in sorted(dcols)]
     sv = [tuple(canon(r[i]) for i in sidx) for r in srows]
