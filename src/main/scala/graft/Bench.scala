@@ -87,8 +87,16 @@ object Bench {
       e.printStackTrace()
     }
     // fixed (sorted) execution order: stable warmup attribution and
-    // directly comparable per-query numbers across rounds
+    // directly comparable per-query numbers across rounds.
+    // SPARK_GRAFT_BENCH_ONLY (optional, diagnostic): comma-separated
+    // query names — run just that subset, e.g. to time an older
+    // round's query set alone in one JVM and separate per-query
+    // regressions from whole-suite JVM pressure (codegen cache, GC).
+    // The driver never sets it; absent means the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def runPass(): Seq[(String, Double, Boolean)] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // full plan evaluation, NOT count(): under count() Catalyst prunes
@@ -101,7 +109,11 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // untimed: drop this query's Materialize pins so later queries
-      // aren't measured against another query's resident blocks
+      // aren't measured against another query's resident blocks.
+      // (Deliberately NO System.gc() here: measured round 7, an
+      // explicit full GC between queries made the suite 20 % SLOWER —
+      // 194.9 s vs 162.5 s — the collector pause cost outweighs any
+      // allocation debt it clears.)
       graft.operators.Materialize.releaseAll(spark)
       (name, elapsed, ok)
     }
