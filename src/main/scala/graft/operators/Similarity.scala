@@ -1231,6 +1231,61 @@ object Similarity {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------- hybrid retrieval fusion
+  val RrfK = 60   // the standard RRF dampening constant (Cormack et al.)
+
+  /** Reciprocal-rank fusion of the DENSE ranking (exact cosine top-k
+    * over `embeddings`, [[sCosineTopK]]) and the SPARSE ranking (BM25
+    * top-k over `documents`, [[TextAnalysis.tBm25]]) — the standard
+    * hybrid-retrieval combiner: rrf(q,d) = Σ_lists 1/([[RrfK]]+rank),
+    * absent-from-a-list contributes 0. Ids are aligned across the two
+    * fixtures (doc_id ↔ vec_id); each list ranks within its own corpus,
+    * fusion runs over the union — exactly how production hybrid search
+    * fuses an ANN index with an inverted index that may cover different
+    * subsets.
+    *
+    * Scale shape: both inputs are already top-k lists — |Q|·k rows each
+    * — so the fusion itself (full-outer join + window) is trivially
+    * small no matter the corpus size; ALL the heavy lifting happens
+    * inside the two upstream retrievals, each already shaped for 100 TB
+    * (see their scaladocs). Determinism: the two reciprocal terms are
+    * summed in fixed written order (coalesce(a,0)+coalesce(b,0), plain
+    * doubles, no reordering possible in a 2-term expression), rounded
+    * once; final ranking ties break by id.
+    */
+  def sRrf(s: SparkSession, d: String): DataFrame = {
+    val sparse = TextAnalysis.tBm25(s, d)
+      .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("srnk"))
+    val dense = sCosineTopK(s, d)
+      .select(col("q_id"), col("n_id").as("id"), col("rnk").as("drnk"))
+    val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("id"))
+    sparse.join(dense, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("srnk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("drnk")), lit(0.0)), 6).as("rrf"),
+        coalesce(col("srnk"), lit(0)).as("srnk"),
+        coalesce(col("drnk"), lit(0)).as("drnk"))
+      .withColumn("rnk", row_number().over(wF).cast("int"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val sRrfSql: String =
+    s"""WITH sp AS (SELECT q_id, doc_id AS id, rnk AS srnk
+       |  FROM (${graft.operators.TextAnalysis.tBm25Sql}) t),
+       |de AS (SELECT q_id, n_id AS id, rnk AS drnk
+       |  FROM (${sCosineTopKSql}) t),
+       |f AS (SELECT COALESCE(sp.q_id, de.q_id) AS q_id,
+       |    COALESCE(sp.id, de.id) AS id,
+       |    round(COALESCE(1.0 / ($RrfK + sp.srnk), 0.0)
+       |      + COALESCE(1.0 / ($RrfK + de.drnk), 0.0), 6) AS rrf,
+       |    COALESCE(sp.srnk, 0) AS srnk, COALESCE(de.drnk, 0) AS drnk
+       |  FROM sp FULL OUTER JOIN de
+       |    ON sp.q_id = de.q_id AND sp.id = de.id)
+       |SELECT q_id, id, rrf, srnk, drnk,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, id) AS INT) AS rnk
+       |FROM f ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_recall"      -> (sRecall _, sRecallSql),
     "s_sparse_cosine" -> (sSparseCosine _, sSparseCosineSql),
@@ -1246,5 +1301,8 @@ object Similarity {
     "s_ann_pq"      -> (sAnnPq _, sAnnPqSql),
     "s_recall_pq"   -> (sRecallPq _, sRecallPqSql),
     "s_ivf_pq"      -> (sIvfPq _, sIvfPqSql),
+    "s_rrf"         -> (sRrf _, sRrfSql),
   )
+
+
 }

@@ -103,6 +103,96 @@ object TextAnalysis {
        |FROM tf JOIN df USING (word) CROSS JOIN n
        |ORDER BY doc_id, word""".stripMargin
 
+  // --------------------------------------------------------------- bm25
+  val Bm25Queries = 10   // query docs: doc_id < Bm25Queries
+  val Bm25TopK = 10
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 top-k retrieval: the first [[Bm25Queries]] documents act as
+    * queries (their distinct terms are the query terms), every other
+    * document is corpus; score(q,d) = Σ_{t∈q∩d} idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the Lucene-style
+    * non-negative idf = ln(1 + (N−df+0.5)/(df+0.5)). The retrieval
+    * backbone of benchmark decontamination and RAG evaluation over a
+    * training corpus.
+    *
+    * Scale shape (100 TB corpus): the single expensive artifact is the
+    * pinned term-frequency table (tokenize runs ONCE — the t_tfidf
+    * materialization rationale); doc length and corpus stats derive
+    * from tf, never re-reading text. Per-query-term idf is computed on
+    * the TINY side (query terms ⋈ df ⋈ 1-row stats) and BROADCAST to
+    * the corpus tf scan — an inverted-index probe with zero corpus
+    * shuffles; at production layout tf would be bucketed by word and
+    * the probe becomes partition pruning. The (q,doc) aggregation
+    * reuses tf's doc_id clustering (hash on doc_id satisfies the
+    * (q_id, doc_id) grouping), and only (q, doc, score) triples ever
+    * shuffle.
+    *
+    * Determinism: per-term contributions are 6-dp-rounded doubles
+    * summed through exact DECIMAL(16,6) (order-free — the s_ann_pq
+    * idiom); ranking ties break by doc_id. N/avgdl are defined over
+    * docs with ≥1 token (the tf row set), identically in the oracle.
+    */
+  def tBm25(s: SparkSession, d: String): DataFrame = {
+    val tf = Materialize.pin(
+      docsWithTokens(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val qdf = tf.filter(col("doc_id") < Bm25Queries)
+      .select(col("doc_id").as("q_id"), col("word"))
+      .join(df, "word")
+      .crossJoin(stats)
+      .select(col("q_id"), col("word"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contrib = round(
+      col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+        (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl)),
+      6)
+    import org.apache.spark.sql.expressions.Window
+    val wR = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    tf.filter(col("doc_id") >= Bm25Queries)
+      .join(dl, "doc_id")
+      .join(broadcast(qdf), "word")
+      .crossJoin(broadcast(stats))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(contrib.cast("decimal(16,6)")).cast("double").as("score"))
+      .withColumn("rnk", row_number().over(wR).cast("int"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("q_id", "doc_id", "rnk", "score")
+      .orderBy("q_id", "rnk")
+  }
+
+  val tBm25Sql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qdf AS (SELECT t.doc_id AS q_id, t.word,
+       |    ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) AS idf
+       |  FROM tf t JOIN df f USING (word) CROSS JOIN stats s
+       |  WHERE t.doc_id < $Bm25Queries),
+       |c AS (SELECT q.q_id, t.doc_id,
+       |    round(q.idf * t.tf * ${Bm25K1 + 1.0} /
+       |      (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * d.dl /
+       |        (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 6) AS contrib
+       |  FROM tf t JOIN dl d USING (doc_id) JOIN qdf q USING (word)
+       |  CROSS JOIN stats s WHERE t.doc_id >= $Bm25Queries),
+       |sc AS (SELECT q_id, doc_id,
+       |    CAST(SUM(CAST(contrib AS DECIMAL(16,6))) AS DOUBLE) AS score
+       |  FROM c GROUP BY 1, 2),
+       |r AS (SELECT q_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, doc_id) AS INT) AS rnk FROM sc)
+       |SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= $Bm25TopK
+       |ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------------ lang id
   /** Marker-word language ID heuristic: count hits in per-language
     * marker sets, pick the max (alphabetical tie-break). Deterministic
@@ -1516,6 +1606,7 @@ object TextAnalysis {
     "t_token_counts" -> (tTokenCounts _, tTokenCountsSql),
     "t_ngrams"       -> (tNgrams _, tNgramsSql),
     "t_tfidf"        -> (tTfidf _, tTfidfSql),
+    "t_bm25"         -> (tBm25 _, tBm25Sql),
     "t_langid"       -> (tLangId _, tLangIdSql),
     "t_langid_ngram" -> (tLangIdNgram _, tLangIdNgramSql),
     "t_quality"      -> (tQuality _, tQualitySql),

@@ -369,4 +369,35 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.sAnnIvf(spark, sf).as[(Long, Long, Int, Double)].collect()
     assert(rows.forall { case (q, n, _, _) => q != n })
   }
+
+  test("rrf: fusion is exactly the union of both lists with recomputable scores") {
+    import graft.operators.TextAnalysis
+    val sparse = TextAnalysis.tBm25(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (q, id, r, _) => (q, id) -> r }.toMap
+    val dense = Similarity.sCosineTopK(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (q, id, r, _) => (q, id) -> r }.toMap
+    val fused = Similarity.sRrf(spark, sf)
+      .as[(Long, Long, Double, Int, Int, Int)].collect()
+    assert(fused.map(f => (f._1, f._2)).toSet === (sparse.keySet ++ dense.keySet))
+    fused.foreach { case (q, id, rrf, srnk, drnk, _) =>
+      assert(srnk === sparse.getOrElse((q, id), 0), s"srnk q=$q id=$id")
+      assert(drnk === dense.getOrElse((q, id), 0), s"drnk q=$q id=$id")
+      val want = BigDecimal(
+        (if (srnk > 0) 1.0 / (Similarity.RrfK + srnk) else 0.0)
+          + (if (drnk > 0) 1.0 / (Similarity.RrfK + drnk) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf === want, s"rrf q=$q id=$id")
+    }
+    // a doc on BOTH lists at equal rank must beat a doc on one list at
+    // that rank -- the point of fusion
+    fused.groupBy(_._1).values.foreach { rs =>
+      val both = rs.filter(r => r._4 > 0 && r._5 > 0)
+      val single = rs.filter(r => (r._4 > 0) ^ (r._5 > 0))
+      for (b <- both; s <- single
+           if s._4.max(s._5) >= b._4.max(b._5))
+        assert(b._3 > s._3, s"q=${b._1}: both-lists ${b._2} not above single-list ${s._2}")
+    }
+  }
 }

@@ -520,4 +520,47 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got(t).toList === expected, s"text=$t")
     }
   }
+
+  test("bm25: every emitted score matches an independent driver-side BM25") {
+    import graft.operators.TextAnalysis._
+    // ground truth from raw text, entirely outside the engine: tokenize
+    // with StringTokenizer, tf/df/dl over docs with >=1 token, per-term
+    // contributions rounded to 6 dp then summed exactly (BigDecimal) --
+    // the same arithmetic contract the query documents
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val toks: Map[Long, List[String]] = docs.map { case (id, t) =>
+      val st = new java.util.StringTokenizer(t)
+      id -> Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken()).toList
+    }.toMap.filter(_._2.nonEmpty)
+    val tf: Map[(Long, String), Int] =
+      toks.toSeq.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val dl: Map[Long, Int] = toks.view.mapValues(_.size).toMap
+    val nDocs = dl.size
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / nDocs
+    val df: Map[String, Int] =
+      tf.keys.toSeq.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    def score(q: Long, doc: Long): Double = {
+      val shared = toks(q).toSet & toks(doc).toSet
+      val contribs = shared.toSeq.sorted.map { t =>
+        val idf = math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+        val f = tf((doc, t)).toDouble
+        val c = idf * f * (Bm25K1 + 1.0) /
+          (f + Bm25K1 * ((1.0 - Bm25B) + Bm25B * dl(doc) / avgdl))
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      contribs.sum.toDouble
+    }
+    val rows = tBm25(spark, sf).as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === Bm25Queries)
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.sortBy(_._3).map(_._3).toSeq === (1 to math.min(Bm25TopK, rs.length)))
+    }
+    rows.foreach { case (q, doc, _, s) =>
+      assert(doc >= Bm25Queries, s"query doc $doc leaked into the corpus side")
+      assert(s === score(q, doc), s"q=$q doc=$doc")
+    }
+  }
 }
