@@ -897,7 +897,74 @@ object Events {
       |SELECT day_start, user_id, n, rnk FROM r WHERE rnk <= 3
       |ORDER BY day_start, rnk""".stripMargin
 
+  // ------------------------------------------------------------ ab test
+  val AbConvMin = 14   // "converted" = at least this many purchase events
+  /** Two-proportion z-test on user-level conversion, variants assigned
+    * by `user_id % 2` — the experimentation primitive every event
+    * pipeline ends in. "Converted" = heavy purchaser (≥ [[AbConvMin]]
+    * purchase events; any-purchase is degenerate on the fixture —
+    * every user has one, so the pooled variance would be 0 and z
+    * undefined). Emits one row: per-variant user counts, conversions,
+    * rates, the pooled two-proportion z statistic, and a two-sided
+    * 5 % significance verdict (|z| > 1.96).
+    *
+    * Scale shape: one shuffle on user_id for the per-user conversion
+    * flag (partial max pushes the event stream down to one row per
+    * user per task before the exchange), then a 2-row variant
+    * aggregate and a 1-row pivot — nothing downstream of the first
+    * aggregation depends on event volume. Determinism: z is one fixed
+    * double expression over exact integer counts, rounded once;
+    * rates are rounded independently of the raw z input.
+    */
+  def eAbtest(s: SparkSession, d: String): DataFrame = {
+    val perUser = load(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("np") >= AbConvMin, 1).otherwise(0).as("conv"))
+    val agg = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val one = agg.agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 0, col("c"))).as("c0"),
+      max(when(col("variant") === 1, col("c"))).as("c1"))
+    val p = (col("c0") + col("c1")) / (col("n0") + col("n1"))
+    val zRaw = (col("c1") / col("n1") - col("c0") / col("n0")) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    one.select(
+      col("n0"), col("n1"), col("c0"), col("c1"),
+      round(col("c0") / col("n0"), 6).as("rate0"),
+      round(col("c1") / col("n1"), 6).as("rate1"),
+      round(zRaw, 6).as("z"),
+      (abs(zRaw) > lit(1.96)).as("significant"))
+  }
+
+  val eAbtestSql: String =
+    s"""WITH u AS (SELECT user_id,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      >= $AbConvMin THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY 1),
+       |a AS (SELECT user_id % 2 AS variant, COUNT(*) AS n,
+       |    CAST(SUM(conv) AS BIGINT) AS c
+       |  FROM u GROUP BY 1),
+       |o AS (SELECT
+       |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+       |    MAX(CASE WHEN variant = 1 THEN c END) AS c1 FROM a),
+       |z AS (SELECT n0, n1, c0, c1,
+       |    (c1 / n1 - c0 / n0) /
+       |      sqrt(((c0 + c1) / (n0 + n1)) * (1.0 - (c0 + c1) / (n0 + n1))
+       |        * (1.0 / n0 + 1.0 / n1)) AS zr
+       |  FROM o)
+       |SELECT n0, n1, c0, c1,
+       |  round(c0 / n0, 6) AS rate0, round(c1 / n1, 6) AS rate1,
+       |  round(zr, 6) AS z, abs(zr) > 1.96 AS significant
+       |FROM z""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_abtest"     -> (eAbtest _, eAbtestSql),
     "e_trending"   -> (eTrending _, eTrendingSql),
     "e_interarrival" -> (eInterarrival _, eInterarrivalSql),
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),

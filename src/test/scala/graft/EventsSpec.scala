@@ -203,4 +203,31 @@ class EventsSpec extends SparkSpec {
       .filter(abs(col("s") - 1.0) > 1e-4)
     assert(rowSums.count() === 0)
   }
+
+  test("e_abtest: z matches a driver-side recompute from per-user counts") {
+    val perUser = Events.load(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
+      .as[(Long, Long)].collect()
+    val byVariant = perUser.groupBy(_._1 % 2).view.mapValues { us =>
+      (us.length.toLong, us.count(_._2 >= Events.AbConvMin).toLong)
+    }.toMap
+    val (n0, c0) = byVariant(0)
+    val (n1, c1) = byVariant(1)
+    val p = (c0 + c1).toDouble / (n0 + n1)
+    val zr = (c1.toDouble / n1 - c0.toDouble / n0) /
+      math.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Events.eAbtest(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)].collect()
+    assert(row.length === 1)
+    val (gn0, gn1, gc0, gc1, r0, r1, z, sig) = row.head
+    assert((gn0, gn1, gc0, gc1) === (n0, n1, c0, c1))
+    assert(r0 === r6(c0.toDouble / n0) && r1 === r6(c1.toDouble / n1))
+    assert(z === r6(zr), s"z=$z want ${r6(zr)}")
+    assert(sig === (math.abs(zr) > 1.96))
+    // both variants must be non-degenerate or the z-test is undefined
+    assert(c0 > 0 && c0 < n0 && c1 > 0 && c1 < n1)
+  }
 }
