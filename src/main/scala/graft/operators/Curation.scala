@@ -708,7 +708,55 @@ object Curation {
       |    ORDER BY n_chars, doc_id) AS INT) AS rn
       |FROM documents ORDER BY rn, source, doc_id""".stripMargin
 
+  // ------------------------------------------- cluster keep-best
+  /** Canonical-representative selection: after near-dup detection, keep
+    * exactly ONE document per duplicate group — the highest-quality one
+    * — and flag the rest for dropping. The step that turns a dedup
+    * signal into an actual curated corpus. Groups are the full
+    * connected components of the MinHash-LSH pair graph
+    * ([[Dedup.connectedComponents]] — chains collapse to one keeper,
+    * not one per 1-hop label); docs in no pair are their own singleton
+    * component and always kept. The keeper is argmax by
+    * ([[TextAnalysis.tQuality]] score DESC, doc_id ASC).
+    *
+    * Scale shape: the component labeling is the audited iterative
+    * min-label loop (checkpoint-truncated frontiers); quality is an
+    * embarrassingly-parallel per-doc scan; the two meet in a doc_id
+    * equi-join (components side is only the docs that appear in some
+    * pair — tiny next to the corpus), and the keep window partitions
+    * by component, whose size is bounded by duplicate-group size, not
+    * corpus size. Determinism: quality is 6-dp-rounded with doc_id
+    * tie-break, so the keeper never depends on partitioning.
+    */
+  def pKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = Dedup.connectedComponents(
+      Dedup.dMinhashLsh(s, d).select(col("a"), col("b")), maxIters = 64)
+    val qual = TextAnalysis.tQuality(s, d).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comps, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .join(qual, "doc_id")
+      .withColumn("keep",
+        when(row_number().over(w) === 1, 1).otherwise(0).cast("int"))
+      .select("doc_id", "component", "quality", "keep")
+      .orderBy("doc_id")
+  }
+
+  val pKeepBestSql: String =
+    s"""WITH comps AS (SELECT id, component FROM (${Dedup.dComponentsSql}) t),
+       |q AS (SELECT doc_id, quality FROM (${TextAnalysis.tQualitySql}) t),
+       |lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id)
+       |SELECT doc_id, component, quality,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY component
+       |    ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM lab JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_keep_best" -> (pKeepBest _, pKeepBestSql),
     "p_curate" -> (curate _, curateSql),
     "p_interleave" -> (pInterleave _, pInterleaveSql),
     "p_datacard" -> (pDatacard _, pDatacardSql),

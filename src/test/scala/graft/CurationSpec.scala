@@ -165,4 +165,30 @@ class CurationSpec extends SparkSpec {
     val again = Curation.pSampleWeighted(spark, sf).select("doc_id").as[Long].collect().toSet
     assert(again === kept)
   }
+
+  test("keep-best: one keeper per component, and it is the quality argmax") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val rows = Curation.pKeepBest(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    // covers every document exactly once
+    val allDocs = Tables.documents(spark, sf).select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet === allDocs && rows.length === allDocs.size)
+    // exactly one keep per component, and it's the (quality desc, id) argmax
+    rows.groupBy(_._2).values.foreach { g =>
+      val keepers = g.filter(_._4 == 1)
+      assert(keepers.length === 1, s"component ${g.head._2}")
+      val want = g.minBy(r => (-r._3, r._1))
+      assert(keepers.head._1 === want._1)
+    }
+    // docs in no LSH pair are singleton components labeled by themselves
+    val paired = Dedup.dMinhashLsh(spark, sf).select("a", "b")
+      .as[(Long, Long)].collect().flatMap(p => Seq(p._1, p._2)).toSet
+    rows.filterNot(r => paired(r._1)).foreach { r =>
+      assert(r._2 === r._1 && r._4 === 1, s"singleton ${r._1}")
+    }
+    // quality column is exactly t_quality's score
+    val qual = TextAnalysis.tQuality(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    rows.foreach(r => assert(r._3 === qual(r._1)))
+  }
 }
