@@ -1236,6 +1236,80 @@ object TextAnalysis {
        |SELECT gram, n, TRUE AS within_bound
        |FROM c ORDER BY n DESC, gram LIMIT $HhTopK""".stripMargin
 
+  // --------------------------------------------------- count-min sketch
+  val CmDepth = 3     // hash rows (δ = e^-d)
+  val CmWidth = 128   // buckets per row (ε = e/w)
+  val CmTopK = 10     // evaluation: the top-K exact words
+
+  /** Count-Min sketch, built and queried as PURE relational algebra —
+    * the streaming-frequency sketch family next to HLL
+    * (q_approx_distinct), Misra–Gries (t_heavy_hitters) and KLL-style
+    * quantiles (q_approx_percentile). The sketch is [[CmDepth]]×
+    * [[CmWidth]] counters: row i buckets a word by the first 8 hex
+    * chars of md5("i|word") mod [[CmWidth]] (cross-engine-identical —
+    * the MinHash md5 convention, integerized via conv/0x-cast);
+    * counter build is a plain groupBy, so partial aggregation IS the
+    * classic CM mergeability (counters are pure sums — any merge
+    * order, any partitioning, bit-identical result). Emitted is the
+    * evaluation everyone actually runs: for the [[CmTopK]] highest
+    * exact-count words, the true count, the CM point estimate
+    * (min over rows of the word's counters), and the overcount —
+    * CM never undercounts (est ≥ true, asserted in spec and implied
+    * by overcount ≥ 0 here).
+    *
+    * Scale shape: the corpus is touched once by the vocabulary count
+    * (pinned — the t_tfidf rationale); hashing expands vocab×D rows,
+    * collapsing to D·W counter cells at the partial-agg stage; the
+    * counter table (384 cells) and the top-K probe are broadcast-size.
+    * At 100 TB the same plan builds the sketch in one pass with a
+    * D·W-cell shuffle — the whole point of CM.
+    */
+  def tCountMin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Materialize.pin(
+      docsWithTokens(s, d)
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")))
+    def bucket(i: Int): Column =
+      conv(substring(md5(concat(lit(s"$i|"), col("word"))), 1, 8), 16, 10)
+        .cast("long") % CmWidth
+    val hashed = counts.select(col("word"), col("cnt"),
+      explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("h"), bucket(i).as("bkt"))): _*)).as("hb"))
+      .select(col("word"), col("cnt"), col("hb.h"), col("hb.bkt"))
+    val counters = hashed.groupBy("h", "bkt").agg(sum(col("cnt")).as("c"))
+    val top = counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rnk") <= CmTopK)
+    top.join(hashed.select("word", "h", "bkt"), "word")
+      .join(broadcast(counters), Seq("h", "bkt"))
+      .groupBy("word")
+      .agg(max(col("cnt")).as("true_cnt"), min(col("c")).as("est"))
+      .select(col("word"), col("true_cnt"), col("est"),
+        (col("est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("word"))
+  }
+
+  val tCountMinSql: String =
+    s"""WITH w AS (SELECT unnest(${Text.ToksSql}) AS word FROM documents),
+       |counts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |h AS (SELECT word, cnt, i,
+       |    CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || word), 1, 8)
+       |      AS BIGINT) % $CmWidth AS bkt
+       |  FROM counts CROSS JOIN range(0, $CmDepth) t(i)),
+       |counters AS (SELECT i, bkt, CAST(SUM(cnt) AS BIGINT) AS c
+       |  FROM h GROUP BY 1, 2),
+       |tk AS (SELECT word, cnt FROM (SELECT word, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, word) AS rnk FROM counts)
+       |  WHERE rnk <= $CmTopK),
+       |e AS (SELECT t.word, MAX(t.cnt) AS true_cnt, MIN(co.c) AS est
+       |  FROM tk t JOIN h USING (word)
+       |  JOIN counters co ON co.i = h.i AND co.bkt = h.bkt
+       |  GROUP BY 1)
+       |SELECT word, true_cnt, est, est - true_cnt AS overcount
+       |FROM e ORDER BY true_cnt DESC, word""".stripMargin
+
   // ------------------------------------------------------ BPE training
   /** Number of merge rules to learn. Bounded like the PageRank
     * superstep count — each merge is one pass over the VOCABULARY
@@ -1614,6 +1688,7 @@ object TextAnalysis {
     "t_fingerprint"  -> (tFingerprint _, tFingerprintSql),
     "t_winnow"       -> (tWinnow _, tWinnowSql),
     "t_heavy_hitters" -> (tHeavyHitters _, tHeavyHittersSql),
+    "t_countmin"     -> (tCountMin _, tCountMinSql),
     "t_zipf"         -> (tZipf _, tZipfSql),
   )
 }

@@ -563,4 +563,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(s === score(q, doc), s"q=$q doc=$doc")
     }
   }
+
+  test("countmin: estimates match a driver-side sketch and never undercount") {
+    import graft.operators.TextAnalysis._
+    val docs = Tables.documents(spark, sf).select("text").as[String].collect()
+    val counts = docs.iterator.flatMap { t =>
+      val st = new java.util.StringTokenizer(t)
+      Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken())
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bucket(i: Int, word: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$word".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % CmWidth
+    }
+    val counters = Array.fill(CmDepth, CmWidth)(0L)
+    counts.foreach { case (w, c) =>
+      (0 until CmDepth).foreach(i => counters(i)(bucket(i, w).toInt) += c)
+    }
+    def est(w: String): Long =
+      (0 until CmDepth).map(i => counters(i)(bucket(i, w).toInt)).min
+    val got = tCountMin(spark, sf).as[(String, Long, Long, Long)].collect()
+    assert(got.length === CmTopK)
+    val wantTop = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(CmTopK)
+    assert(got.map(r => (r._1, r._2)).toSeq === wantTop)
+    got.foreach { case (w, truth, e, over) =>
+      assert(e === est(w), s"word=$w")
+      assert(e >= truth && over === e - truth, s"CM undercounted $w")
+    }
+  }
 }
