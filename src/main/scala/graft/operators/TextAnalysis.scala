@@ -1236,6 +1236,133 @@ object TextAnalysis {
        |SELECT gram, n, TRUE AS within_bound
        |FROM c ORDER BY n DESC, gram LIMIT $HhTopK""".stripMargin
 
+  // ----------------------------------------------------- token entropy
+  /** Per-document token-distribution statistics: Shannon entropy of the
+    * within-doc unigram distribution, type count, and type-token ratio
+    * — the repetitiveness/diversity features quality filters gate on
+    * (low entropy = TEMPLATE/SPAM, the Gopher-rules signal family).
+    *
+    * Scale shape: computed ENTIRELY per-row with higher-order array
+    * functions (the t_quality pattern — one Generate over a let-bound
+    * token array), so the operator is embarrassingly parallel: NO
+    * shuffle, NO join, the corpus scanned exactly once, cost O(types ·
+    * tokens) per document. Determinism: each type's p·ln p term is
+    * rounded to integer MICRO-units and folded as exact longs — the
+    * decimal-sum idea in a HOF-friendly type (Spark's `aggregate`
+    * needs a fold-stable accumulator type; DECIMAL addition widens
+    * per step, LONG does not) — so the entropy is order-free and
+    * bit-identical however `array_distinct`/`list_distinct` order the
+    * types on each engine.
+    */
+  def tEntropy(s: SparkSession, d: String): DataFrame = {
+    def metrics(t: Column): Column = {
+      val n = size(t)
+      val u = array_distinct(t)
+      val micro = transform(u, w => {
+        val p = size(filter(t, x => x === w)).cast("double") / n
+        round(p * log(p) * lit(1e6), 0).cast("long")
+      })
+      val sumMicro = aggregate(micro, lit(0L), (a, x) => a + x)
+      struct(
+        n.cast("int").as("n_tokens"),
+        size(u).cast("int").as("types"),
+        when(n === 0, 0.0).otherwise(round(size(u).cast("double") / n, 6)).as("ttr"),
+        when(n === 0, 0.0).otherwise(-(sumMicro.cast("double") / lit(1e6))).as("entropy"))
+    }
+    docsWithTokens(s, d)
+      .select(col("doc_id"),
+        explode(transform(array(col("toks")), t => metrics(t))).as("m"))
+      .select(col("doc_id"), col("m.n_tokens"), col("m.types"),
+        col("m.ttr"), col("m.entropy"))
+      .orderBy("doc_id")
+  }
+
+  val tEntropySql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n,
+       |    len(list_distinct(toks)) AS types,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_distinct(toks), w ->
+       |        CAST(round(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE)
+       |            / len(toks)
+       |          * ln(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE)
+       |            / len(toks)) * 1000000.0, 0) AS BIGINT))),
+       |      (a, x) -> a + x) AS micro
+       |  FROM t)
+       |SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(types AS INT) AS types,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE round(CAST(types AS DOUBLE) / n, 6) END AS ttr,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE -(CAST(micro AS DOUBLE) / 1000000.0) END AS entropy
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- source divergence
+  /** Corpus-drift diagnostic: Jensen–Shannon divergence of every
+    * source's unigram distribution against the OVERALL corpus mix —
+    * the "which shard drifted" monitor a training-data pipeline runs
+    * per snapshot. jsd(p‖q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with
+    * m=(p+q)/2, summed over the corpus vocabulary (absent-in-source
+    * words contribute only the q-side q·ln 2 term; jsd ∈ [0, ln 2]).
+    *
+    * Scale shape: the corpus is tokenized once into the pinned
+    * (source, word) count table; everything downstream is VOCABULARY-
+    * bounded — corpus totals are a second aggregate of it, the
+    * sources×vocab lattice is a broadcast cross of two tiny sides,
+    * and the per-source fold shuffles |sources|·|vocab| 6-dp terms
+    * through exact DECIMAL (order-free). Determinism: one round per
+    * lattice cell, integer counts exact, ranking-free output keyed by
+    * source.
+    */
+  def tDivergence(s: SparkSession, d: String): DataFrame = {
+    val sw = Materialize.pin(
+      Tables.documents(s, d)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c_sw")))
+    val srcTot = sw.groupBy("source")
+      .agg(sum(col("c_sw")).as("n_s"), count(lit(1)).as("types_s"))
+    val corpus = sw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val total = corpus.agg(sum(col("c_w")).as("n"))
+    val lattice = srcTot.crossJoin(broadcast(corpus))
+      .join(sw, Seq("source", "word"), "left")
+      .crossJoin(broadcast(total))
+    val p = coalesce(col("c_sw"), lit(0L)).cast("double") / col("n_s")
+    val q = col("c_w").cast("double") / col("n")
+    val m = (p + q) / lit(2.0)
+    val contrib = round(
+      when(col("c_sw").isNotNull, lit(0.5) * p * log(p / m)).otherwise(lit(0.0))
+        + lit(0.5) * q * log(q / m), 6)
+    lattice
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"), max(col("types_s")).as("types"),
+        sum(contrib.cast("decimal(16,6)")).cast("double").as("jsd"))
+      .orderBy("source")
+  }
+
+  val tDivergenceSql: String =
+    s"""WITH w AS (SELECT source, unnest(${Text.ToksSql}) AS word FROM documents),
+       |sw AS (SELECT source, word, COUNT(*) AS c_sw FROM w GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+       |    COUNT(*) AS types_s FROM sw GROUP BY 1),
+       |corpus AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w
+       |  FROM sw GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM corpus),
+       |lat AS (SELECT st.source, st.n_s, st.types_s, c.word, c.c_w, sw.c_sw, t.n
+       |  FROM st CROSS JOIN corpus c
+       |  LEFT JOIN sw ON sw.source = st.source AND sw.word = c.word
+       |  CROSS JOIN tot t),
+       |terms AS (SELECT source, n_s, types_s,
+       |    round(CASE WHEN c_sw IS NOT NULL THEN
+       |        0.5 * (CAST(c_sw AS DOUBLE) / n_s)
+       |          * ln((CAST(c_sw AS DOUBLE) / n_s)
+       |            / ((CAST(c_sw AS DOUBLE) / n_s + CAST(c_w AS DOUBLE) / n) / 2.0))
+       |      ELSE 0.0 END
+       |      + 0.5 * (CAST(c_w AS DOUBLE) / n)
+       |        * ln((CAST(c_w AS DOUBLE) / n)
+       |          / ((CAST(COALESCE(c_sw, 0) AS DOUBLE) / n_s
+       |            + CAST(c_w AS DOUBLE) / n) / 2.0)), 6) AS contrib
+       |  FROM lat)
+       |SELECT source, MAX(n_s) AS n_tokens, MAX(types_s) AS types,
+       |  CAST(SUM(CAST(contrib AS DECIMAL(16,6))) AS DOUBLE) AS jsd
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------- count-min sketch
   val CmDepth = 3     // hash rows (δ = e^-d)
   val CmWidth = 128   // buckets per row (ε = e/w)
@@ -1689,6 +1816,8 @@ object TextAnalysis {
     "t_winnow"       -> (tWinnow _, tWinnowSql),
     "t_heavy_hitters" -> (tHeavyHitters _, tHeavyHittersSql),
     "t_countmin"     -> (tCountMin _, tCountMinSql),
+    "t_entropy"      -> (tEntropy _, tEntropySql),
+    "t_divergence"   -> (tDivergence _, tDivergenceSql),
     "t_zipf"         -> (tZipf _, tZipfSql),
   )
 }

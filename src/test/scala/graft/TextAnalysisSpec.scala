@@ -592,4 +592,70 @@ class TextAnalysisSpec extends SparkSpec {
       assert(e >= truth && over === e - truth, s"CM undercounted $w")
     }
   }
+
+  test("entropy: matches a driver-side recompute; bounded by ln(types)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def toks(t: String): List[String] = {
+      val st = new java.util.StringTokenizer(t)
+      Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken()).toList
+    }
+    val got = graft.operators.TextAnalysis.tEntropy(spark, sf)
+      .as[(Long, Int, Int, Double, Double)].collect()
+    assert(got.length === docs.length)
+    val byId = docs.toMap
+    got.foreach { case (id, n, types, ttr, h) =>
+      val ws = toks(byId(id))
+      assert(n === ws.length && types === ws.distinct.length)
+      if (n > 0) {
+        val micro = ws.groupBy(identity).values.map { g =>
+          val p = g.size.toDouble / n
+          BigDecimal(p * math.log(p) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        assert(h === -(micro.toDouble / 1e6), s"doc $id")
+        assert(h >= 0.0 && h <= math.log(types) + 1e-4, s"doc $id H=$h types=$types")
+        assert(ttr === BigDecimal(types.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else assert(h === 0.0 && ttr === 0.0)
+    }
+  }
+
+  test("divergence: per-source JSD matches a driver recompute, within [0, ln 2]") {
+    val rows = Tables.documents(spark, sf).select("source", "text")
+      .as[(String, String)].collect()
+    def toks(t: String): List[String] = {
+      val st = new java.util.StringTokenizer(t)
+      Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken()).toList
+    }
+    val sw = rows.flatMap { case (s, t) => toks(t).map(w => (s, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val corpus = sw.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nTot = corpus.values.sum
+    val perSrc = sw.groupBy(_._1._1).view
+      .mapValues(m => m.map { case ((_, w), c) => w -> c }).toMap
+    def jsd(src: String): Double = {
+      val ns = perSrc(src).values.sum
+      // keys.toSeq, not keys: mapping a Set would DEDUPE equal terms
+      val terms = corpus.keys.toSeq.map { w =>
+        val cw = corpus(w)
+        val csw = perSrc(src).getOrElse(w, 0L)
+        val p = csw.toDouble / ns
+        val q = cw.toDouble / nTot
+        val m = (p + q) / 2.0
+        val t = (if (csw > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+        BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      terms.sum.toDouble
+    }
+    val got = graft.operators.TextAnalysis.tDivergence(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === perSrc.keySet)
+    got.foreach { case (src, n, types, d) =>
+      assert(n === perSrc(src).values.sum && types === perSrc(src).size.toLong)
+      assert(math.abs(d - jsd(src)) < 1e-9, s"source $src: got $d want ${jsd(src)}")
+      assert(d >= -1e-9 && d <= math.log(2.0) + 1e-9, s"source $src jsd=$d")
+    }
+  }
 }
