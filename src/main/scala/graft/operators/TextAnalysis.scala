@@ -1294,6 +1294,67 @@ object TextAnalysis {
        |  CASE WHEN n = 0 THEN 0.0 ELSE -(CAST(micro AS DOUBLE) / 1000000.0) END AS entropy
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ gram novelty
+  val NoveltyN = 3   // shingle size for the novelty signal
+
+  /** First-occurrence n-gram novelty: per document, the fraction of its
+    * distinct [[NoveltyN]]-grams whose FIRST corpus occurrence (min
+    * doc_id — ids are arrival order) is this document. The
+    * memorization/staleness diagnostic of incremental crawls: novelty
+    * ~1 is fresh text, ~0 is re-crawled boilerplate already in the
+    * corpus — the per-doc complement of d_substring's island view.
+    *
+    * Scale shape: one distinct (doc, gram) projection feeds BOTH the
+    * first-occurrence aggregate and the join probe (pinned — the
+    * t_tfidf materialization argument); both sides of the gram join
+    * hash-partition on gram, so the exchange is planned once, and the
+    * final per-doc aggregation shuffles only (doc, counts). Documents
+    * shorter than the shingle width emit 0 grams and are kept with
+    * novelty 0 by the left join.
+    */
+  def tNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = Materialize.pin(
+      docsWithTokens(s, d)
+        .select(col("doc_id"),
+          explode(Text.shingles(col("toks"), NoveltyN)).as("gram"))
+        .distinct())
+    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    val per = grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).cast("int").as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("n_novel").cast("double") / col("n_grams"), 6))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val tNoveltySql: String = {
+    val n = NoveltyN
+    val gram = Text.gramConcatSql("toks", "i", n)
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> $gram)) AS gram FROM t WHERE len(toks) >= $n)),
+       |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+       |per AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM g JOIN f USING (gram) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(per.n_grams, 0) AS INT) AS n_grams,
+       |  CAST(COALESCE(per.n_novel, 0) AS INT) AS n_novel,
+       |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(per.n_novel AS DOUBLE) / per.n_grams, 6) END AS novelty
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- source divergence
   /** Corpus-drift diagnostic: Jensen–Shannon divergence of every
     * source's unigram distribution against the OVERALL corpus mix —
@@ -1818,6 +1879,7 @@ object TextAnalysis {
     "t_countmin"     -> (tCountMin _, tCountMinSql),
     "t_entropy"      -> (tEntropy _, tEntropySql),
     "t_divergence"   -> (tDivergence _, tDivergenceSql),
+    "t_novelty"      -> (tNovelty _, tNoveltySql),
     "t_zipf"         -> (tZipf _, tZipfSql),
   )
 }

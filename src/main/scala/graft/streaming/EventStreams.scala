@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
@@ -116,6 +116,29 @@ object EventStreams {
       .withColumn("fp", md5(concat_ws("|",
         col("user_id"), col("event_type"), col("value")).cast("binary")))
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming Count-Min counters over user ids — "who is hitting us
+    * hardest" frequency monitoring at FIXED state: the full per-user
+    * count table grows with the id space, the CM counter grid is
+    * [[graft.operators.TextAnalysis.CmDepth]]×[[graft.operators
+    * .TextAnalysis.CmWidth]] cells forever. Counters are PURE SUMS, so
+    * micro-batch merging is the sketch's native mergeability and
+    * streaming equals batch EXACTLY regardless of chunking (the HLL
+    * argument, pinned in StreamingSpec); an estimate for any id is
+    * min over rows of its hashed cells — never an undercount. Uses
+    * the same md5-row-hash convention as the batch `t_countmin`, so
+    * a batch-built sketch and a stream-built sketch are one table.
+    */
+  def countMinCounters(events: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.{CmDepth, CmWidth}
+    def bucket(i: Int): Column =
+      conv(substring(md5(concat(lit(s"$i|"), col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % CmWidth
+    events.select(explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("h"), bucket(i).as("bkt"))): _*)).as("hb"))
+      .select(col("hb.h"), col("hb.bkt"))
+      .groupBy("h", "bkt").agg(count(lit(1)).as("c"))
+  }
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserStats(user_id: Long, n: Long, total: Double)

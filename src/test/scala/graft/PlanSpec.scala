@@ -233,4 +233,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(o_totalprice,ScalarSubquery"),
       "scalar subquery not pushed:\n" + p.take(1200))
   }
+
+  test("bm25: query-term idf broadcasts onto the corpus tf scan, top-k group-limited") {
+    // the broadcast keeps the inverted-index probe map-side — losing it
+    // stages a corpus-tf shuffle keyed by word
+    val p = plan(graft.operators.TextAnalysis.tBm25(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "qdf no longer broadcasts onto corpus tf:\n" + p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("countmin: counter table broadcasts onto the top-k probe") {
+    val p = plan(graft.operators.TextAnalysis.tCountMin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "D·W counter table no longer broadcasts:\n" + p.take(1200))
+  }
+
+  test("divergence: vocab lattice is built from broadcast sides") {
+    // corpus counts and the 1-row total must broadcast onto the
+    // source-totals side; a shuffle here scales with vocab·sources
+    val p = plan(graft.operators.TextAnalysis.tDivergence(spark, sf))
+    val nBcast = "Broadcast".r.findAllIn(p).length
+    assert(nBcast >= 2, s"expected corpus+total broadcasts, found $nBcast:\n" + p.take(1200))
+  }
+
+  test("entropy: per-doc, no exchange before the final sort") {
+    // the operator's selling point is shuffle-free per-row metrics:
+    // only the output orderBy's range exchange (plus the deliberate
+    // fixture scan-spread) may appear
+    val df = graft.operators.TextAnalysis.tEntropy(spark, sf)
+    val p = plan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange ".r.findAllIn(finalSection).length
+    assert(exchanges <= 2,
+      s"entropy grew a shuffle (found $exchanges exchanges):\n" + finalSection.take(1200))
+    assert(!finalSection.contains("SortMergeJoin") &&
+      !finalSection.contains("HashJoin"), "entropy grew a join")
+  }
 }

@@ -96,6 +96,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("count-min counters: streaming == batch EXACTLY; estimates never undercount") {
+    val streamed = runStream("t_cm", 5, EventStreams.countMinCounters)
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = EventStreams.countMinCounters(batchEvents.toDF())
+      .as[(Int, Long, Long)].collect().toSet
+    // counters are pure sums → identical under any micro-batch chunking
+    assert(streamed === batch && batch.nonEmpty)
+    // point estimates: min over rows of the id's hashed cells ≥ truth
+    import graft.operators.TextAnalysis.{CmDepth, CmWidth}
+    val grid = batch.map { case (h, b, c) => (h, b) -> c }.toMap
+    def bucket(i: Int, uid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % CmWidth
+    }
+    val truth = batchEvents.groupBy(_.user_id).view.mapValues(_.size.toLong)
+    truth.foreach { case (uid, n) =>
+      val est = (0 until CmDepth)
+        .map(i => grid.getOrElse((i, bucket(i, uid)), 0L)).min
+      assert(est >= n, s"user $uid: CM $est < exact $n")
+    }
+  }
+
   test("sliding window: streaming == batch, each event in 3 windows") {
     val streamed = runStream("t_slide", 4, EventStreams.slidingCounts)
       .as[(Timestamp, String, Long)].collect().toSet

@@ -621,6 +621,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("novelty: matches a driver-side first-occurrence recompute") {
+    import graft.operators.TextAnalysis.NoveltyN
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    def grams(t: String): Set[String] = {
+      val st = new java.util.StringTokenizer(t)
+      val ws = Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken()).toList
+      if (ws.size < NoveltyN) Set.empty
+      else ws.sliding(NoveltyN).map(_.mkString(" ")).toSet
+    }
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, t) =>
+      grams(t).foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val got = graft.operators.TextAnalysis.tNovelty(spark, sf)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(got.length === docs.length)
+    got.foreach { case (id, nG, nNov, nov) =>
+      val gs = grams(docs.find(_._1 == id).get._2)
+      val novel = gs.count(g => firstSeen(g) == id)
+      assert(nG === gs.size && nNov === novel, s"doc $id")
+      val want = if (gs.isEmpty) 0.0
+        else BigDecimal(novel.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nov === want, s"doc $id")
+    }
+    // doc 0 is all-novel by construction; novelty must generally decay
+    assert(got.find(_._1 === 0L).get._4 === 1.0)
+  }
+
   test("divergence: per-source JSD matches a driver recompute, within [0, ln 2]") {
     val rows = Tables.documents(spark, sf).select("source", "text")
       .as[(String, String)].collect()
