@@ -760,6 +760,56 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ----------------------------------------------- filtered vector search
+  /** Metadata-FILTERED exact top-k: per query, the k nearest corpus
+    * vectors sharing the query's `label` — the filtered-vector-search
+    * shape every production ANN service exposes (tenant / language /
+    * source filters). The predicate turns the brute-force cross into
+    * an EQUI-JOIN on the filter key: Spark hash-joins query-side
+    * (broadcast) against the corpus scan on `label`, so selectivity
+    * cuts compute BEFORE any distance math — pre-filtering, not the
+    * post-filter-and-hope k-overshoot an index-only service does. At
+    * production layout the corpus is partitioned by the filter key
+    * and the join becomes partition pruning; classes with < k members
+    * simply return fewer rows (exactly what the oracle does too).
+    * Determinism: the cosineShortlist contract — 6-dp cosine, rank
+    * ties by n_id.
+    */
+  def sFiltered(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      Vectors.norm(col("embedding")).as("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val q = base.toDF("q_id", "label", "q_emb", "q_nrm")
+      .filter(col("q_id") < NumQueries)
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")), 6)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(base, "label")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("label"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= TopK)
+      .orderBy("q_id", "rnk")
+  }
+
+  val sFilteredSql: String =
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |  sqrt(list_reduce(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)) AS nrm
+       |FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label, b.vec_id AS n_id,
+       |    ${cosSql("q", "b")} AS cos
+       |  FROM n q JOIN n b ON q.label = b.label
+       |    AND q.vec_id < $NumQueries AND q.vec_id <> b.vec_id),
+       |ranked AS (SELECT q_id, label, n_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, label, n_id, cos, rnk FROM ranked WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------ per-label centroids
   /** Per-label mean embedding (class centroids, dim-major rows) — the
     * aggregation behind cluster summaries, classifier prototypes, and
@@ -1302,6 +1352,7 @@ object Similarity {
     "s_recall_pq"   -> (sRecallPq _, sRecallPqSql),
     "s_ivf_pq"      -> (sIvfPq _, sIvfPqSql),
     "s_rrf"         -> (sRrf _, sRrfSql),
+    "s_filtered"    -> (sFiltered _, sFilteredSql),
   )
 
 

@@ -1294,6 +1294,51 @@ object TextAnalysis {
        |  CASE WHEN n = 0 THEN 0.0 ELSE -(CAST(micro AS DOUBLE) / 1000000.0) END AS entropy
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- skipgram counts
+  val SkipWindow = 2   // symmetric context window (word2vec's default shape)
+
+  /** Skip-gram co-occurrence counts: for every token, its contexts
+    * within ±[[SkipWindow]] positions — the (center, context) count
+    * matrix word2vec/GloVe-style embedding training consumes, and the
+    * generalization of t_pmi's distance-1 collocations. Counted
+    * symmetrically (each ordered pair once per direction), so row
+    * marginals equal center frequencies × window coverage.
+    *
+    * Scale shape: pair extraction is per-row array arithmetic (one
+    * posexplode + a 2-element offset explode + an element_at lookup —
+    * no self-join: a doc_id-keyed positions self-join would build
+    * n² candidates per doc before the range filter). The only shuffle
+    * is the final count, whose key space is vocabulary²-bounded (and
+    * in practice context-sparse), with map-side partial aggregation
+    * collapsing each task to its distinct pairs first.
+    */
+  def tSkipgram(s: SparkSession, d: String): DataFrame = {
+    val pos = docsWithTokens(s, d)
+      .select(col("toks"), posexplode(col("toks")).as(Seq("i0", "center")))
+    val fwd = pos
+      .select(col("toks"), col("i0"), col("center"),
+        explode(sequence(lit(1), lit(SkipWindow))).as("off"))
+      .filter(col("i0") + col("off") < size(col("toks")))
+      .select(col("center"), element_at(col("toks"), col("i0") + col("off") + 1).as("context"))
+    fwd.select(explode(array(
+        struct(col("center"), col("context")),
+        struct(col("context").as("center"), col("center").as("context")))).as("p"))
+      .select(col("p.center"), col("p.context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+  }
+
+  val tSkipgramSql: String =
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
+       |i AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+       |f AS (SELECT toks[i] AS center, toks[i + off] AS context
+       |  FROM i CROSS JOIN (VALUES ${(1 to SkipWindow).map(o => s"($o)").mkString(", ")}) o(off)
+       |  WHERE i + off <= len(toks)),
+       |sym AS (SELECT center, context FROM f
+       |  UNION ALL SELECT context AS center, center AS context FROM f)
+       |SELECT center, context, COUNT(*) AS n FROM sym
+       |GROUP BY 1, 2 ORDER BY n DESC, center, context""".stripMargin
+
   // ------------------------------------------------------ gram novelty
   val NoveltyN = 3   // shingle size for the novelty signal
 
@@ -1880,6 +1925,7 @@ object TextAnalysis {
     "t_entropy"      -> (tEntropy _, tEntropySql),
     "t_divergence"   -> (tDivergence _, tDivergenceSql),
     "t_novelty"      -> (tNovelty _, tNoveltySql),
+    "t_skipgram"     -> (tSkipgram _, tSkipgramSql),
     "t_zipf"         -> (tZipf _, tZipfSql),
   )
 }

@@ -370,6 +370,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { case (q, n, _, _) => q != n })
   }
 
+  test("filtered search: same-label only, exact per-label top-k") {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = embs.map(e => e._1 -> e).toMap
+    val got = Similarity.sFiltered(spark, sf)
+      .as[(Long, Int, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val (qid, qlab, qemb) = byId(q)
+      rs.foreach { case (_, lab, nId, c, _) =>
+        assert(lab === qlab && byId(nId)._2 === qlab, s"q=$q n=$nId label leak")
+        assert(c === cos(qemb, byId(nId)._3), s"q=$q n=$nId cosine")
+      }
+      val want = embs.filter(e => e._2 == qlab && e._1 != qid)
+        .map(e => (e._1, cos(qemb, e._3)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.TopK).map(_._1).toSeq
+      assert(rs.sortBy(_._5).map(_._3).toSeq === want, s"q=$q top-k set")
+    }
+  }
+
   test("rrf: fusion is exactly the union of both lists with recomputable scores") {
     import graft.operators.TextAnalysis
     val sparse = TextAnalysis.tBm25(spark, sf)

@@ -621,6 +621,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("skipgram: pair counts match a driver-side sliding-window recompute") {
+    import graft.operators.TextAnalysis.SkipWindow
+    val texts = Tables.documents(spark, sf).select("text").as[String].collect()
+    val want = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val st = new java.util.StringTokenizer(t)
+      val ws = Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken()).toVector
+      for (i <- ws.indices; d <- 1 to SkipWindow if i + d < ws.size) {
+        want((ws(i), ws(i + d))) = want.getOrElse((ws(i), ws(i + d)), 0L) + 1
+        want((ws(i + d), ws(i))) = want.getOrElse((ws(i + d), ws(i)), 0L) + 1
+      }
+    }
+    val got = graft.operators.TextAnalysis.tSkipgram(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === want.toMap)
+    // symmetry: count(a,b) == count(b,a) by construction
+    got.foreach { case ((a, b), n) => assert(got((b, a)) === n) }
+  }
+
   test("novelty: matches a driver-side first-occurrence recompute") {
     import graft.operators.TextAnalysis.NoveltyN
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
