@@ -843,6 +843,76 @@ object Similarity {
       |  round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 16777216.0), 6) AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------- centroid classification
+  /** Nearest-centroid classification eval: assign every vector to the
+    * class whose mean centroid ([[sCentroids]]'s exact-grid means) is
+    * nearest by cosine, and report per-true-label accuracy — the
+    * cheap prototype-classifier health check run over embedding
+    * columns (label quality, embedding drift, class separability)
+    * before anyone trains a real probe. On the near-uniform synthetic
+    * fixture accuracy sits near chance BY CONSTRUCTION — the
+    * semantics, not the number, are the product.
+    *
+    * Scale shape: centroids are a labels×dim grid (tiny, rebuilt as
+    * ordered arrays and BROADCAST); assignment is the IVF map-side
+    * argmax cross — the corpus never shuffles, and the accuracy
+    * aggregation is labels-bounded. Determinism: centroid components
+    * are 6-dp grid means; the dot folds dims in fixed order on both
+    * engines; argmax ties break by label.
+    */
+  def sClassify(s: SparkSession, d: String): DataFrame = {
+    val cents = sCentroids(s, d)
+      .groupBy(col("label").as("c_label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
+      .select(col("c_label"), transform(col("cs"), x => x("centroid")).as("c_emb"))
+      .select(col("c_label"), col("c_emb"),
+        sqrt(aggregate(col("c_emb"), lit(0.0), (a, x) => a + x * x)).as("c_nrm"))
+    val base = withNorm(s, d)
+    val cos = round(
+      aggregate(zip_with(col("embedding"), col("c_emb"),
+        (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
+        / (col("nrm") * col("c_nrm")), 6)
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_label"))
+    val pred = base
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"), cos.as("ccos"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+    pred.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L)).as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        round(col("correct").cast("double") / col("n"), 6).as("accuracy"))
+      .orderBy("label")
+  }
+
+  val sClassifySql: String =
+    s"""WITH cg AS (${sCentroidsSql.replace("ORDER BY label, dim", "")}),
+       |cents AS (SELECT label AS c_label,
+       |    list(centroid ORDER BY dim) AS c_emb FROM cg GROUP BY 1),
+       |cn AS (SELECT c_label, c_emb,
+       |    sqrt(list_reduce(list_transform(c_emb, x -> x * x), (a, x) -> a + x)) AS c_nrm
+       |  FROM cents),
+       |n AS (SELECT vec_id, label, embedding,
+       |  sqrt(list_reduce(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)) AS nrm
+       |FROM embeddings),
+       |scored AS (SELECT v.vec_id, v.label, c.c_label,
+       |    round(list_reduce(list_transform(range(1, 65),
+       |        i -> CAST(v.embedding[i] AS DOUBLE) * c.c_emb[i]),
+       |      (x, y) -> x + y) / (v.nrm * c.c_nrm), 6) AS ccos
+       |  FROM n v CROSS JOIN cn c),
+       |pred AS (SELECT vec_id, label, c_label FROM (
+       |  SELECT vec_id, label, c_label,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, c_label) AS arn FROM scored) WHERE arn = 1)
+       |SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       |  round(CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS accuracy
+       |FROM pred GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------- semantic dedup
   /** SemDeDup-shaped semantic dedup: cluster the corpus (the
     * [[sAnnIvf]] k-medoids fit), generate pairs ONLY within a cluster,
@@ -1353,6 +1423,7 @@ object Similarity {
     "s_ivf_pq"      -> (sIvfPq _, sIvfPqSql),
     "s_rrf"         -> (sRrf _, sRrfSql),
     "s_filtered"    -> (sFiltered _, sFilteredSql),
+    "s_classify"    -> (sClassify _, sClassifySql),
   )
 
 

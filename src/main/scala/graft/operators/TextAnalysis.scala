@@ -1891,7 +1891,52 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN counts c USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- tokenizer fertility
+  /** Tokenizer-quality report: per source, the LEARNED BPE tokenizer's
+    * fertility (subword tokens per whitespace word — the
+    * vocabulary-fit metric tokenizer teams watch per language/domain)
+    * and compression (chars per subword token). High fertility on a
+    * shard = the vocabulary under-serves it (multi-subword splits),
+    * exactly how production tokenizers are evaluated per corpus slice
+    * before training commits to one.
+    *
+    * Scale shape: entirely downstream of [[tBpeEncode]]'s verified
+    * chain — the corpus pass is that chain's one tokenize + broadcast
+    * vocab join; this adds a doc_id equi-join to (source, n_chars)
+    * and a sources-bounded aggregation. Determinism: exact integer
+    * sums, two double divisions rounded once each.
+    */
+  def tFertility(s: SparkSession, d: String): DataFrame = {
+    val enc = tBpeEncode(s, d)
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(enc, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  lazy val tFertilitySql: String =
+    s"""WITH enc AS (SELECT doc_id, n_words, n_bpe_tokens FROM ($tBpeEncodeSql) t),
+       |j AS (SELECT d.source, d.n_chars, e.n_words, e.n_bpe_tokens
+       |  FROM documents d JOIN enc e USING (doc_id)),
+       |a AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |  FROM j GROUP BY 1)
+       |SELECT source, n_docs, n_words, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_fertility"    -> (tFertility _, tFertilitySql),
     "t_bpe_train"    -> (tBpeTrain _, tBpeTrainSql),
     "t_bpe_encode"   -> (tBpeEncode _, tBpeEncodeSql),
     "t_bpe_ids"      -> (tBpeIds _, tBpeIdsSql),

@@ -257,6 +257,36 @@ class PlanSpec extends SparkSpec {
     assert(nBcast >= 2, s"expected corpus+total broadcasts, found $nBcast:\n" + p.take(1200))
   }
 
+  test("runtime bloom filter: a selective dim side injects might_contain into the fact scan") {
+    // the engine-level fact-join optimization at 100 TB: when the dim
+    // side is filtered and the fact side is too big to broadcast-join,
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the dim
+    // keys and pre-filters the fact scan before the shuffle. Fixture
+    // sizes sit below the production thresholds, so the test pins the
+    // MECHANISM with thresholds scaled down (save/restore — shared
+    // session), proving the join shape our big joins rely on engages.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "50GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 100000)
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val p = plan(j)
+      assert(p.toLowerCase.contains("bloom") || p.contains("might_contain"),
+        "runtime bloom filter did not inject:\n" + p.take(1500))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("entropy: per-doc, no exchange before the final sort") {
     // the operator's selling point is shuffle-free per-row metrics:
     // only the output orderBy's range exchange (plus the deliberate

@@ -403,6 +403,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("classify: per-label accuracy matches a driver-side nearest-centroid replay") {
+    val cents = Similarity.sCentroids(spark, sf)
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    val cnorm = cents.view.mapValues(c => math.sqrt(c.map(x => x * x).sum)).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def predict(e: Array[Float]): Int = {
+      val nrm = math.sqrt(e.map(x => x.toDouble * x.toDouble).sum)
+      cents.keys.toSeq.sorted.map { lab =>
+        var dot = 0.0; var i = 0
+        while (i < e.length) { dot += e(i).toDouble * cents(lab)(i); i += 1 }
+        val c = BigDecimal(dot / (nrm * cnorm(lab)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (lab, c)
+      }.minBy { case (lab, c) => (-c, lab) }._1
+    }
+    val want = embs.groupBy(_._2).view.mapValues { vs =>
+      (vs.length.toLong, vs.count(v => predict(v._3) == v._2).toLong)
+    }.toMap
+    val got = Similarity.sClassify(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.map(_._2).sum === embs.length.toLong)
+    got.foreach { case (lab, n, correct, acc) =>
+      assert((n, correct) === want(lab), s"label $lab")
+      assert(acc === BigDecimal(correct.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("rrf: fusion is exactly the union of both lists with recomputable scores") {
     import graft.operators.TextAnalysis
     val sparse = TextAnalysis.tBm25(spark, sf)

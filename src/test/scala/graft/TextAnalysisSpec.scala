@@ -621,6 +621,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("fertility: per-source sums reconcile with t_bpe_encode; fertility >= 1") {
+    import graft.operators.TextAnalysis
+    val enc = TextAnalysis.tBpeEncode(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val meta = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val want = meta.groupBy(_._2).view.mapValues { ds =>
+      val w = ds.map(d => enc(d._1)._1).sum
+      val t = ds.map(d => enc(d._1)._2).sum
+      val c = ds.map(_._3).sum
+      (ds.length.toLong, w, t, c)
+    }.toMap
+    val got = TextAnalysis.tFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSet === want.keySet)
+    got.foreach { case (src, nD, nW, nT, fert, cpt) =>
+      val (wD, wW, wT, wC) = want(src)
+      assert((nD, nW, nT) === (wD, wW, wT), s"source $src")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(fert === r6(wT.toDouble / wW) && cpt === r6(wC.toDouble / wT), s"source $src")
+      // every word encodes to >= 1 subword, so fertility >= 1 always
+      assert(fert >= 1.0, s"source $src fertility $fert < 1")
+    }
+  }
+
   test("skipgram: pair counts match a driver-side sliding-window recompute") {
     import graft.operators.TextAnalysis.SkipWindow
     val texts = Tables.documents(spark, sf).select("text").as[String].collect()
