@@ -755,8 +755,65 @@ object Curation {
        |    ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM lab JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- corpus merkle
+  val MerkleBuckets = 256   // fan-out; at 100 TB size this up (65k) or add a level
+
+  /** Hierarchical corpus digest (a 2-level Merkle tree over content
+    * digests): leaf = md5 of each document's text; level 0 = per-bucket
+    * md5 over the bucket's SORTED leaf digests (bucket = first leaf
+    * byte); level 1 = the root, md5 over the bucket digests in bucket
+    * order. The data-versioning primitive next to [[pSnapshotDiff]]:
+    * two corpus snapshots are equal iff roots match, and a mismatch
+    * narrows to the differing buckets WITHOUT comparing N docs — the
+    * rsync/Dynamo anti-entropy shape for training-data snapshots.
+    *
+    * Scale shape: one scan computes leaves; the only shuffle is the
+    * bucket aggregation ([[MerkleBuckets]] groups; per-bucket state is
+    * the sorted digest list, N/buckets × 32 hex chars — size the
+    * fan-out, or add a level, to bound it); the root folds 256 rows.
+    * Determinism: digests are md5 hex (engine-identical), bucket
+    * concatenation is explicitly sorted, so partitioning can never
+    * reach any digest.
+    */
+  def pMerkle(s: SparkSession, d: String): DataFrame = {
+    val leaves = Tables.documents(s, d)
+      .select(md5(col("text").cast("binary")).as("digest"))
+      .select(col("digest"),
+        org.apache.spark.sql.functions.conv(substring(col("digest"), 1, 2), 16, 10)
+          .cast("int").as("bucket"))
+    val lvl0 = leaves.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws("", sort_array(collect_list(col("digest")))).cast("binary"))
+          .as("digest"))
+    val root = lvl0
+      .select(struct(col("bucket"), col("digest")).as("bd"), col("n"))
+      .agg(sum(col("n")).as("n"),
+        md5(concat_ws("", transform(array_sort(collect_list(col("bd"))),
+          x => x("digest"))).cast("binary")).as("digest"))
+      .select(lit(1).as("level"), lit(-1).as("bucket"), col("n"), col("digest"))
+    lvl0.select(lit(0).as("level"), col("bucket"), col("n"), col("digest"))
+      .unionByName(root)
+      .orderBy("level", "bucket")
+  }
+
+  val pMerkleSql: String =
+    s"""WITH leaves AS (SELECT md5(text) AS digest,
+       |    CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS bucket
+       |  FROM documents),
+       |lvl0 AS (SELECT bucket, COUNT(*) AS n,
+       |    md5(string_agg(digest, '' ORDER BY digest)) AS digest
+       |  FROM leaves GROUP BY 1),
+       |root AS (SELECT 1 AS level, -1 AS bucket,
+       |    CAST(SUM(n) AS BIGINT) AS n,
+       |    md5(string_agg(digest, '' ORDER BY bucket)) AS digest FROM lvl0)
+       |SELECT CAST(level AS INT) AS level, CAST(bucket AS INT) AS bucket, n, digest FROM (
+       |  SELECT 0 AS level, bucket, n, digest FROM lvl0
+       |  UNION ALL SELECT level, bucket, n, digest FROM root)
+       |ORDER BY level, bucket""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_keep_best" -> (pKeepBest _, pKeepBestSql),
+    "p_merkle" -> (pMerkle _, pMerkleSql),
     "p_curate" -> (curate _, curateSql),
     "p_interleave" -> (pInterleave _, pInterleaveSql),
     "p_datacard" -> (pDatacard _, pDatacardSql),

@@ -166,6 +166,37 @@ class CurationSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("merkle: tree matches a driver recompute; one changed doc moves exactly one bucket + root") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.documents(spark, sf).select("text").as[String].collect()
+    val leaves = texts.map(md5hex)
+    val byBucket = leaves.groupBy(d => Integer.parseInt(d.substring(0, 2), 16))
+    val wantL0 = byBucket.view.mapValues(ds => (ds.length.toLong, md5hex(ds.sorted.mkString("")))).toMap
+    val wantRoot = md5hex(wantL0.toSeq.sortBy(_._1).map(_._2._2).mkString(""))
+    val got = Curation.pMerkle(spark, sf).as[(Int, Int, Long, String)].collect()
+    val gotL0 = got.filter(_._1 == 0).map(r => r._2 -> (r._3, r._4)).toMap
+    assert(gotL0 === wantL0)
+    val root = got.filter(_._1 == 1)
+    assert(root.length === 1 && root.head._4 === wantRoot
+      && root.head._3 === texts.length.toLong)
+    // anti-entropy: flip ONE document -> exactly the affected bucket
+    // digests change (1 or 2: old bucket loses the leaf, new gains it),
+    // every other bucket digest is untouched, and the root moves
+    val dir = java.nio.file.Files.createTempDirectory("merkle").toString
+    val docs = Tables.documents(spark, sf)
+    docs.withColumn("text",
+        when(col("doc_id") === 0, lit("MUTATED CONTENT")).otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val mut = Curation.pMerkle(spark, dir).as[(Int, Int, Long, String)].collect()
+    val mutL0 = mut.filter(_._1 == 0).map(r => r._2 -> (r._3, r._4)).toMap
+    val changed = (gotL0.keySet ++ mutL0.keySet)
+      .filter(b => gotL0.get(b) != mutL0.get(b))
+    assert(changed.nonEmpty && changed.size <= 2, s"buckets changed: $changed")
+    assert(mut.filter(_._1 == 1).head._4 !== wantRoot)
+  }
+
   test("keep-best: one keeper per component, and it is the quality argmax") {
     import graft.operators.{Dedup, TextAnalysis}
     val rows = Curation.pKeepBest(spark, sf)
