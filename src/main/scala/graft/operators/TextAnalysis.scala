@@ -959,6 +959,93 @@ object TextAnalysis {
        |WHERE cbg >= $PmiMinCount
        |ORDER BY pmi DESC, bg LIMIT $PmiTopK""".stripMargin
 
+  // ------------------------------------- log-likelihood collocations
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993): the top
+    * [[LlrTopK]] bigrams by G² = 2·Σ O·ln(O·N / (R·C)) over the 2×2
+    * contingency table (k11 = bigram count, k12/k21 = marginal
+    * remainders, k22 = complement), restricted to bigrams seen ≥
+    * [[LlrMinCount]] times. The statistically-grounded complement to
+    * [[tPmi]]: PMI over-ranks rare pairs (two hapaxes co-occurring once
+    * get maximal PMI), while G² weighs evidence mass, so frequent
+    * genuine collocations rank above coincidences. All eight table
+    * ingredients are exact integer counts; each G² term is one
+    * multiply/divide chain + ln with an explicit 0·ln0 = 0 guard, the
+    * four terms are summed in fixed textual order on both engines, and
+    * the result is rounded once ([[tUnigramLp]] ln-parity precedent).
+    * Scale: identical plan skeleton to [[tPmi]] — the pinned bigram
+    * count table is vocabulary-bounded, the three marginal aggregations
+    * collapse map-side, the 1-row total broadcasts, and the final
+    * top-k is a TakeOrdered, never a full sort materialization.
+    */
+  val LlrMinCount = 5
+  val LlrTopK = 100
+
+  def tLlr(s: SparkSession, d: String): DataFrame = {
+    val bi = docsWithTokens(s, d)
+      .select(explode(Text.shingles(col("toks"), 2)).as("bg"))
+    // pinned for the same four-consumer reason as t_pmi: the filtered
+    // main branch, both marginals, and the total would each re-run the
+    // tokenize+explode+count subplan without the pin.
+    val bc = Materialize.pin(bi.groupBy("bg").agg(count(lit(1)).as("cbg")))
+    val c1 = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cbg")).as("c1"))
+    val c2 = bc.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum(col("cbg")).as("c2"))
+    val tot = bc.agg(sum(col("cbg")).as("n"))
+    // one G² term: k·ln(k·N/(r·c)), 0 when the cell is empty (the
+    // 0·ln0 = 0 convention — ln(0) would poison the sum with NaN).
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k === 0, lit(0.0)).otherwise(
+        k.cast("double") * log(k.cast("double") * col("n").cast("double") /
+          (r.cast("double") * c.cast("double"))))
+    bc.filter(col("cbg") >= LlrMinCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("k12", col("c1") - col("cbg"))
+      .withColumn("k21", col("c2") - col("cbg"))
+      .withColumn("k22", col("n") - col("c1") - col("c2") + col("cbg"))
+      .select(col("bg"), col("cbg"),
+        round(lit(2.0) * (
+          term(col("cbg"), col("c1"), col("c2")) +
+          term(col("k12"), col("c1"), col("n") - col("c2")) +
+          term(col("k21"), col("n") - col("c1"), col("c2")) +
+          term(col("k22"), col("n") - col("c1"), col("n") - col("c2"))), 6)
+          .as("llr"))
+      .orderBy(col("llr").desc, col("bg"))
+      .limit(LlrTopK)
+  }
+
+  val tLlrSql: String = {
+    // mirror of the Spark term() helper, textually identical math
+    def term(k: String, r: String, c: String): String =
+      s"""CASE WHEN $k = 0 THEN 0.0 ELSE CAST($k AS DOUBLE) *
+         |    ln(CAST($k AS DOUBLE) * CAST(n AS DOUBLE) /
+         |       (CAST($r AS DOUBLE) * CAST($c AS DOUBLE))) END""".stripMargin
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
+       |i AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+       |b AS (SELECT toks[i] || ' ' || toks[i+1] AS bg FROM i),
+       |bc AS (SELECT bg, COUNT(*) AS cbg FROM b GROUP BY 1),
+       |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(cbg) AS BIGINT) AS c1
+       |  FROM bc GROUP BY 1),
+       |c2 AS (SELECT split_part(bg, ' ', 2) AS w2, CAST(SUM(cbg) AS BIGINT) AS c2
+       |  FROM bc GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cbg) AS BIGINT) AS n FROM bc),
+       |k AS (SELECT bg, cbg, c1, c2, n,
+       |    c1 - cbg AS k12, c2 - cbg AS k21, n - c1 - c2 + cbg AS k22
+       |  FROM bc JOIN c1 ON split_part(bg, ' ', 1) = w1
+       |    JOIN c2 ON split_part(bg, ' ', 2) = w2
+       |    CROSS JOIN tot
+       |  WHERE cbg >= $LlrMinCount)
+       |SELECT bg, cbg, round(2.0 * (
+       |    ${term("cbg", "c1", "c2")}
+       |  + ${term("k12", "c1", "n - c2")}
+       |  + ${term("k21", "n - c1", "c2")}
+       |  + ${term("k22", "n - c1", "n - c2")}), 6) AS llr
+       |FROM k ORDER BY llr DESC, bg LIMIT $LlrTopK""".stripMargin
+  }
+
   // ------------------------------------------- character diversity
   /** Character-level diversity signals — the quality-filter companion
     * to [[tQuality]]'s token ratios: total/distinct codepoints,
@@ -1944,6 +2031,7 @@ object TextAnalysis {
     "t_textrank" -> (tTextrank _, tTextrankSql),
     "t_char_stats" -> (tCharStats _, tCharStatsSql),
     "t_pmi" -> (tPmi _, tPmiSql),
+    "t_llr" -> (tLlr _, tLlrSql),
     "t_chunk" -> (tChunk _, tChunkSql),
     "t_bigram_lp" -> (tBigramLp _, tBigramLpSql),
     "t_unigram_lp" -> (tUnigramLp _, tUnigramLpSql),

@@ -733,4 +733,41 @@ class TextAnalysisSpec extends SparkSpec {
       assert(d >= -1e-9 && d <= math.log(2.0) + 1e-9, s"source $src jsd=$d")
     }
   }
+
+  test("llr: G2 matches an independent contingency-table recompute; non-negative") {
+    val rows = Tables.documents(spark, sf).select("text").as[String].collect()
+    def toks(t: String): List[String] = {
+      val st = new java.util.StringTokenizer(t)
+      Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken()).toList
+    }
+    val bigrams = rows.flatMap(t => toks(t).sliding(2).filter(_.size == 2)
+      .map(p => (p.head, p(1))))
+    val cbg = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = cbg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c2 = cbg.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cbg.values.sum
+    def g2(w1: String, w2: String): Double = {
+      val k11 = cbg((w1, w2)); val r = c1(w1); val c = c2(w2)
+      val cells = Seq(
+        (k11, r, c), (r - k11, r, n - c), (c - k11, n - r, c),
+        (n - r - c + k11, n - r, n - c))
+      2.0 * cells.map { case (k, kr, kc) =>
+        if (k == 0) 0.0
+        else k.toDouble * math.log(k.toDouble * n / (kr.toDouble * kc.toDouble))
+      }.sum
+    }
+    val got = TextAnalysis.tLlr(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty && got.size <= TextAnalysis.LlrTopK)
+    // descending by llr, deterministic tie-break on bg
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-_).toSeq)
+    got.foreach { case (bg, c, llr) =>
+      val Array(w1, w2) = bg.split(" ", 2)
+      assert(c === cbg((w1, w2)))
+      assert(c >= TextAnalysis.LlrMinCount)
+      assert(math.abs(llr - g2(w1, w2)) < 1e-5, s"$bg: got $llr want ${g2(w1, w2)}")
+      // G2 is a likelihood-ratio statistic: non-negative up to fp noise
+      assert(llr >= -1e-6, s"$bg llr=$llr")
+    }
+  }
 }
