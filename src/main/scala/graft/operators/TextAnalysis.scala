@@ -855,6 +855,80 @@ object TextAnalysis {
        |FROM b JOIN pr USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- Kneser–Ney document scoring
+  /** Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995,
+    * fixed absolute discount [[KnDiscount]]) scoring every document by
+    * its mean KN log-probability — the perplexity-filter shape (CCNet
+    * trains a LM on reference text and drops high-perplexity docs);
+    * [[tBigramLp]] is the unsmoothed MLE twin. Per observed bigram:
+    * P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁) + D·N₁₊(w₁·)/c(w₁) · P_cont(w₂)
+    * with continuation probability P_cont(w₂) = N₁₊(·w₂)/B over the
+    * B distinct bigram types. Every model ingredient is an exact
+    * integer count; D = 0.75 is FP-exact; each log-prob is one
+    * textually-mirrored arithmetic chain + ln rounded once; and the
+    * per-doc mean sums rounded values through DECIMAL(16,6) (exact,
+    * order-free) before one final division — the [[tBigramLp]]
+    * parity recipe. Scale: the pinned bigram-count table is
+    * vocabulary-bounded; context and continuation statistics are two
+    * map-side-collapsing aggregations over it; the 1-row type total
+    * broadcasts; the vocabulary-bounded probability table broadcasts
+    * onto the corpus bigram stream, so the only corpus-sized exchange
+    * is the final per-doc aggregation.
+    */
+  val KnDiscount = 0.75
+
+  def tKneserNey(s: SparkSession, d: String): DataFrame = {
+    val bi = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("bg"))
+    // pinned: context stats, continuation stats, the type total, and
+    // the probability join are four optimizer-specialized consumers
+    val bc = Materialize.pin(bi.groupBy("bg").agg(count(lit(1)).as("cbg")))
+    val ctx = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cbg")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bc.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("cont"))
+    val btypes = bc.agg(count(lit(1)).as("btypes"))
+    val probs = bc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(btypes))
+      .select(col("bg"), round(log(
+        (col("cbg").cast("double") - lit(KnDiscount)) / col("c1").cast("double") +
+          lit(KnDiscount) * col("n1f").cast("double") / col("c1").cast("double") *
+            (col("cont").cast("double") / col("btypes").cast("double"))), 6)
+        .as("logp"))
+    bi.join(broadcast(probs), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(sum(col("logp").cast("decimal(16,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp_kn"))
+      .orderBy("doc_id")
+  }
+
+  val tKneserNeySql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+       |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM i),
+       |bc AS (SELECT bg, COUNT(*) AS cbg FROM b GROUP BY 1),
+       |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(cbg) AS BIGINT) AS c1,
+       |    CAST(COUNT(*) AS BIGINT) AS n1f FROM bc GROUP BY 1),
+       |cont AS (SELECT split_part(bg, ' ', 2) AS w2, CAST(COUNT(*) AS BIGINT) AS cont
+       |  FROM bc GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM bc),
+       |pr AS (SELECT bg, round(ln(
+       |    (CAST(cbg AS DOUBLE) - $KnDiscount) / CAST(c1 AS DOUBLE) +
+       |      $KnDiscount * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) *
+       |        (CAST(cont AS DOUBLE) / CAST(btypes AS DOUBLE))), 6) AS logp
+       |  FROM bc JOIN ctx ON split_part(bc.bg, ' ', 1) = ctx.w1
+       |    JOIN cont ON split_part(bc.bg, ' ', 2) = cont.w2
+       |    CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       |  round(CAST(SUM(CAST(logp AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_logp_kn
+       |FROM b JOIN pr USING (bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------- overlapping chunks
   /** Overlapping fixed-window document chunking — the RAG-indexing /
     * context-window-splitting shape: windows of [[ChunkChars]]
@@ -2034,6 +2108,7 @@ object TextAnalysis {
     "t_llr" -> (tLlr _, tLlrSql),
     "t_chunk" -> (tChunk _, tChunkSql),
     "t_bigram_lp" -> (tBigramLp _, tBigramLpSql),
+    "t_kneser_ney" -> (tKneserNey _, tKneserNeySql),
     "t_unigram_lp" -> (tUnigramLp _, tUnigramLpSql),
     "t_inverted_index" -> (tInvertedIndex _, tInvertedIndexSql),
     "t_pii"          -> (tPii _, tPiiSql),

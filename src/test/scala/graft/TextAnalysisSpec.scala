@@ -734,6 +734,48 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("kneser-ney: per-doc scores match a driver recompute; model sums to 1 per context") {
+    val D = TextAnalysis.KnDiscount
+    val rows = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def toks(t: String): List[String] = {
+      val st = new java.util.StringTokenizer(t)
+      Iterator.continually(st).takeWhile(_.hasMoreTokens).map(_.nextToken()).toList
+    }
+    val docBigrams = rows.map { case (id, t) =>
+      id -> toks(t).sliding(2).filter(_.size == 2).map(p => (p.head, p(1))).toList
+    }.toMap
+    val cbg = docBigrams.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = cbg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = cbg.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val contCnt = cbg.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val btypes = cbg.size.toLong
+    def pkn(w1: String, w2: String): Double = {
+      val c = cbg.getOrElse((w1, w2), 0L)
+      math.max(c - D, 0.0) / c1(w1) +
+        D * n1f(w1) / c1(w1) * (contCnt(w2).toDouble / btypes)
+    }
+    // interpolated KN is a proper distribution: summing over the full
+    // continuation vocabulary (all observed second-position types,
+    // INCLUDING pairs unseen after this w1) must give exactly 1
+    val vocab2 = contCnt.keys.toSeq
+    c1.keys.take(20).foreach { w1 =>
+      val s = vocab2.map(w2 => pkn(w1, w2)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"context '$w1' sums to $s")
+    }
+    val got = TextAnalysis.tKneserNey(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    got.foreach { case (id, nb, avg) =>
+      val bgs = docBigrams(id)
+      assert(nb === bgs.size)
+      val want = bgs.map { case (a, b) =>
+        BigDecimal(math.log(pkn(a, b))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / bgs.size
+      assert(math.abs(avg - want) < 2e-6, s"doc $id: got $avg want $want")
+    }
+  }
+
   test("llr: G2 matches an independent contingency-table recompute; non-negative") {
     val rows = Tables.documents(spark, sf).select("text").as[String].collect()
     def toks(t: String): List[String] = {
