@@ -230,8 +230,12 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val mPhashSql: String =
-    """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+  /** Shared oracle CTE chain recomputing [[phashStub]]'s 16-bit hash
+    * from the payload's hex representation — ends with `ph(doc_id,
+    * phash16)`; both phash oracles build on it.
+    */
+  private val phashCteSql: String =
+    """h AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
       |b AS (SELECT doc_id, hx, len(hx) // 2 AS n FROM h),
       |nib AS (SELECT doc_id, n,
       |  array_to_string(list_transform(range(1, n+1), i -> hx[2*i]), '') AS lo
@@ -244,10 +248,64 @@ object Multimodal {
       |  CAST(list_reduce(list_prepend(0, list_transform(range(0, 16),
       |    k -> CASE WHEN locnt[k+1] * 16 > n THEN 1 << (15 - CAST(k AS INT)) ELSE 0 END)),
       |    (a, b) -> a + b) AS INT) AS phash16
-      |  FROM cnt)
-      |SELECT doc_id, phash16,
-      |  MIN(doc_id) OVER (PARTITION BY phash16) AS keeper
-      |FROM ph ORDER BY doc_id""".stripMargin
+      |  FROM cnt)""".stripMargin
+
+  val mPhashSql: String =
+    s"""WITH $phashCteSql
+       |SELECT doc_id, phash16,
+       |  MIN(doc_id) OVER (PARTITION BY phash16) AS keeper
+       |FROM ph ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- phash pairs
+  /** Perceptual-hash near-duplicate pairs: all payload pairs within
+    * Hamming distance [[PhashMaxHamming]] on the 16-bit [[phashStub]]
+    * signature — the image-near-dup step of a multimodal curation
+    * pipeline (LAION-style), and the multimodal twin of
+    * [[Dedup.dSimhashPairs]] on text. Banding is the same pigeonhole
+    * argument: 16 bits split 6/6/4, so ≤ 2 flipped bits leave at least
+    * one band intact and every qualifying pair surfaces in some exact
+    * band bucket. Pair generation reuses [[Dedup.blockPairs]] — hot
+    * buckets (identical payload stats cluster their band values) are
+    * salt-split so no single task materializes a quadratic bucket —
+    * and the per-pair check is one integer xor+bit_count. Exact
+    * verification on the full hash keeps false positives out; DISTINCT
+    * collapses pairs caught by several bands. The decode seam means a
+    * real image pipeline swaps [[phashStub]]'s byte-statistics fake
+    * for a DCT phash without touching the pairing plan.
+    */
+  val PhashMaxHamming = 2
+
+  def mPhashPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = phashStub(s, d).toDF()
+      .select(col("doc_id"), col("phash16"),
+        explode(array(
+          struct(lit(0).as("band"), col("phash16").bitwiseAND(lit(63)).as("key")),
+          struct(lit(1).as("band"),
+            shiftright(col("phash16"), 6).bitwiseAND(lit(63)).as("key")),
+          struct(lit(2).as("band"), shiftright(col("phash16"), 12).as("key"))))
+          .as("bn"))
+      .select(
+        concat(col("bn.band").cast("string"), lit("|"),
+          col("bn.key").cast("string")).as("blk"),
+        struct(col("doc_id"), col("phash16")).as("v"))
+    Dedup.blockPairs(banded)
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        bit_count(col("x.phash16").bitwiseXOR(col("y.phash16")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val mPhashPairsSql: String =
+    s"""WITH $phashCteSql
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash16, b.phash16)) AS INT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash16, b.phash16)) <= $PhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Oracles for the per-partition stubs: the byte-level math is
     * recomputed in SQL from the payload's hex representation (2 hex
@@ -298,5 +356,6 @@ object Multimodal {
     "m_decode_stub"  -> (mDecodeStub _, Some(mDecodeStubSql)),
     "m_resize_stub"  -> (mResizeStub _, Some(mResizeStubSql)),
     "m_phash"        -> (mPhash _, Some(mPhashSql)),
+    "m_phash_pairs"  -> (mPhashPairs _, Some(mPhashPairsSql)),
   )
 }

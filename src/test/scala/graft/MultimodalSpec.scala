@@ -81,4 +81,20 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeStub(spark, sf).collect()
     assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
+
+  test("phash pairs: banded candidates equal the brute-force hamming ground truth") {
+    import spark.implicits._
+    val hashes = Multimodal.phashStub(spark, sf).collect().sortBy(_.doc_id)
+    val want = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      h = Integer.bitCount(hashes(i).phash16 ^ hashes(j).phash16)
+      if h <= Multimodal.PhashMaxHamming
+    } yield (hashes(i).doc_id, hashes(j).doc_id, h)).toSet
+    val got = Multimodal.mPhashPairs(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    // the 6/6/4 pigeonhole banding at hamming<=2 is exact: no pair
+    // missed (recall) and full-hash verification kills false positives
+    assert(got === want, s"got ${got.size} want ${want.size}")
+  }
 }
