@@ -811,7 +811,53 @@ object Curation {
        |  UNION ALL SELECT level, bucket, n, digest FROM root)
        |ORDER BY level, bucket""".stripMargin
 
+  // ------------------------------------------------- length buckets
+  /** Sequence-length planning histogram: documents bucketed by token
+    * count in fixed [[LenBucketWidth]]-token buckets, with per-bucket
+    * doc/token totals and the cumulative token share — the table that
+    * answers "what max_seq_len captures X % of corpus tokens, and how
+    * much padding does each choice waste" before committing to a
+    * packing config ([[pPack]]/[[pPackBpe]] consume the decision).
+    * Bucket math is pure integer arithmetic (`n − n mod W`, exact on
+    * both engines); the cumulative sum runs over exact BIGINTs with
+    * one final division and round. Scale: the per-doc tokenize+count
+    * collapses map-side into at most corpus_len/W bucket rows; the
+    * unpartitioned cumulative window touches only those bucket rows
+    * (bounded, single-task by design, like [[pDatacard]]'s totals);
+    * the 1-row grand total broadcasts.
+    */
+  val LenBucketWidth = 16
+
+  def pLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(size(Text.tokens(col("text"))).as("n"))
+    val b = t.groupBy((col("n") - pmod(col("n"), lit(LenBucketWidth))).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+    val tot = t.agg(sum(col("n")).cast("double").as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_lo")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket_lo").cast("int").as("bucket_lo"),
+        col("n_docs"), col("sum_tokens"),
+        round(sum(col("sum_tokens")).over(w).cast("double") / col("total"), 6)
+          .as("cum_token_share"))
+      .orderBy("bucket_lo")
+  }
+
+  val pLengthBucketsSql: String =
+    s"""WITH t AS (SELECT len(${Text.ToksSql}) AS n FROM documents),
+       |b AS (SELECT n - n % $LenBucketWidth AS bucket_lo, COUNT(*) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS sum_tokens
+       |  FROM t GROUP BY 1)
+       |SELECT CAST(bucket_lo AS INT) AS bucket_lo, n_docs, sum_tokens,
+       |  round(CAST(SUM(sum_tokens) OVER (ORDER BY bucket_lo
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / (SELECT CAST(SUM(n) AS DOUBLE) FROM t), 6) AS cum_token_share
+       |FROM b ORDER BY bucket_lo""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_length_buckets" -> (pLengthBuckets _, pLengthBucketsSql),
     "p_keep_best" -> (pKeepBest _, pKeepBestSql),
     "p_merkle" -> (pMerkle _, pMerkleSql),
     "p_curate" -> (curate _, curateSql),

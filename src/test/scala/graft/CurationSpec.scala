@@ -222,4 +222,25 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "quality").as[(Long, Double)].collect().toMap
     rows.foreach(r => assert(r._3 === qual(r._1)))
   }
+
+  test("length buckets: totals reconcile, cum share monotone to exactly 1.0") {
+    val rows = Curation.pLengthBuckets(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // buckets ascend, widths align to the configured width
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    rows.foreach(r => assert(r._1 % Curation.LenBucketWidth === 0))
+    // doc/token totals reconcile with the raw corpus
+    val ns = Tables.documents(spark, sf).select("text").as[String].collect()
+      .map(_.split("[ \\t\\n\\r\\f]+").count(_.nonEmpty))
+    assert(rows.map(_._2).sum === ns.length.toLong)
+    assert(rows.map(_._3).sum === ns.map(_.toLong).sum)
+    ns.groupBy(n => n - n % Curation.LenBucketWidth).foreach { case (b, g) =>
+      val row = rows.find(_._1 === b).get
+      assert(row._2 === g.length.toLong && row._3 === g.map(_.toLong).sum)
+    }
+    // cumulative share strictly increases and lands on exactly 1.0
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq)
+    assert(rows.last._4 === 1.0)
+  }
 }
