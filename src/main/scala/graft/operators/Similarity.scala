@@ -1406,7 +1406,73 @@ object Similarity {
        |    ORDER BY rrf DESC, id) AS INT) AS rnk
        |FROM f ORDER BY q_id, rnk""".stripMargin
 
+  // ------------------------------------------------ outlier detection
+  /** Embedding-space outlier detection: the [[OutlierTopK]] vectors
+    * farthest (L2) from the corpus centroid, each with its distance
+    * and the distance-to-corpus-mean ratio — the cheap OOD / mislabeled
+    * / corrupt-embedding sweep run before any clustering or dedup
+    * trusts the space. Determinism is the [[sCentroids]] recipe end to
+    * end: centroid components are exact 2⁻²⁴-grid means rounded to
+    * 6 dp, the per-vector squared-deviation fold walks dims in fixed
+    * order on both engines, distances round once, and the corpus mean
+    * distance is an exact integer sum of 10⁻⁶-floored distances with
+    * one final division chain. Scale: the centroid grid is a
+    * dim-bounded aggregation with map-side partial collapse; the
+    * centroid array (1 row) broadcasts; distance is a pure map over
+    * the corpus; the stats row is another 1-row broadcast; and the
+    * top-k is a TakeOrdered — the corpus vectors never shuffle.
+    */
+  val OutlierTopK = 50
+
+  def sOutlier(s: SparkSession, d: String): DataFrame = {
+    val cent = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(sum(floor(col("v").cast("double") * lit(16777216.0)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("pos"),
+        round(col("sq").cast("double") / (col("n") * lit(16777216.0)), 6).as("mu"))
+    val centArr = cent
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("cs"))
+      .select(transform(col("cs"), x => x("mu")).as("mu"))
+    val dists = Tables.embeddings(s, d).crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(
+          zip_with(col("embedding"), col("mu"), (x, m) =>
+            (x.cast("double") - m) * (x.cast("double") - m)),
+          lit(0.0), (a, t) => a + t)), 6).as("dist"))
+    val stats = dists.agg(
+      sum(floor(col("dist") * lit(1e6)).cast("long")).as("sdm"),
+      count(lit(1)).as("n"))
+    dists.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("label"), col("dist"),
+        round(col("dist") / (col("sdm").cast("double") / lit(1e6) / col("n")), 6)
+          .as("rel_dist"))
+      .orderBy(col("dist").desc, col("vec_id"))
+      .limit(OutlierTopK)
+  }
+
+  val sOutlierSql: String =
+    s"""WITH cent AS (SELECT i AS pos,
+       |    round(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0)
+       |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 16777216.0), 6) AS mu
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY 1),
+       |m AS (SELECT list(mu ORDER BY pos) AS mu FROM cent),
+       |dists AS (SELECT vec_id, label,
+       |    round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |      i -> (CAST(embedding[i] AS DOUBLE) - mu[i]) *
+       |           (CAST(embedding[i] AS DOUBLE) - mu[i]))),
+       |      (a, b) -> a + b)), 6) AS dist
+       |  FROM embeddings, m),
+       |stats AS (SELECT CAST(SUM(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT)
+       |    AS sdm, COUNT(*) AS n FROM dists)
+       |SELECT vec_id, label, dist,
+       |  round(dist / (CAST(sdm AS DOUBLE) / 1000000.0 / n), 6) AS rel_dist
+       |FROM dists CROSS JOIN stats
+       |ORDER BY dist DESC, vec_id LIMIT $OutlierTopK""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_outlier"     -> (sOutlier _, sOutlierSql),
     "s_recall"      -> (sRecall _, sRecallSql),
     "s_sparse_cosine" -> (sSparseCosine _, sSparseCosineSql),
     "s_mmr"         -> (sMmr _, sMmrSql),

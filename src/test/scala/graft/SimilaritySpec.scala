@@ -464,4 +464,37 @@ class SimilaritySpec extends SparkSpec {
         assert(b._3 > s._3, s"q=${b._1}: both-lists ${b._2} not above single-list ${s._2}")
     }
   }
+
+  test("outlier: top-k matches a driver-side centroid-distance recompute") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val dim = emb.head._2.length
+    // driver-side twin of the exact-grid centroid (2^-24 floor grid, 6dp)
+    val mu = (0 until dim).map { i =>
+      val s = emb.map(e => math.floor(e._2(i).toDouble * 16777216.0).toLong).sum
+      BigDecimal(s.toDouble / (emb.length * 16777216.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = emb.map { case (id, v) =>
+      val d2 = v.indices.map { i => val t = v(i).toDouble - mu(i); t * t }.sum
+      id -> BigDecimal(math.sqrt(d2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val meanDist = want.values.map(d => math.floor(d * 1e6).toLong).sum
+      .toDouble / 1e6 / emb.length
+    val got = Similarity.sOutlier(spark, sf)
+      .as[(Long, Int, Double, Double)].collect()
+    assert(got.length === math.min(Similarity.OutlierTopK, emb.length))
+    // descending by distance; scores match the recompute
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-_).toSeq)
+    got.foreach { case (id, _, dist, rel) =>
+      assert(math.abs(dist - want(id)) < 2e-6, s"vec $id: got $dist want ${want(id)}")
+      assert(math.abs(rel - dist / meanDist) < 2e-5, s"vec $id rel=$rel")
+      assert(rel >= 1.0, s"vec $id: a top-$id outlier under the corpus mean")
+    }
+    // nothing below the cut beats the k-th kept distance
+    val cut = got.map(_._3).min
+    val kept = got.map(_._1).toSet
+    want.filterNot(w => kept(w._1)).values.foreach(d => assert(d <= cut))
+  }
 }
