@@ -963,7 +963,60 @@ object Events {
        |  round(zr, 6) AS z, abs(zr) > 1.96 AS significant
        |FROM z""".stripMargin
 
+  // -------------------------------------------- activity concentration
+  /** User-activity concentration: the Gini coefficient of per-user
+    * event counts plus the single heaviest user's share — the
+    * power-law / whale-detection health check (a corpus whose Gini
+    * drifts toward 1 is dominated by a few bot-like actors; sampling
+    * and per-user caps key off exactly this). Computed WITHOUT a
+    * global rank sort: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n needs only
+    * Σᵢ i·xᵢ, and a tie block of m users with count c at cumulative
+    * offset R contributes c·(m·R + m(m+1)/2) — so the whole statistic
+    * folds over the COUNT-OF-COUNTS histogram. Every sum is exact
+    * BIGINT; the two final divisions mirror textually and round once.
+    * Scale: per-user counts collapse map-side; the histogram is
+    * value-bounded (thousands of rows at any corpus size), so its
+    * unpartitioned cumulative window and the final fold are bounded
+    * single-task work by design.
+    */
+  def eGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy("cnt").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = hist.select(col("cnt"), col("m"),
+      coalesce(sum(col("m")).over(w), lit(0L)).as("r"))
+    blocks
+      .agg(
+        sum(expr("cnt * (m * r + m * (m + 1) div 2)")).as("s"),
+        sum(col("cnt") * col("m")).as("t"),
+        sum(col("m")).as("n"),
+        max(col("cnt")).as("mx"))
+      .select(col("n").as("n_users"), col("t").as("n_events"),
+        round(lit(2.0) * col("s").cast("double") /
+            (col("n").cast("double") * col("t").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"),
+        round(col("mx").cast("double") / col("t"), 6).as("top_user_share"))
+  }
+
+  val eGiniSql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |h AS (SELECT cnt, COUNT(*) AS m FROM c GROUP BY 1),
+      |b AS (SELECT cnt, m, COALESCE(SUM(m) OVER (ORDER BY cnt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r FROM h),
+      |a AS (SELECT
+      |    CAST(SUM(cnt * (m * r + m * (m + 1) // 2)) AS BIGINT) AS s,
+      |    CAST(SUM(cnt * m) AS BIGINT) AS t,
+      |    CAST(SUM(m) AS BIGINT) AS n, MAX(cnt) AS mx FROM b)
+      |SELECT n AS n_users, t AS n_events,
+      |  round(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+      |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini,
+      |  round(CAST(mx AS DOUBLE) / t, 6) AS top_user_share
+      |FROM a""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_gini"       -> (eGini _, eGiniSql),
     "e_abtest"     -> (eAbtest _, eAbtestSql),
     "e_trending"   -> (eTrending _, eTrendingSql),
     "e_interarrival" -> (eInterarrival _, eInterarrivalSql),

@@ -230,4 +230,23 @@ class EventsSpec extends SparkSpec {
     // both variants must be non-degenerate or the z-test is undefined
     assert(c0 > 0 && c0 < n0 && c1 > 0 && c1 < n1)
   }
+
+  test("gini: histogram fold equals the naive sorted-rank formula") {
+    import spark.implicits._
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .as[(Long, Long)].collect().map(_._2).sorted
+    val n = counts.length.toLong
+    val t = counts.sum
+    val srank = counts.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val giniWant = 2.0 * srank / (n.toDouble * t) - (n + 1).toDouble / n
+    val row = graft.operators.Events.eGini(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(row.length === 1)
+    val (gn, gt, gini, topShare) = row.head
+    assert(gn === n && gt === t)
+    // the emitted value is rounded to 6 dp; compare at that grain
+    assert(math.abs(gini - giniWant) < 5.001e-7, s"gini=$gini want $giniWant")
+    assert(gini >= 0.0 && gini < 1.0)
+    assert(math.abs(topShare - counts.max.toDouble / t) < 5.001e-7)
+  }
 }
