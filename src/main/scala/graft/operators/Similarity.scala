@@ -1406,6 +1406,74 @@ object Similarity {
        |    ORDER BY rrf DESC, id) AS INT) AS rnk
        |FROM f ORDER BY q_id, rnk""".stripMargin
 
+  // ------------------------------------------------- corpus diversity
+  /** Corpus embedding diversity: the mean pairwise cosine over ALL
+    * (n choose 2) vector pairs — the mode-collapse / duplication
+    * health metric for an embedding corpus (a diverse corpus sits
+    * near 0, a collapsed one near 1) — computed WITHOUT pairing via
+    * the moment identity Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂‖². One pass:
+    * each vector normalizes and quantizes onto the exact 2⁻²⁴ grid
+    * (the [[sCentroids]] determinism recipe — grid coordinates are
+    * exact BIGINTs, so the corpus-wide sums are order-free), the
+    * per-dim sum vector and the total squared norm accumulate as
+    * BIGINT/DECIMAL(38,0), and the final ‖S‖² fold walks the 64
+    * bounded dims in fixed order. The emitted statistic is the exact
+    * mean pairwise cosine OF THE GRID-NORMALIZED vectors (quantization
+    * ≤ 2⁻²⁴ per coordinate — far below the 6-dp output rounding).
+    * Scale: a map + one dim-bounded partial aggregation; no vector
+    * ever pairs with another, no corpus shuffle at any width — the
+    * O(n²) semantic at O(n) cost is the entire point.
+    */
+  def sDiversity(s: SparkSession, d: String): DataFrame = {
+    // let-bind the norm (referenced by all 64 lambda elements) through
+    // a single-element transform — the sQuantize Generate idiom
+    val qArr = element_at(transform(
+      array(sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))), nrm =>
+        transform(col("embedding"), x =>
+          floor(x.cast("double") / nrm * lit(16777216.0)).cast("long"))), 1)
+    // explode to (pos, q) and collapse map-side into the 64-row moment grid
+    val grid = Tables.embeddings(s, d)
+      .filter(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")) > 0.0)
+      .select(posexplode(qArr).as(Seq("pos", "qv")))
+      .groupBy("pos")
+      .agg(sum(col("qv")).as("sq"),
+        sum((col("qv") * col("qv")).cast("decimal(38,0)")).as("sqq"),
+        count(lit(1)).as("n"))
+    grid
+      .agg(array_sort(collect_list(struct(col("pos"), col("sq")))).as("a"),
+        sum(col("sqq")).as("tq"), max(col("n")).as("n"))
+      .select(col("n").as("n_vecs"),
+        round((aggregate(transform(col("a"), x => {
+            val c = x.getField("sq").cast("double") / lit(16777216.0); c * c
+          }), lit(0.0), (acc, t) => acc + t) -
+            col("tq").cast("double") / lit(281474976710656.0)) /
+          (col("n").cast("double") * (col("n") - 1).cast("double")), 6)
+          .as("mean_pairwise_cos"))
+  }
+
+  val sDiversitySql: String = {
+    val norm = "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))"
+    s"""WITH nv AS (SELECT
+       |    list_transform(range(1, 65), i -> CAST(floor(
+       |      CAST(embedding[i] AS DOUBLE) / $norm * 16777216.0) AS BIGINT)) AS q
+       |  FROM embeddings WHERE list_reduce(list_prepend(0.0,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |    (a, b) -> a + b) > 0.0),
+       |g AS (SELECT i AS pos, CAST(SUM(q[i]) AS BIGINT) AS sq,
+       |    SUM(q[i] * q[i]) AS sqq, COUNT(*) AS n
+       |  FROM nv, range(1, 65) t(i) GROUP BY 1),
+       |a AS (SELECT list(CAST(sq AS DOUBLE) / 16777216.0 ORDER BY pos) AS svec,
+       |    CAST(SUM(sqq) AS DOUBLE) AS tq, MAX(n) AS n FROM g)
+       |SELECT n AS n_vecs,
+       |  round((list_reduce(list_prepend(0.0, list_transform(svec, c -> c * c)),
+       |      (acc, t) -> acc + t) - tq / 281474976710656.0) /
+       |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS mean_pairwise_cos
+       |FROM a""".stripMargin
+  }
+
   // ------------------------------------------------ outlier detection
   /** Embedding-space outlier detection: the [[OutlierTopK]] vectors
     * farthest (L2) from the corpus centroid, each with its distance
@@ -1473,6 +1541,7 @@ object Similarity {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s_outlier"     -> (sOutlier _, sOutlierSql),
+    "s_diversity"   -> (sDiversity _, sDiversitySql),
     "s_recall"      -> (sRecall _, sRecallSql),
     "s_sparse_cosine" -> (sSparseCosine _, sSparseCosineSql),
     "s_mmr"         -> (sMmr _, sMmrSql),

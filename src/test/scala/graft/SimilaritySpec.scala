@@ -465,6 +465,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("diversity: moment identity equals the brute-force pairwise mean cosine") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    // driver-side twin: grid-normalize exactly like the operator, then
+    // brute-force all pairs
+    val qs = emb.map { case (_, v) =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => math.floor(x.toDouble / nrm * 16777216.0) / 16777216.0).toArray
+    }
+    val n = qs.length
+    var acc = 0.0
+    for (i <- qs.indices; j <- (i + 1) until n)
+      acc += qs(i).zip(qs(j)).map { case (a, b) => a * b }.sum
+    val want = 2.0 * acc / (n.toDouble * (n - 1))
+    val row = Similarity.sDiversity(spark, sf).as[(Long, Double)].collect()
+    assert(row.length === 1)
+    assert(row.head._1 === n.toLong)
+    assert(math.abs(row.head._2 - want) < 1e-5,
+      s"got ${row.head._2} want $want")
+  }
+
   test("outlier: top-k matches a driver-side centroid-distance recompute") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
