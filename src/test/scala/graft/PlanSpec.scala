@@ -300,4 +300,45 @@ class PlanSpec extends SparkSpec {
     assert(!finalSection.contains("SortMergeJoin") &&
       !finalSection.contains("HashJoin"), "entropy grew a join")
   }
+
+  test("outlier: centroid and stats broadcast, top-k is TakeOrdered") {
+    // the corpus-vectors-never-shuffle claim (docs/SCALE.md): both
+    // 1-row frames must broadcast and the top-k must not global-sort
+    val p = plan(Similarity.sOutlier(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalSection).length >= 2,
+      "centroid/stats rows no longer broadcast:\n" + finalSection.take(1200))
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      "outlier top-k grew a global sort:\n" + finalSection.take(1200))
+    assert(!finalSection.contains("SortMergeJoin"),
+      "outlier grew a corpus shuffle join")
+  }
+
+  test("diversity: no joins, no corpus shuffle beyond the 64-row grid agg") {
+    val p = plan(Similarity.sDiversity(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Join"),
+      "diversity grew a join:\n" + finalSection.take(1200))
+    // grid partial+final agg exchange + final 1-row agg exchange +
+    // deliberate fixture scan-spread: nothing corpus-sized
+    val exchanges = "Exchange ".r.findAllIn(finalSection).length
+    assert(exchanges <= 3,
+      s"diversity grew a shuffle (found $exchanges):\n" + finalSection.take(1200))
+  }
+
+  test("kneser-ney: probability table broadcasts onto the corpus bigrams") {
+    val p = plan(graft.operators.TextAnalysis.tKneserNey(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "KN prob table no longer broadcasts:\n" + finalSection.take(1200))
+  }
+
+  test("phash pairs: banded pairing, never a cartesian product") {
+    val p = plan(graft.operators.Multimodal.mPhashPairs(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"),
+      "phash pairing degenerated to a cartesian:\n" + finalSection.take(1200))
+    assert(finalSection.contains("PairExplode") ||
+      finalSection.contains("Generate"), "blockPairs generator missing")
+  }
 }
