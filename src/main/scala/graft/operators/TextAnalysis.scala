@@ -1033,6 +1033,57 @@ object TextAnalysis {
        |WHERE cbg >= $PmiMinCount
        |ORDER BY pmi DESC, bg LIMIT $PmiTopK""".stripMargin
 
+  // ---------------------------------------------- vocabulary coverage
+  /** Vocabulary coverage curve: what fraction of corpus token mass the
+    * top-k most frequent words capture, for a ladder of candidate
+    * vocabulary sizes — the table a tokenizer design reads before
+    * committing to a vocab size (the knee of this curve is where
+    * added vocab stops paying; everything past it becomes byte/BPE
+    * fallback, [[tTokenCountBpe]] territory). Ranking breaks count
+    * ties deterministically by word. All coverage sums are exact
+    * BIGINTs with one final division+round per ladder row. Scale: the
+    * word-count aggregation collapses map-side into the
+    * vocabulary-bounded table; the global rank window and the
+    * ladder conditional aggregation touch only vocabulary rows
+    * (single-task by design, like [[Events.eGini]]'s histogram);
+    * the ladder cross join is |vocab|×5.
+    */
+  val CoverageLadder: Seq[Int] = Seq(16, 64, 256, 1024, 4096)
+
+  def tVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docsWithTokens(s, d)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val ranked = wc.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+    val tot = wc.agg(sum(col("cnt")).cast("double").as("total"))
+    val ladder = {
+      import s.implicits._
+      CoverageLadder.toDF("k")
+    }
+    ranked.crossJoin(broadcast(ladder))
+      .groupBy("k")
+      .agg(sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L)).as("ck"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("int").as("k"), col("ck").as("covered_tokens"),
+        round(col("ck").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy("k")
+  }
+
+  val tVocabCoverageSql: String =
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
+       |w AS (SELECT unnest(toks) AS word FROM t),
+       |wc AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk FROM wc),
+       |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM wc),
+       |kl AS (SELECT unnest([${CoverageLadder.mkString(", ")}]) AS k),
+       |c AS (SELECT k, CAST(SUM(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT) AS ck
+       |  FROM r CROSS JOIN kl GROUP BY 1)
+       |SELECT CAST(k AS INT) AS k, ck AS covered_tokens,
+       |  round(CAST(ck AS DOUBLE) / total, 6) AS coverage
+       |FROM c CROSS JOIN tot ORDER BY k""".stripMargin
+
   // ------------------------------------- log-likelihood collocations
   /** Dunning log-likelihood-ratio collocations (Dunning 1993): the top
     * [[LlrTopK]] bigrams by G² = 2·Σ O·ln(O·N / (R·C)) over the 2×2
@@ -2114,6 +2165,7 @@ object TextAnalysis {
     "t_pii"          -> (tPii _, tPiiSql),
     "t_repetition"   -> (tRepetition _, tRepetitionSql),
     "t_vocab"        -> (tVocab _, tVocabSql),
+    "t_vocab_coverage" -> (tVocabCoverage _, tVocabCoverageSql),
     "t_array_ops"    -> (tArrayOps _, tArrayOpsSql),
     "t_normalize"    -> (tNormalize _, tNormalizeSql),
     "t_map_ops"      -> (tMapOps _, tMapOpsSql),
