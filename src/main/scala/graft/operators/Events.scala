@@ -963,6 +963,71 @@ object Events {
        |  round(zr, 6) AS z, abs(zr) > 1.96 AS significant
        |FROM z""".stripMargin
 
+  // ---------------------------------------------- late-data profiling
+  /** Out-of-order arrival profile per event type: treating `event_id`
+    * as arrival order and `ts` as event time, an event is LATE when
+    * some earlier-arriving event of the same type already carried a
+    * later event time; its lateness is the gap to that running
+    * maximum. The output — late counts, late rate, max and mean
+    * lateness — is exactly the evidence a watermark delay is chosen
+    * from ([[graft.streaming.EventStreams]]'s `withWatermark`
+    * thresholds): pick the delay covering the lateness quantile you
+    * can afford to wait for, drop the rest. All lateness values are
+    * exact integer microseconds; the one rate divides once and
+    * rounds. Scale: one shuffle+sort per event type (the running-max
+    * semantic needs arrival order within type); at production volume
+    * the same plan runs per (type, arrival-day) slice — the profile
+    * is stable under day-slicing because watermark lateness beyond a
+    * day is dropped anyway.
+    */
+  def eLateProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    load(s, d)
+      .select(col("event_type"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prior_max", max(col("ts_us")).over(w))
+      .select(col("event_type"),
+        when(col("prior_max").isNotNull && col("ts_us") < col("prior_max"), 1L)
+          .otherwise(0L).as("late"),
+        when(col("prior_max").isNotNull && col("ts_us") < col("prior_max"),
+          col("prior_max") - col("ts_us")).otherwise(0L).as("late_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+        max(col("late_us")).as("max_late_us"), sum(col("late_us")).as("sum_late"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        round(col("n_late").cast("double") / col("n_events"), 6).as("late_rate"),
+        col("max_late_us"),
+        when(col("n_late") === 0, 0L)
+          .otherwise(expr("sum_late div n_late")).as("avg_late_us"))
+      .orderBy("event_type")
+  }
+
+  val eLateProfileSql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events),
+      |p AS (SELECT event_type, ts_us,
+      |    MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+      |  FROM e),
+      |l AS (SELECT event_type,
+      |    CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max
+      |      THEN 1 ELSE 0 END AS late,
+      |    CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max
+      |      THEN prior_max - ts_us ELSE 0 END AS late_us
+      |  FROM p),
+      |a AS (SELECT event_type, COUNT(*) AS n_events,
+      |    CAST(SUM(late) AS BIGINT) AS n_late,
+      |    CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |    CAST(SUM(late_us) AS BIGINT) AS sum_late
+      |  FROM l GROUP BY 1)
+      |SELECT event_type, n_events, n_late,
+      |  round(CAST(n_late AS DOUBLE) / n_events, 6) AS late_rate,
+      |  max_late_us,
+      |  CASE WHEN n_late = 0 THEN 0
+      |    ELSE CAST(sum_late // n_late AS BIGINT) END AS avg_late_us
+      |FROM a ORDER BY event_type""".stripMargin
+
   // -------------------------------------------- activity concentration
   /** User-activity concentration: the Gini coefficient of per-user
     * event counts plus the single heaviest user's share — the
@@ -1017,6 +1082,7 @@ object Events {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_gini"       -> (eGini _, eGiniSql),
+    "e_late_profile" -> (eLateProfile _, eLateProfileSql),
     "e_abtest"     -> (eAbtest _, eAbtestSql),
     "e_trending"   -> (eTrending _, eTrendingSql),
     "e_interarrival" -> (eInterarrival _, eInterarrivalSql),

@@ -231,6 +231,34 @@ class EventsSpec extends SparkSpec {
     assert(c0 > 0 && c0 < n0 && c1 > 0 && c1 < n1)
   }
 
+  test("late profile: matches a driver-side running-max recompute") {
+    import spark.implicits._
+    val evs = graft.operators.Events.load(spark, sf)
+      .selectExpr("event_type", "event_id", "ts_ns div 1000 as ts_us")
+      .as[(String, Long, Long)].collect()
+    val want = evs.groupBy(_._1).map { case (tpe, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var mx = Long.MinValue
+      var nLate = 0L; var sumLate = 0L; var maxLate = 0L
+      ordered.foreach { case (_, _, ts) =>
+        if (mx != Long.MinValue && ts < mx) {
+          nLate += 1; sumLate += mx - ts; maxLate = math.max(maxLate, mx - ts)
+        }
+        mx = math.max(mx, ts)
+      }
+      tpe -> (ordered.length.toLong, nLate, maxLate,
+        if (nLate == 0) 0L else sumLate / nLate)
+    }
+    val got = graft.operators.Events.eLateProfile(spark, sf)
+      .as[(String, Long, Long, Double, Long, Long)].collect()
+    assert(got.map(_._1).toSet === want.keySet)
+    got.foreach { case (tpe, n, nl, rate, mxl, avgl) =>
+      val (wn, wnl, wmx, wavg) = want(tpe)
+      assert((n, nl, mxl, avgl) === ((wn, wnl, wmx, wavg)), s"type $tpe")
+      assert(math.abs(rate - wnl.toDouble / wn) < 5.001e-7)
+    }
+  }
+
   test("gini: histogram fold equals the naive sorted-rank formula") {
     import spark.implicits._
     val counts = Tables.events(spark, sf).groupBy("user_id").count()
