@@ -1033,6 +1033,57 @@ object TextAnalysis {
        |WHERE cbg >= $PmiMinCount
        |ORDER BY pmi DESC, bg LIMIT $PmiTopK""".stripMargin
 
+  // ------------------------------------------------- source overlap
+  /** Pairwise source-to-source vocabulary overlap: distinct-word
+    * Jaccard for every unordered source pair — the corpus-mixing
+    * companion to [[tDivergence]] (that one scores each source against
+    * the corpus; this one says which sources duplicate EACH OTHER's
+    * vocabulary, the signal behind merging or deduplicating whole
+    * sources before [[Curation.pMix]] weights them). All three Jaccard
+    * ingredients are exact distinct counts; one division, rounded
+    * once. Scale: the pinned (source, word) table is
+    * vocabulary×sources-bounded; the intersection self-join fans out
+    * ≤ |sources| rows per word; the size cross join is
+    * |sources|²-bounded. Zero-overlap pairs still emit (left join +
+    * coalesce), so the matrix is always complete.
+    */
+  def tSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sv = Materialize.pin(docsWithTokens(s, d)
+      .select(col("source"), explode(col("toks")).as("word")).distinct())
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = sv.as("a")
+      .join(sv.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = sizes.as("x").crossJoin(broadcast(sizes.as("y")))
+      .filter(col("x.source") < col("y.source"))
+      .select(col("x.source").as("s1"), col("y.source").as("s2"),
+        col("x.nv").as("n1"), col("y.nv").as("n2"))
+    pairs.join(inter, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") - coalesce(col("inter"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  val tSourceOverlapSql: String =
+    s"""WITH t AS (SELECT source, ${Text.ToksSql} AS toks FROM documents),
+       |sv AS (SELECT DISTINCT source, word FROM
+       |  (SELECT source, unnest(toks) AS word FROM t)),
+       |sz AS (SELECT source, COUNT(*) AS nv FROM sv GROUP BY 1),
+       |iv AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+       |  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |p AS (SELECT x.source AS s1, y.source AS s2, x.nv AS n1, y.nv AS n2
+       |  FROM sz x JOIN sz y ON x.source < y.source)
+       |SELECT s1, s2, n1, n2, COALESCE(inter, 0) AS inter,
+       |  round(CAST(COALESCE(inter, 0) AS DOUBLE) /
+       |    (n1 + n2 - COALESCE(inter, 0)), 6) AS jaccard
+       |FROM p LEFT JOIN iv USING (s1, s2) ORDER BY s1, s2""".stripMargin
+
   // ---------------------------------------------- vocabulary coverage
   /** Vocabulary coverage curve: what fraction of corpus token mass the
     * top-k most frequent words capture, for a ladder of candidate
@@ -2184,6 +2235,7 @@ object TextAnalysis {
     "t_countmin"     -> (tCountMin _, tCountMinSql),
     "t_entropy"      -> (tEntropy _, tEntropySql),
     "t_divergence"   -> (tDivergence _, tDivergenceSql),
+    "t_source_overlap" -> (tSourceOverlap _, tSourceOverlapSql),
     "t_novelty"      -> (tNovelty _, tNoveltySql),
     "t_skipgram"     -> (tSkipgram _, tSkipgramSql),
     "t_zipf"         -> (tZipf _, tZipfSql),

@@ -734,6 +734,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: complete matrix, Jaccard matches a set recompute") {
+    val rows = Tables.documents(spark, sf).select("source", "text")
+      .as[(String, String)].collect()
+    val vocab = rows.groupBy(_._1).view.mapValues(_.flatMap(_._2
+      .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val got = TextAnalysis.tSourceOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // every unordered pair appears exactly once
+    assert(got.length === srcs.size * (srcs.size - 1) / 2)
+    got.foreach { case (s1, s2, n1, n2, inter, j) =>
+      assert(s1 < s2)
+      val (a, b) = (vocab(s1), vocab(s2))
+      assert(n1 === a.size.toLong && n2 === b.size.toLong)
+      assert(inter === (a & b).size.toLong)
+      val want = (a & b).size.toDouble / (a | b).size
+      assert(math.abs(j - want) < 5.001e-7, s"$s1/$s2: got $j want $want")
+    }
+  }
+
   test("kneser-ney: per-doc scores match a driver recompute; model sums to 1 per context") {
     val D = TextAnalysis.KnDiscount
     val rows = Tables.documents(spark, sf).select("doc_id", "text")
