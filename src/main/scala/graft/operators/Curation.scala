@@ -188,6 +188,67 @@ object Curation {
       |       ELSE 'train' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- split leakage audit
+  /** Train/val/test leakage audit: how many exact-duplicate document
+    * pairs straddle [[pSplit]]'s hash-bucket boundaries — the
+    * split-hygiene check every eval pipeline needs (a test doc whose
+    * exact twin sits in train inflates the benchmark; random splits
+    * leak exactly like this unless dedup keys the split). One row:
+    * multi-doc digest groups, groups spanning ≥ 2 splits, and the
+    * cross-split pair counts per boundary (a group with a train docs
+    * and b test docs contributes a·b pairs — closed form, no pairing
+    * join). Everything is exact integer counting. Scale: one
+    * digest-keyed aggregation (map-side partial) over (16-byte fp,
+    * split) pairs — bodies hash once and never shuffle; the final
+    * fold is one row.
+    */
+  def pSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 2)
+    val g = Tables.documents(s, d)
+      .select(md5(col("text").cast("binary")).as("fp"),
+        when(h >= "f0", "test").when(h >= "e0", "val").otherwise("train").as("split"))
+      .groupBy("fp")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    g.agg(
+      sum(when(col("n_train") + col("n_val") + col("n_test") >= 2, 1L)
+        .otherwise(0L)).as("dup_groups"),
+      sum(when(
+        when(col("n_train") > 0, 1).otherwise(0) +
+          when(col("n_val") > 0, 1).otherwise(0) +
+          when(col("n_test") > 0, 1).otherwise(0) >= 2, 1L).otherwise(0L))
+        .as("leaky_groups"),
+      sum(col("n_train") * col("n_val")).as("train_val_pairs"),
+      sum(col("n_train") * col("n_test")).as("train_test_pairs"),
+      sum(col("n_val") * col("n_test")).as("val_test_pairs"))
+  }
+
+  val pSplitLeakageSql: String =
+    """WITH s AS (SELECT md5(text) AS fp,
+      |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'f0'
+      |      THEN 'test'
+      |      WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'e0'
+      |      THEN 'val' ELSE 'train' END AS split
+      |  FROM documents),
+      |g AS (SELECT fp,
+      |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+      |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |  FROM s GROUP BY 1)
+      |SELECT
+      |  CAST(SUM(CASE WHEN n_train + n_val + n_test >= 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS dup_groups,
+      |  CAST(SUM(CASE WHEN (CASE WHEN n_train > 0 THEN 1 ELSE 0 END) +
+      |      (CASE WHEN n_val > 0 THEN 1 ELSE 0 END) +
+      |      (CASE WHEN n_test > 0 THEN 1 ELSE 0 END) >= 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS leaky_groups,
+      |  CAST(SUM(n_train * n_val) AS BIGINT) AS train_val_pairs,
+      |  CAST(SUM(n_train * n_test) AS BIGINT) AS train_test_pairs,
+      |  CAST(SUM(n_val * n_test) AS BIGINT) AS val_test_pairs
+      |FROM g""".stripMargin
+
   // ---------------------------------------------- snapshot diff
   /** Corpus snapshot diff — the data-versioning primitive behind
     * incremental re-crawls: FULL OUTER join of two snapshot digest
@@ -875,5 +936,6 @@ object Curation {
     "p_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
     "p_sample_weighted" -> (pSampleWeighted _, pSampleWeightedSql),
     "p_split" -> (pSplit _, pSplitSql),
+    "p_split_leakage" -> (pSplitLeakage _, pSplitLeakageSql),
   )
 }

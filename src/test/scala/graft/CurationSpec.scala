@@ -223,6 +223,37 @@ class CurationSpec extends SparkSpec {
     rows.foreach(r => assert(r._3 === qual(r._1)))
   }
 
+  test("split leakage: closed-form pair counts match a driver recompute (sf0.1)") {
+    // sf0.001/sf0.01 corpora have no exact dups; sf0.1 does (8 groups)
+    val dir = "/root/testdata/sf0.1"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val bySplit = docs.map { case (id, text) =>
+      val b = md5hex(s"split|$id").substring(0, 2)
+      val split = if (b >= "f0") "test" else if (b >= "e0") "val" else "train"
+      (md5hex(text), split)
+    }
+    val groups = bySplit.groupBy(_._1).values.map { g =>
+      (g.count(_._2 == "train").toLong, g.count(_._2 == "val").toLong,
+        g.count(_._2 == "test").toLong)
+    }.toSeq
+    val wantDup = groups.count(g => g._1 + g._2 + g._3 >= 2).toLong
+    val wantLeaky = groups.count(g =>
+      Seq(g._1, g._2, g._3).count(_ > 0) >= 2).toLong
+    val wantTV = groups.map(g => g._1 * g._2).sum
+    val wantTT = groups.map(g => g._1 * g._3).sum
+    val wantVT = groups.map(g => g._2 * g._3).sum
+    val row = Curation.pSplitLeakage(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(row.length === 1)
+    assert(row.head === ((wantDup, wantLeaky, wantTV, wantTT, wantVT)))
+    // the fixture must actually exercise the operator
+    assert(wantDup > 0, "sf0.1 fixture lost its exact-dup groups")
+  }
+
   test("length buckets: totals reconcile, cum share monotone to exactly 1.0") {
     val rows = Curation.pLengthBuckets(spark, sf)
       .as[(Int, Long, Long, Double)].collect()
