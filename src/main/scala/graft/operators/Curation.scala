@@ -917,7 +917,62 @@ object Curation {
        |    / (SELECT CAST(SUM(n) AS DOUBLE) FROM t), 6) AS cum_token_share
        |FROM b ORDER BY bucket_lo""".stripMargin
 
+  // ------------------------------------------- temperature sampling mix
+  /** Temperature-scaled source sampling — the multilingual/multi-source
+    * mixing rule (sample source i with probability ∝ tokensᵢ^α,
+    * α ∈ (0,1]) that up-weights small sources relative to their natural
+    * share so the head sources don't drown the tail. Emits, per source:
+    * exact token count, natural share, temperature share at
+    * α = [[PTempAlpha]], and the boost factor (temp/natural — > 1 means
+    * the source is up-sampled). This is the PLANNING table a mixing run
+    * (see [[pMix]]) consumes: p_mix applies fixed per-source epoch
+    * weights; this query derives principled ones from the data.
+    *
+    * Scale shape: one source-bounded partial aggregation over the
+    * corpus (token counting fuses into the scan stage); the two
+    * normalization totals are a 1-row broadcast. Nothing else moves.
+    *
+    * Determinism: token counts are exact integers; the α-power weight
+    * is quantized onto the 10⁻⁶ grid (round-6 then floor to micro
+    * units) so the normalizing denominator is an exact ORDER-FREE
+    * integer sum — the one place a naive double sum would depend on
+    * partition order; shares divide exact integers and round once.
+    */
+  val PTempAlpha = 0.7
+
+  def pTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("tokens"))
+      .select(col("source"), col("tokens"),
+        floor(round(pow(col("tokens").cast("double"), lit(PTempAlpha)), 6)
+          * lit(1e6)).cast("long").as("wq"))
+    val tot = perSrc.agg(sum(col("tokens")).as("tot"), sum(col("wq")).as("swq"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        round(col("tokens").cast("double") / col("tot"), 6).as("p_nat"),
+        round(col("wq").cast("double") / col("swq"), 6).as("p_temp"),
+        round(col("wq").cast("double") / col("swq") * col("tot") / col("tokens"), 6)
+          .as("boost"))
+      .orderBy("source")
+  }
+
+  val pTemperatureMixSql: String =
+    s"""WITH t AS (SELECT source, len(${Text.ToksSql}) AS toks FROM documents),
+       |src AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens,
+       |    CAST(floor(round(pow(CAST(SUM(toks) AS DOUBLE), $PTempAlpha), 6)
+       |      * 1000000.0) AS BIGINT) AS wq
+       |  FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+       |    CAST(SUM(wq) AS BIGINT) AS swq FROM src)
+       |SELECT source, tokens,
+       |  round(CAST(tokens AS DOUBLE) / tot, 6) AS p_nat,
+       |  round(CAST(wq AS DOUBLE) / swq, 6) AS p_temp,
+       |  round(CAST(wq AS DOUBLE) / swq * tot / tokens, 6) AS boost
+       |FROM src, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_temperature_mix" -> (pTemperatureMix _, pTemperatureMixSql),
     "p_length_buckets" -> (pLengthBuckets _, pLengthBucketsSql),
     "p_keep_best" -> (pKeepBest _, pKeepBestSql),
     "p_merkle" -> (pMerkle _, pMerkleSql),

@@ -1080,7 +1080,118 @@ object Events {
       |  round(CAST(mx AS DOUBLE) / t, 6) AS top_user_share
       |FROM a""".stripMargin
 
+  // --------------------------------------------- CUSUM changepoint
+  /** CUSUM changepoint detection over the daily event-count series —
+    * the standard "did the telemetry volume shift?" diagnostic (Page's
+    * cumulative-sum statistic): for each day, the running sum of
+    * deviations from the global daily mean; the day where |CUSUM|
+    * peaks is the most likely single changepoint (flagged `is_cp`).
+    * Run before trusting any time-partitioned corpus split — a level
+    * shift mid-range means the "random" day split is not exchangeable.
+    *
+    * Scale shape: events collapse to ONE ROW PER DAY first (partial
+    * aggregation, one key-bounded shuffle), so the ordered CUSUM
+    * window runs over the day series, not over events — a few thousand
+    * rows even at 100 TB of raw telemetry. That global-ordered window
+    * is single-partition BY DESIGN: its input is the day-bounded
+    * aggregate, never the raw table. The mean and the peak are 1-row
+    * aggregates, broadcast back.
+    *
+    * Determinism: the running count is an exact integer sum; CUSUM is
+    * one double expression `run − rn·mean` rounded once at 6 dp; the
+    * peak flag compares the identically-rounded values, so both
+    * engines flag the same day(s).
+    */
+  def eChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = load(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val stats = daily.agg(
+      (sum(col("cnt")).cast("double") / count(lit(1))).as("mean"))
+    val wOrd = Window.orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("cnt"),
+        // + 0.0 normalizes IEEE −0.0 (a just-under-zero deviation that
+        // rounds to zero keeps its sign bit, and the engines disagree
+        // on which zero round() returns) to +0.0 on both engines
+        (round(sum(col("cnt")).over(wRun).cast("double")
+          - row_number().over(wOrd) * col("mean"), 6) + lit(0.0)).as("cusum"))
+    val mx = cus.agg(max(abs(col("cusum"))).as("mx"))
+    cus.crossJoin(broadcast(mx))
+      .select(col("day"), col("cnt"), col("cusum"),
+        (abs(col("cusum")) === col("mx")).as("is_cp"))
+      .orderBy("day")
+  }
+
+  val eChangepointSql: String =
+    """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    COUNT(*) AS cnt FROM events GROUP BY 1),
+      |stats AS (SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean FROM daily),
+      |cus AS (SELECT day, cnt,
+      |    round(CAST(SUM(cnt) OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      - (row_number() OVER (ORDER BY day)) * mean, 6) + 0.0 AS cusum
+      |  FROM daily, stats),
+      |mx AS (SELECT MAX(abs(cusum)) AS mx FROM cus)
+      |SELECT day, CAST(cnt AS BIGINT) AS cnt, cusum, (abs(cusum) = mx) AS is_cp
+      |FROM cus, mx ORDER BY day""".stripMargin
+
+  // ----------------------------------------- seasonal-naive baseline
+  /** Forecast-baseline quality over the daily event-count series:
+    * the naive forecast (ŷ_t = y_{t−1}) vs the seasonal-naive
+    * (ŷ_t = y_{t−7}), scored by MAE over the days where both are
+    * defined, plus their ratio — MASE's core, the first number any
+    * telemetry forecasting effort must beat. A ratio < 1 says the
+    * series has real weekly structure (the seasonal lag explains more
+    * than plain persistence); ≥ 1 says "weekly seasonality" is noise
+    * for this stream — which decides whether day-of-week features
+    * belong in a downstream sampling or anomaly model at all.
+    *
+    * Scale shape: same reduction as [[eChangepoint]] — events collapse
+    * to one row per day first, the lag windows run on the
+    * calendar-bounded series (deliberate single-partition, thousands
+    * of rows at any corpus size), and the score is one final 1-row
+    * aggregate. Determinism: absolute errors are exact integers; the
+    * two MAEs and their ratio round once at 6 dp.
+    */
+  def eSeasonalNaive(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy("day")
+    val daily = load(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+      .select(col("day"), col("cnt"),
+        lag(col("cnt"), 1).over(wOrd).as("f1"),
+        lag(col("cnt"), 7).over(wOrd).as("f7"))
+      .filter(col("f7").isNotNull)
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      round(sum(abs(col("cnt") - col("f1"))).cast("double") / count(lit(1)), 6)
+        .as("mae_naive"),
+      round(sum(abs(col("cnt") - col("f7"))).cast("double") / count(lit(1)), 6)
+        .as("mae_seasonal"),
+      round(sum(abs(col("cnt") - col("f7"))).cast("double")
+        / sum(abs(col("cnt") - col("f1"))), 6).as("mase"))
+  }
+
+  val eSeasonalNaiveSql: String =
+    """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    COUNT(*) AS cnt FROM events GROUP BY 1),
+      |lagged AS (SELECT day, cnt,
+      |    lag(cnt, 1) OVER (ORDER BY day) AS f1,
+      |    lag(cnt, 7) OVER (ORDER BY day) AS f7
+      |  FROM daily)
+      |SELECT COUNT(*) AS n_days,
+      |  round(CAST(SUM(abs(cnt - f1)) AS DOUBLE) / COUNT(*), 6) AS mae_naive,
+      |  round(CAST(SUM(abs(cnt - f7)) AS DOUBLE) / COUNT(*), 6) AS mae_seasonal,
+      |  round(CAST(SUM(abs(cnt - f7)) AS DOUBLE) / SUM(abs(cnt - f1)), 6) AS mase
+      |FROM lagged WHERE f7 IS NOT NULL""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_seasonal_naive" -> (eSeasonalNaive _, eSeasonalNaiveSql),
+    "e_changepoint" -> (eChangepoint _, eChangepointSql),
     "e_gini"       -> (eGini _, eGiniSql),
     "e_late_profile" -> (eLateProfile _, eLateProfileSql),
     "e_abtest"     -> (eAbtest _, eAbtestSql),

@@ -1539,7 +1539,187 @@ object Similarity {
        |FROM dists CROSS JOIN stats
        |ORDER BY dist DESC, vec_id LIMIT $OutlierTopK""".stripMargin
 
+  // ------------------------------------------------ silhouette score
+  /** Mean silhouette per IVF cell — the standard "are these clusters
+    * real?" diagnostic run before any per-cell operator (SemDeDup,
+    * IVF probing) trusts the partition: for each vector, a = mean
+    * squared L2 distance to its own cell's other members, b = the
+    * smallest mean squared distance to any other cell, silhouette
+    * = (b−a)/max(a,b) ∈ [−1, 1]; emitted as the per-cell mean.
+    *
+    * The pairwise definition is computed WITHOUT pairs via the moment
+    * identity Σ_y‖x−y‖² = n·‖x‖² − 2·x·S + Q per cell (S = Σy,
+    * Q = Σ‖y‖²) — the same algebraic elimination as [[sDiversity]],
+    * here per (vector, cell). What would be an O(n²) petabyte
+    * self-join is one corpus pass against a broadcast K-row moment
+    * table.
+    *
+    * Scale shape: the fit is the shared broadcast-K assignment; cell
+    * moments are a K·dim-bounded partial aggregation (component sums
+    * exact DECIMAL, squared norms on the exact 10⁻⁶ grid — both
+    * order-free); the per-vector a/b pass is map-side against the
+    * broadcast moments; the final roll-up is K rows. Vectors never
+    * shuffle. Determinism: every per-vector quantity is one fixed
+    * double expression over exact aggregates; silhouettes round at
+    * 6 dp, then the cell mean goes through the exact micro-integer
+    * sum. Singleton cells score 0 by the standard convention.
+    */
+  def sSilhouette(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, LloydIters)
+    val assign = ivfAssignment(base, cent)
+    val sqOf = (e: Column) => aggregate(transform(e, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    val compSums = assign
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("v").cast("decimal(20,8)")).cast("double").as("sv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+      .select(col("cell").as("c2"), transform(col("ps"), p => p.getField("sv")).as("sVec"))
+    val cellStats = assign.groupBy(col("cell").as("c2"))
+      .agg(count(lit(1)).as("cn"),
+        (sum(floor(sqOf(col("embedding")) * lit(1e6)).cast("long")).cast("double")
+          / lit(1e6)).as("cq"))
+    val cells = compSums.join(cellStats, "c2")
+    val m2 = col("cn") * col("sqx") -
+      lit(2.0) * aggregate(zip_with(col("embedding"), col("sVec"),
+        (x, sv) => x.cast("double") * sv), lit(0.0), (a, x) => a + x) + col("cq")
+    val perVC = assign
+      .withColumn("sqx", sqOf(col("embedding")))
+      .crossJoin(broadcast(cells))
+      .select(col("vec_id"), col("cell"), col("c2"), col("cn"), m2.as("m2"))
+    val perV = perVC.groupBy("vec_id", "cell")
+      .agg(max(when(col("c2") === col("cell"), col("cn"))).as("nOwn"),
+        max(when(col("c2") === col("cell"),
+          col("m2") / (col("cn") - lit(1)).cast("double"))).as("a"),
+        min(when(col("c2") =!= col("cell"), col("m2") / col("cn"))).as("b"))
+      .select(col("cell"),
+        when(col("nOwn") === 1 || greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .as("sil"))
+    perV.groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        round(sum(floor(col("sil") * lit(1e6)).cast("long")).cast("double")
+          / lit(1e6) / count(lit(1)), 6).as("mean_sil"))
+      .orderBy("cell")
+  }
+
+  val sSilhouetteSql: String = {
+    val centFinal = if (LloydIters == 0) "cent0" else s"cent$LloydIters"
+    val lloydCtes = (1 to LloydIters)
+      .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
+      .mkString(",\n")
+    val withCtes = (Seq(
+      NORM_CTE,
+      s"cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK)")
+      ++ (if (LloydIters == 0) Nil else Seq(lloydCtes))).mkString(",\n")
+    val sqx = """list_reduce(list_prepend(0.0, list_transform(embedding,
+                |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)""".stripMargin
+    s"""WITH $withCtes,
+       |assign AS (SELECT vec_id, embedding, nrm, c_id AS cell FROM (
+       |  SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
+       |  FROM n v CROSS JOIN $centFinal c) WHERE arn = 1),
+       |comp AS (SELECT cell, i AS pos,
+       |    CAST(SUM(CAST(embedding[i] AS DECIMAL(20,8))) AS DOUBLE) AS sv
+       |  FROM assign CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+       |svec AS (SELECT cell AS c2, list(sv ORDER BY pos) AS s FROM comp GROUP BY 1),
+       |cstat AS (SELECT cell AS c2, COUNT(*) AS cn,
+       |    CAST(SUM(CAST(floor(($sqx) * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / 1000000.0 AS cq
+       |  FROM assign GROUP BY 1),
+       |cells AS (SELECT sv.c2, cn, s, cq FROM svec sv JOIN cstat cs ON sv.c2 = cs.c2),
+       |pvc AS (SELECT a.vec_id, a.cell, c.c2, c.cn,
+       |    c.cn * ($sqx)
+       |      - 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |          i -> CAST(a.embedding[i] AS DOUBLE) * c.s[i])), (x, y) -> x + y)
+       |      + c.cq AS m2
+       |  FROM assign a CROSS JOIN cells c),
+       |perv AS (SELECT vec_id, cell,
+       |    MAX(CASE WHEN c2 = cell THEN cn END) AS n_own,
+       |    MAX(CASE WHEN c2 = cell THEN m2 / CAST(cn - 1 AS DOUBLE) END) AS a,
+       |    MIN(CASE WHEN c2 <> cell THEN m2 / cn END) AS b
+       |  FROM pvc GROUP BY 1, 2),
+       |sil AS (SELECT cell,
+       |    CASE WHEN n_own = 1 OR GREATEST(a, b) <= 0.0 THEN 0.0
+       |         ELSE round((b - a) / GREATEST(a, b), 6) END AS sil
+       |  FROM perv)
+       |SELECT cell, COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(floor(sil * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / 1000000.0 / COUNT(*), 6) AS mean_sil
+       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  // ------------------------------------------------ binary sign search
+  /** Binary (sign-bit) signatures + Hamming top-k — the cheapest
+    * search tier over 100 TB of embeddings: one bit per dimension
+    * (here 64 dims → 8 bytes, a 32× shrink over float32) packed into
+    * two 32-bit halves, ranked by Hamming distance to each query's
+    * signature. Sign-random-projection theory (Charikar's SimHash for
+    * vectors) says Hamming distance over sign bits is monotone in
+    * angular distance in expectation, so this is the standard shortlist
+    * tier in front of an exact or PQ re-rank.
+    *
+    * Scale shape: packing is a pure per-row map (the only thing the
+    * corpus scan materializes is two longs per vector — at production
+    * layout the signatures are a persisted 8-byte column and the float
+    * vectors are never read); the [[NumQueries]]-row query side is
+    * BROADCAST, so ranking shuffles only (query, candidate, distance)
+    * triples. XOR+popcount is exactly the SIMD-friendly kernel real
+    * binary-ANN tiers run.
+    *
+    * Determinism: the signature is a sum of distinct powers of two
+    * gated on the EXACT float comparison x > 0 (no arithmetic on the
+    * dims at all), and Hamming is an integer — no rounding anywhere.
+    * Ties rank by candidate id. Halves are packed 32-and-32 so neither
+    * engine ever shifts into a BIGINT sign bit.
+    */
+  def sHamming(s: SparkSession, d: String): DataFrame = {
+    def pack(start: Int): Column = {
+      val bits = array((0 until 32).map(i => lit(1L << i)): _*)
+      aggregate(zip_with(slice(col("embedding"), start, 32), bits,
+        (x, b) => when(x > lit(0f), b).otherwise(lit(0L))),
+        lit(0L), (a, v) => a + v)
+    }
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id"), pack(1).as("lo"), pack(33).as("hi"))
+    val qs = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val w = Window.partitionBy("vec_id").orderBy(col("hamming"), col("n_id"))
+    sigs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("vec_id"), col("vec_id").as("n_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("lo"))) +
+         bit_count(col("q_hi").bitwiseXOR(col("hi")))).cast("int").as("hamming"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= TopK)
+      .orderBy("vec_id", "rnk")
+  }
+
+  val sHammingSql: String = {
+    def packSql(lohi: String, off: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(${off + 1}, ${off + 33}),
+         |    i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << (i - ${off + 1}))
+         |         ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS $lohi""".stripMargin
+    s"""WITH sig AS (SELECT vec_id,
+       |  ${packSql("lo", 0)},
+       |  ${packSql("hi", 32)}
+       |  FROM embeddings),
+       |cand AS (SELECT q.vec_id AS vec_id, c.vec_id AS n_id,
+       |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS INT) AS hamming
+       |  FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |ranked AS (SELECT vec_id, n_id, hamming,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY hamming, n_id) AS INT) AS rnk
+       |  FROM cand)
+       |SELECT vec_id, n_id, hamming, rnk FROM ranked WHERE rnk <= $TopK
+       |ORDER BY vec_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_hamming"     -> (sHamming _, sHammingSql),
+    "s_silhouette"  -> (sSilhouette _, sSilhouetteSql),
     "s_outlier"     -> (sOutlier _, sOutlierSql),
     "s_diversity"   -> (sDiversity _, sDiversitySql),
     "s_recall"      -> (sRecall _, sRecallSql),

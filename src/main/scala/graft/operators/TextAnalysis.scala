@@ -2198,7 +2198,115 @@ object TextAnalysis {
        |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
        |FROM a ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------- burstiness
+  /** Word burstiness — the variance-to-mean ratio (Fano factor) of a
+    * word's per-document counts over the WHOLE corpus (documents
+    * where it is absent count as zero): VMR ≈ 1 is Poisson scatter
+    * (function words), VMR ≫ 1 is bursty topical mass (a word that
+    * arrives in clumps). Church & Gale's adaptation statistic — the
+    * standard upgrade over raw frequency for picking topical terms and
+    * for spotting template/boilerplate spikes that frequency alone
+    * hides. Emitted for the [[TBurstTopK]] highest-frequency words.
+    *
+    * VMR = E[x²]/E[x] − E[x] = ssq/tf − tf/D, all three moments exact
+    * integer sums — the zero documents never materialize (their
+    * contribution to every sum is 0, so the identity needs only D).
+    *
+    * Scale shape: one (doc, word) partial aggregation (the shuffle is
+    * bounded by distinct-pairs, same as every tf query), one
+    * word-bounded aggregation, a 1-row broadcast for D, and a
+    * TakeOrdered. Determinism: exact integers into one rounded double
+    * expression; top-k totally ordered by (tf DESC, word).
+    */
+  val TBurstTopK = 30
+
+  def tBurstiness(s: SparkSession, d: String): DataFrame = {
+    val perDoc = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("ndocs"))
+    perDoc.groupBy("word")
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"),
+        sum(col("cnt") * col("cnt")).as("ssq"))
+      .crossJoin(broadcast(nd))
+      .select(col("word"), col("tf"), col("df"),
+        round(col("ssq").cast("double") / col("tf")
+          - col("tf").cast("double") / col("ndocs"), 6).as("vmr"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(TBurstTopK)
+  }
+
+  val tBurstinessSql: String =
+    s"""WITH pd AS (SELECT doc_id, word, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |nd AS (SELECT COUNT(*) AS ndocs FROM documents),
+       |w AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS tf, COUNT(*) AS df,
+       |    CAST(SUM(cnt * cnt) AS BIGINT) AS ssq FROM pd GROUP BY 1)
+       |SELECT word, tf, df,
+       |  round(CAST(ssq AS DOUBLE) / tf - CAST(tf AS DOUBLE) / ndocs, 6) AS vmr
+       |FROM w, nd ORDER BY tf DESC, word LIMIT $TBurstTopK""".stripMargin
+
+  // ------------------------------------------------------ readability
+  /** Syllable-heuristic readability profile per document — the
+    * Flesch-family signal (complex-word density) without pretending
+    * the synthetic corpus has sentences: syllables are counted as
+    * maximal vowel-group runs (`[aeiouy]+`, floor 1 per word — the
+    * standard cheap approximation), a word is "complex" at ≥ 3 vowel
+    * groups (the Gunning-fog class), and the emitted ratios
+    * (syllables/word, complex share) are the readability features a
+    * quality-filtering model consumes alongside [[tQuality]]'s
+    * length/stopword signals.
+    *
+    * Scale shape: entirely per-row higher-order-function arithmetic —
+    * tokenize, per-token regexp counts, two array folds — fused into
+    * the scan stage; no explode, no shuffle beyond the output sort.
+    * Determinism: integer counts; the two ratios divide exact
+    * integers and round once.
+    */
+  def tReadability(s: SparkSession, d: String): DataFrame = {
+    val syl = (w: Column) => greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast("long"))
+    docsWithTokens(s, d)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        aggregate(transform(col("toks"), w => syl(w)), lit(0L), (a, x) => a + x)
+          .as("n_syllables"),
+        aggregate(transform(col("toks"),
+          w => when(regexp_count(w, lit("[aeiouy]+")) >= 3, 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x).as("n_complex"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        when(col("n_words") === 0, 0.0)
+          .otherwise(round(col("n_syllables").cast("double") / col("n_words"), 6))
+          .as("syll_per_word"),
+        when(col("n_words") === 0, 0.0)
+          .otherwise(round(col("n_complex").cast("double") / col("n_words"), 6))
+          .as("pct_complex"))
+      .orderBy("doc_id")
+  }
+
+  val tReadabilitySql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_words,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+       |      w -> GREATEST(CAST(1 AS BIGINT),
+       |        CAST(len(regexp_extract_all(w, '[aeiouy]+')) AS BIGINT)))),
+       |      (a, b) -> a + b) AS n_syllables,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+       |      w -> CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) >= 3
+       |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS n_complex
+       |  FROM t)
+       |SELECT doc_id, n_words, n_syllables,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE round(CAST(n_syllables AS DOUBLE) / n_words, 6) END AS syll_per_word,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE round(CAST(n_complex AS DOUBLE) / n_words, 6) END AS pct_complex
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_burstiness"   -> (tBurstiness _, tBurstinessSql),
+    "t_readability"  -> (tReadability _, tReadabilitySql),
     "t_fertility"    -> (tFertility _, tFertilitySql),
     "t_bpe_train"    -> (tBpeTrain _, tBpeTrainSql),
     "t_bpe_encode"   -> (tBpeEncode _, tBpeEncodeSql),

@@ -274,4 +274,30 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq)
     assert(rows.last._4 === 1.0)
   }
+
+  test("p_temperature_mix: shares normalize; boost is monotone-decreasing in size") {
+    val rows = Curation.pTemperatureMix(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length === 20) // fixtures carry src0..src19
+    // both share columns are distributions (up to 6-dp rounding per source)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < rows.length * 5.001e-7)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < rows.length * 5.001e-7)
+    // α < 1 compresses: smaller sources get strictly larger boosts
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array(small, large) if small._2 < large._2 =>
+        assert(small._5 >= large._5,
+          s"boost not monotone: ${small._1}=${small._5} vs ${large._1}=${large._5}")
+      case _ =>
+    }
+    // boost pivots around 1 at the mean source size: some up, some down
+    assert(rows.exists(_._5 > 1.0) && rows.exists(_._5 < 1.0))
+    // driver-side recompute of one source's temperature share
+    val wq = rows.map(r => math.floor(BigDecimal(math.pow(r._2.toDouble, Curation.PTempAlpha))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6).toLong)
+    val swq = wq.sum.toDouble
+    rows.zip(wq).foreach { case ((src, _, _, pTemp, _), w) =>
+      assert(math.abs(pTemp - w / swq) < 5.001e-7, s"$src p_temp=$pTemp want ${w / swq}")
+    }
+  }
 }

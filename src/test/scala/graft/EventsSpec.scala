@@ -277,4 +277,52 @@ class EventsSpec extends SparkSpec {
     assert(gini >= 0.0 && gini < 1.0)
     assert(math.abs(topShare - counts.max.toDouble / t) < 5.001e-7)
   }
+
+  test("e_changepoint: CUSUM telescopes to zero and flags the |peak| day") {
+    val rows = Events.eChangepoint(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // one row per day, days strictly increasing
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // total daily counts == corpus event count
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_._2).sum === total)
+    // CUSUM telescopes: the last running deviation is 0 up to rounding
+    assert(math.abs(rows.last._3) <= 1e-6, s"final cusum ${rows.last._3}")
+    // the flagged day(s) are exactly those attaining max |cusum|
+    val mx = rows.map(r => math.abs(r._3)).max
+    rows.foreach { case (day, _, cu, cp) =>
+      assert(cp === (math.abs(cu) == mx), s"day $day flag mismatch")
+    }
+    assert(rows.exists(_._4))
+    // driver-side recompute of the CUSUM series
+    val mean = total.toDouble / rows.length
+    var run = 0L
+    rows.zipWithIndex.foreach { case ((day, cnt, cu, _), i) =>
+      run += cnt
+      val want = run.toDouble - (i + 1) * mean
+      assert(math.abs(cu - want) < 5.001e-7, s"day $day cusum=$cu want $want")
+    }
+  }
+
+  test("e_seasonal_naive: MAEs match the lag-1/lag-7 recompute") {
+    val daily = Events.eChangepoint(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => (r._1, r._2))
+    val cnts = daily.map(_._2)
+    val idx = cnts.indices.filter(_ >= 7) // rows where lag-7 exists
+    val mae1 = idx.map(i => math.abs(cnts(i) - cnts(i - 1))).sum.toDouble / idx.size
+    val mae7 = idx.map(i => math.abs(cnts(i) - cnts(i - 7))).sum.toDouble / idx.size
+    val row = Events.eSeasonalNaive(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(row.length === 1)
+    val (n, g1, g7, mase) = row.head
+    assert(n === idx.size.toLong)
+    assert(math.abs(g1 - mae1) < 5.001e-7, s"mae_naive=$g1 want $mae1")
+    assert(math.abs(g7 - mae7) < 5.001e-7, s"mae_seasonal=$g7 want $mae7")
+    assert(math.abs(mase - mae7 / mae1) < 5.001e-7)
+    // the fixture's day index is contiguous, so lag-k == day-k here —
+    // assert that precondition so a gappy regenerated fixture is loud
+    assert(daily.map(_._1).toSeq === (daily.head._1 until daily.head._1 + daily.length))
+  }
 }

@@ -519,4 +519,67 @@ class SimilaritySpec extends SparkSpec {
     val kept = got.map(_._1).toSet
     want.filterNot(w => kept(w._1)).values.foreach(d => assert(d <= cut))
   }
+
+  test("binary Hamming top-k: distances match a driver-side sign-bit recompute") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val sig: Map[Long, (Long, Long)] = emb.map { case (id, v) =>
+      def pack(off: Int): Long =
+        (0 until 32).map(i => if (v(off + i) > 0f) 1L << i else 0L).sum
+      id -> (pack(0), pack(32))
+    }.toMap
+    def ham(a: Long, b: Long): Int = {
+      val (al, ah) = sig(a); val (bl, bh) = sig(b)
+      java.lang.Long.bitCount(al ^ bl) + java.lang.Long.bitCount(ah ^ bh)
+    }
+    val got = Similarity.sHamming(spark, sf)
+      .as[(Long, Long, Int, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size === Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to Similarity.TopK))
+      // ranks walk non-decreasing distances, each matching the recompute
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      })
+      sorted.foreach { case (_, n, h, _) => assert(h === ham(q, n)) }
+      // nothing outside the top-k strictly beats the kept cut
+      val cut = sorted.map(_._3).max
+      val keptIds = sorted.map(_._2).toSet + q
+      emb.map(_._1).filterNot(keptIds).foreach(c =>
+        assert(ham(q, c) >= cut, s"query $q: candidate $c beats the kept cut"))
+    }
+  }
+
+  test("silhouette: per-cell means match an exact O(n²) driver recompute") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    // same fit, same assignment as the in-plan fit (d_semdedup shares it)
+    val cells = Similarity.dSemdedup(spark, sf)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byCell = cells.groupBy(_._2).view.mapValues(_.keys.toArray).toMap
+    val want = cells.keys.toSeq.map { id =>
+      val own = byCell(cells(id))
+      val a = if (own.length == 1) 0.0
+        else own.filter(_ != id).map(o => sq(emb(id), emb(o))).sum / (own.length - 1)
+      val b = byCell.filterNot(_._1 == cells(id)).values
+        .map(os => os.map(o => sq(emb(id), emb(o))).sum / os.length).min
+      val sil = if (own.length == 1 || math.max(a, b) <= 0) 0.0
+        else (b - a) / math.max(a, b)
+      cells(id) -> sil
+    }.groupBy(_._1).view.mapValues(ss => ss.map(_._2).sum / ss.size).toMap
+    val got = Similarity.sSilhouette(spark, sf).as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).sum === emb.size)
+    got.foreach { case (cell, n, meanSil) =>
+      assert(n === byCell(cell).length.toLong)
+      assert(meanSil >= -1.0 && meanSil <= 1.0)
+      // moment-identity path quantizes Q and sil onto the 1e-6 grid
+      assert(math.abs(meanSil - want(cell)) < 1e-4,
+        s"cell $cell: got $meanSil want ${want(cell)}")
+    }
+  }
 }

@@ -832,4 +832,54 @@ class TextAnalysisSpec extends SparkSpec {
       assert(llr >= -1e-6, s"$bg llr=$llr")
     }
   }
+
+  test("t_burstiness: VMR matches an independent per-doc-count recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val ndocs = docs.length
+    val perWord = docs.flatMap { case (id, t) =>
+      t.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).map(w => (w, id))
+    }.groupBy(_._1).map { case (w, occ) =>
+      val counts = occ.groupBy(_._2).map(_._2.length.toLong)
+      val tf = counts.sum
+      val ssq = counts.map(c => c * c).sum
+      w -> (tf, counts.size.toLong, ssq.toDouble / tf - tf.toDouble / ndocs)
+    }
+    val rows = TextAnalysis.tBurstiness(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length === TextAnalysis.TBurstTopK)
+    // ordered by (tf desc, word); every emitted word is in the true top set
+    assert(rows.map(r => (-r._2, r._1)).toSeq === rows.map(r => (-r._2, r._1)).sorted.toSeq)
+    val cutTf = rows.last._2
+    perWord.filterNot(w => rows.exists(_._1 == w._1))
+      .foreach { case (w, (tf, _, _)) => assert(tf <= cutTf, s"missed $w tf=$tf") }
+    rows.foreach { case (w, tf, df, vmr) =>
+      val (wantTf, wantDf, wantVmr) = perWord(w)
+      assert(tf === wantTf && df === wantDf)
+      assert(math.abs(vmr - wantVmr) < 5.001e-7, s"$w vmr=$vmr want $wantVmr")
+      // Cauchy-Schwarz floor: VMR >= tf/df - tf/D >= 0
+      assert(vmr >= -1e-9)
+    }
+  }
+
+  test("t_readability: counts match a driver-side vowel-run recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val vowelRuns = "[aeiouy]+".r
+    val rows = TextAnalysis.tReadability(spark, sf)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(rows.length === docs.size)
+    rows.foreach { case (id, nw, ns, spw, pc) =>
+      val toks = docs(id).split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+      val runs = toks.map(w => vowelRuns.findAllIn(w).length)
+      assert(nw === toks.length)
+      assert(ns === runs.map(r => math.max(1, r).toLong).sum)
+      val complex = runs.count(_ >= 3)
+      if (toks.nonEmpty) {
+        assert(math.abs(spw - ns.toDouble / nw) < 5.001e-7, s"doc $id spw=$spw")
+        assert(math.abs(pc - complex.toDouble / nw) < 5.001e-7, s"doc $id pct=$pc")
+        assert(spw >= 1.0) // every word carries at least one syllable
+      } else assert(spw === 0.0 && pc === 0.0)
+    }
+  }
 }

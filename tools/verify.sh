@@ -19,5 +19,5 @@ done
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
-  -cp "$CP" graft.Verify "$SF" "$OUT"
+  -cp "$CP" graft.Verify "$SF" "$OUT" ${GRAFT_ONLY:+"$GRAFT_ONLY"}
 python3 tools/parity.py "$SF" "$OUT"
