@@ -1123,7 +1123,148 @@ object Dedup {
        |  (SELECT a, b FROM ($dJaccardSql)) e
        |  JOIN (SELECT a, b FROM ($dMinhashLshSql)) l USING (a, b))""".stripMargin
 
+  // ------------------------------------------ asymmetric containment
+  /** Asymmetric containment detection — the scheme [[dOverlap]]'s
+    * scaladoc names as the exhaustive upgrade: find (A, B) pairs where
+    * A's shingle set is (nearly) a SUBSET of B's, containment
+    * = |sh(A) ∩ sh(B)| / |sh(A)| ≥ [[ContainmentThreshold]]. The
+    * symmetric min-shingle blocking surfaces a pair only with
+    * probability = Jaccard, which vanishes for a tiny doc inside a
+    * huge one; here A blocks on ITS OWN min shingle and probes an
+    * inverted index over ALL of B's shingles — so a fully-contained A
+    * (its min shingle necessarily lives in B) is found with
+    * probability 1, and a c-contained A with probability c (the min is
+    * uniform over sh(A)). That is the quote-detection / template-
+    * extraction recall contract lexical near-dup misses.
+    *
+    * Scale shape: the probe index is a (shingle-hash, doc) posting
+    * join — both sides hash-partition on the shingle key, the classic
+    * inverted-index shuffle bounded by corpus token count (the same
+    * budget as `t_inverted_index`), and only A's single min per doc
+    * enters from the left. Shingle-key skew (a boilerplate shingle
+    * that is min for many As and present in many Bs) is a REQUIRED
+    * output blowup, not an accident — AQE's skew-join split carries
+    * it. Candidate pairs then pull the two hash sets by doc_id (texts
+    * never ride the posting shuffle) for the exact merge-walk
+    * intersect, same as [[dEditDist]]'s join-back.
+    */
+  val ContainmentThreshold = 0.9
+
+  def dContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val aSide = docs.select(col("doc_id").as("a_id"),
+      org.apache.spark.sql.graft.GraftSql.shingleHashSet(col("toks"), 3).as("sha"),
+      element_at(org.apache.spark.sql.graft.GraftSql.shingleMinHash(
+        col("toks"), 3, Seq("")), 1).as("blk"))
+      .filter(size(col("sha")) > 0)
+    val posts = docs.select(col("doc_id").as("b_id"),
+      explode(array_distinct(transform(Text.shingles(col("toks"), 3),
+        x => md5(x.cast("binary"))))).as("h"))
+    val pairs = aSide.select("a_id", "blk")
+      .join(posts, col("blk") === col("h") && col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val shB = docs.select(col("doc_id").as("b_id"),
+      org.apache.spark.sql.graft.GraftSql.shingleHashSet(col("toks"), 3).as("shb"))
+    val inter = org.apache.spark.sql.graft.GraftSql
+      .sortedIntersectCount(col("sha"), col("shb"))
+    pairs
+      .join(aSide.select("a_id", "sha"), "a_id")
+      .join(shB, "b_id")
+      .select(col("a_id"), col("b_id"), size(col("sha")).cast("bigint").as("n_a"),
+        inter.cast("bigint").as("inter"))
+      .withColumn("containment", round(col("inter").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("a_id", "b_id", "n_a", "inter", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  val dContainmentSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |a AS (SELECT doc_id AS a_id, sh,
+       |    list_min(list_transform(sh, x -> md5(x))) AS blk
+       |  FROM sh3 WHERE len(sh) > 0),
+       |post AS (SELECT doc_id AS b_id, md5(u.s) AS h FROM sh3, unnest(sh) u(s)),
+       |pairs AS (SELECT DISTINCT a.a_id, p.b_id
+       |  FROM a JOIN post p ON a.blk = p.h AND a.a_id <> p.b_id),
+       |sc AS (SELECT pr.a_id, pr.b_id,
+       |    CAST(len(x.sh) AS BIGINT) AS n_a,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter
+       |  FROM pairs pr JOIN a x ON x.a_id = pr.a_id JOIN sh3 y ON y.doc_id = pr.b_id)
+       |SELECT a_id, b_id, n_a, inter,
+       |  round(CAST(inter AS DOUBLE) / n_a, 6) AS containment
+       |FROM sc WHERE round(CAST(inter AS DOUBLE) / n_a, 6) >= $ContainmentThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // --------------------------------------------- dedup impact report
+  /** Per-source dedup impact — the before/after table a curation run
+    * publishes next to its datacard: how many documents each source
+    * loses to exact dedup (non-keeper members of an md5 group, the
+    * [[dExact]] convention) and to near-dup removal (the greater id of
+    * every [[dMinhashLsh]] pair ≥ 0.5 — the same victim rule as
+    * SemDeDup), plus the distinct union and the kept fraction. Sources
+    * whose kept-fraction is an outlier are where template spam or
+    * mirror crawls live — this table is how that gets seen.
+    *
+    * Scale shape: pays the two upstream chains by definition (both
+    * verified independently); on top of them only doc_id-keyed
+    * semi-join-sized sets and a source-bounded aggregation move.
+    */
+  def pDedupReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("fp"))
+    val keepers = docs.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+    val exactV = docs.join(keepers, "fp")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id")).withColumn("ex", lit(1))
+    val nearV = dMinhashLsh(s, d)
+      .select(col("b").as("doc_id")).distinct().withColumn("nr", lit(1))
+    docs
+      .join(exactV, Seq("doc_id"), "left")
+      .join(nearV, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("nr").isNotNull, 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("ex").isNotNull || col("nr").isNotNull, 1L).otherwise(0L))
+          .as("n_removed"))
+      .select(col("source"), col("n_docs"), col("n_exact"), col("n_near"),
+        col("n_removed"),
+        round((col("n_docs") - col("n_removed")).cast("double") / col("n_docs"), 6)
+          .as("pct_kept"))
+      .orderBy("source")
+  }
+
+  val pDedupReportSql: String =
+    s"""WITH docs AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+       |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM docs GROUP BY 1),
+       |exact_v AS (SELECT doc_id FROM docs JOIN keepers USING (fp)
+       |  WHERE doc_id <> keeper),
+       |near_v AS (SELECT DISTINCT b AS doc_id FROM (
+       |  ${dMinhashLshSql.replace("ORDER BY a, b", "")})),
+       |flagged AS (SELECT d.source,
+       |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+       |    CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nr
+       |  FROM docs d
+       |  LEFT JOIN exact_v e ON d.doc_id = e.doc_id
+       |  LEFT JOIN near_v n ON d.doc_id = n.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(ex) AS BIGINT) AS n_exact,
+       |  CAST(SUM(nr) AS BIGINT) AS n_near,
+       |  CAST(SUM(CASE WHEN ex = 1 OR nr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  round(CAST(COUNT(*) - SUM(CASE WHEN ex = 1 OR nr = 1 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS pct_kept
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d_containment" -> (dContainment _, dContainmentSql),
+    "p_dedup_report" -> (pDedupReport _, pDedupReportSql),
     "d_substring"   -> (dSubstring _, dSubstringSql),
     "d_lsh_eval"    -> (dLshEval _, dLshEvalSql),
     "d_exact"       -> (dExact _, dExactSql),

@@ -357,4 +357,48 @@ class DedupSpec extends SparkSpec {
     assert(docs === base)
     assert(base.values.forall(_.matches("[0-9a-f]{16}")))
   }
+
+  test("containment: full-containment recall is 1; scores match a set recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val got = Dedup.dContainment(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // every emitted pair's counts and score match the exact set algebra
+    got.foreach { case (a, b, nA, inter, c) =>
+      assert(nA === sets(a).size.toLong, s"pair ($a,$b) n_a")
+      assert(inter === (sets(a) & sets(b)).size.toLong, s"pair ($a,$b) inter")
+      assert(math.abs(c - inter.toDouble / nA) < 5.001e-7)
+      assert(c >= Dedup.ContainmentThreshold)
+    }
+    // the scheme's recall contract: every FULLY contained pair is found
+    // (A's min shingle hash necessarily lives in B's set)
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    for ((a, sa) <- sets if sa.nonEmpty; (b, sb) <- sets
+         if a != b && sa.subsetOf(sb))
+      assert(gotPairs((a, b)), s"full containment $a ⊆ $b missed")
+  }
+
+  test("p_dedup_report: totals reconcile with d_exact and d_minhash_lsh") {
+    val rows = Dedup.pDedupReport(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === nDocs)
+    val wantExact = Dedup.dExact(spark, sf)
+      .agg(sum(col("n") - 1)).as[Long].head()
+    assert(rows.map(_._3).sum === wantExact, "exact victim total")
+    val wantNear = Dedup.dMinhashLsh(spark, sf)
+      .select("b").distinct().count()
+    assert(rows.map(_._4).sum === wantNear, "near victim total")
+    rows.foreach { case (src, n, ex, nr, rm, kept) =>
+      // union bounds and the kept fraction recompute
+      assert(rm <= ex + nr && rm >= math.max(ex, nr), s"$src union bounds")
+      assert(math.abs(kept - (n - rm).toDouble / n) < 5.001e-7, s"$src pct_kept")
+    }
+  }
 }

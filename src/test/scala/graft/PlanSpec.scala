@@ -341,4 +341,44 @@ class PlanSpec extends SparkSpec {
     assert(finalSection.contains("PairExplode") ||
       finalSection.contains("Generate"), "blockPairs generator missing")
   }
+
+  test("binary Hamming search: query signatures broadcast, group-limited top-k") {
+    // the 10-row query side must broadcast onto the signature scan —
+    // losing it stages a corpus shuffle for a 10-row join
+    val p = plan(Similarity.sHamming(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query signatures no longer broadcast:\n" + p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("silhouette: cell moment table broadcasts onto the corpus pass") {
+    // the K-row moment table rides the broadcast argmax pattern; a lost
+    // hint turns the a/b pass into a corpus-sized shuffle
+    val p = plan(Similarity.sSilhouette(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "cell moments no longer broadcast:\n" + p.take(1200))
+  }
+
+  test("containment probe: posting join is a hash join, never a cartesian") {
+    val p = plan(graft.operators.Dedup.dContainment(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"),
+      "containment probe degenerated to a cartesian:\n" + finalSection.take(1200))
+    assert(finalSection.contains("HashJoin") || finalSection.contains("SortMergeJoin"),
+      "posting join missing:\n" + finalSection.take(1200))
+  }
+
+  test("changepoint/seasonal-naive: the ordered window runs on the day aggregate") {
+    // the single-partition window is safe ONLY because its input is the
+    // day-bounded series — assert the aggregate sits below the window
+    for (df <- Seq(graft.operators.Events.eChangepoint(spark, sf),
+                   graft.operators.Events.eSeasonalNaive(spark, sf))) {
+      val p = plan(df)
+      val winIdx = p.indexOf("Window")
+      assert(winIdx >= 0, p.take(800))
+      assert(p.indexOf("HashAggregate", winIdx) > winIdx,
+        "no aggregate below the ordered window — it would sort raw events:\n" +
+          p.take(1200))
+    }
+  }
 }
