@@ -1189,7 +1189,149 @@ object Events {
       |  round(CAST(SUM(abs(cnt - f7)) AS DOUBLE) / SUM(abs(cnt - f1)), 6) AS mase
       |FROM lagged WHERE f7 IS NOT NULL""".stripMargin
 
+  // ------------------------------------- Holt linear-trend smoothing
+  /** Holt's double exponential smoothing (level + trend) over the
+    * daily event-count series, in FIXED-POINT micro-units — the
+    * trend-aware upgrade of [[eEwma]]'s flat smoother and the next
+    * forecasting rung after [[eSeasonalNaive]]'s baselines. With
+    * α = β = 1/2 the recurrences are
+    *   l_t = (y_t + l_{t−1} + b_{t−1}) / 2,
+    *   b_t = ((l_t − l_{t−1}) + b_{t−1}) / 2,
+    * initialized l₂ = y₂, b₂ = y₂ − y₁; the one-step-ahead error
+    * e_t = y_t − (l_{t−1} + b_{t−1}) accumulates as a sum of absolute
+    * values. Output is one row: series length, final level/trend, the
+    * next-day forecast l + b, and the mean absolute one-step error —
+    * the numbers a capacity planner or anomaly detector actually
+    * consumes.
+    *
+    * Determinism: the state is held in integer micro-units and every
+    * halving is an explicit floor (`floor(x / 2.0)` — exact below
+    * 2^53, and both engines floor the same IEEE quotient), so the
+    * fold is integer-exact and order-fixed: no float rounding ever
+    * reaches a decimal tie (the a24c5dd rule applied as "stay
+    * integral"). Spark folds with [[org.apache.spark.sql.functions
+    * .aggregate]] over the day-sorted array; DuckDB mirrors with
+    * `list_reduce` folding from the first element (its init is the
+    * first observation, matching Spark's sentinel init — same state
+    * sequence from y₂ on).
+    *
+    * Scale shape: events collapse to one row per day at the scan
+    * (partial-aggregated count), so the fold input is the
+    * calendar-bounded daily series — thousands of elements at any
+    * corpus size — and the recursion itself is a single bounded
+    * in-memory fold, never a driver loop and never an event-sized
+    * shuffle. Micro-unit magnitudes stay well under 2^53 for daily
+    * counts below ~9×10⁹; at a scale where one day exceeds that,
+    * drop the unit scale (the state is linear in it).
+    */
+  def eHolt(s: SparkSession, d: String): DataFrame = {
+    val U = 1000000L
+    def div2(x: Column): Column = floor(x / lit(2.0))
+    def st(n: Column, l: Column, b: Column, sae: Column): Column =
+      struct(n.cast("long").as("n"), l.cast("long").as("l"),
+        b.cast("long").as("b"), sae.cast("long").as("sae"))
+    val daily = load(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("day").agg((count(lit(1)) * U).as("yu"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("yu")))).as("ser"))
+      .select(transform(col("ser"), e => e.getField("yu")).as("ys"))
+      .select(aggregate(col("ys"),
+        st(lit(-1L), lit(0L), lit(0L), lit(0L)),
+        (acc, y) => {
+          val n = acc.getField("n"); val l = acc.getField("l")
+          val b = acc.getField("b"); val sae = acc.getField("sae")
+          val e = y - (l + b)
+          val l2 = div2(y + l + b)
+          when(n === -1L, st(lit(0L), y, lit(0L), lit(0L)))
+            .when(n === 0L, st(lit(1L), y, y - l, lit(0L)))
+            .otherwise(st(n + 1L, l2, div2(l2 - l + b), sae + abs(e)))
+        }).as("h"))
+      .select(col("h.n").as("nm"), col("h.l").as("level_u"),
+        col("h.b").as("trend_u"), col("h.sae").as("sae_u"))
+    folded.select(
+      (col("nm") + 1L).as("n_days"),
+      col("level_u"), col("trend_u"),
+      (col("level_u") + col("trend_u")).as("forecast_u"),
+      when(col("nm") > 1L, floor(col("sae_u") / (col("nm") - 1L)))
+        .otherwise(lit(0L)).as("mae_u"))
+  }
+
+  /** Recursive-CTE twin of the Spark fold. NOT `list_reduce`: DuckDB
+    * 1.0 reuses the accumulator struct in place across a lambda's
+    * `struct_pack` fields, so a field expression that reads `acc.l`
+    * after the new `l` was assigned sees the NEW value — the fold
+    * silently computes a different recurrence (observed and bisected
+    * on this fixture). The recursive CTE evaluates each step as a
+    * fresh row, so the recurrence is the written one.
+    */
+  val eHoltSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS i, yu
+      |  FROM (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |          COUNT(*) * 1000000 AS yu FROM events GROUP BY 1)),
+      |hs AS (
+      |  SELECT 2 AS i, d2.yu AS l, d2.yu - d1.yu AS b,
+      |    CAST(0 AS BIGINT) AS sae
+      |  FROM daily d1, daily d2 WHERE d1.i = 1 AND d2.i = 2
+      |  UNION ALL
+      |  SELECT h.i + 1,
+      |    CAST(floor((d.yu + h.l + h.b) / 2.0) AS BIGINT),
+      |    CAST(floor((CAST(floor((d.yu + h.l + h.b) / 2.0) AS BIGINT)
+      |           - h.l + h.b) / 2.0) AS BIGINT),
+      |    h.sae + abs(d.yu - (h.l + h.b))
+      |  FROM hs h JOIN daily d ON d.i = h.i + 1)
+      |SELECT CAST(i AS BIGINT) AS n_days, l AS level_u, b AS trend_u,
+      |  l + b AS forecast_u,
+      |  CASE WHEN i > 2 THEN CAST(floor(sae / (i - 2.0)) AS BIGINT)
+      |    ELSE 0 END AS mae_u
+      |FROM hs WHERE i = (SELECT MAX(i) FROM hs)""".stripMargin
+
+  // ------------------------------------------- 3-step journey mining
+  /** Top 3-step user journeys — the length-3 generalization of
+    * [[eTransitions]]'s bigram matrix and the shape every product-
+    * analytics "path explorer" renders: for each user, consecutive
+    * event-type triples in (ts, event_id) order, counted globally,
+    * top 10 by frequency. Longer exact paths explode combinatorially;
+    * triples are the standard sweet spot (specific enough to show
+    * funnels, dense enough to aggregate).
+    *
+    * Scale shape: the lead window partitions by USER (per-task state
+    * is one user's events; users parallelize), triples map-side
+    * partial-aggregate before the path-keyed shuffle, and the top-10
+    * is a TakeOrderedAndProject — no global sort materializes.
+    * Determinism: ties rank by path string.
+    */
+  def ePath3(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    load(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(10)
+  }
+
+  val ePath3Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) AS ts_us FROM events),
+      |t AS (SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS cnt
+      |FROM t WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_holt"        -> (eHolt _, eHoltSql),
+    "e_path3"       -> (ePath3 _, ePath3Sql),
     "e_seasonal_naive" -> (eSeasonalNaive _, eSeasonalNaiveSql),
     "e_changepoint" -> (eChangepoint _, eChangepointSql),
     "e_gini"       -> (eGini _, eGiniSql),
