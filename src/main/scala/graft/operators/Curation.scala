@@ -971,7 +971,69 @@ object Curation {
        |  round(CAST(wq AS DOUBLE) / swq * tot / tokens, 6) AS boost
        |FROM src, tot ORDER BY source""".stripMargin
 
+  // --------------------------------------- perplexity-decile filter
+  /** Perplexity-based quality filtering report — the model-based
+    * complement of [[curate]]'s surface heuristics and the filter
+    * CCNet popularized: score every document with the corpus-trained
+    * unigram LM ([[TextAnalysis.tUnigramLp]]'s avg log-probability),
+    * mark the documents below the exact 10th-percentile score (most
+    * surprising under the LM = most likely junk), and report the
+    * flag impact per source: docs, flagged docs, flag rate, and each
+    * source's mean score. A source whose flag rate is far above 10 %
+    * concentrates low-quality text and is a candidate for a smaller
+    * [[pMix]] weight — the number this report exists to surface.
+    *
+    * The cutoff is `percentile_disc(0.1)` — an ATTAINED score value,
+    * selected not interpolated, so both engines pick the identical
+    * 6-dp-rounded double and the flag predicate `score <= cutoff`
+    * is exact; flagged counts include boundary ties (documented
+    * contract: "at or below the decile value").
+    *
+    * Scale shape: the LM scoring is [[TextAnalysis.tUnigramLp]]'s
+    * plan (vocab-bounded count table broadcast onto the exploded
+    * corpus); the cutoff is a 1-row aggregate broadcast back onto
+    * the per-doc scores; the report is a source-keyed aggregation of
+    * doc-count-sized rows. No global sort, no driver loop — the
+    * decile selection inside percentile_disc sorts score values
+    * within one aggregate over doc-count rows (fixture-fine; at
+    * 100 TB swap in an exact distributed selection or accept
+    * approx_percentile's rank error on a 10⁻⁴-granular cutoff).
+    */
+  def pQualityPpl(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.tUnigramLp(s, d)
+      .select(col("doc_id"), col("avg_logp"))
+    val cut = scored.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY avg_logp)").as("cut"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .crossJoin(broadcast(cut))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("avg_logp") <= col("cut")).cast("long")).as("n_flagged"),
+        round(sum((col("avg_logp") <= col("cut")).cast("long"))
+          / count(lit(1)), 6).as("flag_rate"),
+        round(sum(col("avg_logp").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_logp"))
+      .orderBy("source")
+  }
+
+  val pQualityPplSql: String = {
+    val inner = graft.operators.TextAnalysis.tUnigramLpSql
+    s"""WITH scored AS (SELECT doc_id, avg_logp FROM ($inner)),
+       |cut AS (SELECT quantile_disc(avg_logp, 0.1) AS cut FROM scored)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN s.avg_logp <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  round(CAST(SUM(CASE WHEN s.avg_logp <= c.cut THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS flag_rate,
+       |  round(CAST(SUM(CAST(s.avg_logp AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_logp
+       |FROM documents d JOIN scored s USING (doc_id) CROSS JOIN cut c
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_quality_ppl" -> (pQualityPpl _, pQualityPplSql),
     "p_temperature_mix" -> (pTemperatureMix _, pTemperatureMixSql),
     "p_length_buckets" -> (pLengthBuckets _, pLengthBucketsSql),
     "p_keep_best" -> (pKeepBest _, pKeepBestSql),

@@ -2304,7 +2304,86 @@ object TextAnalysis {
        |       ELSE round(CAST(n_complex AS DOUBLE) / n_words, 6) END AS pct_complex
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ RAKE keyphrases
+  /** RAKE keyphrase extraction (Rose et al. 2010) with integer degree
+    * scoring — the phrase-level keyword axis next to [[tTextrank]]'s
+    * word-graph one: candidate phrases are maximal stopword-free token
+    * runs (stopwords are the corpus function words, the same
+    * {the, a} set every quality heuristic in this tree uses); each
+    * word's degree is the summed length of every phrase instance it
+    * occurs in (occurrences counted with multiplicity); a phrase
+    * scores the sum of its member words' degrees. Top 10 phrases by
+    * (score, occurrence count) — all-integer arithmetic end to end,
+    * so the ranking is exact on both engines. (The classic deg/freq
+    * ratio variant is a per-word rational; the paper's deg-only
+    * variant keeps the fold integral — chosen deliberately under the
+    * a24c5dd "stay integral" rule.)
+    *
+    * Scale shape: phrase segmentation is per-document window work
+    * (doc-partitioned running stopword count — per-task state is one
+    * document's tokens); the word-degree table is vocabulary-bounded
+    * and BROADCAST back onto phrase members; the final ranking is a
+    * TakeOrderedAndProject over the distinct-phrase aggregate. No
+    * corpus-sized shuffle carries text bodies — phrases travel as
+    * strings only into their group-by.
+    */
+  def tRake(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = docsWithTokens(s, d)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "word")))
+      .withColumn("stop", col("word").isin("the", "a").cast("int"))
+      .withColumn("grp", sum(col("stop")).over(wd))
+      .filter(col("stop") === 0)
+    val members = Materialize.pin(
+      toks.select(col("doc_id"), col("grp"), col("pos"), col("word")))
+    val phrases = members
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("word")))),
+          e => e.getField("word")), " ").as("phrase"))
+    val deg = members
+      .join(phrases.select(col("doc_id"), col("grp"), col("plen")),
+        Seq("doc_id", "grp"))
+      .groupBy("word").agg(sum(col("plen")).as("deg"))
+    val inst = members
+      .join(broadcast(deg), Seq("word"))
+      .groupBy("doc_id", "grp").agg(sum(col("deg")).as("score"))
+    phrases.join(inst, Seq("doc_id", "grp"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("cnt"), min(col("score")).as("score"))
+      .orderBy(col("score").desc, col("cnt").desc, col("phrase"))
+      .limit(10)
+      .select("phrase", "cnt", "score")
+  }
+
+  val tRakeSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Text.ToksSql}) AS word,
+       |    generate_subscripts(${Text.ToksSql}, 1) AS pos FROM documents),
+       |marked AS (SELECT doc_id, pos, word,
+       |    CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END AS stop
+       |  FROM tok),
+       |islands AS (SELECT doc_id, pos, word, stop,
+       |    SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM marked),
+       |grouped AS (SELECT doc_id, pos, word, grp FROM islands WHERE stop = 0),
+       |phrases AS (SELECT doc_id, grp, COUNT(*) AS plen,
+       |    string_agg(word, ' ' ORDER BY pos) AS phrase
+       |  FROM grouped GROUP BY doc_id, grp),
+       |deg AS (SELECT g.word, CAST(SUM(p.plen) AS BIGINT) AS deg
+       |  FROM grouped g JOIN phrases p USING (doc_id, grp) GROUP BY g.word),
+       |inst AS (SELECT g.doc_id, g.grp, CAST(SUM(deg.deg) AS BIGINT) AS score
+       |  FROM grouped g JOIN deg USING (word) GROUP BY g.doc_id, g.grp)
+       |SELECT p.phrase, COUNT(*) AS cnt, MIN(i.score) AS score
+       |FROM phrases p JOIN inst i USING (doc_id, grp)
+       |GROUP BY p.phrase
+       |ORDER BY score DESC, cnt DESC, phrase LIMIT 10""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_rake"         -> (tRake _, tRakeSql),
     "t_burstiness"   -> (tBurstiness _, tBurstinessSql),
     "t_readability"  -> (tReadability _, tReadabilitySql),
     "t_fertility"    -> (tFertility _, tFertilitySql),
