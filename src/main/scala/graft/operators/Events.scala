@@ -1329,7 +1329,63 @@ object Events {
       |FROM t WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""".stripMargin
 
+  // --------------------------------------------- series autocorrelation
+  /** Lag-1 and lag-7 autocorrelation of the daily event-count series —
+    * the one-number answers to "is traffic persistent day over day?"
+    * and "is there weekly rhythm?" that decide whether [[eHolt]]'s
+    * trend term or [[eSeasonalNaive]]'s weekly lag is the right
+    * forecasting structure. Computed in ALL-INTEGER arithmetic: with
+    * n days and total S, the centered deviation n·y_t − S is an
+    * integer, so both the lag products and the variance sum are exact
+    * BIGINTs; the two ratios divide once as doubles at the end
+    * (numerators stay within int64 while n·max(y)² · n < 2⁶³ — holds
+    * to ~10⁶-event days over decades; beyond that, re-center through
+    * decimals).
+    *
+    * Scale shape: events collapse to one row per day map-side; the
+    * 1-row (n, S) aggregate broadcasts back onto the daily series;
+    * the lag windows run on the calendar-bounded series. Nothing
+    * event-sized shuffles twice.
+    */
+  def eAutocorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy("day")
+    val daily = load(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("n") * col("cnt") - col("s")).as("dev"))
+      .select(col("dev"),
+        lag(col("dev"), 1).over(wOrd).as("d1"),
+        lag(col("dev"), 7).over(wOrd).as("d7"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(when(col("d1").isNotNull, col("dev") * col("d1"))
+            .otherwise(lit(0L))).cast("double")
+          / sum(col("dev") * col("dev")), 6).as("acf1"),
+        round(sum(when(col("d7").isNotNull, col("dev") * col("d7"))
+            .otherwise(lit(0L))).cast("double")
+          / sum(col("dev") * col("dev")), 6).as("acf7"))
+  }
+
+  val eAutocorrSql: String =
+    """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    COUNT(*) AS cnt FROM events GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s FROM daily),
+      |dev AS (SELECT day, n * cnt - s AS dev FROM daily, st),
+      |lagged AS (SELECT dev,
+      |    lag(dev, 1) OVER (ORDER BY day) AS d1,
+      |    lag(dev, 7) OVER (ORDER BY day) AS d7
+      |  FROM dev)
+      |SELECT COUNT(*) AS n_days,
+      |  round(CAST(SUM(CASE WHEN d1 IS NOT NULL THEN dev * d1 ELSE 0 END)
+      |    AS DOUBLE) / SUM(dev * dev), 6) AS acf1,
+      |  round(CAST(SUM(CASE WHEN d7 IS NOT NULL THEN dev * d7 ELSE 0 END)
+      |    AS DOUBLE) / SUM(dev * dev), 6) AS acf7
+      |FROM lagged""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_autocorr"    -> (eAutocorr _, eAutocorrSql),
     "e_holt"        -> (eHolt _, eHoltSql),
     "e_path3"       -> (ePath3 _, ePath3Sql),
     "e_seasonal_naive" -> (eSeasonalNaive _, eSeasonalNaiveSql),

@@ -1717,7 +1717,59 @@ object Similarity {
        |ORDER BY vec_id, rnk""".stripMargin
   }
 
+  // --------------------------------------- embedding-distribution drift
+  /** Embedding-space drift detection — the monitor a production
+    * vector pipeline runs between ingestion batches (encoder upgrade,
+    * corpus shift, silent preprocessing change): split the corpus
+    * into two deterministic cohorts (vec_id parity — the fixture's
+    * stand-in for yesterday/today), compute each cohort's per-
+    * dimension mean through exact decimal sums, and report the 5
+    * dimensions with the largest absolute mean shift. A healthy
+    * re-ingest shows shifts near the sampling noise floor; a drifted
+    * encoder shows a few dimensions jumping orders of magnitude above
+    * the rest — which dimensions move is the debugging signal.
+    *
+    * Scale shape: one posexplode → (cohort, dim) aggregation with
+    * map-side partial collapse — the shuffled state is 2·64 rows per
+    * partition regardless of corpus size — then a 64-row pivot and a
+    * top-5. Determinism: means are exact DECIMAL(20,8) sums with one
+    * double division; the ranking orders by the ROUNDED shift with
+    * dim as tiebreak, so both engines rank identical values.
+    */
+  def sDrift(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select((col("vec_id") % 2).cast("int").as("cohort"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+    val means = ex.groupBy("cohort", "dim")
+      .agg((sum(col("x").cast("decimal(20,8)")).cast("double")
+        / count(lit(1))).as("m"))
+    means.groupBy("dim")
+      .agg(max(when(col("cohort") === 0, col("m"))).as("ma"),
+        max(when(col("cohort") === 1, col("m"))).as("mb"))
+      .select(col("dim"), round(col("ma"), 6).as("mean_a"),
+        round(col("mb"), 6).as("mean_b"),
+        round(abs(col("ma") - col("mb")), 6).as("abs_shift"))
+      .orderBy(col("abs_shift").desc, col("dim"))
+      .limit(5)
+  }
+
+  val sDriftSql: String =
+    """WITH ex AS (SELECT CAST(vec_id % 2 AS INT) AS cohort,
+      |    generate_subscripts(embedding, 1) - 1 AS dim,
+      |    unnest(embedding) AS x FROM embeddings),
+      |means AS (SELECT cohort, dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY 1, 2),
+      |wide AS (SELECT dim,
+      |    MAX(CASE WHEN cohort = 0 THEN m END) AS ma,
+      |    MAX(CASE WHEN cohort = 1 THEN m END) AS mb
+      |  FROM means GROUP BY 1)
+      |SELECT CAST(dim AS INT) AS dim, round(ma, 6) AS mean_a,
+      |  round(mb, 6) AS mean_b, round(abs(ma - mb), 6) AS abs_shift
+      |FROM wide ORDER BY abs_shift DESC, dim LIMIT 5""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_drift"       -> (sDrift _, sDriftSql),
     "s_hamming"     -> (sHamming _, sHammingSql),
     "s_silhouette"  -> (sSilhouette _, sSilhouetteSql),
     "s_outlier"     -> (sOutlier _, sOutlierSql),

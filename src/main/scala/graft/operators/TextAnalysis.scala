@@ -2382,7 +2382,53 @@ object TextAnalysis {
        |GROUP BY p.phrase
        |ORDER BY score DESC, cnt DESC, phrase LIMIT 10""".stripMargin
 
+  // ------------------------------------------ lexical-diversity indices
+  /** Per-source lexical diversity: type-token ratio and Yule's K —
+    * the repetitiveness fingerprints that separate template-generated
+    * text (low diversity, high K) from natural prose, per source, so
+    * a mixing policy can see WHICH feed is degenerate. Yule's K =
+    * 10⁴·(Σ_m m²·V(m) − N)/N² over the word-frequency spectrum
+    * (V(m) = words occurring m times, N = tokens) is length-robust
+    * where raw TTR is not — emitting both shows the contrast.
+    * Everything is integer until the two final double divisions
+    * (Σ c² per source needs Σ c² < 2⁶³ — holds while no source's
+    * single hottest word passes ~3×10⁹ occurrences; past that the
+    * spectrum sum goes through decimals).
+    *
+    * Scale shape: one (source, word) count aggregation — vocabulary-
+    * bounded per source with map-side partial collapse — then a
+    * source-keyed rollup of the spectrum. Nothing corpus-sized
+    * shuffles; sources parallelize.
+    */
+  def tYule(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(col("source"), explode(col("toks")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * col("c")).as("m2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(lit(10000.0) * (col("m2") - col("n_tokens")).cast("double")
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double")), 6)
+          .as("yule_k"))
+      .orderBy("source")
+
+  val tYuleSql: String =
+    s"""WITH w AS (SELECT source, unnest(${Text.ToksSql}) AS word FROM documents),
+       |c AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+       |sp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS vocab, CAST(SUM(c * c) AS BIGINT) AS m2
+       |  FROM c GROUP BY 1)
+       |SELECT source, n_tokens, vocab,
+       |  round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr,
+       |  round(10000.0 * CAST(m2 - n_tokens AS DOUBLE)
+       |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
+       |FROM sp ORDER BY source""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_yule"         -> (tYule _, tYuleSql),
     "t_rake"         -> (tRake _, tRakeSql),
     "t_burstiness"   -> (tBurstiness _, tBurstinessSql),
     "t_readability"  -> (tReadability _, tReadabilitySql),
