@@ -1384,7 +1384,72 @@ object Events {
       |    AS DOUBLE) / SUM(dev * dev), 6) AS acf7
       |FROM lagged""".stripMargin
 
+  // ------------------------------------------------ bot / machine traffic
+  /** Machine-traffic detection from inter-arrival regularity — the
+    * operational use of [[eInterarrival]]'s cadence signal: humans
+    * are bursty (high gap variance), schedulers and scripts tick
+    * (near-constant gaps), so a squared coefficient of variation
+    * CV² = (n·Σg² − (Σg)²)/(Σg)² close to zero over enough events is
+    * the classic bot fingerprint. Emits the 10 MOST-REGULAR users
+    * (lowest CV², ≥ 5 gaps) with their gap count, mean gap, and the
+    * CV² score — a ranking rather than an absolute cut, because the
+    * alert threshold is a deployment policy (this fixture's Poisson
+    * traffic sits near CV² ≈ 1; real schedulers sit near 0).
+    *
+    * Determinism: Σg and Σg² accumulate as exact DECIMAL(38,0)
+    * (order-free; g² at decade-µs magnitudes overflows int64, the
+    * decimal path never does), the variance numerator n·Σg² − (Σg)²
+    * is exact, and only the final ratio divides as a double, rounded
+    * once. The ranking orders by the ROUNDED score with user_id as
+    * tiebreak, so both engines rank identical values.
+    *
+    * Scale shape: identical to [[eInterarrival]] — a user-partitioned
+    * lag window (per-task state: one user's events), then a
+    * user-keyed aggregate with map-side partials. Output is bounded
+    * by the flagged-user count.
+    */
+  def eBotScore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    load(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sq"))
+      .filter(col("n_gaps") >= 5)
+      .select(col("user_id"), col("n_gaps"),
+        expr("sg div n_gaps").as("avg_gap_us"),
+        round((col("n_gaps") * col("sq")
+            - col("sg").cast("decimal(38,0)") * col("sg")).cast("double")
+          / (col("sg").cast("decimal(38,0)") * col("sg")).cast("double"), 6)
+          .as("cv2"))
+      .orderBy(col("cv2"), col("user_id"))
+      .limit(10)
+  }
+
+  val eBotScoreSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |g AS (SELECT user_id,
+      |    ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS gap
+      |  FROM e),
+      |agg AS (SELECT user_id, COUNT(*) AS n_gaps,
+      |    CAST(SUM(gap) AS BIGINT) AS sg,
+      |    SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS sq
+      |  FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      |scored AS (SELECT user_id, n_gaps,
+      |    sg // n_gaps AS avg_gap_us,
+      |    round(CAST(n_gaps * sq - CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)
+      |      / CAST(CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE), 6) AS cv2
+      |  FROM agg WHERE n_gaps >= 5)
+      |SELECT user_id, n_gaps, avg_gap_us, cv2
+      |FROM scored ORDER BY cv2, user_id LIMIT 10""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_bot_score"   -> (eBotScore _, eBotScoreSql),
     "e_autocorr"    -> (eAutocorr _, eAutocorrSql),
     "e_holt"        -> (eHolt _, eHoltSql),
     "e_path3"       -> (ePath3 _, ePath3Sql),
