@@ -1768,7 +1768,108 @@ object Similarity {
       |  round(mb, 6) AS mean_b, round(abs(ma - mb), 6) AS abs_shift
       |FROM wide ORDER BY abs_shift DESC, dim LIMIT 5""".stripMargin
 
+  // ------------------------------------------------ PCA (power iteration)
+  /** Top principal component of the embedding corpus by COVARIANCE-FREE
+    * power iteration — the distributed-linear-algebra primitive behind
+    * whitening, anisotropy diagnosis ("is one direction eating the
+    * embedding space?"), and spectral outlier screens. The 64×64
+    * covariance is never materialized: each iteration computes
+    * C·v = Σ_vecs (x−μ)·((x−μ)ᵀv) as two corpus passes — a per-vector
+    * scalar s = (x−μ)ᵀv, then per-dimension sums of s·(x−μ) — which is
+    * exactly the shape that scales (at 100 TB each pass is one scan +
+    * one vec-keyed and one 64-row dim-keyed aggregation; no 4096·n
+    * outer-product blowup, no driver linear algebra). Three iterations
+    * from the uniform unit vector; output is the top-8 loadings by
+    * magnitude plus the Rayleigh estimate's share of total variance
+    * (λ/trace — scale factors cancel, so the 1/(n−1) normalization is
+    * omitted throughout).
+    *
+    * Determinism: every cross-engine sum is EXACT — each double term
+    * is cast to DECIMAL (the half-away-from-zero double→decimal cast
+    * matches across engines, see the sQuantize note) and summed
+    * order-free; doubles appear only in per-row arithmetic (identical
+    * IEEE ops) and the final divisions. The centered table is pinned:
+    * seven consumers (trace + 3×(s, r)) would each re-explode the
+    * corpus otherwise.
+    */
+  def sPca(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
+    val mu = ex.groupBy("dim")
+      .agg((sum(col("x").cast("decimal(20,8)")).cast("double")
+        / count(lit(1))).as("mu"))
+    val c = graft.operators.Materialize.pin(
+      ex.join(broadcast(mu), Seq("dim"))
+        .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("xc")))
+    val trace = c.agg(
+      sum((col("xc") * col("xc")).cast("decimal(30,15)")).cast("double")
+        .as("trace"))
+    // one power-iteration step: v (64 rows: dim, v) -> (raw r, norm nm)
+    def step(v: DataFrame): DataFrame = {
+      val sv = c.join(broadcast(v), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum((col("xc") * col("v")).cast("decimal(30,15)")).cast("double")
+          .as("sv"))
+      c.join(sv, Seq("vec_id"))
+        .groupBy("dim")
+        .agg(sum((col("sv") * col("xc")).cast("decimal(30,15)")).cast("double")
+          .as("rv"))
+    }
+    def normalize(r: DataFrame): DataFrame = {
+      val nm = r.agg(
+        sqrt(sum((col("rv") * col("rv")).cast("decimal(38,12)")).cast("double"))
+          .as("nm"))
+      r.crossJoin(broadcast(nm)).select(col("dim"),
+        (col("rv") / col("nm")).as("v"), col("nm"))
+    }
+    val v0 = mu.select(col("dim"), lit(0.125).as("v"))
+    val v1 = normalize(step(v0)).select("dim", "v")
+    val v2 = normalize(step(v1)).select("dim", "v")
+    val v3 = normalize(step(v2))
+    val w = Window.orderBy(abs(col("v")).desc, col("dim"))
+    v3.crossJoin(broadcast(trace))
+      .select(col("dim"), col("v"), col("nm"), col("trace"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 8)
+      .select(col("rnk"), col("dim"), round(col("v"), 6).as("loading"),
+        round(col("nm") / col("trace"), 6).as("explained_ratio"))
+      .orderBy("rnk")
+  }
+
+  val sPcaSql: String = {
+    def stepSql(i: Int, vPrev: String): String =
+      s"""s$i AS (SELECT vec_id,
+         |    CAST(SUM(CAST(c.xc * $vPrev.v AS DECIMAL(30,15))) AS DOUBLE) AS sv
+         |  FROM c JOIN $vPrev USING (dim) GROUP BY vec_id),
+         |r$i AS (SELECT dim,
+         |    CAST(SUM(CAST(s$i.sv * c.xc AS DECIMAL(30,15))) AS DOUBLE) AS rv
+         |  FROM c JOIN s$i USING (vec_id) GROUP BY dim),
+         |n$i AS (SELECT sqrt(CAST(SUM(CAST(rv * rv AS DECIMAL(38,12)))
+         |    AS DOUBLE)) AS nm FROM r$i),
+         |v$i AS (SELECT dim, rv / nm AS v FROM r$i, n$i)""".stripMargin
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |mu AS (SELECT dim, CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE)
+       |    / COUNT(*) AS mu FROM ex GROUP BY 1),
+       |c AS (SELECT vec_id, dim, x - mu AS xc FROM ex JOIN mu USING (dim)),
+       |tr AS (SELECT CAST(SUM(CAST(xc * xc AS DECIMAL(30,15))) AS DOUBLE)
+       |    AS trace FROM c),
+       |v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS v FROM mu),
+       |${stepSql(1, "v0")},
+       |${stepSql(2, "v1")},
+       |${stepSql(3, "v2")},
+       |ranked AS (SELECT CAST(row_number() OVER (ORDER BY abs(v) DESC, dim)
+       |      AS INT) AS rnk, CAST(dim AS INT) AS dim,
+       |    round(v, 6) AS loading,
+       |    round(nm / trace, 6) AS explained_ratio
+       |  FROM v3, n3, tr)
+       |SELECT rnk, dim, loading, explained_ratio
+       |FROM ranked WHERE rnk <= 8 ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_pca"         -> (sPca _, sPcaSql),
     "s_drift"       -> (sDrift _, sDriftSql),
     "s_hamming"     -> (sHamming _, sHammingSql),
     "s_silhouette"  -> (sSilhouette _, sSilhouetteSql),
