@@ -192,6 +192,28 @@ class EventsSpec extends SparkSpec {
       "expected floor(5/2)=2 mean, min 2, max 3: " + row.mkString(","))
   }
 
+  test("e_holt: fixed-point recursion matches a hand-computed series") {
+    // daily counts 4, 8, 2, 6 → micro-units 4e6, 8e6, 2e6, 6e6:
+    //   init  l=8e6, b=4e6 (l₂=y₂, b₂=y₂−y₁)
+    //   y₃=2e6: e=−10e6; l=⌊(2+8+4)e6/2⌋=7e6; b=⌊(7−8+4)e6/2⌋=1.5e6
+    //   y₄=6e6: e=−2.5e6; l=⌊14.5e6/2⌋=7.25e6; b=⌊1.75e6/2⌋=875000
+    // → level 7250000, trend 875000, forecast 8125000,
+    //   mae = ⌊12.5e6/2⌋ = 6250000. Exercises the odd-sum floors.
+    val dir = java.nio.file.Files.createTempDirectory("graft_holt").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    val rows = Seq(0 -> 4, 1 -> 8, 2 -> 2, 3 -> 6).flatMap { case (d, n) =>
+      (0 until n).map(i =>
+        (d * 100L + i,
+          java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(d * day + i * 1000L)),
+          1L))
+    }
+    spark.createDataFrame(rows).toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.eHolt(spark, dir).as[(Long, Long, Long, Long, Long)].collect()
+    assert(out === Array((4L, 7250000L, 875000L, 8125000L, 6250000L)),
+      out.mkString(","))
+  }
+
   test("e_transitions: counts cover exactly the non-first events; rows of p sum to 1") {
     val t = Events.eTransitions(spark, sf)
     val totalN = t.agg(sum("n")).as[Long].head()

@@ -368,6 +368,34 @@ class PlanSpec extends SparkSpec {
       "posting join missing:\n" + finalSection.take(1200))
   }
 
+  test("pca: iteration vectors broadcast; the corpus never outer-products") {
+    // each power step joins the 64-row v onto the centered corpus — a
+    // lost broadcast stages a corpus shuffle per iteration; and no step
+    // may degenerate into a cartesian (the 4096·n outer-product shape
+    // this implementation exists to avoid)
+    val p = plan(Similarity.sPca(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "v-vector join no longer broadcast:\n" + finalSection.take(1200))
+    assert(!finalSection.contains("CartesianProduct"),
+      "pca staged a cartesian:\n" + finalSection.take(1200))
+  }
+
+  test("rake: the vocabulary degree table broadcasts onto phrase members") {
+    val p = plan(graft.operators.TextAnalysis.tRake(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "degree table no longer broadcast:\n" + finalSection.take(1200))
+  }
+
+  test("holt/autocorr: the fold/window input is the day aggregate, not raw events") {
+    for (df <- Seq(graft.operators.Events.eHolt(spark, sf),
+                   graft.operators.Events.eAutocorr(spark, sf))) {
+      val p = plan(df)
+      assert("HashAggregate".r.findAllIn(p).nonEmpty, p.take(800))
+    }
+  }
+
   test("changepoint/seasonal-naive: the ordered window runs on the day aggregate") {
     // the single-partition window is safe ONLY because its input is the
     // day-bounded series — assert the aggregate sits below the window
