@@ -1868,7 +1868,83 @@ object Similarity {
        |FROM ranked WHERE rnk <= 8 ORDER BY rnk""".stripMargin
   }
 
+  // --------------------------------------- truncated-dimension recall
+  /** Dimension-truncation retrieval eval (the Matryoshka question):
+    * how much exact-cosine recall@10 survives if the index stores only
+    * the FIRST 16 of 64 dimensions? Ground-truth top-10 (full vectors)
+    * vs truncated top-10 per query, overlap counted — the measurement
+    * that decides whether a 4× smaller/faster first-tier index is
+    * affordable before building it. Both shortlists are exact searches
+    * with the suite's standard determinism (6-dp cosine, id tiebreak).
+    *
+    * Scale shape: one broadcast-query corpus pass computes BOTH
+    * cosines (the truncated prefix is sliced in-row — no second scan),
+    * two per-query window ranks, and an id-keyed overlap join between
+    * two |Q|·10 shortlists. At production scale each shortlist comes
+    * from its own ANN tier instead; the eval join is unchanged.
+    */
+  def sDimRecall(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      Vectors.norm(col("embedding")).as("n64"),
+      Vectors.norm(slice(col("embedding"), 1, 16)).as("n16"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val q = base.toDF("q_id", "q_emb", "q_n64", "q_n16")
+      .filter(col("q_id") < NumQueries)
+    val pairs = broadcast(q).crossJoin(base)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(Vectors.dot(col("q_emb"), col("embedding"))
+          / (col("q_n64") * col("n64")), 6).as("cos64"),
+        round(Vectors.dot(slice(col("q_emb"), 1, 16),
+            slice(col("embedding"), 1, 16))
+          / (col("q_n16") * col("n16")), 6).as("cos16"))
+    val w64 = Window.partitionBy("q_id").orderBy(col("cos64").desc, col("n_id"))
+    val w16 = Window.partitionBy("q_id").orderBy(col("cos16").desc, col("n_id"))
+    val ranked = pairs
+      .withColumn("r64", row_number().over(w64))
+      .withColumn("r16", row_number().over(w16))
+    val truth = ranked.filter(col("r64") <= 10).select("q_id", "n_id")
+    val trunc = ranked.filter(col("r16") <= 10).select("q_id", "n_id")
+    val hits = truth.join(trunc, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(10.0), 6).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val sDimRecallSql: String = {
+    def cosN(n: Int, nrmA: String, nrmB: String): String =
+      s"""round(list_reduce(list_transform(range(1, ${n + 1}),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y) / ($nrmA * $nrmB), 6)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(list_reduce(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, x) -> p + x)) AS n64,
+       |  sqrt(list_reduce(list_transform(embedding[1:16],
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, x) -> p + x)) AS n16
+       |  FROM embeddings),
+       |pairs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    ${cosN(64, "a.n64", "b.n64")} AS cos64,
+       |    ${cosN(16, "a.n16", "b.n16")} AS cos16
+       |  FROM n a JOIN n b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |ranked AS (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos64 DESC, n_id) AS r64,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos16 DESC, n_id) AS r16
+       |  FROM pairs),
+       |hits AS (SELECT t.q_id, COUNT(*) AS hits
+       |  FROM (SELECT q_id, n_id FROM ranked WHERE r64 <= 10) t
+       |  JOIN (SELECT q_id, n_id FROM ranked WHERE r16 <= 10) u
+       |    USING (q_id, n_id) GROUP BY t.q_id)
+       |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+       |  round(coalesce(h.hits, 0) / 10.0, 6) AS recall
+       |FROM (SELECT DISTINCT vec_id AS q_id FROM n WHERE vec_id < $NumQueries) q
+       |LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_dim_recall"  -> (sDimRecall _, sDimRecallSql),
     "s_pca"         -> (sPca _, sPcaSql),
     "s_drift"       -> (sDrift _, sDriftSql),
     "s_hamming"     -> (sHamming _, sHammingSql),

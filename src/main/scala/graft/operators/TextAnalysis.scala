@@ -2427,7 +2427,90 @@ object TextAnalysis {
        |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k
        |FROM sp ORDER BY source""".stripMargin
 
+  // --------------------------------------- held-out LM scoring
+  /** Held-out unigram cross-entropy with add-one smoothing — the
+    * train/test discipline [[tUnigramLp]]'s self-scoring deliberately
+    * skips: the LM trains on the ~80 % split (md5 bucket < 'cc' —
+    * [[Curation.pSplit]]'s hash-bucket convention, uncorrelated with
+    * any fixture id pattern) and scores ONLY the held-out ~20 %, so
+    * the number generalizes instead of memorizing.
+    * Laplace smoothing P(w) = (c(w)+1)/(N+V) gives unseen words
+    * finite mass (V = train vocabulary size; OOV → 1/(N+V)). Per
+    * source: held-out docs, their mean per-doc avg log-probability,
+    * and the OOV token rate — the triple that says which feed's text
+    * the corpus LM fails to predict (distribution shift) vs which
+    * feed merely uses new words (OOV).
+    *
+    * Scale shape: train counts are vocabulary-bounded with map-side
+    * collapse; (N, V) is a 1-row broadcast; the (word, logp) table
+    * broadcasts onto the exploded held-out corpus (same
+    * threshold-or-repartition note as tUnigramLp); per-doc then
+    * per-source aggregations. Determinism: ln of one division
+    * rounded at 6 dp per word, per-doc and per-source means via
+    * exact decimal sums.
+    */
+  def tHeldoutPpl(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(md5(concat(lit("split|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 2)
+    val toks = docsWithTokens(s, d)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        explode(col("toks")).as("word"))
+    val train = toks.filter(col("bucket") < "cc")
+    val counts = Materialize.pin(
+      train.groupBy("word").agg(count(lit(1)).as("cnt")))
+    val stats = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val vocab = counts.crossJoin(broadcast(stats))
+      .select(col("word"),
+        round(log((col("cnt") + 1).cast("double") / (col("n") + col("v"))), 6)
+          .as("logp"))
+    val oov = stats.select(
+      round(log(lit(1.0) / (col("n") + col("v"))), 6).as("oov_logp"))
+    val perDoc = toks.filter(col("bucket") >= "cc")
+      .join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("logp"), col("oov_logp")).as("lp"),
+        col("logp").isNull.cast("long").as("is_oov"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_toks"), sum(col("is_oov")).as("n_oov"),
+        round(sum(col("lp").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("doc_lp"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("doc_lp").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_logp"),
+        round(sum(col("n_oov")).cast("double") / sum(col("n_toks")), 6)
+          .as("oov_rate"))
+      .orderBy("source")
+  }
+
+  val tHeldoutPplSql: String =
+    s"""WITH w AS (SELECT doc_id, source,
+       |    substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       |    unnest(${Text.ToksSql}) AS word
+       |  FROM documents),
+       |c AS (SELECT word, COUNT(*) AS cnt FROM w WHERE bucket < 'cc'
+       |  GROUP BY 1),
+       |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM c),
+       |vocab AS (SELECT word,
+       |    round(ln(CAST(cnt + 1 AS DOUBLE) / (n + v)), 6) AS logp
+       |  FROM c CROSS JOIN st),
+       |o AS (SELECT round(ln(1.0 / (n + v)), 6) AS oov_logp FROM st),
+       |pd AS (SELECT doc_id, source, COUNT(*) AS n_toks,
+       |    CAST(SUM(CASE WHEN vocab.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov,
+       |    round(CAST(SUM(CAST(coalesce(vocab.logp, o.oov_logp)
+       |      AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS doc_lp
+       |  FROM w LEFT JOIN vocab USING (word) CROSS JOIN o
+       |  WHERE bucket >= 'cc' GROUP BY doc_id, source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  round(CAST(SUM(CAST(doc_lp AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_logp,
+       |  round(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_toks), 6) AS oov_rate
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_heldout_ppl"  -> (tHeldoutPpl _, tHeldoutPplSql),
     "t_yule"         -> (tYule _, tYuleSql),
     "t_rake"         -> (tRake _, tRakeSql),
     "t_burstiness"   -> (tBurstiness _, tBurstinessSql),
