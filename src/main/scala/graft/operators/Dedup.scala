@@ -1262,7 +1262,59 @@ object Dedup {
        |    AS DOUBLE) / COUNT(*), 6) AS pct_kept
        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ duplication curve
+  /** N-gram duplication curve — the measurement a dedup strategy is
+    * CHOSEN from: for n ∈ {1, 2, 3, 5, 8}, the corpus-wide n-gram
+    * instance count, the distinct count, and the duplication rate
+    * 1 − distinct/total. Short grams always repeat (vocabulary
+    * effects); where the curve stays high at LONG n is where literal
+    * copying lives — that knee picks the shingle width for
+    * [[dJaccard]]/[[dMinhashLsh]] and decides whether substring-level
+    * dedup ([[dSubstring]]) is worth running at all.
+    *
+    * Scale shape: each n is one explode → gram-keyed count-distinct
+    * (partial-aggregated both stages); the five gram widths union as
+    * independent subplans — at 100 TB run them as one pass with a
+    * posexploded n column if scan cost dominates; here the scans are
+    * the cheap part and separate subplans keep each distinct's
+    * shuffle keyed narrowly. Integers until the final ratio.
+    */
+  def dDupCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+    val perN = Seq(1, 2, 3, 5, 8).map { n =>
+      docs.select(explode(graft.functions.Text.shingles(col("toks"), n))
+          .as("g"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(lit(n).as("n"), col("total"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("total"), 6)
+            .as("dup_rate"))
+    }
+    perN.reduce(_.unionAll(_)).orderBy("n")
+  }
+
+  val dDupCurveSql: String = {
+    def gramExpr(n: Int): String =
+      if (n == 1) "unnest(toks) AS g"
+      else {
+        val parts = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+        s"unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $parts)) AS g"
+      }
+    val blocks = Seq(1, 2, 3, 5, 8).map { n =>
+      s"""SELECT $n AS n, COUNT(*) AS total,
+         |  COUNT(DISTINCT g) AS n_distinct,
+         |  round(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+         |    AS dup_rate
+         |FROM (SELECT ${gramExpr(n)} FROM t WHERE len(toks) >= $n)""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, ${graft.functions.Text.ToksSql} AS toks
+       |  FROM documents)
+       |${blocks.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY n""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d_dup_curve"   -> (dDupCurve _, dDupCurveSql),
     "d_containment" -> (dContainment _, dContainmentSql),
     "p_dedup_report" -> (pDedupReport _, pDedupReportSql),
     "d_substring"   -> (dSubstring _, dSubstringSql),

@@ -1448,7 +1448,121 @@ object Events {
       |SELECT user_id, n_gaps, avg_gap_us, cv2
       |FROM scored ORDER BY cv2, user_id LIMIT 10""".stripMargin
 
+  // --------------------------------------------- weekly activity grid
+  /** Day-of-week × hour activity heatmap — the ops-dashboard staple
+    * that shows diurnal and weekly load structure at a glance (and
+    * feeds capacity planning + the seasonality decision behind
+    * [[eSeasonalNaive]]). Buckets via pure integer arithmetic on
+    * epoch time (dow 0 = Monday: epoch day 0 was a Thursday, hence
+    * the +3; hour is the UTC epoch-hour mod 24) — no engine-specific
+    * calendar function semantics to reconcile.
+    *
+    * Scale shape: a 168-key aggregation fully collapsed map-side;
+    * the shuffle carries ≤ 168 rows per partition at any corpus size.
+    */
+  def eHeatmap(s: SparkSession, d: String): DataFrame =
+    load(s, d)
+      .select(expr("(ts_ns div 86400000000000 + 3) % 7").as("dow"),
+        expr("(ts_ns div 3600000000000) % 24").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("cnt"))
+      .orderBy("dow", "hour")
+
+  val eHeatmapSql: String =
+    """SELECT (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
+      |  (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+
+  // --------------------------------------------- survival / churn curve
+  /** Kaplan–Meier survival curve over user lifetimes WITH censoring —
+    * the statistically honest churn curve ([[eRetention]] without the
+    * bias of counting still-active users as churned): a user's
+    * lifetime is whole days between first and last event; users whose
+    * last event falls within 7 days of corpus end are CENSORED
+    * (still alive as far as the data knows), everyone else's lifetime
+    * ended observably. At each lifetime day t: the at-risk count
+    * (lifetime ≥ t), deaths d(t), censorings c(t), and the KM
+    * estimate S(t) = Π_{u≤t} (1 − d(u)/n(u)).
+    *
+    * Determinism: the product runs in log space, but each ln term is
+    * quantized to DECIMAL(20,12) before the running window sum — so
+    * the accumulation is exact and ORDER-FREE (a raw double running
+    * sum would expose DuckDB's segment-tree vs Spark's sequential
+    * addition order). A day where everyone at risk dies makes the
+    * term 0 (ln undefined) — a running max flag pins S to exactly 0
+    * from there on instead.
+    *
+    * Scale shape: events collapse to per-user (first, last) — a
+    * user-keyed aggregate with map-side partials; the curve windows
+    * run on the lifetime-day-bounded series (single-partition by
+    * design, like every day-series query here); corpus end is a
+    * 1-row broadcast.
+    */
+  def eSurvival(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = load(s, d).select(col("user_id"), expr("ts_ns div 1000").as("us"))
+    val users = ev.groupBy("user_id")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val end = ev.agg(max(col("us")).as("end_us"))
+    val byT = users.crossJoin(broadcast(end))
+      .select(expr("(last_us - first_us) div 86400000000").as("t"),
+        (col("end_us") - col("last_us") >= lit(7L * 86400000000L))
+          .cast("long").as("churn"))
+      .groupBy("t")
+      .agg(sum(col("churn")).as("d"),
+        (count(lit(1)) - sum(col("churn"))).as("c"),
+        count(lit(1)).as("tot"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("tot")).over(wDesc))
+      .withColumn("term",
+        lit(1.0) - col("d").cast("double") / col("n_risk"))
+      .withColumn("zero",
+        max((col("term") === 0.0).cast("int")).over(wAsc))
+      .withColumn("lnsum",
+        sum(when(col("term") > 0.0, log(col("term")))
+          .otherwise(lit(0.0)).cast("decimal(20,12)")).over(wAsc))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("lnsum").cast("double")), 6)).as("surv"))
+      .orderBy("t")
+  }
+
+  val eSurvivalSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |u AS (SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us
+      |  FROM e GROUP BY 1),
+      |en AS (SELECT MAX(us) AS end_us FROM e),
+      |l AS (SELECT (last_us - first_us) // 86400000000 AS t,
+      |    CASE WHEN end_us - last_us >= 604800000000 THEN 1 ELSE 0 END AS churn
+      |  FROM u, en),
+      |bt AS (SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+      |    CAST(COUNT(*) - SUM(churn) AS BIGINT) AS c, COUNT(*) AS tot
+      |  FROM l GROUP BY 1),
+      |r AS (SELECT t, d, c, CAST(SUM(tot) OVER (ORDER BY t DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_risk
+      |  FROM bt),
+      |tm AS (SELECT t, n_risk, d, c,
+      |    CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk AS term
+      |  FROM r),
+      |acc AS (SELECT t, n_risk, d, c, term,
+      |    MAX(CASE WHEN term = 0 THEN 1 ELSE 0 END) OVER w AS zero,
+      |    SUM(CAST(CASE WHEN term > 0 THEN ln(term) ELSE 0 END
+      |      AS DECIMAL(20,12))) OVER w AS lnsum
+      |  FROM tm WINDOW w AS (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t, n_risk, d, c,
+      |  CASE WHEN zero = 1 THEN CAST(0 AS DOUBLE)
+      |    ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS surv
+      |FROM acc ORDER BY t""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_survival"    -> (eSurvival _, eSurvivalSql),
+    "e_heatmap"     -> (eHeatmap _, eHeatmapSql),
     "e_bot_score"   -> (eBotScore _, eBotScoreSql),
     "e_autocorr"    -> (eAutocorr _, eAutocorrSql),
     "e_holt"        -> (eHolt _, eHoltSql),
