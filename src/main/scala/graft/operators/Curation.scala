@@ -1032,7 +1032,64 @@ object Curation {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // ------------------------------------------- epoch / repeat planning
+  /** Per-source repeat-factor planning — the budgeting step between
+    * [[pTemperatureMix]]'s weights and an actual training run: given
+    * a token budget of [[PEpochBudgetX]]× the corpus (the "how many
+    * epochs can we afford" number every run plans with), each
+    * source's token TARGET is budget·w/Σw and its repeat factor is
+    * target/tokens — emitted in exact integer micro-units
+    * (epochs_x1e6 = 1.5e6 means "this source is seen 1.5 times").
+    * Down-weighted sources repeat < 1× (subsampled); up-weighted
+    * small sources repeat several times — the Chinchilla-style
+    * mixing table, machine-readable.
+    *
+    * Determinism: the α-power weights ride pTemperatureMix's
+    * micro-quantized grid; target and repeat factor are integer
+    * floor divisions of int64-safe products (tot·wq ≲ 10¹⁶ at
+    * fixture scale; at corpus sizes where tokens·wq nears 2⁶³ the
+    * product goes through DECIMAL — noted, not needed here).
+    *
+    * Scale shape: identical to pTemperatureMix — a source-bounded
+    * aggregation fused into the scan, a 1-row totals broadcast, and
+    * sources×4 output rows.
+    */
+  def pEpochs(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("tokens"))
+      .select(col("source"), col("tokens"),
+        floor(round(pow(col("tokens").cast("double"), lit(PTempAlpha)), 6)
+          * lit(1e6)).cast("long").as("wq"))
+    val tot = perSrc.agg(sum(col("tokens")).as("tot"), sum(col("wq")).as("swq"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        expr(s"($PEpochBudgetX * tot * wq) div swq").as("target_tokens"))
+      .select(col("source"), col("tokens"), col("target_tokens"),
+        expr("(target_tokens * 1000000) div tokens").as("epochs_x1e6"))
+      .orderBy("source")
+  }
+
+  /** Token budget as a multiple of corpus size. */
+  val PEpochBudgetX = 3L
+
+  val pEpochsSql: String =
+    s"""WITH t AS (SELECT source, len(${Text.ToksSql}) AS toks FROM documents),
+       |src AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens,
+       |    CAST(floor(round(pow(CAST(SUM(toks) AS DOUBLE), $PTempAlpha), 6)
+       |      * 1000000.0) AS BIGINT) AS wq
+       |  FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+       |    CAST(SUM(wq) AS BIGINT) AS swq FROM src),
+       |tgt AS (SELECT source, tokens,
+       |    ($PEpochBudgetX * tot * wq) // swq AS target_tokens
+       |  FROM src, tot)
+       |SELECT source, tokens, target_tokens,
+       |  (target_tokens * 1000000) // tokens AS epochs_x1e6
+       |FROM tgt ORDER BY source""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_epochs"      -> (pEpochs _, pEpochsSql),
     "p_quality_ppl" -> (pQualityPpl _, pQualityPplSql),
     "p_temperature_mix" -> (pTemperatureMix _, pTemperatureMixSql),
     "p_length_buckets" -> (pLengthBuckets _, pLengthBucketsSql),

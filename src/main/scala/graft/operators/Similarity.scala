@@ -1943,7 +1943,39 @@ object Similarity {
        |LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  // ------------------------------------------------------- hubness
+  /** Hubness diagnostic over the [[sKnnGraph]] digraph: the in-degree
+    * histogram — how many vectors appear in k other vectors' top-k
+    * lists. High-dimensional spaces grow HUBS (a few points that are
+    * everyone's neighbor) and anti-hubs (in-degree 0, unreachable by
+    * k-NN navigation); a heavy in-degree tail degrades ANN recall and
+    * skews k-NN classification, so this histogram is the go/no-go
+    * check before trusting neighbor-based dedup or retrieval on a new
+    * embedding model. In-degree-0 nodes are reported (left join from
+    * the corpus id set — they are the finding, not a missing row).
+    *
+    * Scale shape: pays the verified sKnnGraph chain by definition;
+    * beyond it only (n_id) keys shuffle into a bounded-key histogram.
+    */
+  def sHubness(s: SparkSession, d: String): DataFrame = {
+    val indeg = sKnnGraph(s, d).select(col("n_id"))
+      .groupBy("n_id").agg(count(lit(1)).as("c"))
+    Tables.embeddings(s, d).select(col("vec_id").as("n_id"))
+      .join(indeg, Seq("n_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("in_deg"))
+      .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("in_deg")
+  }
+
+  val sHubnessSql: String =
+    s"""WITH ind AS (SELECT n_id, COUNT(*) AS c
+       |  FROM ($sKnnGraphSql) g GROUP BY 1)
+       |SELECT coalesce(ind.c, 0) AS in_deg, COUNT(*) AS n_nodes
+       |FROM embeddings e LEFT JOIN ind ON e.vec_id = ind.n_id
+       |GROUP BY 1 ORDER BY in_deg""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_hubness"     -> (sHubness _, sHubnessSql),
     "s_dim_recall"  -> (sDimRecall _, sDimRecallSql),
     "s_pca"         -> (sPca _, sPcaSql),
     "s_drift"       -> (sDrift _, sDriftSql),
