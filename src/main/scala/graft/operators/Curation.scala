@@ -978,8 +978,10 @@ object Curation {
     * unigram LM ([[TextAnalysis.tUnigramLp]]'s avg log-probability),
     * mark the documents below the exact 10th-percentile score (most
     * surprising under the LM = most likely junk), and report the
-    * flag impact per source: docs, flagged docs, flag rate, and each
-    * source's mean score. A source whose flag rate is far above 10 %
+    * flag impact per source: docs, flagged docs, and the exact
+    * micro-unit score sum (integral by the FIXTURES §C mean-tie
+    * rule — per-source doc counts are small denominators; consumers
+    * derive rates). A source whose flag share is far above 10 %
     * concentrates low-quality text and is a candidate for a smaller
     * [[pMix]] weight — the number this report exists to surface.
     *
@@ -1010,10 +1012,8 @@ object Curation {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum((col("avg_logp") <= col("cut")).cast("long")).as("n_flagged"),
-        round(sum((col("avg_logp") <= col("cut")).cast("long"))
-          / count(lit(1)), 6).as("flag_rate"),
-        round(sum(col("avg_logp").cast("decimal(16,6)")).cast("double")
-          / count(lit(1)), 6).as("mean_logp"))
+        (sum(col("avg_logp").cast("decimal(16,6)")) * 1000000).cast("long")
+          .as("sum_logp_u"))
       .orderBy("source")
   }
 
@@ -1024,10 +1024,8 @@ object Curation {
        |SELECT d.source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN s.avg_logp <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_flagged,
-       |  round(CAST(SUM(CASE WHEN s.avg_logp <= c.cut THEN 1 ELSE 0 END)
-       |    AS DOUBLE) / COUNT(*), 6) AS flag_rate,
-       |  round(CAST(SUM(CAST(s.avg_logp AS DECIMAL(16,6))) AS DOUBLE)
-       |    / COUNT(*), 6) AS mean_logp
+       |  CAST(SUM(CAST(s.avg_logp AS DECIMAL(16,6))) * 1000000 AS BIGINT)
+       |    AS sum_logp_u
        |FROM documents d JOIN scored s USING (doc_id) CROSS JOIN cut c
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }

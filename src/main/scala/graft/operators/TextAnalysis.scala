@@ -866,9 +866,14 @@ object TextAnalysis {
     * B distinct bigram types. Every model ingredient is an exact
     * integer count; D = 0.75 is FP-exact; each log-prob is one
     * textually-mirrored arithmetic chain + ln rounded once; and the
-    * per-doc mean sums rounded values through DECIMAL(16,6) (exact,
-    * order-free) before one final division — the [[tBigramLp]]
-    * parity recipe. Scale: the pinned bigram-count table is
+    * per-doc score is the EXACT micro-unit SUM of those 6-dp logps
+    * (DECIMAL(16,6) sums, integral output) — NOT the rounded mean:
+    * sum/n is a small-denominator rational that landed exactly on a
+    * 6-dp rounding tie at sf0.1 (doc with 24 bigrams, mean
+    * …3865 — Spark's BigDecimal HALF_UP and DuckDB's double
+    * rounding split it), the same tie class eInterarrival hit in
+    * round 6, fixed the same way: stay integral, let the consumer
+    * divide. Scale: the pinned bigram-count table is
     * vocabulary-bounded; context and continuation statistics are two
     * map-side-collapsing aggregations over it; the 1-row type total
     * broadcasts; the vocabulary-bounded probability table broadcasts
@@ -901,8 +906,8 @@ object TextAnalysis {
     bi.join(broadcast(probs), "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        round(sum(col("logp").cast("decimal(16,6)")).cast("double") / count(lit(1)), 6)
-          .as("avg_logp_kn"))
+        (sum(col("logp").cast("decimal(16,6)")) * 1000000).cast("long")
+          .as("sum_logp_u"))
       .orderBy("doc_id")
   }
 
@@ -924,8 +929,8 @@ object TextAnalysis {
        |    JOIN cont ON split_part(bc.bg, ' ', 2) = cont.w2
        |    CROSS JOIN tot)
        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-       |  round(CAST(SUM(CAST(logp AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
-       |    AS avg_logp_kn
+       |  CAST(SUM(CAST(logp AS DECIMAL(16,6))) * 1000000 AS BIGINT)
+       |    AS sum_logp_u
        |FROM b JOIN pr USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -2436,10 +2441,16 @@ object TextAnalysis {
     * the number generalizes instead of memorizing.
     * Laplace smoothing P(w) = (c(w)+1)/(N+V) gives unseen words
     * finite mass (V = train vocabulary size; OOV → 1/(N+V)). Per
-    * source: held-out docs, their mean per-doc avg log-probability,
-    * and the OOV token rate — the triple that says which feed's text
-    * the corpus LM fails to predict (distribution shift) vs which
-    * feed merely uses new words (OOV).
+    * source: held-out doc and token counts, the exact micro-unit SUM
+    * of token log-probabilities, and the OOV token count — the
+    * signals that say which feed's text the corpus LM fails to
+    * predict (distribution shift) vs which feed merely uses new
+    * words (OOV). Fully integral outputs by the FIXTURES §C
+    * mean-tie rule — and the first cut proved it twice: both the
+    * per-source mean (small doc counts) AND the per-doc 6-dp mean
+    * (small token counts) hit real rounding ties at sf0.1, so the
+    * token-level 6-dp decimals sum straight to the source level
+    * with no intermediate rounding; consumers divide.
     *
     * Scale shape: train counts are vocabulary-bounded with map-side
     * collapse; (N, V) is a 1-row broadcast; the (word, logp) table
@@ -2465,22 +2476,24 @@ object TextAnalysis {
           .as("logp"))
     val oov = stats.select(
       round(log(lit(1.0) / (col("n") + col("v"))), 6).as("oov_logp"))
-    val perDoc = toks.filter(col("bucket") >= "cc")
+    val nDocs = Tables.documents(s, d)
+      .filter(substring(md5(concat(lit("split|"),
+        col("doc_id").cast("string")).cast("binary")), 1, 2) >= "cc")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val perSrc = toks.filter(col("bucket") >= "cc")
       .join(broadcast(vocab), Seq("word"), "left")
       .crossJoin(broadcast(oov))
-      .select(col("doc_id"), col("source"),
+      .select(col("source"),
         coalesce(col("logp"), col("oov_logp")).as("lp"),
         col("logp").isNull.cast("long").as("is_oov"))
-      .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_toks"), sum(col("is_oov")).as("n_oov"),
-        round(sum(col("lp").cast("decimal(16,6)")).cast("double")
-          / count(lit(1)), 6).as("doc_lp"))
-    perDoc.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("doc_lp").cast("decimal(16,6)")).cast("double")
-          / count(lit(1)), 6).as("mean_logp"),
-        round(sum(col("n_oov")).cast("double") / sum(col("n_toks")), 6)
-          .as("oov_rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("lp").cast("decimal(16,6)")) * 1000000).cast("long")
+          .as("sum_logp_u"),
+        sum(col("is_oov")).as("n_oov"))
+    nDocs.join(perSrc, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        col("sum_logp_u"), col("n_oov"))
       .orderBy("source")
   }
 
@@ -2496,18 +2509,18 @@ object TextAnalysis {
        |    round(ln(CAST(cnt + 1 AS DOUBLE) / (n + v)), 6) AS logp
        |  FROM c CROSS JOIN st),
        |o AS (SELECT round(ln(1.0 / (n + v)), 6) AS oov_logp FROM st),
-       |pd AS (SELECT doc_id, source, COUNT(*) AS n_toks,
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+       |  WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc'
+       |  GROUP BY 1),
+       |ps AS (SELECT source, COUNT(*) AS n_toks,
+       |    CAST(SUM(CAST(coalesce(vocab.logp, o.oov_logp)
+       |      AS DECIMAL(16,6))) * 1000000 AS BIGINT) AS sum_logp_u,
        |    CAST(SUM(CASE WHEN vocab.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_oov,
-       |    round(CAST(SUM(CAST(coalesce(vocab.logp, o.oov_logp)
-       |      AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS doc_lp
+       |      AS n_oov
        |  FROM w LEFT JOIN vocab USING (word) CROSS JOIN o
-       |  WHERE bucket >= 'cc' GROUP BY doc_id, source)
-       |SELECT source, COUNT(*) AS n_docs,
-       |  round(CAST(SUM(CAST(doc_lp AS DECIMAL(16,6))) AS DOUBLE)
-       |    / COUNT(*), 6) AS mean_logp,
-       |  round(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_toks), 6) AS oov_rate
-       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+       |  WHERE bucket >= 'cc' GROUP BY source)
+       |SELECT source, n_docs, n_toks, sum_logp_u, n_oov
+       |FROM nd JOIN ps USING (source) ORDER BY source""".stripMargin
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_heldout_ppl"  -> (tHeldoutPpl _, tHeldoutPplSql),

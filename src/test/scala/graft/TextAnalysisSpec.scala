@@ -785,14 +785,18 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 1e-9, s"context '$w1' sums to $s")
     }
     val got = TextAnalysis.tKneserNey(spark, sf)
-      .as[(Long, Int, Double)].collect()
-    got.foreach { case (id, nb, avg) =>
+      .as[(Long, Int, Long)].collect()
+    got.foreach { case (id, nb, sumU) =>
       val bgs = docBigrams(id)
       assert(nb === bgs.size)
-      val want = bgs.map { case (a, b) =>
-        BigDecimal(math.log(pkn(a, b))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      }.sum.toDouble / bgs.size
-      assert(math.abs(avg - want) < 2e-6, s"doc $id: got $avg want $want")
+      // integral contract: sum of 6-dp-rounded logps in exact micro-units
+      // (the per-doc MEAN was retired in round 7 — a 24-bigram doc's
+      // mean landed exactly on a 6-dp rounding tie at sf0.1)
+      val wantU = bgs.map { case (a, b) =>
+        (BigDecimal(math.log(pkn(a, b)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+      }.sum
+      assert(sumU === wantU, s"doc $id: got $sumU want $wantU")
     }
   }
 
