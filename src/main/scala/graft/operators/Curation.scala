@@ -729,7 +729,10 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
         sum(col("n_chars")).as("total_chars"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        // unrounded quotient — FIXTURES §C mean-tie rule: exact int sum
+        // over int count divides to the bit-identical double on both
+        // engines; rounding is what introduced cross-engine ties
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
       .orderBy("source")
@@ -738,7 +741,7 @@ object Curation {
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-      |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
       |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
       |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
@@ -978,10 +981,12 @@ object Curation {
     * unigram LM ([[TextAnalysis.tUnigramLp]]'s avg log-probability),
     * mark the documents below the exact 10th-percentile score (most
     * surprising under the LM = most likely junk), and report the
-    * flag impact per source: docs, flagged docs, and the exact
-    * micro-unit score sum (integral by the FIXTURES §C mean-tie
-    * rule — per-source doc counts are small denominators; consumers
-    * derive rates). A source whose flag share is far above 10 %
+    * flag impact per source: docs and flagged docs — pure counts, by
+    * the FIXTURES §C mean-tie rule in its strictest form (per-doc
+    * scores are unrounded bit-identical doubles, and re-quantizing
+    * them for a score sum measurably ties at the decimal-cast
+    * boundary — observed at sf0.001; the flag predicate and counts
+    * are exact). A source whose flag share is far above 10 %
     * concentrates low-quality text and is a candidate for a smaller
     * [[pMix]] weight — the number this report exists to surface.
     *
@@ -1011,9 +1016,7 @@ object Curation {
       .crossJoin(broadcast(cut))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum((col("avg_logp") <= col("cut")).cast("long")).as("n_flagged"),
-        (sum(col("avg_logp").cast("decimal(16,6)")) * 1000000).cast("long")
-          .as("sum_logp_u"))
+        sum((col("avg_logp") <= col("cut")).cast("long")).as("n_flagged"))
       .orderBy("source")
   }
 
@@ -1023,9 +1026,7 @@ object Curation {
        |cut AS (SELECT quantile_disc(avg_logp, 0.1) AS cut FROM scored)
        |SELECT d.source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN s.avg_logp <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_flagged,
-       |  CAST(SUM(CAST(s.avg_logp AS DECIMAL(16,6))) * 1000000 AS BIGINT)
-       |    AS sum_logp_u
+       |    AS n_flagged
        |FROM documents d JOIN scored s USING (doc_id) CROSS JOIN cut c
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }

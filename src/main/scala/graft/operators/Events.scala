@@ -308,7 +308,8 @@ object Events {
       .groupBy(expr("ts_ns div 86400000000000").as("day"))
       .agg(count(lit(1)).as("clicks"),
            sum(col("converted")).as("conversions"),
-           round(sum(col("converted")).cast("double") / count(lit(1)), 6).as("conv_rate"))
+           // unrounded quotient — FIXTURES §C mean-tie rule
+           (sum(col("converted")).cast("double") / count(lit(1))).as("conv_rate"))
       .orderBy("day")
   }
 
@@ -323,7 +324,7 @@ object Events {
       |  FROM c LEFT JOIN p ON c.user_id = p.user_id GROUP BY 1, 2)
       |SELECT cns // 86400000000000 AS day, COUNT(*) AS clicks,
       |  CAST(SUM(converted) AS BIGINT) AS conversions,
-      |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+      |  CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
       |FROM conv GROUP BY 1 ORDER BY day""".stripMargin
 
   // ------------------------------------------------------- retention
@@ -1168,12 +1169,15 @@ object Events {
       .filter(col("f7").isNotNull)
     daily.agg(
       count(lit(1)).as("n_days"),
-      round(sum(abs(col("cnt") - col("f1"))).cast("double") / count(lit(1)), 6)
+      // unrounded quotients — FIXTURES §C mean-tie rule: n_days is the
+      // suite's smallest mean denominator (~30 at sf0.001), the class's
+      // highest-risk site; exact int sums divide bit-identically
+      (sum(abs(col("cnt") - col("f1"))).cast("double") / count(lit(1)))
         .as("mae_naive"),
-      round(sum(abs(col("cnt") - col("f7"))).cast("double") / count(lit(1)), 6)
+      (sum(abs(col("cnt") - col("f7"))).cast("double") / count(lit(1)))
         .as("mae_seasonal"),
-      round(sum(abs(col("cnt") - col("f7"))).cast("double")
-        / sum(abs(col("cnt") - col("f1"))), 6).as("mase"))
+      (sum(abs(col("cnt") - col("f7"))).cast("double")
+        / sum(abs(col("cnt") - col("f1")))).as("mase"))
   }
 
   val eSeasonalNaiveSql: String =
@@ -1184,9 +1188,9 @@ object Events {
       |    lag(cnt, 7) OVER (ORDER BY day) AS f7
       |  FROM daily)
       |SELECT COUNT(*) AS n_days,
-      |  round(CAST(SUM(abs(cnt - f1)) AS DOUBLE) / COUNT(*), 6) AS mae_naive,
-      |  round(CAST(SUM(abs(cnt - f7)) AS DOUBLE) / COUNT(*), 6) AS mae_seasonal,
-      |  round(CAST(SUM(abs(cnt - f7)) AS DOUBLE) / SUM(abs(cnt - f1)), 6) AS mase
+      |  CAST(SUM(abs(cnt - f1)) AS DOUBLE) / COUNT(*) AS mae_naive,
+      |  CAST(SUM(abs(cnt - f7)) AS DOUBLE) / COUNT(*) AS mae_seasonal,
+      |  CAST(SUM(abs(cnt - f7)) AS DOUBLE) / SUM(abs(cnt - f1)) AS mase
       |FROM lagged WHERE f7 IS NOT NULL""".stripMargin
 
   // ------------------------------------- Holt linear-trend smoothing

@@ -783,7 +783,11 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_toks"),
         sum(col("is_oov")).cast("int").as("n_oov"),
-        round(sum(col("lp").cast("decimal(16,6)")).cast("double") / count(lit(1)), 6)
+        // UNROUNDED quotient on purpose (FIXTURES §C mean-tie rule):
+        // the numerator is an exact decimal and the divisor an int, so
+        // both engines produce the bit-identical double — ROUNDING is
+        // what introduced cross-engine ties (t_kneser_ney, round 7)
+        (sum(col("lp").cast("decimal(16,6)")).cast("double") / count(lit(1)))
           .as("avg_logp"))
       .orderBy("doc_id")
   }
@@ -797,8 +801,8 @@ object TextAnalysis {
        |o AS (SELECT round(ln(1.0 / total), 6) AS oov_logp FROM tot)
        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_toks,
        |  CAST(SUM(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov,
-       |  round(CAST(SUM(CAST(coalesce(v.logp, o.oov_logp) AS DECIMAL(16,6))) AS DOUBLE)
-       |    / COUNT(*), 6) AS avg_logp
+       |  CAST(SUM(CAST(coalesce(v.logp, o.oov_logp) AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*) AS avg_logp
        |FROM w LEFT JOIN v USING (word) CROSS JOIN o
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -836,7 +840,8 @@ object TextAnalysis {
     bi.join(broadcast(probs), "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        round(sum(col("logp").cast("decimal(16,6)")).cast("double") / count(lit(1)), 6)
+        // unrounded quotient — see tUnigramLp / FIXTURES §C mean-tie rule
+        (sum(col("logp").cast("decimal(16,6)")).cast("double") / count(lit(1)))
           .as("avg_logp"))
       .orderBy("doc_id")
   }
@@ -851,7 +856,7 @@ object TextAnalysis {
        |pr AS (SELECT bg, round(ln(CAST(cbg AS DOUBLE) / c1), 6) AS logp
        |  FROM bc JOIN c1 ON split_part(bc.bg, ' ', 1) = c1.w1)
        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-       |  round(CAST(SUM(CAST(logp AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+       |  CAST(SUM(CAST(logp AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS avg_logp
        |FROM b JOIN pr USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

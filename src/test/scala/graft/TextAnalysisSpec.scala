@@ -420,11 +420,13 @@ class TextAnalysisSpec extends SparkSpec {
         if (c >= TextAnalysis.UnigramMinCount) r6(math.log(c / total)) else oov
       }
       val nOov = toks.count(w => counts(w) < TextAnalysis.UnigramMinCount)
-      val expected = r6(lps.map(BigDecimal(_)).sum.toDouble / toks.size)
+      // the query emits the UNROUNDED quotient (FIXTURES §C mean-tie
+      // rule, round 7) — exact-decimal sum as double over int count
+      val expected = lps.map(BigDecimal(_)).sum.toDouble / toks.size
       val (_, nToks, gotOov, avg) = got(id)
       assert(nToks === toks.size, s"doc $id n_toks")
       assert(gotOov === nOov, s"doc $id n_oov")
-      assert(math.abs(avg - expected) < 1e-9, s"doc $id avg_logp")
+      assert(avg === expected, s"doc $id avg_logp: got $avg want $expected")
     }
   }
 
@@ -442,10 +444,11 @@ class TextAnalysisSpec extends SparkSpec {
     docs.filter(_._2.size >= 2).foreach { case (id, t) =>
       val lps = t.sliding(2).filter(_.size == 2).toSeq
         .map(b => r6(math.log(cbg((b(0), b(1))).toDouble / c1(b(0)))))
-      val expected = r6(lps.map(BigDecimal(_)).sum.toDouble / lps.size)
+      // unrounded quotient contract — see the unigram test's note
+      val expected = lps.map(BigDecimal(_)).sum.toDouble / lps.size
       val (_, n, avg) = got(id)
       assert(n === lps.size, s"doc $id n_bigrams")
-      assert(math.abs(avg - expected) < 1e-9, s"doc $id avg_logp")
+      assert(avg === expected, s"doc $id avg_logp: got $avg want $expected")
     }
     assert(got.keySet === docs.filter(_._2.size >= 2).map(_._1).toSet)
   }
