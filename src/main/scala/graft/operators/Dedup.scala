@@ -1313,7 +1313,52 @@ object Dedup {
        |${blocks.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY n""".stripMargin
   }
 
+  // --------------------------------------------- threshold curve
+  /** Near-dup THRESHOLD tuning curve — the pair-count histogram by
+    * Jaccard decile over the blocked candidate pairs: how many pairs
+    * would a 0.5 / 0.6 / 0.7 / 0.8 cut remove? [[dJaccard]] applies
+    * one threshold; this shows what every threshold would do, which
+    * is how the 0.6 was (and should be) chosen. Bucket b counts pairs
+    * with jac ∈ [b/10, (b+1)/10) — computed as the INTEGER floor
+    * (10·inter) div union, so bucket edges are exact on both engines
+    * (no float bucketing). Recall caveat inherited from the blocking:
+    * pairs sharing no min-shingle block are unscored, which is the
+    * same contract dJaccard states.
+    *
+    * Scale shape: exactly the [[jaccardPairs]] plan (hash-shingle
+    * merge-walks inside salt-bounded blocks) plus an 11-key histogram
+    * with map-side collapse.
+    */
+  def dThresholdCurve(s: SparkSession, d: String): DataFrame =
+    sizedShinglePairs(Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks")))
+      .select(col("a"), col("b"), col("inter"), col("nx"), col("ny"))
+      .distinct()
+      .select(expr("CAST((10 * inter) div (nx + ny - inter) AS BIGINT)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+
+  val dThresholdCurveSql: String =
+    s"""WITH t AS (SELECT doc_id, ${graft.functions.Text.ToksSql} AS toks
+       |  FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |b AS (SELECT doc_id, sh,
+       |  list_min(list_transform(sh, x -> md5(x))) AS blk
+       |  FROM sh3 WHERE len(sh) > 0),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    len(list_intersect(x.sh, y.sh)) AS inter,
+       |    len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS uni
+       |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id)
+       |SELECT CAST((10 * inter) // uni AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d_threshold_curve" -> (dThresholdCurve _, dThresholdCurveSql),
     "d_dup_curve"   -> (dDupCurve _, dDupCurveSql),
     "d_containment" -> (dContainment _, dContainmentSql),
     "p_dedup_report" -> (pDedupReport _, pDedupReportSql),

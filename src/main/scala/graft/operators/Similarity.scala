@@ -197,7 +197,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
   }
 
-  def annIvf(s: SparkSession, d: String, iters: Int): DataFrame = {
+  def annIvf(s: SparkSession, d: String, iters: Int,
+      nProbe: Int = NumProbes): DataFrame = {
     val base = withNorm(s, d)
     val cent = fittedCentroids(base, iters)
     val assign = ivfAssignment(base, cent)
@@ -211,7 +212,7 @@ object Similarity {
         round(Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("c_emb")),
           col("q_nrm"), col("c_nrm")), 6).as("ccos"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= NumProbes)
+      .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("cell"))
 
     // search only the probed cells
@@ -255,7 +256,12 @@ object Similarity {
        |      a.vec_id) AS mrn
        |  FROM ${nx}_assign a JOIN ${nx}_mean m ON a.cell = m.cell) WHERE mrn = 1)""".stripMargin
 
-  val sAnnIvfSql: String = {
+  val sAnnIvfSql: String = annIvfSqlFor(NumProbes)
+
+  /** [[sAnnIvfSql]] parametrized by probe count (the s_probe_curve
+    * oracle re-instantiates the whole verified chain per level).
+    */
+  def annIvfSqlFor(nProbe: Int): String = {
     val centFinal = if (LloydIters == 0) "cent0" else s"cent$LloydIters"
     val lloydCtes = (1 to LloydIters)
       .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
@@ -277,7 +283,7 @@ object Similarity {
        |  SELECT q.vec_id AS q_id, q.embedding, q.nrm, c.c_id,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${cosSql("q", "c")} DESC, c.c_id) AS prn
-       |  FROM n q CROSS JOIN $centFinal c WHERE q.vec_id < $NumQueries) WHERE prn <= $NumProbes),
+       |  FROM n q CROSS JOIN $centFinal c WHERE q.vec_id < $NumQueries) WHERE prn <= $nProbe),
        |scored AS (
        |  SELECT p.q_id, a.vec_id AS n_id, ${cosSql("p", "a")} AS cos
        |  FROM probes p JOIN assign a ON p.cell = a.cell AND p.q_id <> a.vec_id),
@@ -1974,7 +1980,53 @@ object Similarity {
        |FROM embeddings e LEFT JOIN ind ON e.vec_id = ind.n_id
        |GROUP BY 1 ORDER BY in_deg""".stripMargin
 
+  // --------------------------------------------- probe-count sweep
+  /** IVF nprobe tuning curve — recall@k at 1, 2, and 3 probed cells
+    * against the exact shortlist: THE parameter-sweep every IVF
+    * deployment runs before fixing its latency/recall trade
+    * ([[sRecall]] measures one point; this measures the curve). Each
+    * level re-instantiates the full verified [[annIvf]] chain with
+    * its probe count; the exact ground truth is computed once and
+    * pinned (evaluation-sized).
+    *
+    * Determinism: recall = n_match / (|Q|·k) — the unrounded quotient
+    * of two exact integers with a FIXED query-shape denominator
+    * (50 divides 10⁶, so even the decimal expansion terminates);
+    * the FIXTURES §C mean-tie rule's safe case.
+    *
+    * Scale shape: 3× the sAnnIvf plan (broadcast centroids, cell-
+    * bucketed search) plus three |Q|·k-row overlap joins — the sweep
+    * cost is the chain cost, as it should be.
+    */
+  def sProbeCurve(s: SparkSession, d: String): DataFrame = {
+    val exact = Materialize.pin(sCosineTopK(s, d).select(col("q_id"), col("n_id")))
+    Seq(1, 2, 3).map { p =>
+      val approx = annIvf(s, d, LloydIters, p)
+        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_match"))
+        .select(lit(p).as("nprobe"), col("k_total"), col("n_match"),
+          (col("n_match").cast("double") / col("k_total")).as("recall"))
+    }.reduce(_.unionAll(_)).orderBy("nprobe")
+  }
+
+  val sProbeCurveSql: String = {
+    val blocks = Seq(1, 2, 3).map { p =>
+      s"""SELECT $p AS nprobe, COUNT(*) AS k_total,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_match,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM ($sCosineTopKSql) ex
+         |LEFT JOIN (${annIvfSqlFor(p)}) ap
+         |  ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_probe_curve" -> (sProbeCurve _, sProbeCurveSql),
     "s_hubness"     -> (sHubness _, sHubnessSql),
     "s_dim_recall"  -> (sDimRecall _, sDimRecallSql),
     "s_pca"         -> (sPca _, sPcaSql),

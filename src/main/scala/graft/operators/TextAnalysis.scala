@@ -2527,7 +2527,34 @@ object TextAnalysis {
        |SELECT source, n_docs, n_toks, sum_logp_u, n_oov
        |FROM nd JOIN ps USING (source) ORDER BY source""".stripMargin
 
+  // ---------------------------------------- langid confusion matrix
+  /** Language-ID detector EVAL — the confusion matrix of [[tLangId]]'s
+    * marker-word predictions against the fixture's ground-truth `lang`
+    * column: one row per observed (actual, predicted) pair with its
+    * count. The standard detector health check: the diagonal is
+    * per-language recall mass, off-diagonal cells show WHICH languages
+    * the detector confuses (and therefore which marker sets need
+    * work) — the same eval discipline as [[graft.operators.Dedup
+    * .dLshEval]] applied to the langid family.
+    *
+    * Scale shape: pays the verified tLangId chain; beyond it one
+    * doc_id-keyed join of two doc-count-sized relations and a
+    * languages²-bounded aggregation.
+    */
+  def tLangConfusion(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(tLangId(s, d), Seq("doc_id"))
+      .groupBy(col("lang").as("actual"), col("pred_lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+
+  val tLangConfusionSql: String =
+    s"""SELECT d.lang AS actual, p.pred_lang AS predicted, COUNT(*) AS n
+       |FROM documents d JOIN ($tLangIdSql) p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_lang_confusion" -> (tLangConfusion _, tLangConfusionSql),
     "t_heldout_ppl"  -> (tHeldoutPpl _, tHeldoutPplSql),
     "t_yule"         -> (tYule _, tYuleSql),
     "t_rake"         -> (tRake _, tRakeSql),
