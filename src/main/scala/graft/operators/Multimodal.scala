@@ -257,55 +257,60 @@ object Multimodal {
        |FROM ph ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- phash pairs
-  /** Perceptual-hash near-duplicate pairs: all payload pairs within
-    * Hamming distance [[PhashMaxHamming]] on the 16-bit [[phashStub]]
-    * signature — the image-near-dup step of a multimodal curation
-    * pipeline (LAION-style), and the multimodal twin of
-    * [[Dedup.dSimhashPairs]] on text. Banding is the same pigeonhole
-    * argument: 16 bits split 6/6/4, so ≤ 2 flipped bits leave at least
-    * one band intact and every qualifying pair surfaces in some exact
-    * band bucket. Pair generation reuses [[Dedup.blockPairs]] — hot
-    * buckets (identical payload stats cluster their band values) are
-    * salt-split so no single task materializes a quadratic bucket —
-    * and the per-pair check is one integer xor+bit_count. Exact
-    * verification on the full hash keeps false positives out; DISTINCT
-    * collapses pairs caught by several bands. The decode seam means a
-    * real image pipeline swaps [[phashStub]]'s byte-statistics fake
-    * for a DCT phash without touching the pairing plan.
+  /** Perceptual-hash near-duplicate VALUE pairs: every pair of
+    * DISTINCT 16-bit [[phashStub]] signatures within Hamming distance
+    * [[PhashMaxHamming]] (plus the hamming-0 diagonal), each with its
+    * group sizes and the implied DOC-pair count — the image-near-dup
+    * step of a multimodal curation pipeline (LAION-style), reported
+    * at the value level like [[mPhash]]'s digest groups.
+    *
+    * The round-7 scale lesson lives here: the first cut materialized
+    * DOC-level pairs, and because perceptual hashes COLLIDE BY DESIGN
+    * (the sf0.1 fixture has 229 distinct values over 5000 docs, one
+    * shared by 2325), the answer itself was quadratic — 9.4M output
+    * rows, 23 s, and at corpus scale unbounded. Collapsing to the
+    * value level first makes the pairing universe the DISTINCT-VALUE
+    * set (≤ 2¹⁶ here, codebook-bounded in general): value-pair rows
+    * carry n_docs_a·n_docs_b (or n·(n−1)/2 on the diagonal) so no
+    * information is lost, and the output is near-linear. Banding is
+    * then unnecessary at this key width — the value×value join is
+    * exact and tiny; on wider hashes the same 6/6/4 pigeonhole bands
+    * apply AT THE VALUE LEVEL. The decode seam means a real image
+    * pipeline swaps [[phashStub]]'s byte-statistics fake for a DCT
+    * phash without touching the pairing plan.
     */
   val PhashMaxHamming = 2
 
   def mPhashPairs(s: SparkSession, d: String): DataFrame = {
-    val banded = phashStub(s, d).toDF()
-      .select(col("doc_id"), col("phash16"),
-        explode(array(
-          struct(lit(0).as("band"), col("phash16").bitwiseAND(lit(63)).as("key")),
-          struct(lit(1).as("band"),
-            shiftright(col("phash16"), 6).bitwiseAND(lit(63)).as("key")),
-          struct(lit(2).as("band"), shiftright(col("phash16"), 12).as("key"))))
-          .as("bn"))
-      .select(
-        concat(col("bn.band").cast("string"), lit("|"),
-          col("bn.key").cast("string")).as("blk"),
-        struct(col("doc_id"), col("phash16")).as("v"))
-    Dedup.blockPairs(banded)
-      .select(
-        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
-        bit_count(col("x.phash16").bitwiseXOR(col("y.phash16")))
-          .cast("int").as("hamming"))
+    val vals = phashStub(s, d).toDF()
+      .groupBy("phash16").agg(count(lit(1)).as("n"))
+    val a = vals.toDF("ph_a", "n_a")
+    val b = vals.toDF("ph_b", "n_b")
+    a.join(broadcast(b), col("ph_a") <= col("ph_b"))
+      .select(col("ph_a"), col("ph_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int")
+          .as("hamming"),
+        col("n_a"), col("n_b"),
+        when(col("ph_a") === col("ph_b"), col("n_a") * (col("n_a") - 1) / 2)
+          .otherwise(col("n_a") * col("n_b")).cast("long").as("n_doc_pairs"))
       .filter(col("hamming") <= PhashMaxHamming)
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+      .filter(col("n_doc_pairs") > 0)
+      .orderBy("ph_a", "ph_b")
   }
 
   val mPhashPairsSql: String =
-    s"""WITH $phashCteSql
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.phash16, b.phash16)) AS INT) AS hamming
-       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    s"""WITH $phashCteSql,
+       |vals AS (SELECT phash16, COUNT(*) AS n FROM ph GROUP BY 1)
+       |SELECT a.phash16 AS ph_a, b.phash16 AS ph_b,
+       |  CAST(bit_count(xor(a.phash16, b.phash16)) AS INT) AS hamming,
+       |  a.n AS n_a, b.n AS n_b,
+       |  CAST(CASE WHEN a.phash16 = b.phash16 THEN a.n * (a.n - 1) // 2
+       |    ELSE a.n * b.n END AS BIGINT) AS n_doc_pairs
+       |FROM vals a JOIN vals b ON a.phash16 <= b.phash16
        |WHERE bit_count(xor(a.phash16, b.phash16)) <= $PhashMaxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  AND (CASE WHEN a.phash16 = b.phash16 THEN a.n * (a.n - 1) // 2
+       |    ELSE a.n * b.n END) > 0
+       |ORDER BY ph_a, ph_b""".stripMargin
 
   /** Oracles for the per-partition stubs: the byte-level math is
     * recomputed in SQL from the payload's hex representation (2 hex

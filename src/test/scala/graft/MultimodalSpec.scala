@@ -82,19 +82,29 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
-  test("phash pairs: banded candidates equal the brute-force hamming ground truth") {
+  test("phash pairs: value-level rows reproduce the brute-force doc-pair census") {
     import spark.implicits._
-    val hashes = Multimodal.phashStub(spark, sf).collect().sortBy(_.doc_id)
-    val want = (for {
+    val hashes = Multimodal.phashStub(spark, sf).collect()
+    // brute-force doc-level ground truth, collapsed to the value level
+    val wantDocPairs = (for {
       i <- hashes.indices.iterator
       j <- (i + 1) until hashes.length
       h = Integer.bitCount(hashes(i).phash16 ^ hashes(j).phash16)
       if h <= Multimodal.PhashMaxHamming
-    } yield (hashes(i).doc_id, hashes(j).doc_id, h)).toSet
+    } yield {
+      val (a, b) = (hashes(i).phash16, hashes(j).phash16)
+      (math.min(a, b), math.max(a, b))
+    }).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val got = Multimodal.mPhashPairs(spark, sf)
-      .as[(Long, Long, Int)].collect().toSet
-    // the 6/6/4 pigeonhole banding at hamming<=2 is exact: no pair
-    // missed (recall) and full-hash verification kills false positives
-    assert(got === want, s"got ${got.size} want ${want.size}")
+      .as[(Int, Int, Int, Long, Long, Long)].collect()
+    // every emitted value pair carries the exact doc-pair count, and
+    // the value-level census covers the whole brute-force pair set
+    got.foreach { case (a, b, h, na, nb, np) =>
+      assert(h === Integer.bitCount(a ^ b))
+      assert(np === wantDocPairs.getOrElse((a, b), 0L),
+        s"value pair ($a,$b) doc-pair count")
+    }
+    assert(got.map(_._6).sum === wantDocPairs.values.sum, "total doc pairs")
+    assert(got.map(r => (r._1, r._2)).toSet === wantDocPairs.keySet)
   }
 }

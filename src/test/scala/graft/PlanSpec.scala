@@ -333,13 +333,16 @@ class PlanSpec extends SparkSpec {
       "KN prob table no longer broadcasts:\n" + finalSection.take(1200))
   }
 
-  test("phash pairs: banded pairing, never a cartesian product") {
+  test("phash pairs: value-level join broadcasts, never an unbroadcast cartesian") {
+    // the distinct-value table must broadcast into the inequality join;
+    // an unhinted plan would stage a full cartesian of doc-level rows
     val p = plan(graft.operators.Multimodal.mPhashPairs(spark, sf))
     val finalSection = p.split("== Initial Plan ==").head
     assert(!finalSection.contains("CartesianProduct"),
-      "phash pairing degenerated to a cartesian:\n" + finalSection.take(1200))
-    assert(finalSection.contains("PairExplode") ||
-      finalSection.contains("Generate"), "blockPairs generator missing")
+      "phash value pairing degenerated to a cartesian:\n" + finalSection.take(1200))
+    assert(finalSection.contains("BroadcastNestedLoopJoin") ||
+      finalSection.contains("BroadcastHashJoin"),
+      "value table no longer broadcast:\n" + finalSection.take(1200))
   }
 
   test("binary Hamming search: query signatures broadcast, group-limited top-k") {
