@@ -1895,15 +1895,26 @@ object TextAnalysis {
     */
   private[graft] def bpeLearnBatched(s: SparkSession, d: String, batch: Int,
       merges: Int = BpeMerges)
-      : (DataFrame, Seq[(Int, String, String, Long)], Int) = {
-    require(batch >= 1, "batch must be >= 1")
+      : (DataFrame, Seq[(Int, String, String, Long)], Int) =
     // one corpus pass: word → total occurrences; then split to chars
-    var words = Materialize.pin(Tables.documents(s, d)
-      .select(explode(Text.tokens(col("text"))).as("word"))
+    bpeLearnWords(s, bpeWords(Tables.documents(s, d)), batch, merges)
+
+  /** (word, syms, cnt) table for the learner over any documents frame. */
+  private[graft] def bpeWords(docs: DataFrame): DataFrame =
+    docs.select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // filter the trailing "" that split-with-limit -1 emits
       .select(col("word"),
-        filter(split(col("word"), ""), x => x =!= "").as("syms"), col("cnt")))
+        filter(split(col("word"), ""), x => x =!= "").as("syms"), col("cnt"))
+
+  /** The merge loop over a caller-supplied word table — see
+    * [[bpeLearnBatched]]'s scaladoc for the batching contract.
+    */
+  private[graft] def bpeLearnWords(s: SparkSession, words0: DataFrame,
+      batch: Int, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)], Int) = {
+    require(batch >= 1, "batch must be >= 1")
+    var words = Materialize.pin(words0)
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var steps = 0
     var exhausted = false
@@ -2119,14 +2130,14 @@ object TextAnalysis {
     * vocab unchanged if a step finds no pairs — matching the Spark
     * loop's `best.nonEmpty` guard.
     */
-  private lazy val bpeVocabCtes: String = {
+  private def bpeVocabCtesFor(px: String, docWhere: String): String = {
     val mergeStep = (k: Int) =>
-      s"""pairs$k AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS n
-         |  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM vocab${k - 1})
+      s"""${px}pairs$k AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(cnt) AS n
+         |  FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM ${px}vocab${k - 1})
          |  GROUP BY 1, 2),
-         |best$k AS (SELECT $k AS step, l, r, n FROM pairs$k
+         |${px}best$k AS (SELECT $k AS step, l, r, n FROM ${px}pairs$k
          |  ORDER BY n DESC, l, r LIMIT 1),
-         |vocab$k AS (SELECT word, cnt,
+         |${px}vocab$k AS (SELECT word, cnt,
          |    CASE WHEN f IS NULL THEN syms
          |         WHEN f[-1] = '' THEN array_pop_back(f) ELSE f END AS syms
          |  FROM (SELECT w.word, w.cnt, w.syms,
@@ -2137,13 +2148,16 @@ object TextAnalysis {
          |          WHEN acc[-1] = b.l AND e[1] = b.r
          |            THEN list_append(list_append(array_pop_back(acc), b.l || b.r), '')
          |          ELSE list_append(acc, e[1]) END) END AS f
-         |    FROM vocab${k - 1} w LEFT JOIN best$k b ON true))"""
-    s"""tok AS (SELECT unnest(${graft.functions.Text.ToksSql}) AS word FROM documents),
-       |vocab0 AS (SELECT word, COUNT(*) AS cnt,
+         |    FROM ${px}vocab${k - 1} w LEFT JOIN ${px}best$k b ON true))"""
+    s"""${px}tok AS (SELECT unnest(${graft.functions.Text.ToksSql}) AS word
+       |  FROM documents $docWhere),
+       |${px}vocab0 AS (SELECT word, COUNT(*) AS cnt,
        |    list_filter(string_split(word, ''), x -> x <> '') AS syms
-       |  FROM tok GROUP BY word),
+       |  FROM ${px}tok GROUP BY word),
        |${(1 to BpeMerges).map(mergeStep).mkString(",\n")}""".stripMargin
   }
+
+  private lazy val bpeVocabCtes: String = bpeVocabCtesFor("", "")
 
   lazy val tBpeTrainSql: String =
     s"""WITH $bpeVocabCtes,
@@ -2553,7 +2567,67 @@ object TextAnalysis {
        |FROM documents d JOIN ($tLangIdSql) p USING (doc_id)
        |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
 
+  // ---------------------------------------- tokenizer stability
+  /** Tokenizer-training stability — would a tokenizer trained on a
+    * DIFFERENT sample of this corpus learn the same rules? Two BPE
+    * trainings on disjoint md5-bucket halves of the corpus, compared
+    * as rule sets: merge counts, the shared-rule count and Jaccard,
+    * and the length of the common rule PREFIX (rules agree in order
+    * up to here — order divergence is where downstream token-id
+    * schemes stop being compatible). High stability says the merge
+    * table reflects corpus structure, not sampling noise — the
+    * go/no-go before freezing a production tokenizer from a sample.
+    *
+    * Determinism: both trainings are the strict B=1 loop the
+    * [[tBpeTrain]] oracle pins; the comparison is set arithmetic on
+    * exact string pairs; jaccard is an unrounded int/int quotient
+    * (FIXTURES §C safe case). Scale: two vocab-bounded merge loops
+    * (each the tBpeTrain plan over half the corpus) + driver-side
+    * set algebra on ≤ 2·[[BpeMerges]] rules.
+    */
+  def tBpeStability(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(md5(concat(lit("split|"),
+      col("doc_id").cast("string")).cast("binary")), 1, 2)
+    def half(pred: org.apache.spark.sql.Column) =
+      bpeWords(Tables.documents(s, d).filter(pred))
+    val (_, rulesA, _) = bpeLearnWords(s, half(bucket < "80"), 1, BpeMerges)
+    val (_, rulesB, _) = bpeLearnWords(s, half(bucket >= "80"), 1, BpeMerges)
+    val pa = rulesA.map(t => (t._2, t._3))
+    val pb = rulesB.map(t => (t._2, t._3))
+    val common = (pa.toSet & pb.toSet).size.toLong
+    val prefix = pa.zip(pb).takeWhile { case (x, y) => x == y }.size.toLong
+    val union = pa.size + pb.size - common
+    import s.implicits._
+    Seq((pa.size.toLong, pb.size.toLong, common, prefix,
+      common.toDouble / union))
+      .toDF("n_a", "n_b", "n_common", "prefix_len", "jaccard")
+  }
+
+  val tBpeStabilitySql: String = {
+    val whereA = "WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'"
+    val whereB = "WHERE substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) >= '80'"
+    def rules(px: String) =
+      (1 to BpeMerges).map(k => s"SELECT * FROM ${px}best$k").mkString(" UNION ALL ")
+    s"""WITH ${bpeVocabCtesFor("ha_", whereA)},
+       |${bpeVocabCtesFor("hb_", whereB)},
+       |ra AS (SELECT row_number() OVER (ORDER BY step) AS i, l, r
+       |  FROM (${rules("ha_")})),
+       |rb AS (SELECT row_number() OVER (ORDER BY step) AS i, l, r
+       |  FROM (${rules("hb_")})),
+       |na AS (SELECT COUNT(*) AS n_a FROM ra),
+       |nb AS (SELECT COUNT(*) AS n_b FROM rb),
+       |com AS (SELECT COUNT(*) AS n_common FROM
+       |  (SELECT l, r FROM ra INTERSECT SELECT l, r FROM rb)),
+       |mism AS (SELECT MIN(a.i) AS m FROM ra a JOIN rb b USING (i)
+       |  WHERE a.l <> b.l OR a.r <> b.r)
+       |SELECT n_a, n_b, n_common,
+       |  CAST(COALESCE(m - 1, LEAST(n_a, n_b)) AS BIGINT) AS prefix_len,
+       |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+       |FROM na, nb, com, mism""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_bpe_stability" -> (tBpeStability _, tBpeStabilitySql),
     "t_lang_confusion" -> (tLangConfusion _, tLangConfusionSql),
     "t_heldout_ppl"  -> (tHeldoutPpl _, tHeldoutPplSql),
     "t_yule"         -> (tYule _, tYuleSql),
