@@ -1357,7 +1357,104 @@ object Dedup {
        |  COUNT(*) AS n_pairs
        |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------- band-shape curve
+  /** LSH band-shape design curve — recall AND precision of every
+    * (bands × rows) factorization of the 12-component MinHash
+    * signature against the blocked exact-Jaccard truth ([[dJaccard]],
+    * ≥ 0.6): more bands = higher recall, more candidates (lower
+    * precision); the S-curve knob every LSH deployment tunes.
+    * [[dLshEval]] scores the shipped 4×3 point; this measures the
+    * whole menu — (1,12), (2,6), (3,4), (4,3), (6,2) — so the choice
+    * is a read-off, not a rerun. Candidates here are RAW band
+    * collisions (no est_sim verification), isolating the banding's
+    * own selectivity.
+    *
+    * Scale shape: signatures compute ONCE (the native codegen'd
+    * shingle-MinHash fold) and pin; each config re-bands the pinned
+    * K-column signatures (a per-row map + salt-bounded blockPairs),
+    * and the truth set pins once. Counts are exact; recall/precision
+    * are unrounded int/int quotients (FIXTURES §C).
+    */
+  def dBandCurve(s: SparkSession, d: String): DataFrame = {
+    val truth = Materialize.pin(dJaccard(s, d).select(col("a"), col("b")))
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val sigExpr = org.apache.spark.sql.graft.GraftSql.shingleMinHash(
+      col("toks"), 3, (0 until MinhashK).map(j => s"$j|"))
+    val sigs = Materialize.pin(base.select(col("doc_id"), sigExpr.as("sig")))
+    val configs = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2))
+    configs.map { case (bands, rows) =>
+      val bArr = element_at(transform(array(col("sig")), sig =>
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat(b.cast("string"), lit("|"),
+            md5(array_join(slice(sig, b * rows + 1, lit(rows)), "|")
+              .cast("binary"))))), 1)
+      val banded = sigs.select(col("doc_id"), explode(bArr).as("bucket"))
+        .select(col("bucket").as("blk"), struct(col("doc_id")).as("v"))
+      val cand = Materialize.pin(blockPairs(banded)
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+        .distinct())
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nh = cand.join(truth, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
+      nc.crossJoin(nh).crossJoin(nTruth)
+        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("n_cand"), col("n_hit"), col("n_truth"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast("double") / col("n_truth"))
+            .otherwise(lit(0.0)).as("recall"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand"))
+            .otherwise(lit(0.0)).as("prec"))
+    }.reduce(_.unionAll(_)).orderBy("bands")
+  }
+
+  val dBandCurveSql: String = {
+    val sigExprs = (0 until MinhashK).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS sig_$j")
+      .mkString(",\n  ")
+    def block(bands: Int, rows: Int): String = {
+      val bandSelects = (0 until bands).map { b =>
+        val parts = (0 until rows).map(r => s"sig_${b * rows + r}")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sigs"
+      }.mkString("\n    UNION ALL ")
+      s"""SELECT $bands AS bands, $rows AS rows_per_band,
+         |  COUNT(*) AS n_cand,
+         |  CAST(SUM(CASE WHEN t.a IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_hit,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+         |    CAST(SUM(CASE WHEN t.a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |      / (SELECT COUNT(*) FROM truth) ELSE 0.0 END AS recall,
+         |  CASE WHEN COUNT(*) > 0 THEN
+         |    CAST(SUM(CASE WHEN t.a IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |      / COUNT(*) ELSE 0.0 END AS prec
+         |FROM (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM ($bandSelects) x
+         |  JOIN ($bandSelects) y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |      AND x.doc_id < y.doc_id) c
+         |LEFT JOIN truth t ON c.a = t.a AND c.b = t.b""".stripMargin
+    }
+    val blocks = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2))
+      .map { case (b, r) => block(b, r) }
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |sigs AS (SELECT doc_id,
+       |  $sigExprs
+       |FROM sh3 WHERE len(sh) > 0),
+       |truth AS (SELECT a, b FROM ($dJaccardSql))
+       |${blocks.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d_band_curve"  -> (dBandCurve _, dBandCurveSql),
     "d_threshold_curve" -> (dThresholdCurve _, dThresholdCurveSql),
     "d_dup_curve"   -> (dDupCurve _, dDupCurveSql),
     "d_containment" -> (dContainment _, dContainmentSql),
