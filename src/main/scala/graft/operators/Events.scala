@@ -1564,7 +1564,86 @@ object Events {
       |    ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS surv
       |FROM acc ORDER BY t""".stripMargin
 
+  // ----------------------------------------------- CUPED variance cut
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the
+    * experimentation-platform standard that makes A/B tests like
+    * [[eAbtest]] converge faster: each user's pre-period activity X
+    * (first half of the corpus days) predicts their experiment-period
+    * metric Y (second half); the adjusted metric Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) keeps the treatment effect but removes the
+    * explained variance. Reported in CLOSED FORM — var(Y_adj) =
+    * var(Y) − cov²/var(X) — so no adjusted rows materialize: the
+    * output is θ, both variances, and the variance ratio
+    * (1 − ratio ≈ how much shorter the experiment can run).
+    *
+    * Determinism: X and Y are integer counts; all five moment sums
+    * are exact BIGINTs; the n-scaled moments n·Σxy − Σx·Σy etc. stay
+    * integral (int64-safe while n·Σy² < 2⁶³), and θ/variances are
+    * unrounded quotients of identical exact inputs (FIXTURES §C).
+    *
+    * Scale shape: one user-keyed conditional aggregation (map-side
+    * partials) plus a 1-row moment reduce; the day midpoint is a
+    * 1-row broadcast.
+    */
+  def eCuped(s: SparkSession, d: String): DataFrame = {
+    val days = load(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+    val mid = days.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val per = days.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("y"))
+    per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_users"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vxn"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vyn"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cvn"),
+        col("n"))
+      .select(col("n_users"),
+        (col("cvn").cast("double") / col("vxn")).as("theta"),
+        (col("vyn").cast("double") / (col("n") * col("n"))).as("var_y"),
+        ((col("vyn").cast("double")
+          - col("cvn").cast("double") * col("cvn") / col("vxn"))
+          / (col("n") * col("n"))).as("var_adj"),
+        ((col("vyn").cast("double")
+          - col("cvn").cast("double") * col("cvn") / col("vxn"))
+          / col("vyn")).as("var_ratio"))
+  }
+
+  val eCupedSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |m AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+      |per AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM e, m GROUP BY user_id),
+      |s AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM per),
+      |v AS (SELECT n AS n_users,
+      |    n * sxx - sx * sx AS vxn,
+      |    n * syy - sy * sy AS vyn,
+      |    n * sxy - sx * sy AS cvn, n
+      |  FROM s)
+      |SELECT n_users,
+      |  CAST(cvn AS DOUBLE) / vxn AS theta,
+      |  CAST(vyn AS DOUBLE) / (n * n) AS var_y,
+      |  (CAST(vyn AS DOUBLE) - CAST(cvn AS DOUBLE) * cvn / vxn)
+      |    / (n * n) AS var_adj,
+      |  (CAST(vyn AS DOUBLE) - CAST(cvn AS DOUBLE) * cvn / vxn)
+      |    / vyn AS var_ratio
+      |FROM v""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_cuped"       -> (eCuped _, eCupedSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
     "e_heatmap"     -> (eHeatmap _, eHeatmapSql),
     "e_bot_score"   -> (eBotScore _, eBotScoreSql),
