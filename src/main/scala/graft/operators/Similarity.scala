@@ -2025,7 +2025,66 @@ object Similarity {
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
   }
 
+  // ----------------------------------------------- IVF cell balance
+  /** IVF index-balance report — the health check on [[sAnnIvf]]'s
+    * partitioning: per-cell member counts plus the global balance
+    * numbers (max/mean ratio, the classic hot-cell latency predictor:
+    * a probe into a cell 10× the mean costs 10× the scan). Emits one
+    * row per cell (K rows) with the shared stats repeated — small by
+    * construction. An unbalanced fit says re-seed or increase K
+    * BEFORE building the full index; at production scale cell counts
+    * are the partition-pruning histogram, so this is also the data
+    * behind probe-cost estimation.
+    *
+    * Determinism: counts are exact; mean-ratio quotients are
+    * unrounded int-derived doubles (FIXTURES §C safe case). Scale:
+    * the verified assignment chain (broadcast centroids, corpus
+    * map + argmax) plus a K-key aggregation.
+    */
+  def sCellBalance(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, LloydIters)
+    val cells = ivfAssignment(base, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val stats = cells.agg(count(lit(1)).as("n_cells"),
+      sum(col("n_members")).as("n_total"),
+      max(col("n_members")).as("n_max"))
+    cells.crossJoin(broadcast(stats))
+      .select(col("cell"), col("n_members"),
+        ((col("n_members") * col("n_cells")).cast("double") / col("n_total"))
+          .as("load_ratio"),
+        ((col("n_max") * col("n_cells")).cast("double") / col("n_total"))
+          .as("max_load_ratio"))
+      .orderBy("cell")
+  }
+
+  val sCellBalanceSql: String = {
+    val centFinal = if (LloydIters == 0) "cent0" else s"cent$LloydIters"
+    val lloydCtes = (1 to LloydIters)
+      .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
+      .mkString(",\n")
+    val withCtes = (Seq(
+      NORM_CTE,
+      s"cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK)")
+      ++ (if (LloydIters == 0) Nil else Seq(lloydCtes))).mkString(",\n")
+    s"""WITH $withCtes,
+       |assign AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT v.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
+       |  FROM n v CROSS JOIN $centFinal c) WHERE arn = 1),
+       |cells AS (SELECT cell, COUNT(*) AS n_members FROM assign GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_cells,
+       |    CAST(SUM(n_members) AS BIGINT) AS n_total,
+       |    CAST(MAX(n_members) AS BIGINT) AS n_max FROM cells)
+       |SELECT cell, n_members,
+       |  CAST(n_members * n_cells AS DOUBLE) / n_total AS load_ratio,
+       |  CAST(n_max * n_cells AS DOUBLE) / n_total AS max_load_ratio
+       |FROM cells, st ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_cell_balance" -> (sCellBalance _, sCellBalanceSql),
     "s_probe_curve" -> (sProbeCurve _, sProbeCurveSql),
     "s_hubness"     -> (sHubness _, sHubnessSql),
     "s_dim_recall"  -> (sDimRecall _, sDimRecallSql),
