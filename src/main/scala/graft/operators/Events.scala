@@ -1291,6 +1291,107 @@ object Events {
       |    ELSE 0 END AS mae_u
       |FROM hs WHERE i = (SELECT MAX(i) FROM hs)""".stripMargin
 
+  // ------------------------------------- Holt–Winters (additive, weekly)
+  /** Holt–Winters additive seasonal smoothing over the daily series —
+    * the final rung of this suite's forecasting ladder (naive →
+    * [[eSeasonalNaive]] → [[eHolt]] → level+trend+weekly season),
+    * with α = β = γ = 1/2 in the same integer micro-unit fixed point
+    * as eHolt:
+    *   l_t = ((y_t − s_{t−7}) + l + b) / 2,
+    *   b_t = ((l_t − l) + b) / 2,
+    *   s_t = ((y_t − l_t) + s_{t−7}) / 2,
+    * every halving an explicit floor, seasonal state a 7-slot integer
+    * vector initialized to zero (l₁ = y₁, b₁ = 0 — the first week
+    * burns in; documented, deterministic). Output: the NEXT-WEEK
+    * forecast — 7 rows (h, forecast_u = l + h·b + s_{(N−1+h) mod 7})
+    * — plus the final level/trend and the mean absolute one-step
+    * error, the columns a capacity dashboard plots.
+    *
+    * Determinism: the fold is integer-exact on both engines (eHolt's
+    * argument); the DuckDB twin is a recursive CTE carrying the
+    * 7-slot seasonal LIST as a column (the list_reduce accumulator
+    * aliasing bug does not apply to recursive CTEs — each step is a
+    * fresh row). Scale shape: identical to eHolt — the recursion
+    * runs on the calendar-bounded daily aggregate.
+    */
+  def eHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val U = 1000000L
+    def div2(x: Column): Column = floor(x / lit(2.0))
+    val zeros = array((0 until 7).map(_ => lit(0L)): _*)
+    def st(n: Column, l: Column, b: Column, sae: Column, sv: Column): Column =
+      struct(n.cast("long").as("n"), l.cast("long").as("l"),
+        b.cast("long").as("b"), sae.cast("long").as("sae"),
+        sv.cast("array<long>").as("s"))
+    val daily = load(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("day").agg((count(lit(1)) * U).as("yu"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("yu")))).as("ser"))
+      .select(transform(col("ser"), e => e.getField("yu")).as("ys"))
+      .select(aggregate(col("ys"),
+        st(lit(0L), lit(0L), lit(0L), lit(0L), zeros),
+        (acc, y) => {
+          val n = acc.getField("n"); val l = acc.getField("l")
+          val b = acc.getField("b"); val sae = acc.getField("sae")
+          val sv = acc.getField("s")
+          val sOld = element_at(sv, (n % 7).cast("int") + 1)
+          val e = y - (l + b + sOld)
+          val l2 = div2(y - sOld + l + b)
+          val b2 = div2(l2 - l + b)
+          val s2 = div2(y - l2 + sOld)
+          val svNew = transform(sequence(lit(0), lit(6)), i =>
+            when(i === (n % 7).cast("int"), s2)
+              .otherwise(element_at(sv, i.cast("int") + 1)))
+          when(n === 0L, st(lit(1L), y, lit(0L), lit(0L), zeros))
+            .otherwise(st(n + 1L, l2, b2, sae + abs(e), svNew))
+        }).as("h"))
+    folded.select(explode(sequence(lit(1), lit(7))).as("h"),
+      col("h.n").as("n_days"), col("h.l").as("level_u"),
+      col("h.b").as("trend_u"), col("h.sae").as("sae"),
+      col("h.s").as("sv"))
+      .select(col("h").cast("int").as("h"),
+        (col("level_u") + col("h") * col("trend_u")
+          + element_at(col("sv"), ((col("n_days") - 1 + col("h")) % 7)
+            .cast("int") + 1)).as("forecast_u"),
+        col("level_u"), col("trend_u"), col("n_days"),
+        when(col("n_days") > 1L, floor(col("sae") / (col("n_days") - 1L)))
+          .otherwise(lit(0L)).as("mae_u"))
+      .orderBy("h")
+  }
+
+  val eHoltWintersSql: String = {
+    val sOld = "h.s[(h.i % 7) + 1]"
+    val l2 = s"CAST(floor((d.yu - $sOld + h.l + h.b) / 2.0) AS BIGINT)"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT row_number() OVER (ORDER BY day) AS i, yu
+       |  FROM (SELECT epoch_ns(ts) // 86400000000000 AS day,
+       |          COUNT(*) * 1000000 AS yu FROM events GROUP BY 1)),
+       |nd AS (SELECT COUNT(*) AS n FROM daily),
+       |hw AS (
+       |  SELECT 1 AS i, yu AS l, CAST(0 AS BIGINT) AS b,
+       |    CAST(0 AS BIGINT) AS sae,
+       |    [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s
+       |  FROM daily WHERE i = 1
+       |  UNION ALL
+       |  SELECT h.i + 1,
+       |    $l2,
+       |    CAST(floor(($l2 - h.l + h.b) / 2.0) AS BIGINT),
+       |    h.sae + abs(d.yu - (h.l + h.b + $sOld)),
+       |    list_transform(range(1, 8), j -> CASE WHEN j = (h.i % 7) + 1
+       |      THEN CAST(floor((d.yu - $l2 + $sOld) / 2.0) AS BIGINT)
+       |      ELSE h.s[j] END)
+       |  FROM hw h JOIN daily d ON d.i = h.i + 1)
+       |SELECT CAST(f.h AS INT) AS h,
+       |  hw.l + f.h * hw.b + hw.s[((nd.n - 1 + f.h) % 7) + 1] AS forecast_u,
+       |  hw.l AS level_u, hw.b AS trend_u,
+       |  CAST(nd.n AS BIGINT) AS n_days,
+       |  CASE WHEN nd.n > 1 THEN CAST(floor(hw.sae / (nd.n - 1.0)) AS BIGINT)
+       |    ELSE 0 END AS mae_u
+       |FROM hw, nd, (SELECT unnest(range(1, 8)) AS h) f
+       |WHERE hw.i = (SELECT MAX(i) FROM hw)
+       |ORDER BY h""".stripMargin
+  }
+
   // ------------------------------------------- 3-step journey mining
   /** Top 3-step user journeys — the length-3 generalization of
     * [[eTransitions]]'s bigram matrix and the shape every product-
@@ -1644,6 +1745,7 @@ object Events {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_cuped"       -> (eCuped _, eCupedSql),
+    "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
     "e_heatmap"     -> (eHeatmap _, eHeatmapSql),
     "e_bot_score"   -> (eBotScore _, eBotScoreSql),

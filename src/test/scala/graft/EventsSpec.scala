@@ -214,6 +214,34 @@ class EventsSpec extends SparkSpec {
       out.mkString(","))
   }
 
+  test("e_holtwinters: fixed-point recursion and forecasts match a hand-computed series") {
+    // same 4-day series as the e_holt case (4, 8, 2, 6 events/day).
+    // Hand fold (micro-units, α=β=γ=1/2, zero-init season):
+    //   t2: l=6e6 b=1e6 s[1]=1e6 sae=4e6
+    //   t3: l=4.5e6 b=-250000 s[2]=-1250000 sae=9e6
+    //   t4: l=5125000 b=187500 s[3]=437500 sae=10750000
+    // mae=⌊10750000/3⌋=3583333; forecasts h=1..7 use s[(3+h)%7].
+    val dir = java.nio.file.Files.createTempDirectory("graft_hw").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    val rows = Seq(0 -> 4, 1 -> 8, 2 -> 2, 3 -> 6).flatMap { case (dd, n) =>
+      (0 until n).map(i =>
+        (dd * 100L + i,
+          java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(dd * day + i * 1000L)),
+          1L))
+    }
+    spark.createDataFrame(rows).toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.eHoltWinters(spark, dir)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    val f = Map(1 -> 5312500L, 2 -> 5500000L, 3 -> 5687500L, 4 -> 5875000L,
+      5 -> 7062500L, 6 -> 5000000L, 7 -> 6875000L)
+    assert(out.length === 7)
+    out.foreach { case (h, fc, l, b, n, mae) =>
+      assert(fc === f(h), s"h=$h forecast")
+      assert((l, b, n, mae) === ((5125000L, 187500L, 4L, 3583333L)))
+    }
+  }
+
   test("e_transitions: counts cover exactly the non-first events; rows of p sum to 1") {
     val t = Events.eTransitions(spark, sf)
     val totalN = t.agg(sum("n")).as[Long].head()
