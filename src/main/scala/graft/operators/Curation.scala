@@ -1087,7 +1087,72 @@ object Curation {
        |  (target_tokens * 1000000) // tokens AS epochs_x1e6
        |FROM tgt ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ corpus integrity
+  /** Corpus integrity audit — [[Events.eDqAudit]]'s twin for the
+    * documents table, one row per check: duplicate doc_ids (primary-
+    * key violations), empty/whitespace-only text, a `n_chars` column
+    * that disagrees with the actual codepoint length (stale derived
+    * column — the classic silent-reprocessing bug), lang codes
+    * outside the corpus's own observed set... checked as blank/null
+    * only (the set is open), and null sources. Zero counts are the
+    * passing state; every check row always emits.
+    *
+    * Scale shape: row-local checks fuse into one scan pass with
+    * map-side conditional sums; the duplicate check is one id-keyed
+    * aggregation. Counts are exact integers.
+    */
+  def pIntegrity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dups = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0L)))
+        .as("n_bad"), sum(col("c")).as("n_total"))
+      .select(lit("duplicate_doc_id").as("check_name"),
+        col("n_bad"), col("n_total"))
+    val rowChecks = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+        .otherwise(0L)).as("empty_text"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_chars_mismatch"),
+      sum(when(col("lang").isNull || col("lang") === "", 1L).otherwise(0L))
+        .as("blank_lang"),
+      sum(when(col("source").isNull || col("source") === "", 1L)
+        .otherwise(0L)).as("blank_source"))
+    Seq("empty_text", "n_chars_mismatch", "blank_lang", "blank_source")
+      .map(c => rowChecks.select(lit(c).as("check_name"),
+        col(c).as("n_bad"), col("n").as("n_total")))
+      .reduce(_.unionAll(_))
+      .unionAll(dups)
+      .orderBy("check_name")
+  }
+
+  val pIntegritySql: String =
+    """WITH rowc AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+      |    CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_chars_mismatch,
+      |    CAST(SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS blank_lang,
+      |    CAST(SUM(CASE WHEN source IS NULL OR source = ''
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS blank_source
+      |  FROM documents),
+      |dups AS (SELECT 'duplicate_doc_id' AS check_name,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bad,
+      |    CAST(SUM(c) AS BIGINT) AS n_total
+      |  FROM (SELECT doc_id, COUNT(*) AS c FROM documents GROUP BY 1))
+      |SELECT * FROM (
+      |  SELECT 'empty_text' AS check_name, empty_text AS n_bad, n AS n_total
+      |    FROM rowc
+      |  UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch, n FROM rowc
+      |  UNION ALL SELECT 'blank_lang', blank_lang, n FROM rowc
+      |  UNION ALL SELECT 'blank_source', blank_source, n FROM rowc
+      |  UNION ALL SELECT * FROM dups)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_integrity"   -> (pIntegrity _, pIntegritySql),
     "p_epochs"      -> (pEpochs _, pEpochsSql),
     "p_quality_ppl" -> (pQualityPpl _, pQualityPplSql),
     "p_temperature_mix" -> (pTemperatureMix _, pTemperatureMixSql),

@@ -1743,7 +1743,86 @@ object Events {
       |    / vyn AS var_ratio
       |FROM v""".stripMargin
 
+  // ----------------------------------------------- data-quality audit
+  /** Expectations-style data-quality audit over the event stream —
+    * the checks every ingestion pipeline runs before trusting a
+    * batch, emitted as one row per check (name, violations, total):
+    * duplicate event ids (exactly-once violations), null/blank
+    * user or type, non-finite or negative values, timestamps outside
+    * the stream's own [min, max] envelope (vacuously zero on a single
+    * self-describing batch — in production the envelope comes from
+    * the PREVIOUS batch and this is the clock-skew check), and
+    * malformed props JSON. A zero count is the PASSING state — the
+    * audit emits
+    * every check unconditionally so a silent scan regression can't
+    * masquerade as "no violations row".
+    *
+    * Scale shape: one pass for the row-local checks (map-side
+    * conditional sums), one id-keyed aggregation for the duplicate
+    * check, and a 1-row envelope broadcast. Counts are exact.
+    */
+  def eDqAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d)
+    val dups = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0L)))
+        .as("n_bad"), sum(col("c")).as("n_total"))
+      .select(lit("duplicate_event_id").as("check_name"),
+        col("n_bad"), col("n_total"))
+    val env = ev.agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi"))
+    val rowChecks = ev.crossJoin(broadcast(env)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when(col("event_type").isNull || col("event_type") === "", 1L)
+        .otherwise(0L)).as("blank_type"),
+      sum(when(col("value").isNull || isnan(col("value"))
+        || col("value") < 0, 1L).otherwise(0L)).as("bad_value"),
+      sum(when(col("ts_ns") < col("lo") || col("ts_ns") > col("hi"), 1L)
+        .otherwise(0L)).as("ts_oob"),
+      sum(when(from_json(col("props"),
+        StructType(Seq(StructField("k", LongType)))).isNull, 1L)
+        .otherwise(0L)).as("bad_props"))
+    val checks = Seq("null_user", "blank_type", "bad_value", "ts_oob",
+      "bad_props")
+    checks.map(c =>
+      rowChecks.select(lit(c).as("check_name"), col(c).as("n_bad"),
+        col("n").as("n_total")))
+      .reduce(_.unionAll(_))
+      .unionAll(dups)
+      .orderBy("check_name")
+  }
+
+  val eDqAuditSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value, props,
+      |    epoch_ns(ts) AS ts_ns FROM events),
+      |env AS (SELECT MIN(ts_ns) AS lo, MAX(ts_ns) AS hi FROM e),
+      |rowc AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS null_user,
+      |    CAST(SUM(CASE WHEN event_type IS NULL OR event_type = ''
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS blank_type,
+      |    CAST(SUM(CASE WHEN value IS NULL OR isnan(value) OR value < 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_value,
+      |    CAST(SUM(CASE WHEN ts_ns < lo OR ts_ns > hi THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ts_oob,
+      |    CAST(SUM(CASE WHEN try_cast(props AS JSON) IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_props
+      |  FROM e, env),
+      |dups AS (SELECT 'duplicate_event_id' AS check_name,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bad,
+      |    CAST(SUM(c) AS BIGINT) AS n_total
+      |  FROM (SELECT event_id, COUNT(*) AS c FROM e GROUP BY 1))
+      |SELECT * FROM (
+      |  SELECT 'null_user' AS check_name, null_user AS n_bad, n AS n_total FROM rowc
+      |  UNION ALL SELECT 'blank_type', blank_type, n FROM rowc
+      |  UNION ALL SELECT 'bad_value', bad_value, n FROM rowc
+      |  UNION ALL SELECT 'ts_oob', ts_oob, n FROM rowc
+      |  UNION ALL SELECT 'bad_props', bad_props, n FROM rowc
+      |  UNION ALL SELECT * FROM dups)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_dq_audit"    -> (eDqAudit _, eDqAuditSql),
     "e_cuped"       -> (eCuped _, eCupedSql),
     "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
