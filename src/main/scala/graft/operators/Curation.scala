@@ -991,10 +991,14 @@ object Curation {
     * [[pMix]] weight — the number this report exists to surface.
     *
     * The cutoff is `percentile_disc(0.1)` — an ATTAINED score value,
-    * selected not interpolated, so both engines pick the identical
-    * 6-dp-rounded double and the flag predicate `score <= cutoff`
-    * is exact; flagged counts include boundary ties (documented
-    * contract: "at or below the decile value").
+    * selected not interpolated. Determinism rests on the scores
+    * themselves being bit-identical across engines: `avg_logp` is an
+    * exact-DECIMAL log-prob sum divided by an integer count (one IEEE
+    * division of two exact operands, same quotient everywhere), so
+    * percentile_disc picks the same attained double on both sides and
+    * the flag predicate `score <= cutoff` is exact; flagged counts
+    * include boundary ties (documented contract: "at or below the
+    * decile value").
     *
     * Scale shape: the LM scoring is [[TextAnalysis.tUnigramLp]]'s
     * plan (vocab-bounded count table broadcast onto the exploded

@@ -1259,6 +1259,11 @@ object Events {
       (col("level_u") + col("trend_u")).as("forecast_u"),
       when(col("nm") > 1L, floor(col("sae_u") / (col("nm") - 1L)))
         .otherwise(lit(0L)).as("mae_u"))
+      // Contract: the recurrence needs two observations to initialize
+      // (l₂ = y₂, b₂ = y₂ − y₁), so a series shorter than 2 days
+      // yields NO rows — matching the oracle CTE, whose base case
+      // joins days 1 and 2 and is empty without both.
+      .where(col("n_days") >= 2L)
   }
 
   /** Recursive-CTE twin of the Spark fold. NOT `list_reduce`: DuckDB
@@ -1356,6 +1361,9 @@ object Events {
         col("level_u"), col("trend_u"), col("n_days"),
         when(col("n_days") > 1L, floor(col("sae") / (col("n_days") - 1L)))
           .otherwise(lit(0L)).as("mae_u"))
+      // Contract: an empty events table yields NO rows (the oracle
+      // CTE's base case needs day 1), not 7 zero-forecast rows.
+      .where(col("n_days") >= 1L)
       .orderBy("h")
   }
 
@@ -1775,11 +1783,19 @@ object Events {
       sum(when(col("event_type").isNull || col("event_type") === "", 1L)
         .otherwise(0L)).as("blank_type"),
       sum(when(col("value").isNull || isnan(col("value"))
-        || col("value") < 0, 1L).otherwise(0L)).as("bad_value"),
+        || col("value") < 0
+        || col("value") === lit(Double.PositiveInfinity), 1L)
+        .otherwise(0L)).as("bad_value"),
       sum(when(col("ts_ns") < col("lo") || col("ts_ns") > col("hi"), 1L)
         .otherwise(0L)).as("ts_oob"),
-      sum(when(from_json(col("props"),
-        StructType(Seq(StructField("k", LongType)))).isNull, 1L)
+      // get_json_object(_, '$') is null exactly when the input is NULL,
+      // blank, or MALFORMED — unlike from_json, whose PERMISSIVE mode
+      // returns a non-null struct of nulls for malformed text and so
+      // can never detect it. Probed against DuckDB's
+      // try_cast(_ AS JSON) on 10 edge inputs (null, '', '{bad',
+      // whitespace, scalar 'null'/'5'/'"abc"', array, '{}'): the two
+      // predicates agree on every one, including the JSON-null literal.
+      sum(when(get_json_object(col("props"), "$").isNull, 1L)
         .otherwise(0L)).as("bad_props"))
     val checks = Seq("null_user", "blank_type", "bad_value", "ts_oob",
       "bad_props")
@@ -1801,6 +1817,7 @@ object Events {
       |    CAST(SUM(CASE WHEN event_type IS NULL OR event_type = ''
       |      THEN 1 ELSE 0 END) AS BIGINT) AS blank_type,
       |    CAST(SUM(CASE WHEN value IS NULL OR isnan(value) OR value < 0
+      |      OR value = CAST('Infinity' AS DOUBLE)
       |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_value,
       |    CAST(SUM(CASE WHEN ts_ns < lo OR ts_ns > hi THEN 1 ELSE 0 END)
       |      AS BIGINT) AS ts_oob,

@@ -192,6 +192,63 @@ class EventsSpec extends SparkSpec {
       "expected floor(5/2)=2 mean, min 2, max 3: " + row.mkString(","))
   }
 
+  test("e_dq_audit: every check fires on a deliberately dirty fixture") {
+    // One row per violation class, plus edge cases pinning the
+    // cross-engine JSON contract (probed against DuckDB try_cast AS
+    // JSON): scalar 'null' and '5' are VALID JSON (not flagged);
+    // NULL, whitespace, and '{malformed' are flagged. bad_value must
+    // catch NaN, negatives, AND +Infinity (the ADVICE r7 gap).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq").toFile.getAbsolutePath
+    val t0 = java.sql.Timestamp.from(java.time.Instant.EPOCH)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rows = Seq(
+      Row(1L, t0, 1L, "click", 1.0, """{"k":1}"""),
+      Row(1L, t0, 2L, "view", 2.0, "{}"), // duplicate event_id
+      Row(2L, t0, null, "click", 1.0, """{"k":2}"""), // null user
+      Row(3L, t0, 3L, "", 1.0, "[1,2]"), // blank type; array props OK
+      Row(4L, t0, 4L, "click", Double.NaN, "null"), // NaN; 'null' props OK
+      Row(5L, t0, 5L, "click", -1.0, "5"), // negative; '5' props OK
+      Row(6L, t0, 6L, "click", Double.PositiveInfinity, """{"k":3}"""),
+      Row(7L, t0, 7L, "click", 1.0, "{malformed"), // malformed props
+      Row(8L, t0, 8L, "click", 1.0, null), // NULL props
+      Row(9L, t0, 9L, "click", 1.0, "  ")) // whitespace props
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.eDqAudit(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("duplicate_event_id") === ((1L, 10L)))
+    assert(out("null_user") === ((1L, 10L)))
+    assert(out("blank_type") === ((1L, 10L)))
+    assert(out("bad_value") === ((3L, 10L)), "NaN + negative + Infinity")
+    assert(out("ts_oob") === ((0L, 10L)))
+    assert(out("bad_props") === ((3L, 10L)),
+      "malformed + NULL + whitespace flagged; 'null'/'5'/array/'{}' not")
+  }
+
+  test("e_holt/e_holtwinters: degenerate series yield no rows (oracle contract)") {
+    // The oracle CTEs' base cases need 2 (holt) / 1 (holt-winters)
+    // days; the Spark side must match on short and empty series.
+    val dir = java.nio.file.Files.createTempDirectory("graft_deg").toFile.getAbsolutePath
+    spark.createDataFrame(Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.EPOCH), 7L)))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Events.eHolt(spark, dir).count() === 0L, "1-day series: holt")
+    assert(Events.eHoltWinters(spark, dir).count() === 7L,
+      "1-day series: holt-winters forecasts from the burn-in day")
+    val empty = java.nio.file.Files.createTempDirectory("graft_deg0").toFile.getAbsolutePath
+    spark.createDataFrame(Seq.empty[(Long, java.sql.Timestamp, Long)])
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$empty/events.parquet")
+    assert(Events.eHolt(spark, empty).count() === 0L, "empty: holt")
+    assert(Events.eHoltWinters(spark, empty).count() === 0L, "empty: holt-winters")
+  }
+
   test("e_holt: fixed-point recursion matches a hand-computed series") {
     // daily counts 4, 8, 2, 6 → micro-units 4e6, 8e6, 2e6, 6e6:
     //   init  l=8e6, b=4e6 (l₂=y₂, b₂=y₂−y₁)
