@@ -951,8 +951,190 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------- TPC-H Q3 (shipping priority)
+  /** TPC-H Q3 shape on the fixture schema: urgent unshipped orders for
+    * one market segment — the canonical 3-way join + group + top-k.
+    * (Date constants shifted to the fixture's 1995–2001 range; the
+    * fixture lacks o_shippriority, so the output is (l_orderkey,
+    * revenue, o_orderdate) with the date as a yyyy-MM-dd string — the
+    * hash-stable cross-engine date encoding.)
+    *
+    * Scale shape: customer is a broadcast dim (filtered to one segment
+    * before the hint, so the broadcast ships only the segment);
+    * orders⋈lineitem is the one shuffle, on the natural o_orderkey =
+    * l_orderkey; the date predicates sit on both parquet scans
+    * (PushedFilters); the top-10 is TakeOrderedAndProject — no global
+    * sort materializes. Revenue sums are exact DECIMAL, so the
+    * DESC ordering (with key tie-break) is engine-identical.
+    */
+  def qTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1997-03-15").cast("timestamp")
+    Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(revDec).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val qTpchQ3Sql: String =
+    s"""SELECT l_orderkey, CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+       |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  // --------------------------------------- TPC-H Q5 (local supplier volume)
+  /** TPC-H Q5 shape: revenue from orders where the supplier and the
+    * customer share a nation, for one region and one year — the 6-way
+    * join whose planning separates real optimizers from toys. The
+    * subtle equijoin is c_nationkey = s_nationkey: it correlates two
+    * *dimension* attributes across the fact chain.
+    *
+    * Scale shape: ONE fact-fact shuffle (lineitem⋈orders on orderkey,
+    * with the year predicate pushed to the orders scan); customer and
+    * supplier⋈nation⋈region are broadcast dims — supplier is joined
+    * with BOTH its equijoin keys at once (l_suppkey AND the
+    * c_nationkey correlation), so no second fact shuffle ever stages.
+    * region filters to one name before the broadcast, pruning the
+    * nation list it ships.
+    */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val supNat = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNat),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revDec).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val qTpchQ5Sql: String =
+    s"""SELECT n_name, CAST(SUM($REV_SQL) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ------------------------------------------ TPC-H Q10 (returned items)
+  /** TPC-H Q10 shape: the top-20 customers by revenue lost to returns
+    * in one quarter — fact join + customer rollup + top-k, the report
+    * every account team runs. (Fixture date range shifted; address/
+    * phone/comment columns don't exist here, so the output carries
+    * custkey, name, acctbal, nation.)
+    *
+    * Scale shape: the quarter predicate prunes the orders scan and the
+    * R-flag predicate the lineitem scan BEFORE the one fact-fact
+    * shuffle; customer and nation broadcast; the customer-grain
+    * aggregate flows into TakeOrderedAndProject(20). Revenue DESC
+    * ordering is exact-decimal; c_custkey breaks ties.
+    */
+  def qTpchQ10(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-10-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revDec).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val qTpchQ10Sql: String =
+    s"""SELECT c_custkey, c_name, CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------- runtime Bloom prefilter
+  /** Runtime-filter join: a selective predicate on orders prunes the
+    * lineitem scan through a Bloom sketch BEFORE the shuffle — the
+    * pattern Spark's own InjectRuntimeFilter plants automatically and
+    * the biggest single shuffle-volume lever on a 100 TB fact join
+    * (only fact rows whose key might match the filtered build side are
+    * exchanged; the exact join then removes the sketch's false
+    * positives, so the RESULT is identical to the plain join — which
+    * is exactly what the oracle runs).
+    *
+    * The sketch is Spark's BloomFilterAggregate (one-row BINARY state,
+    * mergeable, built map-side), planted as a scalar subquery and
+    * probed per row with xxhash64(key) — see GraftSql.bloomFilterAgg /
+    * bloomMightContain. Output: revenue per priority of top-value
+    * orders. Sized 8 bits/key at the fixture's filtered-order count
+    * scale; at 100 TB size it from the filter's estimated selectivity
+    * (the state stays KB–MB — far below the pruned exabytes).
+    */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val gs = org.apache.spark.sql.graft.GraftSql
+    val hot = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+    val bloom = hot.agg(gs.bloomFilterAgg(
+      xxhash64(col("o_orderkey")), 4096L, 4096L * 8).as("bf"))
+    Tables.lineitem(s, d)
+      .filter(gs.bloomMightContain(bloom, xxhash64(col("l_orderkey"))))
+      .join(hot, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(revDec).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBloomJoinSql: String =
+    s"""SELECT o_orderpriority, CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_totalprice > 400000.0
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_tpch_q3"        -> (qTpchQ3 _, qTpchQ3Sql),
+    "q_tpch_q5"        -> (qTpchQ5 _, qTpchQ5Sql),
+    "q_tpch_q10"       -> (qTpchQ10 _, qTpchQ10Sql),
+    "q_bloom_join"     -> (qBloomJoin _, qBloomJoinSql),
     "q1_agg"           -> (q1Agg _, q1AggSql),
     "q_filter_project" -> (qFilterProject _, qFilterProjectSql),
     "q_topk"           -> (qTopK _, qTopKSql),

@@ -257,6 +257,34 @@ class PlanSpec extends SparkSpec {
     assert(nBcast >= 2, s"expected corpus+total broadcasts, found $nBcast:\n" + p.take(1200))
   }
 
+  test("tpch q3/q5/q10: dims broadcast, one fact-fact shuffle, top-k group-limited") {
+    for ((name, df) <- Seq(
+        "q3" -> Relational.qTpchQ3(spark, sf),
+        "q5" -> Relational.qTpchQ5(spark, sf),
+        "q10" -> Relational.qTpchQ10(spark, sf))) {
+      val p = plan(df)
+      val finalSection = p.split("== Initial Plan ==").head
+      assert(finalSection.contains("BroadcastHashJoin"),
+        s"$name: dims must broadcast:\n" + finalSection.take(1200))
+      // exactly one shuffled join: lineitem⋈orders on the orderkey —
+      // every dimension join must stay broadcast (no second exchange
+      // pair staging a fact shuffle)
+      val shuffledJoins = "SortMergeJoin".r.findAllIn(finalSection).length +
+        "ShuffledHashJoin".r.findAllIn(finalSection).length
+      assert(shuffledJoins <= 1,
+        s"$name: $shuffledJoins shuffled joins (want ≤1):\n" + finalSection.take(1500))
+    }
+    // the two top-k queries must not materialize a global sort
+    assert(plan(Relational.qTpchQ3(spark, sf)).contains("TakeOrderedAndProject"))
+    assert(plan(Relational.qTpchQ10(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("q_bloom_join: explicit bloom probe prefilters the fact side before the shuffle") {
+    val p = plan(Relational.qBloomJoin(spark, sf))
+    assert(p.contains("might_contain"),
+      "bloom probe missing from the fact side:\n" + p.take(1500))
+  }
+
   test("runtime bloom filter: a selective dim side injects might_contain into the fact scan") {
     // the engine-level fact-join optimization at 100 TB: when the dim
     // side is filtered and the fact side is too big to broadcast-join,
