@@ -1129,8 +1129,153 @@ object Relational {
        |WHERE o_totalprice > 400000.0
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------- in-engine regression
+  /** Per-group simple OLS (SQL's regr_slope/regr_r2 family) computed
+    * from EXACT integer moments: regress extended price on quantity
+    * within each return flag — the in-engine regression every BI stack
+    * asks of its warehouse. Both columns are scaled to integer cents
+    * (DECIMAL(12,2)·100 — exact), so the five moments (Σx, Σy, Σxx,
+    * Σyy, Σxy) are integer sums: order-independent, partial-aggregable
+    * map-side, bit-identical across engines and partitionings. The
+    * normal-equation numerators n·Σxy−ΣxΣy and n·Σxx−Σx² stay exact
+    * (DECIMAL(38,0) on Spark, HUGEINT in the oracle — magnitudes
+    * ~1e23 fit both); only the final slope/intercept/r² divisions are
+    * double ops, written with the identical expression tree on both
+    * engines, so the quotients are bit-equal too.
+    *
+    * Scale shape: one scan, map-side partial sums, a 3-group final
+    * agg; nothing else. The moment trick is how regression stays a
+    * one-pass distributed aggregate at 100 TB — never a per-group
+    * sort or a driver-side fit.
+    */
+  def qRegression(s: SparkSession, d: String): DataFrame = {
+    val xc = (qtyDec * 100).cast("long")
+    val yc = (priceDec * 100).cast("long")
+    val d38 = "decimal(38,0)"
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), xc.as("xc"), yc.as("yc"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("xc")).cast(d38).as("sx"),
+        sum(col("yc")).cast(d38).as("sy"),
+        sum((col("xc") * col("xc")).cast(d38)).as("sxx"),
+        sum((col("yc") * col("yc")).cast(d38)).as("syy"),
+        sum((col("xc") * col("yc")).cast(d38)).as("sxy"))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        (covN / varXN).as("slope"),
+        ((col("sy").cast("double") - (covN / varXN) * col("sx").cast("double"))
+          / col("n").cast("double") / lit(100.0)).as("intercept"),
+        (covN * covN / (varXN * varYN)).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val qRegressionSql: String =
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+      |  FROM lineitem),
+      |m AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(xc) AS HUGEINT) AS sx, CAST(SUM(yc) AS HUGEINT) AS sy,
+      |    SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+      |    SUM(CAST(yc AS HUGEINT) * yc) AS syy,
+      |    SUM(CAST(xc AS HUGEINT) * yc) AS sxy
+      |  FROM c GROUP BY 1),
+      |v AS (SELECT l_returnflag, n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  covn / varxn AS slope,
+      |  (syd - (covn / varxn) * sxd) / CAST(n AS DOUBLE) / 100.0 AS intercept,
+      |  covn * covn / (varxn * varyn) AS r2
+      |FROM v ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------- column profiler
+  /** Per-column data-profiling report over lineitem — the
+    * "describe"-style audit every warehouse ships: one row per column
+    * with row count, null count, exact distinct cardinality, and
+    * min/max (numeric and timestamp columns as DOUBLE — raw fixture
+    * values / epoch seconds, bit-identical; string columns as raw
+    * strings, because engine float→string formatting differs and
+    * numbers must never round-trip through text).
+    *
+    * Scale shape: one aggregate pass PER COLUMN over a scan pruned to
+    * that column (each pass reads one parquet column chunk — the
+    * standard profiler layout, embarrassingly parallel across
+    * columns); the distinct count is the only shuffle and it's keyed
+    * by the column's values. At 100 TB swap COUNT(DISTINCT) for the
+    * HLL sketch ([[qApproxDistinct]]'s treatment) column by column —
+    * the report shape doesn't change.
+    */
+  def qProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def num(c: String) = li.select(col(c)).agg(
+      lit(c).as("column"), count(lit(1)).as("n"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("double").as("min_num"),
+      max(col(c)).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def str(c: String) = li.select(col(c)).agg(
+      lit(c).as("column"), count(lit(1)).as("n"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+    def ts(c: String) = li.select(col(c)).agg(
+      lit(c).as("column"), count(lit(1)).as("n"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      unix_timestamp(min(col(c))).cast("double").as("min_num"),
+      unix_timestamp(max(col(c))).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    (numeric.map(num) ++ strings.map(str) ++ Seq(ts("l_shipdate")))
+      .reduce(_.unionAll(_))
+      .select("column", "n", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str")
+      .orderBy("column")
+  }
+
+  val qProfileSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_num,
+         |  CAST(MAX($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN($c), MAX($c)
+         |FROM lineitem""".stripMargin
+    def ts(c: String) =
+      s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+         |  CAST(epoch(MIN($c)) AS DOUBLE), CAST(epoch(MAX($c)) AS DOUBLE),
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |FROM lineitem""".stripMargin
+    val parts =
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax").map(num) ++
+      Seq("l_returnflag", "l_linestatus").map(str) ++ Seq(ts("l_shipdate"))
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_regression"     -> (qRegression _, qRegressionSql),
+    "q_profile"        -> (qProfile _, qProfileSql),
     "q_tpch_q3"        -> (qTpchQ3 _, qTpchQ3Sql),
     "q_tpch_q5"        -> (qTpchQ5 _, qTpchQ5Sql),
     "q_tpch_q10"       -> (qTpchQ10 _, qTpchQ10Sql),

@@ -673,6 +673,85 @@ object Similarity {
        |SELECT q_id, n_id, rnk, adist FROM r WHERE rnk <= $TopK
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Shortlist size for the two-stage retrieval: stage-1 ADC keeps
+    * this many candidates per query; stage 2 re-ranks only these.
+    */
+  val RerankR = 25
+
+  // ------------------------------------------ two-stage retrieve + re-rank
+  /** Two-stage retrieval — the deployment shape wrapped around every
+    * compressed index: a CHEAP stage-1 shortlist from PQ codes (ADC,
+    * [[sAnnPq]]'s machinery, [[RerankR]] candidates per query), then
+    * an EXACT cosine re-rank of the shortlist alone, emitting the
+    * final top-[[TopK]]. Quantization error decides only which ~R
+    * candidates surface; the order users see is full-precision —
+    * which is why services re-rank instead of shipping raw ADC ranks.
+    *
+    * Scale shape: stage 1 scans the corpus as codes only (M small
+    * ints per vector — never floats) with the |Q|·M·K ADC table
+    * broadcast; stage 2 touches full vectors for just |Q|·R rows —
+    * the tiny shortlist broadcasts onto the vector store and the
+    * fetch is a broadcast hash join (at production layout, a
+    * point-lookup into the by-id vector files). Full-precision floats
+    * never shuffle corpus-wide in either stage.
+    *
+    * Determinism: the shortlist is exact-DECIMAL ADC sums (ties by
+    * n_id); the re-rank is the cosineShortlist contract (6-dp cosine,
+    * ties by n_id).
+    */
+  def sRerank(s: SparkSession, d: String): DataFrame = {
+    val (codebook, codes) = pqModel(s, d)
+    val dtab = pqSub(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"))
+      .join(codebook, "m")
+      .select(col("q_id"), col("m"), col("cell"),
+        pqDist(col("sub"), col("c_emb")).as("dq"))
+    val wS = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id"))
+    val shortlist = codes.join(broadcast(dtab), Seq("m", "cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("dq").cast("decimal(16,6)")).cast("double").as("adist"))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= RerankR)
+      .select("q_id", "n_id")
+    val base = withNorm(s, d)
+    val q = base.toDF("q_id", "q_emb", "q_nrm").filter(col("q_id") < NumQueries)
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")), 6)
+    val wR = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    base.join(broadcast(shortlist), col("vec_id") === col("n_id"))
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(wR).cast("int"))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  lazy val sRerankSql: String =
+    s"""WITH $pqCtesSql,
+       |qd AS (SELECT s.vec_id AS q_id, s.m, c.cell,
+       |    ${pqDistSql("s.sub", "c.c_emb")} AS dq
+       |  FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $NumQueries),
+       |adc AS (SELECT q.q_id, f.vec_id AS n_id,
+       |    CAST(SUM(CAST(q.dq AS DECIMAL(16,6))) AS DOUBLE) AS adist
+       |  FROM fin f JOIN qd q ON q.m = f.m AND q.cell = f.cell
+       |    AND q.q_id <> f.vec_id
+       |  GROUP BY 1, 2),
+       |short AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist ASC, n_id) AS srn FROM adc) WHERE srn <= $RerankR),
+       |$NORM_CTE,
+       |rr AS (SELECT sh.q_id, sh.n_id, ${cosSql("q", "b")} AS cos
+       |  FROM short sh
+       |  JOIN n q ON q.vec_id = sh.q_id
+       |  JOIN n b ON b.vec_id = sh.n_id)
+       |SELECT q_id, n_id, rnk, cos FROM (
+       |  SELECT q_id, n_id, cos, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS INT) AS rnk FROM rr)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
   /** Composed IVF-PQ — the production ANN query at 100 TB: IVF cells
     * cut CANDIDATES (search only the query's [[NumProbes]] probed
     * cells, ~nProbe/K of the corpus), PQ codes cut BYTES (candidates
@@ -2106,6 +2185,7 @@ object Similarity {
     "s_quantize"    -> (sQuantize _, sQuantizeSql),
     "s_pq"          -> (sPq _, sPqSql),
     "s_ann_pq"      -> (sAnnPq _, sAnnPqSql),
+    "s_rerank"      -> (sRerank _, sRerankSql),
     "s_recall_pq"   -> (sRecallPq _, sRecallPqSql),
     "s_ivf_pq"      -> (sIvfPq _, sIvfPqSql),
     "s_rrf"         -> (sRrf _, sRrfSql),

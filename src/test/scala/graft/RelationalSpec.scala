@@ -18,6 +18,44 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_regression matches Spark's built-in regr_slope/regr_r2 within float tolerance") {
+    // the exact-integer-moment fit against the engine's own
+    // double-accumulating aggregates: equal up to their float error
+    val ours = Relational.qRegression(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("slope"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("icept"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r2"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(ref.nonEmpty)
+    ref.foreach { case (flag, slope, icept, r2) =>
+      val (_, n, s2, i2, r22) = ours(flag)
+      assert(n > 0)
+      assert(math.abs(slope - s2) <= 1e-6 * math.max(1.0, math.abs(slope)), s"$flag slope $slope vs $s2")
+      assert(math.abs(icept - i2) <= 1e-6 * math.max(1.0, math.abs(icept)), s"$flag intercept")
+      assert(math.abs(r2 - r22) <= 1e-6, s"$flag r2 $r2 vs $r22")
+    }
+  }
+
+  test("q_profile: counts and distincts match direct queries; one row per column") {
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val rows = Relational.qProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 11)
+    assert(rows.values.forall(_.getLong(1) === total))
+    // spot-check one numeric, one string, the timestamp
+    assert(rows("l_partkey").getLong(3) ===
+      li.select(countDistinct(col("l_partkey"))).as[Long].head())
+    assert(rows("l_returnflag").getString(7) === "R") // max flag
+    val minTs = li.agg(min(unix_timestamp(col("l_shipdate")))).as[Long].head()
+    assert(rows("l_shipdate").getDouble(4) === minTs.toDouble)
+    assert(rows.values.forall(_.getLong(2) === 0L), "fixture has no nulls")
+  }
+
   test("q_topk returns exactly k rows in descending price order") {
     val prices = Relational.qTopK(spark, sf).select("o_totalprice").as[Double].collect()
     assert(prices.length === 10)

@@ -166,6 +166,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerank: exact cosines, subset of the ADC shortlist, recall >= raw ADC ranks") {
+    import org.apache.spark.sql.functions._
+    val rr = Similarity.sRerank(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    val exact = Similarity.sCosineTopK(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    val exactCos = exact.map { case (q, n, _, c) => (q, n) -> c }.toMap
+    val exactTop = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // per query: TopK rows, ranks 1..k, cosines non-increasing
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === Similarity.TopK, s"query $q row count")
+      assert(rows.sortBy(_._3).map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)), s"query $q cosines not sorted")
+    }
+    // re-ranked cosine IS the exact cosine wherever the exact top-k
+    // overlaps (same 6-dp rounding contract on both queries)
+    rr.foreach { case (q, n, _, c) =>
+      exactCos.get((q, n)).foreach(e => assert(e === c, s"($q,$n) cos"))
+    }
+    // with the same shortlist, exact re-ranking can only surface MORE
+    // of the true top-k than raw ADC order: recall(rerank) >= recall(adc@k)
+    val adc = Similarity.sAnnPq(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rrTop = rr.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((q, truth) <- exactTop) {
+      val rAdc = adc.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+      val rRr = rrTop.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+      assert(rRr >= rAdc, s"query $q: rerank recall $rRr < adc recall $rAdc")
+    }
+  }
+
   test("ivf-pq: candidates stay in probed cells; adist agrees with the flat ADC path") {
     import org.apache.spark.sql.functions._
     val got = Similarity.sIvfPq(spark, sf)
