@@ -355,7 +355,75 @@ object Multimodal {
       |    list_transform(range(1, rn + 1), i -> rb[i] * i)), (a, b) -> a + b) AS r_check
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- byte-budget sharding
+  /** Target shard size (bytes) for [[mShardPack]] — WebDataset-style
+    * tar-shard budgets are GBs in production; scaled to the fixture.
+    */
+  val ShardBudget = 16384L
+
+  /** Byte-budget shard assignment for binary payloads — the
+    * WebDataset/tar-shard layout step every multimodal training
+    * pipeline runs before the dataloader: items in doc_id order are
+    * laid out by their CUMULATIVE byte offset and a payload belongs
+    * to the shard its first byte falls in (`start_off div budget`).
+    * This offset contract is what makes the packing DETERMINISTIC and
+    * DISTRIBUTED — no sequential greedy fold, identical output under
+    * any partitioning — at the cost that a shard can overshoot the
+    * budget by at most one payload (the straddler stays where it
+    * starts; the standard trade, documented here as the contract).
+    * Output: one row per non-empty shard with item count, exact
+    * bytes, the doc-id range, and the fill ratio in exact ppm
+    * (bytes·1e6 div budget — integer, no float rounding to tie).
+    *
+    * Scale shape: the scan carries (doc_id, n_bytes) only — payload
+    * BYTES never enter the prefix scan or any shuffle. The global
+    * offset is the same two-level prefix scan as Curation.pPack:
+    * intra-block running sums parallelize across blocks, block bases
+    * are one tiny ordered window over #blocks rows, broadcast back.
+    * The shard report is a shard-keyed aggregation of id-sized rows.
+    */
+  def mShardPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = withPayload(s, d)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("nb"),
+        (col("doc_id") / 8192).cast("long").as("blk"))
+    val wBlk = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = sized.withColumn("end_in_blk", sum(col("nb")).over(wBlk))
+    val wBase = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bases = sized.groupBy("blk").agg(sum(col("nb")).as("blk_n"))
+      .withColumn("base", coalesce(sum(col("blk_n")).over(wBase), lit(0L)))
+      .select(col("blk"), col("base"))
+    intra.join(broadcast(bases), "blk")
+      .withColumn("start_off", col("base") + col("end_in_blk") - col("nb"))
+      .withColumn("shard_id", expr(s"start_off div $ShardBudget").cast("int"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_items"), sum(col("nb")).as("n_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ppm", expr(s"(n_bytes * 1000000) div $ShardBudget"))
+      .orderBy("shard_id")
+  }
+
+  /** Oracle mirrors the semantics (global byte cumsum in doc_id
+    * order); base + intra-block ≡ the global prefix sum.
+    */
+  val mShardPackSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+       |o AS (SELECT doc_id, nb,
+       |  CAST(SUM(nb) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nb
+       |    AS BIGINT) AS start_off FROM p),
+       |sh AS (SELECT CAST(start_off // $ShardBudget AS INT) AS shard_id,
+       |    doc_id, nb FROM o)
+       |SELECT shard_id, COUNT(*) AS n_items,
+       |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(SUM(nb) * 1000000 // $ShardBudget AS BIGINT) AS fill_ppm
+       |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m_shard_pack"   -> (mShardPack _, Some(mShardPackSql)),
     "m_binary_meta"  -> (mBinaryMeta _, Some(mBinaryMetaSql)),
     "m_frame_sample" -> (mFrameSample _, Some(mFrameSampleSql)),
     "m_decode_stub"  -> (mDecodeStub _, Some(mDecodeStubSql)),

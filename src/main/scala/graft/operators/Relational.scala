@@ -1129,6 +1129,44 @@ object Relational {
        |WHERE o_totalprice > 400000.0
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ----------------------------------------------------------- outer join
+  /** Left-outer join with null-preserving aggregation: every customer
+    * counts, including the ones with NO orders — the report shape
+    * inner joins silently get wrong. Per market segment: customers,
+    * customers with no orders (the preserved-null rows), order count,
+    * and order value (COALESCE'd so the null rows contribute 0, not
+    * NULL).
+    *
+    * Scale shape: at 100 TB BOTH sides are large (customers is not a
+    * broadcastable dim on the preserved side of a LEFT join anyway —
+    * broadcasting the stream side of an outer join is not legal, and
+    * the orders side is a fact table), so this is the one join family
+    * that is ALWAYS a key shuffle: hash-partition both sides on
+    * custkey, AQE splits skewed keys. The aggregation then reuses the
+    * same custkey clustering before collapsing to segments.
+    */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_custkey")).as("n_cust"),
+        countDistinct(when(col("o_orderkey").isNull, col("c_custkey")))
+          .as("n_inactive"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(coalesce(col("o_totalprice").cast("decimal(12,2)"),
+          lit(0).cast("decimal(12,2)"))).cast("double").as("order_value"))
+      .orderBy("c_mktsegment")
+
+  val qOuterJoinSql: String =
+    """SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_cust,
+      |  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END)
+      |    AS n_inactive,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(COALESCE(CAST(o_totalprice AS DECIMAL(12,2)),
+      |    CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS order_value
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------- in-engine regression
   /** Per-group simple OLS (SQL's regr_slope/regr_r2 family) computed
     * from EXACT integer moments: regress extended price on quantity
@@ -1274,6 +1312,7 @@ object Relational {
 
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_outer_join"     -> (qOuterJoin _, qOuterJoinSql),
     "q_regression"     -> (qRegression _, qRegressionSql),
     "q_profile"        -> (qProfile _, qProfileSql),
     "q_tpch_q3"        -> (qTpchQ3 _, qTpchQ3Sql),

@@ -82,6 +82,37 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("shard pack: conserves items and bytes; doc ranges tile in order; overshoot bounded") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val shards = Multimodal.mShardPack(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(shards.map(_._2).sum === docs.length, "item conservation")
+    assert(shards.map(_._3).sum === docs.map(_._2).sum, "byte conservation")
+    // shard ids strictly increase and doc ranges tile without overlap
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._5 < b._4, s"ranges overlap: $a / $b")
+      case _ =>
+    }
+    // offset contract: shard bytes <= budget + the largest single item
+    // (only the straddler may overshoot)
+    val maxItem = docs.map(_._2).max
+    shards.foreach { sh =>
+      assert(sh._3 <= Multimodal.ShardBudget + maxItem,
+        s"shard ${sh._1} overshoots beyond one straddler: ${sh._3}")
+      assert(sh._6 === sh._3 * 1000000L / Multimodal.ShardBudget, "fill_ppm")
+    }
+    // independent replay of the offset rule
+    var off = 0L
+    val expect = docs.map { case (id, nb) =>
+      val sid = (off / Multimodal.ShardBudget).toInt; off += nb; (id, sid)
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    shards.foreach(sh => assert(expect(sh._1) === sh._2,
+      s"shard ${sh._1} item count vs replay"))
+  }
+
   test("phash pairs: value-level rows reproduce the brute-force doc-pair census") {
     import spark.implicits._
     val hashes = Multimodal.phashStub(spark, sf).collect()
