@@ -201,8 +201,15 @@ object Similarity {
       nProbe: Int = NumProbes): DataFrame = {
     val base = withNorm(s, d)
     val cent = fittedCentroids(base, iters)
-    val assign = ivfAssignment(base, cent)
+    annIvfFrom(base, cent, ivfAssignment(base, cent), nProbe)
+  }
 
+  /** IVF search over ALREADY-BUILT index frames — callers that sweep a
+    * parameter ([[sProbeCurve]]'s nProbe arms) pass pinned cent/assign
+    * so the fit and the corpus assignment run once, not once per arm.
+    */
+  private def annIvfFrom(base: DataFrame, cent: DataFrame,
+      assign: DataFrame, nProbe: Int): DataFrame = {
     // query probes: top nProbe centroids per query
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
     val probes = base.filter(col("vec_id") < NumQueries)
@@ -2079,8 +2086,14 @@ object Similarity {
     */
   def sProbeCurve(s: SparkSession, d: String): DataFrame = {
     val exact = Materialize.pin(sCosineTopK(s, d).select(col("q_id"), col("n_id")))
+    // hoist the index out of the arm loop: the Lloyd fit and the
+    // corpus assignment are nProbe-independent, so the three arms
+    // share one pinned copy instead of re-fitting per arm
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, LloydIters)
+    val assign = Materialize.pin(ivfAssignment(base, cent))
     Seq(1, 2, 3).map { p =>
-      val approx = annIvf(s, d, LloydIters, p)
+      val approx = annIvfFrom(base, cent, assign, p)
         .select(col("q_id"), col("n_id"), lit(1).as("hit"))
       exact.join(approx, Seq("q_id", "n_id"), "left")
         .agg(count(lit(1)).as("k_total"),
