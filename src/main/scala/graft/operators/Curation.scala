@@ -312,7 +312,13 @@ object Curation {
     */
   def pTriplets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = graft.operators.Dedup.dMinhashLsh(s, d).select("a", "b")
+    // pin the verified pair set: `pairs` fans out through `sym` into
+    // two consumers (positive pick + false-negative anti-join), so an
+    // unpinned frame re-runs the full LSH chain (tokenize → MinHash →
+    // band → bucket-join → verify) up to four times. Pair-count rows —
+    // free to materialize at any scale.
+    val pairs = Materialize.pin(
+      graft.operators.Dedup.dMinhashLsh(s, d).select("a", "b"))
     val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     val pos = sym.groupBy(col("a").as("anchor")).agg(min(col("b")).as("positive"))
     val ranked = Tables.documents(s, d).select(col("doc_id"),
