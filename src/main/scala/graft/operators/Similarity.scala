@@ -935,6 +935,90 @@ object Similarity {
       |  round(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 16777216.0), 6) AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------- PQ subspace allocation
+  /** PQ subspace-allocation design report — the OPQ-family question
+    * ("is variance spread evenly across subspaces?") answered without
+    * a rotation: per-dimension variances (exact integer-grid moments,
+    * [[sCentroids]]'s 2^24 quantization) are allocated to the
+    * [[PqM]] subspaces two ways — the naive CONTIGUOUS slicing
+    * [[sPq]] uses, and the BALANCED snake allocation (dims ranked by
+    * variance, dealt 0..M-1,M-1..0,…) that equalizes per-subspace
+    * energy, the standard cheap stand-in for OPQ's learned rotation
+    * when a permutation is all the index format allows. One row per
+    * (layout, subspace) with its variance share plus the layout's
+    * imbalance (max share · M — 1.0 is perfect balance); a contiguous
+    * imbalance far above the balanced one says permute before
+    * training codebooks.
+    *
+    * Determinism: per-dim variance numerators are exact integers
+    * (n·Σq²−(Σq)² on the 2^24 grid, DECIMAL(38,0)/HUGEINT); the rank
+    * is an exact-integer sort; shares are one double division of
+    * exact operands. Scale shape: ONE corpus pass into a 64-row
+    * moment table; everything after is 64-row planning. The snake
+    * window runs on 64 rows — never corpus data.
+    */
+  def sPqLayout(s: SparkSession, d: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val grid = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"),
+        floor(col("v").cast("double") * lit(16777216.0)).cast("long").as("q"))
+    val mom = grid.groupBy("pos").agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("q")).cast(d38).as("sq"),
+        sum((col("q") * col("q")).cast(d38)).as("sqq"))
+      .select(col("pos"),
+        (col("n") * col("sqq") - col("sq") * col("sq")).as("varn"))
+    val wR = Window.orderBy(col("varn").desc, col("pos"))
+    val assigned = mom.withColumn("rk", row_number().over(wR))
+      .withColumn("sn", (col("rk") - 1) % (2 * PqM))
+      .withColumn("m_bal", when(col("sn") < PqM, col("sn"))
+        .otherwise(lit(2 * PqM - 1) - col("sn")).cast("int"))
+      .withColumn("m_contig", expr(s"pos div $PqSub").cast("int"))
+    val tot = broadcast(assigned.agg(sum(col("varn")).as("tv")))
+    def shares(mcol: String, name: String): DataFrame =
+      assigned.groupBy(col(mcol).as("m"))
+        .agg(sum(col("varn")).as("mv"), count(lit(1)).cast("int").as("n_dims"))
+        .crossJoin(tot)
+        .select(lit(name).as("layout"), col("m"), col("n_dims"),
+          (col("mv").cast("double") / col("tv").cast("double")).as("var_share"))
+    val wL = Window.partitionBy("layout")
+    shares("m_contig", "contiguous").unionAll(shares("m_bal", "balanced"))
+      .withColumn("layout_imbalance",
+        max(col("var_share")).over(wL) * lit(PqM.toDouble))
+      .orderBy("layout", "m")
+  }
+
+  val sPqLayoutSql: String =
+    s"""WITH g AS (SELECT i - 1 AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216) AS BIGINT) AS q
+       |  FROM embeddings, range(1, 65) t(i)),
+       |mom AS (SELECT pos, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(q) AS HUGEINT) AS sq,
+       |    SUM(CAST(q AS HUGEINT) * q) AS sqq
+       |  FROM g GROUP BY 1),
+       |v AS (SELECT pos, n * sqq - sq * sq AS varn FROM mom),
+       |r AS (SELECT pos, varn,
+       |    row_number() OVER (ORDER BY varn DESC, pos) AS rk FROM v),
+       |a AS (SELECT pos, varn,
+       |    CAST(pos // $PqSub AS INT) AS m_contig,
+       |    CAST(CASE WHEN (rk - 1) % ${2 * PqM} < $PqM THEN (rk - 1) % ${2 * PqM}
+       |      ELSE ${2 * PqM - 1} - (rk - 1) % ${2 * PqM} END AS INT) AS m_bal
+       |  FROM r),
+       |tot AS (SELECT SUM(varn) AS tv FROM a),
+       |u AS (
+       |  SELECT 'contiguous' AS layout, m_contig AS m,
+       |    CAST(COUNT(*) AS INT) AS n_dims,
+       |    CAST(SUM(varn) AS DOUBLE) / CAST(MAX(tv) AS DOUBLE) AS var_share
+       |  FROM a, tot GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'balanced', m_bal, CAST(COUNT(*) AS INT),
+       |    CAST(SUM(varn) AS DOUBLE) / CAST(MAX(tv) AS DOUBLE)
+       |  FROM a, tot GROUP BY 1, 2)
+       |SELECT layout, m, n_dims, var_share,
+       |  MAX(var_share) OVER (PARTITION BY layout) * $PqM AS layout_imbalance
+       |FROM u ORDER BY layout, m""".stripMargin
+
   // ------------------------------------------- centroid classification
   /** Nearest-centroid classification eval: assign every vector to the
     * class whose mean centroid ([[sCentroids]]'s exact-grid means) is
@@ -2199,6 +2283,7 @@ object Similarity {
     "s_pq"          -> (sPq _, sPqSql),
     "s_ann_pq"      -> (sAnnPq _, sAnnPqSql),
     "s_rerank"      -> (sRerank _, sRerankSql),
+    "s_pq_layout"   -> (sPqLayout _, sPqLayoutSql),
     "s_recall_pq"   -> (sRecallPq _, sRecallPqSql),
     "s_ivf_pq"      -> (sIvfPq _, sIvfPqSql),
     "s_rrf"         -> (sRrf _, sRrfSql),

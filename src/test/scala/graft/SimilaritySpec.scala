@@ -198,6 +198,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq layout: full driver-side replay of the variance snake allocation") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("embedding")).as[Seq[Float]].collect()
+    // exact grid moments, dim by dim (BigInt = the DECIMAL(38,0) twin)
+    val dims = emb.head.length
+    val varn = (0 until dims).map { p =>
+      val qs = emb.map(v => math.floor(v(p).toDouble * 16777216.0).toLong)
+      val n = BigInt(qs.length)
+      val sq = qs.map(BigInt(_)).sum
+      val sqq = qs.map(q => BigInt(q) * q).sum
+      p -> (n * sqq - sq * sq)
+    }
+    val m = Similarity.PqM
+    val ranked = varn.sortBy { case (p, v) => (-v, p) }
+    val balAssign = ranked.zipWithIndex.map { case ((p, v), i) =>
+      val sn = i % (2 * m)
+      p -> (if (sn < m) sn else 2 * m - 1 - sn)
+    }.toMap
+    val tot = varn.map(_._2).sum
+    def share(sum: BigInt): Double = sum.toDouble / tot.toDouble
+    val expBal = varn.groupBy { case (p, _) => balAssign(p) }
+      .view.mapValues(g => share(g.map(_._2).sum)).toMap
+    val expCon = varn.groupBy(_._1 / Similarity.PqSub)
+      .view.mapValues(g => share(g.map(_._2).sum)).toMap
+    val rows = Similarity.sPqLayout(spark, sf)
+      .as[(String, Int, Int, Double, Double)].collect()
+    assert(rows.length === 2 * m)
+    rows.foreach { case (layout, mm, nDims, vs, imb) =>
+      assert(nDims === Similarity.PqSub)
+      val exp = if (layout == "balanced") expBal(mm) else expCon(mm)
+      assert(math.abs(vs - exp) < 1e-12, s"$layout m=$mm share $vs vs $exp")
+      val expImb = (if (layout == "balanced") expBal else expCon).values.max * m
+      assert(math.abs(imb - expImb) < 1e-12, s"$layout imbalance")
+    }
+    // the point of the snake: balanced is never worse than contiguous
+    // (empirical on every fixture SF; the snake bounds group sums by
+    // one element's variance, contiguous has no bound at all)
+    val byLayout = rows.groupBy(_._1).view.mapValues(_.head._5).toMap
+    assert(byLayout("balanced") <= byLayout("contiguous") + 1e-12)
+  }
+
   test("ivf-pq: candidates stay in probed cells; adist agrees with the flat ADC path") {
     import org.apache.spark.sql.functions._
     val got = Similarity.sIvfPq(spark, sf)
