@@ -200,6 +200,52 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
   }
 
+  // -------------------------------------- recursive duplication reach
+  /** Bounded transitive duplication reach via the SQL front door's
+    * RECURSIVE CTE (Spark 4's iterative-CTE execution — the engine
+    * drives the superstep loop that [[connectedComponents]] hand-rolls
+    * externally): starting from every verified near-dup edge
+    * ([[dMinhashLsh]]'s a < b pairs), follow edges downward up to 3
+    * hops and report, per origin doc, how many docs its duplication
+    * transitively reaches and at what depth. Chains the pairwise
+    * detector cannot see directly (A≈B≈C with no A–C pair) surface
+    * here — the "how far does this template spread" diagnostic next
+    * to [[dCluster]]'s undirected component labels.
+    *
+    * Scale shape: the a < b edge orientation makes the graph a DAG
+    * (each hop strictly increases the id) and the depth cap bounds
+    * the engine's iteration at 3 supersteps; each superstep is one
+    * frontier⋈edges hash join on pair-count rows — corpus bodies
+    * never enter the recursion. Path multiplicity from diamonds is
+    * collapsed by the final DISTINCT count.
+    */
+  def dReach(s: SparkSession, d: String): DataFrame = {
+    dMinhashLsh(s, d).select("a", "b")
+      .createOrReplaceTempView("graft_dup_edges")
+    s.sql("""
+      WITH RECURSIVE reach(root, node, depth) AS (
+        SELECT a, b, 1 FROM graft_dup_edges
+        UNION ALL
+        SELECT r.root, e.b, r.depth + 1
+        FROM reach r JOIN graft_dup_edges e ON e.a = r.node
+        WHERE r.depth < 3)
+      SELECT root, COUNT(DISTINCT node) AS n_reach,
+        CAST(MAX(depth) AS INT) AS max_depth
+      FROM reach GROUP BY root ORDER BY root""")
+  }
+
+  lazy val dReachSql: String =
+    s"""WITH RECURSIVE p AS ($dMinhashLshSql),
+       |reach(root, node, depth) AS (
+       |  SELECT a, b, 1 FROM p
+       |  UNION ALL
+       |  SELECT r.root, e.b, r.depth + 1
+       |  FROM reach r JOIN p e ON e.a = r.node
+       |  WHERE r.depth < 3)
+       |SELECT root, COUNT(DISTINCT node) AS n_reach,
+       |  CAST(MAX(depth) AS INT) AS max_depth
+       |FROM reach GROUP BY root ORDER BY root""".stripMargin
+
   // ------------------------------------------- incremental dedup
   /** Incremental dedup of a NEW batch against an EXISTING reference
     * corpus — the shape every recurring crawl runs: never re-dedup the
@@ -1463,6 +1509,7 @@ object Dedup {
     "d_lsh_eval"    -> (dLshEval _, dLshEvalSql),
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
+    "d_reach"       -> (dReach _, dReachSql),
     "d_incremental" -> (dIncremental _, dIncrementalSql),
     "d_incremental_bloom" -> (dIncrementalBloom _, dIncrementalBloomSql),
     "d_simhash"     -> (dSimhash _, dSimhashSql),

@@ -58,6 +58,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty && jac.nonEmpty)
   }
 
+  test("d_reach: recursive-CTE reach equals a driver-side bounded BFS over the pairs") {
+    val edges = Dedup.dMinhashLsh(spark, sf).select("a", "b")
+      .as[(Long, Long)].collect()
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = edges.map(_._1).distinct.sorted.map { root =>
+      var frontier = adj(root)
+      var seen = frontier
+      var depth = 1
+      var maxd = 1
+      while (depth < 3 && frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        if (next.nonEmpty) maxd = depth + 1
+        seen ++= next; frontier = next; depth += 1
+      }
+      (root, seen.size.toLong, maxd)
+    }
+    val got = Dedup.dReach(spark, sf).as[(Long, Long, Int)].collect()
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("simhash of near-dup pairs is closer than random pairs (hamming)") {
     val sh = Dedup.dSimhash(spark, sf).as[(Long, Int)].collect().toMap
     def ham(x: Int, y: Int) = Integer.bitCount(x ^ y)
