@@ -422,7 +422,59 @@ object Multimodal {
        |  CAST(SUM(nb) * 1000000 // $ShardBudget AS BIGINT) AS fill_ppm
        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------- pair-table integrity
+  /** Paired-dataset assembly audit — the integrity check run when a
+    * multimodal training table is built from separately-ingested
+    * modalities (here: text payloads ⟂ embedding vectors, keyed
+    * doc_id = vec_id): a full-outer join classifies every id as
+    * `paired`, `text_only`, or `embedding_only` and reports counts,
+    * payload bytes on the text side, and how many embedding rows
+    * carry the expected dimensionality. Orphans on either side are
+    * exactly what a CLIP-style pair pipeline must quarantine before
+    * training; at the fixture's sf0.1 the text side genuinely
+    * overhangs (5 000 docs vs 2 000 vectors), so the audit is
+    * non-vacuous.
+    *
+    * Scale shape: the full-outer join is an id-keyed shuffle of
+    * (id, n_bytes) / (id, dim) rows — payload bytes and vectors never
+    * move (in production the byte length rides a metadata column, the
+    * [[mBinaryMeta]] materialization); the report is a 3-group
+    * aggregation.
+    */
+  def mPairAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = withPayload(s, d)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("nb"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), size(col("embedding")).as("dim"))
+    docs.join(emb, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, "paired")
+          .when(col("vec_id").isNull, "text_only")
+          .otherwise("embedding_only").as("status"),
+        col("nb"), col("dim"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("nb"), lit(0L))).as("text_bytes"),
+        sum(when(col("dim") === 64, 1L).otherwise(0L)).as("n_dim_ok"))
+      .orderBy("status")
+  }
+
+  val mPairAuditSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+      |e AS (SELECT vec_id, len(embedding) AS dim FROM embeddings),
+      |j AS (SELECT CASE
+      |    WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'paired'
+      |    WHEN e.vec_id IS NULL THEN 'text_only'
+      |    ELSE 'embedding_only' END AS status, d.nb, e.dim
+      |  FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id)
+      |SELECT status, COUNT(*) AS n,
+      |  CAST(SUM(COALESCE(nb, 0)) AS BIGINT) AS text_bytes,
+      |  CAST(SUM(CASE WHEN dim = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m_pair_audit"   -> (mPairAudit _, Some(mPairAuditSql)),
     "m_shard_pack"   -> (mShardPack _, Some(mShardPackSql)),
     "m_binary_meta"  -> (mBinaryMeta _, Some(mBinaryMetaSql)),
     "m_frame_sample" -> (mFrameSample _, Some(mFrameSampleSql)),

@@ -1090,6 +1090,48 @@ object Relational {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ------------------------------------------ TPC-H Q18 (large-volume cust)
+  /** TPC-H Q18 shape: customers whose single orders exceed a quantity
+    * threshold — the classic aggregate-HAVING feeding a semi-join
+    * back into the fact chain. The HAVING sum and the final sum are
+    * exact DECIMAL (double quantity sums are order-dependent and
+    * would make the >-threshold predicate itself nondeterministic).
+    *
+    * Scale shape: the HAVING aggregate shuffles lineitem on
+    * l_orderkey — the SAME key as the join that follows, so the
+    * exchange is reused (co-partitioned); the post-HAVING hot-order
+    * list is tiny by selectivity (~0.2 % here) and broadcasts back
+    * onto the fact scan; customer broadcasts; top-20 is
+    * TakeOrderedAndProject.
+    */
+  def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val hot = li.groupBy(col("l_orderkey")).agg(sum(qtyDec).as("qsum"))
+      .filter(col("qsum") > 300).select(col("l_orderkey").as("hk"))
+    li.join(broadcast(hot), col("l_orderkey") === col("hk"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .agg(sum(qtyDec).cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  val qTpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 20""".stripMargin
+
   // ---------------------------------------------- runtime Bloom prefilter
   /** Runtime-filter join: a selective predicate on orders prunes the
     * lineitem scan through a Bloom sketch BEFORE the shuffle — the
@@ -1318,6 +1360,7 @@ object Relational {
     "q_tpch_q3"        -> (qTpchQ3 _, qTpchQ3Sql),
     "q_tpch_q5"        -> (qTpchQ5 _, qTpchQ5Sql),
     "q_tpch_q10"       -> (qTpchQ10 _, qTpchQ10Sql),
+    "q_tpch_q18"       -> (qTpchQ18 _, qTpchQ18Sql),
     "q_bloom_join"     -> (qBloomJoin _, qBloomJoinSql),
     "q1_agg"           -> (q1Agg _, q1AggSql),
     "q_filter_project" -> (qFilterProject _, qFilterProjectSql),

@@ -261,7 +261,8 @@ class PlanSpec extends SparkSpec {
     for ((name, df) <- Seq(
         "q3" -> Relational.qTpchQ3(spark, sf),
         "q5" -> Relational.qTpchQ5(spark, sf),
-        "q10" -> Relational.qTpchQ10(spark, sf))) {
+        "q10" -> Relational.qTpchQ10(spark, sf),
+        "q18" -> Relational.qTpchQ18(spark, sf))) {
       val p = plan(df)
       val finalSection = p.split("== Initial Plan ==").head
       assert(finalSection.contains("BroadcastHashJoin"),
