@@ -1136,6 +1136,57 @@ object Curation {
       .orderBy("check_name")
   }
 
+  // --------------------------------------------- k-anonymity audit
+  /** k-anonymity release audit over the corpus's quasi-identifiers —
+    * the privacy check run before a dataset ships: group documents by
+    * the attribute combination an adversary could link on (language ×
+    * source × length bucket of 100 chars) and report, per k-threshold
+    * (k ∈ {2, 5, 10}), how many equivalence classes fall below k and
+    * how many documents sit in those re-identifiable classes. A class
+    * of size 1 is a unique fingerprint; classes ≥ k are the safe
+    * crowd. Generalize (coarser buckets, dropped attributes) until
+    * the at-risk counts are acceptable — this table is the loop's
+    * measurement.
+    *
+    * Scale shape: one groupBy on the quasi-identifier tuple (map-side
+    * partial counts), then a 3-row threshold sweep over the
+    * class-size table — class-count rows, never documents. Counts
+    * exact.
+    */
+  def pKanon(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("csize"))
+    val ks = Seq(2, 5, 10)
+    ks.map(k =>
+      classes.agg(
+        lit(k).as("k"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("csize") < k, 1L).otherwise(0L)).as("classes_at_risk"),
+        sum(when(col("csize") < k, col("csize")).otherwise(lit(0L)))
+          .as("docs_at_risk"),
+        sum(col("csize")).as("n_docs")))
+      .reduce(_.unionAll(_))
+      .orderBy("k")
+  }
+
+  val pKanonSql: String = {
+    val arm = (k: Int) =>
+      s"""SELECT $k AS k, COUNT(*) AS n_classes,
+         |  CAST(SUM(CASE WHEN csize < $k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS classes_at_risk,
+         |  CAST(SUM(CASE WHEN csize < $k THEN csize ELSE 0 END) AS BIGINT)
+         |    AS docs_at_risk,
+         |  CAST(SUM(csize) AS BIGINT) AS n_docs
+         |FROM classes""".stripMargin
+    s"""WITH classes AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+       |    COUNT(*) AS csize
+       |  FROM documents GROUP BY 1, 2, 3)
+       |${Seq(2, 5, 10).map(arm).mkString("\nUNION ALL\n")}
+       |ORDER BY k""".stripMargin
+  }
+
   val pIntegritySql: String =
     """WITH rowc AS (SELECT COUNT(*) AS n,
       |    CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
@@ -1163,6 +1214,7 @@ object Curation {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_integrity"   -> (pIntegrity _, pIntegritySql),
+    "p_kanon"       -> (pKanon _, pKanonSql),
     "p_epochs"      -> (pEpochs _, pEpochsSql),
     "p_quality_ppl" -> (pQualityPpl _, pQualityPplSql),
     "p_temperature_mix" -> (pTemperatureMix _, pTemperatureMixSql),
