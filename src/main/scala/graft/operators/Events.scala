@@ -1769,6 +1769,32 @@ object Events {
     * conditional sums), one id-keyed aggregation for the duplicate
     * check, and a 1-row envelope broadcast. Counts are exact.
     */
+  /** The row-local audit counters, shared verbatim by the batch audit
+    * and the streaming observe gate
+    * ([[graft.streaming.EventStreams.dqGateMetrics]]) — one predicate
+    * set, two execution modes. All are driver-mergeable sums, so they
+    * satisfy `Dataset.observe`'s aggregate contract.
+    *
+    * bad_props: get_json_object(_, '$') is null exactly when the input
+    * is NULL, blank, or MALFORMED — unlike from_json, whose PERMISSIVE
+    * mode returns a non-null struct of nulls for malformed text and so
+    * can never detect it. Probed against DuckDB's try_cast(_ AS JSON)
+    * on 10 edge inputs (null, '', '{bad', whitespace, scalar
+    * 'null'/'5'/'"abc"', array, '{}'): the two predicates agree on
+    * every one, including the JSON-null literal.
+    */
+  private[graft] def dqRowMetrics: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+    sum(when(col("event_type").isNull || col("event_type") === "", 1L)
+      .otherwise(0L)).as("blank_type"),
+    sum(when(col("value").isNull || isnan(col("value"))
+      || col("value") < 0
+      || col("value") === lit(Double.PositiveInfinity), 1L)
+      .otherwise(0L)).as("bad_value"),
+    sum(when(get_json_object(col("props"), "$").isNull, 1L)
+      .otherwise(0L)).as("bad_props"))
+
   def eDqAudit(s: SparkSession, d: String): DataFrame = {
     val ev = load(s, d)
     val dups = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
@@ -1777,26 +1803,11 @@ object Events {
       .select(lit("duplicate_event_id").as("check_name"),
         col("n_bad"), col("n_total"))
     val env = ev.agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi"))
-    val rowChecks = ev.crossJoin(broadcast(env)).agg(
-      count(lit(1)).as("n"),
-      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
-      sum(when(col("event_type").isNull || col("event_type") === "", 1L)
-        .otherwise(0L)).as("blank_type"),
-      sum(when(col("value").isNull || isnan(col("value"))
-        || col("value") < 0
-        || col("value") === lit(Double.PositiveInfinity), 1L)
-        .otherwise(0L)).as("bad_value"),
-      sum(when(col("ts_ns") < col("lo") || col("ts_ns") > col("hi"), 1L)
-        .otherwise(0L)).as("ts_oob"),
-      // get_json_object(_, '$') is null exactly when the input is NULL,
-      // blank, or MALFORMED — unlike from_json, whose PERMISSIVE mode
-      // returns a non-null struct of nulls for malformed text and so
-      // can never detect it. Probed against DuckDB's
-      // try_cast(_ AS JSON) on 10 edge inputs (null, '', '{bad',
-      // whitespace, scalar 'null'/'5'/'"abc"', array, '{}'): the two
-      // predicates agree on every one, including the JSON-null literal.
-      sum(when(get_json_object(col("props"), "$").isNull, 1L)
-        .otherwise(0L)).as("bad_props"))
+    val tsOob = sum(when(col("ts_ns") < col("lo")
+      || col("ts_ns") > col("hi"), 1L).otherwise(0L)).as("ts_oob")
+    val metrics = dqRowMetrics :+ tsOob
+    val rowChecks = ev.crossJoin(broadcast(env))
+      .agg(metrics.head, metrics.tail: _*)
     val checks = Seq("null_user", "blank_type", "bad_value", "ts_oob",
       "bad_props")
     checks.map(c =>

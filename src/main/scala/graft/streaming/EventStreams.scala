@@ -49,6 +49,23 @@ object EventStreams {
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
   }
 
+  /** Streaming data-quality gate: the SAME row-local audit counters as
+    * the batch `e_dq_audit` (null/blank identity, NaN/negative/+Inf
+    * values, NULL-or-malformed props — one shared predicate set,
+    * [[graft.operators.Events.dqRowMetrics]]), packaged for
+    * `Dataset.observe` so a streaming ingest pays ZERO extra passes or
+    * shuffles for its quality audit: each task folds its rows into the
+    * metric buffer while the pipeline's real work runs, and per-batch
+    * values surface via `StreamingQueryProgress.observedMetrics`.
+    * Cross-batch checks (duplicate ids, envelope) need keyed state and
+    * live in `dropDuplicatesWithinWatermark` / the batch audit.
+    */
+  def dqGateMetrics: Seq[Column] = graft.operators.Events.dqRowMetrics
+
+  /** Attach the streaming DQ gate to an event stream. */
+  def withDqGate(events: DataFrame, name: String = "dq_gate"): DataFrame =
+    events.observe(name, dqGateMetrics.head, dqGateMetrics.tail: _*)
+
   /** Hourly tumbling counts per event type; 10-minute watermark drops
     * late data and lets window state be evicted.
     */

@@ -12,6 +12,10 @@ import graft.streaming.EventStreams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** Nullable-field twin of Ev for the dirty DQ-gate fixture. */
+case class DirtyEv(event_id: Long, ts: Timestamp, user_id: java.lang.Long,
+    event_type: String, value: java.lang.Double, props: String)
+
 /** Streaming ≡ batch equivalence: feed the events fixture through
   * MemoryStream in multiple chunks and assert the streaming results
   * equal running the SAME transformation over the batch frame.
@@ -63,6 +67,49 @@ class StreamingSpec extends SparkSpec {
       val totalHot = perBatch.map(_.getAs[Long]("hot_values")).sum
       assert(totalN === batchEvents.size.toLong)
       assert(totalHot === batchEvents.count(_.value > 50.0).toLong)
+    } finally q.stop()
+  }
+
+  test("streaming DQ gate: per-batch observed metrics sum to the batch audit counts") {
+    // the EventsSpec dirty fixture, fed as a stream: the SAME shared
+    // predicate set (Events.dqRowMetrics) must produce the same
+    // violation counts whether it runs as the batch audit or as
+    // per-microbatch observe metrics — zero extra passes either way
+    val t0 = Timestamp.from(java.time.Instant.EPOCH)
+    val dirty = Seq(
+      DirtyEv(1L, t0, 1L, "click", 1.0, """{"k":1}"""),
+      DirtyEv(1L, t0, 2L, "view", 2.0, "{}"),
+      DirtyEv(2L, t0, null, "click", 1.0, """{"k":2}"""),
+      DirtyEv(3L, t0, 3L, "", 1.0, "[1,2]"),
+      DirtyEv(4L, t0, 4L, "click", Double.NaN, "null"),
+      DirtyEv(5L, t0, 5L, "click", -1.0, "5"),
+      DirtyEv(6L, t0, 6L, "click", Double.PositiveInfinity, """{"k":3}"""),
+      DirtyEv(7L, t0, 7L, "click", 1.0, "{malformed"),
+      DirtyEv(8L, t0, 8L, "click", 1.0, null),
+      DirtyEv(9L, t0, 9L, "click", 1.0, "  "))
+    val input = MemoryStream[DirtyEv](spark)
+    val q = EventStreams.withDqGate(input.toDF())
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("dq_gate_t")
+      .outputMode("complete").start()
+    try {
+      dirty.grouped(4).foreach { g => input.addData(g); q.processAllAvailable() }
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("dq_gate")))
+      assert(perBatch.nonEmpty)
+      def total(c: String): Long = perBatch.map(_.getAs[Long](c)).sum
+      assert(total("n") === 10L)
+      assert(total("null_user") === 1L)
+      assert(total("blank_type") === 1L)
+      assert(total("bad_value") === 3L, "NaN + negative + Infinity")
+      assert(total("bad_props") === 3L, "malformed + NULL + whitespace")
+      // and the identical counters over the same frame as ONE batch agg
+      val m = EventStreams.dqGateMetrics
+      val batch = dirty.toDF().agg(m.head, m.tail: _*).collect()(0)
+      Seq("n" -> 10L, "null_user" -> 1L, "blank_type" -> 1L,
+        "bad_value" -> 3L, "bad_props" -> 3L).foreach { case (c, v) =>
+        assert(batch.getAs[Long](c) === v, c)
+      }
     } finally q.stop()
   }
 
