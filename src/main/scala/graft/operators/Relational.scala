@@ -1132,6 +1132,58 @@ object Relational {
       |GROUP BY 1, 2, 3, 4, 5
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 20""".stripMargin
 
+  // --------------------------------------- TPC-H Q21 (waiting suppliers)
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    * multi-supplier orders (fixture adaptation: "late" = shipped more
+    * than 60 days after the order date; the fixture has no
+    * commit/receipt dates). The textbook formulation is a fact table
+    * self-joined TWICE (EXISTS another supplier, NOT EXISTS another
+    * late supplier) — the most expensive query in the benchmark when
+    * executed literally.
+    *
+    * This implementation is the AGGREGATE REWRITE that scales: one
+    * orderkey-grouped pass computes (distinct suppliers, distinct
+    * late suppliers, the late supplier when unique); the EXISTS pair
+    * collapses to `nsupp ≥ 2 AND nlate = 1`, and the qualifying
+    * order's single late supplier takes the count. Two fact
+    * self-joins become zero — one shuffle on the key the join already
+    * needed. The DuckDB oracle deliberately runs the TEXTBOOK
+    * double-EXISTS form, so the driver's hash compare proves the
+    * rewrite equivalent on every fixture.
+    */
+  def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    l.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(late, col("l_suppkey"))).as("nlate"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      .groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val qTpchQ21Sql: String =
+    """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+      |FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |    AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |    AND l3.l_suppkey <> l1.l_suppkey
+      |    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   // ---------------------------------------------- runtime Bloom prefilter
   /** Runtime-filter join: a selective predicate on orders prunes the
     * lineitem scan through a Bloom sketch BEFORE the shuffle — the
@@ -1361,6 +1413,7 @@ object Relational {
     "q_tpch_q5"        -> (qTpchQ5 _, qTpchQ5Sql),
     "q_tpch_q10"       -> (qTpchQ10 _, qTpchQ10Sql),
     "q_tpch_q18"       -> (qTpchQ18 _, qTpchQ18Sql),
+    "q_tpch_q21"       -> (qTpchQ21 _, qTpchQ21Sql),
     "q_bloom_join"     -> (qBloomJoin _, qBloomJoinSql),
     "q1_agg"           -> (q1Agg _, q1AggSql),
     "q_filter_project" -> (qFilterProject _, qFilterProjectSql),
