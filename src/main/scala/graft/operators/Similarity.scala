@@ -390,6 +390,82 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ----------------------------------------------- multi-probe LSH ANN
+  /** Multi-probe LSH (the VLDB'07 technique): instead of buying recall
+    * with more hash tables (more bands = more index copies at 100 TB),
+    * each query ALSO probes the buckets one sign-bit away from its own
+    * — the buckets a near-boundary neighbor most likely fell into.
+    * Same index, (1 + bits-per-band)× the probe keys, strictly more
+    * candidates: per-query recall can only rise vs [[sAnnLsh]]
+    * (superset of candidates + exact re-scoring ⇒ monotone recall —
+    * anything that displaces a true top-k member from the shortlist is
+    * itself a true top-k member; SimilaritySpec pins the inequality).
+    *
+    * The bucket is a '0'/'1' sign STRING (see [[graft.plans.SignBands]]),
+    * so probe generation is a per-row char flip — no new index, no new
+    * expression, a pure map on the broadcast query side. Scale shape
+    * identical to sAnnLsh: corpus scanned once, never shuffled; only
+    * the probe-key fan-out (|Q|·bands·(width+1) rows, still tiny)
+    * grows.
+    */
+  def sAnnLshMp(s: SparkSession, d: String): DataFrame = {
+    val width = LshPlanes / LshBands
+    val base = withNorm(s, d)
+    val qb = banded(base.filter(col("vec_id") < NumQueries))
+      .toDF("q_id", "q_emb", "q_nrm", "band", "bucket")
+    val probes = qb
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("band"), col("bucket"),
+        explode(array((-1 until width).map(lit(_)): _*)).as("flip"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("band"),
+        when(col("flip") === -1, col("bucket")).otherwise(expr(
+          """concat(substr(bucket, 1, flip),
+            |  CASE WHEN substr(bucket, flip + 1, 1) = '1' THEN '0' ELSE '1' END,
+            |  substr(bucket, flip + 2))""".stripMargin)).as("bucket"))
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")), 6)
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    banded(base).join(broadcast(probes), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .distinct()
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  val sAnnLshMpSql: String = {
+    val width = LshPlanes / LshBands
+    val bandSelects = (0 until LshBands).map(b =>
+      s"SELECT vec_id, embedding, nrm, $b AS band, ${bandBucketSql(b)} AS bucket FROM n")
+      .mkString("\n  UNION ALL ")
+    // single-line concat expressions: the surrounding stripMargin
+    // would otherwise eat the leading pipe of a line-initial `||`
+    val flipSelects = (0 until width).map { f =>
+      val flipped = s"substr(bucket, 1, $f) || (CASE WHEN " +
+        s"substr(bucket, ${f + 1}, 1) = '1' THEN '0' ELSE '1' END) || " +
+        s"substr(bucket, ${f + 2})"
+      s"SELECT vec_id, embedding, nrm, band, $flipped AS bucket FROM qb"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $NORM_CTE,
+       |banded AS (
+       |  $bandSelects),
+       |qb AS (SELECT * FROM banded WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT vec_id, embedding, nrm, band, bucket FROM qb
+       |  UNION ALL $flipSelects),
+       |cand AS (SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${cosSql("p", "c")} AS cos
+       |  FROM probes p JOIN banded c ON c.band = p.band AND c.bucket = p.bucket
+       |    AND p.vec_id <> c.vec_id),
+       |ranked AS (SELECT q_id, n_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       |  FROM cand)
+       |SELECT q_id, n_id, rnk, cos FROM ranked WHERE rnk <= $TopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------ k-NN graph
   /** Approximate k-NN GRAPH: top-[[KnnK]] cosine neighbors for EVERY
     * vector (not just a query set) among candidates sharing an LSH
@@ -2278,6 +2354,7 @@ object Similarity {
     "s_cosine_topk" -> (sCosineTopK _, sCosineTopKSql),
     "s_ann_ivf"     -> (sAnnIvf _, sAnnIvfSql),
     "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),
+    "s_ann_lsh_mp"  -> (sAnnLshMp _, sAnnLshMpSql),
     "s_knn_graph"   -> (sKnnGraph _, sKnnGraphSql),
     "s_quantize"    -> (sQuantize _, sQuantizeSql),
     "s_pq"          -> (sPq _, sPqSql),

@@ -198,6 +198,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: recall per query >= single-probe (superset monotonicity)") {
+    import org.apache.spark.sql.functions._
+    val truth = Similarity.sCosineTopK(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = Similarity.sAnnLsh(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val multi = Similarity.sAnnLshMp(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(multi.nonEmpty)
+    for ((q, t) <- truth) {
+      val rS = single.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      val rM = multi.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      // theorem: the multi-probe candidate set is a superset, and
+      // exact re-scoring means anything displacing a true top-k
+      // member from the shortlist is itself a true top-k member
+      assert(rM >= rS, s"query $q: multi-probe recall $rM < single $rS")
+    }
+    // and it actually probes: aggregate recall strictly better than
+    // single-probe OR single-probe is already perfect on this fixture
+    val totS = truth.keys.map(q => single.getOrElse(q, Set.empty).count(truth(q))).sum
+    val totM = truth.keys.map(q => multi.getOrElse(q, Set.empty).count(truth(q))).sum
+    assert(totM >= totS)
+  }
+
   test("pq layout: full driver-side replay of the variance snake allocation") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
