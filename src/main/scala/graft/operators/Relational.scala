@@ -1157,10 +1157,17 @@ object Relational {
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    l.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(late, col("l_suppkey"))).as("nlate"),
-        max(when(late, col("l_suppkey"))).as("late_supp"))
+    // two-stage distinct instead of two countDistincts in one agg: the
+    // Expand form doubles the fact join's shuffle volume (one replica
+    // per distinct aggregate); collapsing to (order, supplier) grain
+    // first shuffles each pair once and the second agg runs on
+    // pair-count rows
+    l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(late.cast("int")).as("is_late"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nsupp"),
+        sum(col("is_late")).as("nlate"),
+        max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
       .filter(col("nsupp") >= 2 && col("nlate") === 1)
       .groupBy("late_supp")
       .agg(count(lit(1)).as("numwait"))
