@@ -1191,6 +1191,268 @@ object Relational {
       |    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  // ------------------------------------- TPC-H Q6 (forecast revenue change)
+  /** TPC-H Q6 shape: the pure scan-aggregate — revenue that would have
+    * been earned had discounts in a band been eliminated for one year.
+    * No join at all; the whole query is predicate pushdown + map-side
+    * partial sum.
+    *
+    * Scale shape: all three predicates reach the parquet scan
+    * (PushedFilters on l_shipdate min/max, l_discount range,
+    * l_quantity), so at 100 TB the scan reads only row groups whose
+    * statistics overlap the band; the aggregate is a 1-row exact
+    * DECIMAL sum (order-free) with nothing shuffled but 32 partial
+    * sums.
+    */
+  def qTpchQ6(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(priceDec * discDec).cast("double").as("revenue"))
+  }
+
+  val qTpchQ6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------ TPC-H Q7 (volume shipping)
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by
+    * ship year — the fact chain joined to the supplier nation on one
+    * side and the customer nation on the other, with a DISJUNCTIVE
+    * cross-dimension predicate ((s=A ∧ c=B) ∨ (s=B ∧ c=A)) that no
+    * single equijoin can express.
+    *
+    * Scale shape: supplier⋈nation is filtered to the two nations
+    * BEFORE its broadcast, so the fact scan drops all other suppliers
+    * at the (broadcast) join; customer⋈nation broadcasts likewise.
+    * lineitem⋈orders is the one shuffle. The disjunction is evaluated
+    * post-join on two broadcast-delivered dim columns — never a
+    * residual on the fact shuffle. Output grain (nation², year) is
+    * tiny at any SF.
+    */
+  def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    val twoNations = Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supNat = Tables.supplier(s, d)
+      .join(twoNations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNat = Tables.customer(s, d)
+      .join(twoNations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revDec).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val qTpchQ7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(SUM($REV_SQL) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------- TPC-H Q8 (market share)
+  /** TPC-H Q8 shape: one nation's share of a region's market for one
+    * part type, by order year — the conditional-aggregate ratio
+    * (sum(case)/sum) over the full 7-dimension star join. (Fixture
+    * p_type is a single word, so the type filter is equality.)
+    *
+    * Scale shape: part filters to one type before its broadcast and
+    * prunes the fact scan at the join; the two-year predicate is
+    * pushed to the orders scan; lineitem⋈orders is the one shuffle;
+    * customer/nation/region and supplier/nation broadcast. Both sums
+    * are exact DECIMAL (the CASE arm keeps decimal type), so the
+    * share division is one double op on bit-identical operands.
+    */
+  def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val custAmerica = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supNat = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAmerica), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("nation") === "NATION_1", revDec)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+        / sum(revDec).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val qTpchQ8Sql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN $REV_SQL
+       |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |    / CAST(SUM($REV_SQL) AS DOUBLE) AS mkt_share
+       |FROM lineitem
+       |JOIN part     ON l_partkey = p_partkey
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region   ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------- TPC-H Q4 (order priority check)
+  /** TPC-H Q4 shape: orders per priority in one quarter that had at
+    * least one late line — the canonical EXISTS → left-semi-join
+    * query. (Fixture adaptation: "late" = shipped more than 60 days
+    * after the order date, matching Q21's lateness contract; the
+    * fixture has no commit/receipt dates.)
+    *
+    * Scale shape: the quarter predicate prunes the orders scan before
+    * anything joins; the EXISTS compiles to ONE left-semi shuffle join
+    * on orderkey (semi joins never duplicate probe rows, so the
+    * aggregate input is at most the filtered order count); the
+    * lateness condition rides the join as a residual on already-joined
+    * columns. At 100 TB the semi join is the textbook shape AQE can
+    * also convert to broadcast when the quarter is selective enough.
+    */
+  def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1996-10-01").cast("timestamp")
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qTpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------- TPC-H Q17 (small-quantity revenue)
+  /** TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    * brand — the correlated scalar aggregate (each line compares its
+    * quantity against ITS part's average) decorrelated into a
+    * partkey-grain aggregate joined back. (Fixture adaptation:
+    * p_size < 15 stands in for the missing container attribute.)
+    *
+    * Scale shape: part filters to one brand before its broadcast, so
+    * the fact scan keeps only that brand's lines; the per-part
+    * averages are a partkey-grain aggregate of those lines — bounded
+    * by the filtered PART count, not the fact count — and broadcast
+    * back onto the same filtered lines. No fact-fact shuffle at all;
+    * the correlated subquery costs two passes over the brand's sliver
+    * of the fact table. avg_qty is an exact-decimal sum over an int
+    * count (one division), so the 0.2·avg threshold is bit-identical
+    * cross-engine.
+    */
+  def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    val liP = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13" && col("p_size") < 15)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = liP.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(qtyDec).cast("double") / count(lit(1))).as("avg_qty"))
+    liP.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(priceDec).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  val qTpchQ17Sql: String =
+    """WITH liP AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#13' AND p_size < 15),
+      |pp AS (SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |      / COUNT(*) AS avg_qty
+      |  FROM liP GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    / 7.0 AS avg_yearly
+      |FROM liP JOIN pp ON l_partkey = pk
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  // ------------------------------- TPC-H Q22 (global sales opportunity)
+  /** TPC-H Q22 shape: well-funded customers with no recent engagement,
+    * grouped by a code derived from an identifier — the scalar-average
+    * subquery + NOT EXISTS anti-join + derived-key rollup. (Fixture
+    * adaptations: the code is the last two digits of c_name — the
+    * fixture has no phone column — and "no engagement" is "no URGENT
+    * orders": every fixture customer has SOME order, which would make
+    * the textbook predicate vacuously empty.)
+    *
+    * Scale shape: the positive-balance average is a 1-row exact
+    * aggregate broadcast onto the customer scan; the anti-join
+    * shuffles customers against the URGENT slice of orders (both
+    * pruned before the exchange — the balance filter cuts customers,
+    * the priority filter cuts orders at the scan). Output grain is
+    * the 100-value code domain.
+    */
+  def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    val acctDec = col("c_acctbal").cast("decimal(12,2)")
+    val avgBal = Tables.customer(s, d).filter(col("c_acctbal") > 0.0)
+      .agg((sum(acctDec).cast("double") / count(lit(1))).as("avg_bal"))
+    Tables.customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(expr("substring(c_name, length(c_name)-1, 2)").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(acctDec).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val qTpchQ22Sql: String =
+    """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |    / COUNT(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT substr(c_name, length(c_name)-1, 2) AS cntrycode,
+      |  COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, ab
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- runtime Bloom prefilter
   /** Runtime-filter join: a selective predicate on orders prunes the
     * lineitem scan through a Bloom sketch BEFORE the shuffle — the
@@ -1421,6 +1683,12 @@ object Relational {
     "q_tpch_q10"       -> (qTpchQ10 _, qTpchQ10Sql),
     "q_tpch_q18"       -> (qTpchQ18 _, qTpchQ18Sql),
     "q_tpch_q21"       -> (qTpchQ21 _, qTpchQ21Sql),
+    "q_tpch_q4"        -> (qTpchQ4 _, qTpchQ4Sql),
+    "q_tpch_q6"        -> (qTpchQ6 _, qTpchQ6Sql),
+    "q_tpch_q7"        -> (qTpchQ7 _, qTpchQ7Sql),
+    "q_tpch_q8"        -> (qTpchQ8 _, qTpchQ8Sql),
+    "q_tpch_q17"       -> (qTpchQ17 _, qTpchQ17Sql),
+    "q_tpch_q22"       -> (qTpchQ22 _, qTpchQ22Sql),
     "q_bloom_join"     -> (qBloomJoin _, qBloomJoinSql),
     "q1_agg"           -> (q1Agg _, q1AggSql),
     "q_filter_project" -> (qFilterProject _, qFilterProjectSql),
