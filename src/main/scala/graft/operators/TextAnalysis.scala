@@ -1673,6 +1673,74 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ boilerplate coverage
+  val BoilerN = 5   // shingle size for the cross-doc template signal
+
+  /** Boilerplate coverage: per document, the fraction of its distinct
+    * [[BoilerN]]-gram shingles that also occur in ANOTHER document of
+    * the same source — the C4/RefinedWeb "repeated template text"
+    * filter re-expressed at shingle grain (the fixture's documents are
+    * single-line, so line-grain dedup has no unit to work with).
+    * Headers, footers, navigation chrome and licence blurbs repeat
+    * across a crawl source while the payload text doesn't; a doc whose
+    * coverage is high is mostly template. Complementary to
+    * [[tNovelty]] (first occurrence in ARRIVAL order — staleness) —
+    * this is symmetric co-occurrence WITHIN a source, the
+    * remove-from-every-copy contract C4 applies to repeated lines.
+    *
+    * Scale shape: one distinct (source, doc, gram) projection is
+    * pinned and feeds BOTH the per-source gram frequency and the join
+    * probe; both sides of the gram join hash-partition on
+    * (source, gram), so one exchange plans the aggregate and the probe
+    * — at 100 TB the gram table is the explode-grain pass every
+    * shingle pipeline already pays (cf. d_substring), and nothing else
+    * touches fact grain. Short docs (< n tokens) emit 0 grams and are
+    * kept with coverage 0 by the left join.
+    */
+  def tBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val grams = Materialize.pin(
+      docsWithTokens(s, d)
+        .select(col("source"), col("doc_id"),
+          explode(Text.shingles(col("toks"), BoilerN)).as("gram"))
+        .distinct())
+    val dfS = grams.groupBy("source", "gram").agg(count(lit(1)).as("df_s"))
+    val per = grams.join(dfS, Seq("source", "gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df_s") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).cast("int").as("n_boiler"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("n_boiler").cast("double") / col("n_grams"), 6))
+          .as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  val tBoilerplateSql: String = {
+    val n = BoilerN
+    val gram = Text.gramConcatSql("toks", "i", n)
+    s"""WITH t AS (SELECT doc_id, source, ${Text.ToksSql} AS toks FROM documents),
+       |g AS (SELECT DISTINCT source, doc_id, gram FROM (
+       |  SELECT source, doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> $gram)) AS gram FROM t WHERE len(toks) >= $n)),
+       |f AS (SELECT source, gram, COUNT(*) AS df_s FROM g GROUP BY 1, 2),
+       |per AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN df_s >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_boiler
+       |  FROM g JOIN f USING (source, gram) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(per.n_grams, 0) AS INT) AS n_grams,
+       |  CAST(COALESCE(per.n_boiler, 0) AS INT) AS n_boiler,
+       |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(per.n_boiler AS DOUBLE) / per.n_grams, 6) END
+       |    AS boiler_frac
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- source divergence
   /** Corpus-drift diagnostic: Jensen–Shannon divergence of every
     * source's unigram distribution against the OVERALL corpus mix —
@@ -2672,6 +2740,7 @@ object TextAnalysis {
     "t_divergence"   -> (tDivergence _, tDivergenceSql),
     "t_source_overlap" -> (tSourceOverlap _, tSourceOverlapSql),
     "t_novelty"      -> (tNovelty _, tNoveltySql),
+    "t_boilerplate"  -> (tBoilerplate _, tBoilerplateSql),
     "t_skipgram"     -> (tSkipgram _, tSkipgramSql),
     "t_zipf"         -> (tZipf _, tZipfSql),
   )
