@@ -466,6 +466,56 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --------------------------------------------------- radius search
+  val RangeTau = 0.3   // cosine radius (this corpus's ~top-1% band)
+
+  /** Radius (range) similarity search: ALL corpus vectors within
+    * cosine ≥ [[RangeTau]] of each query — the retrieval contract when
+    * the caller wants "everything at least this similar" (dedup
+    * candidate pull, contamination sweeps, recall-oriented RAG), not a
+    * fixed k. Candidates come from the same sign-LSH band index as
+    * [[sAnnLsh]]; exact cosine then applies the threshold, so the
+    * emitted set is exactly {LSH candidate ∧ cos ≥ τ} — deterministic,
+    * and sized by the data (possibly empty per query), never padded.
+    *
+    * Scale shape: identical to [[sAnnLsh]] — banded queries broadcast,
+    * corpus scanned once and never shuffled, only over-threshold
+    * (q, n, cos) triples leave the scan (no window/top-k at all, so
+    * radius search is CHEAPER than top-k at the same candidate count:
+    * the threshold is a map-side filter). The rounded-cosine compare
+    * against the exact double τ is boundary-deterministic cross-engine
+    * (6-dp rounding, FIXTURES §C).
+    */
+  def sRangeSearch(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val qs = banded(base.filter(col("vec_id") < NumQueries))
+      .toDF("q_id", "q_emb", "q_nrm", "band", "bucket")
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")), 6)
+    banded(base).join(broadcast(qs), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .distinct()
+      .filter(col("cos") >= RangeTau)
+      .orderBy("q_id", "n_id")
+  }
+
+  val sRangeSearchSql: String = {
+    val bandSelects = (0 until LshBands).map(b =>
+      s"SELECT vec_id, embedding, nrm, $b AS band, ${bandBucketSql(b)} AS bucket FROM n")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $NORM_CTE,
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${cosSql("q", "c")} AS cos
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |    AND q.vec_id < $NumQueries AND q.vec_id <> c.vec_id)
+       |SELECT q_id, n_id, cos FROM cand WHERE cos >= $RangeTau
+       |ORDER BY q_id, n_id""".stripMargin
+  }
+
   // ------------------------------------------------------ k-NN graph
   /** Approximate k-NN GRAPH: top-[[KnnK]] cosine neighbors for EVERY
     * vector (not just a query set) among candidates sharing an LSH
@@ -2355,6 +2405,7 @@ object Similarity {
     "s_ann_ivf"     -> (sAnnIvf _, sAnnIvfSql),
     "s_ann_lsh"     -> (sAnnLsh _, sAnnLshSql),
     "s_ann_lsh_mp"  -> (sAnnLshMp _, sAnnLshMpSql),
+    "s_range_search" -> (sRangeSearch _, sRangeSearchSql),
     "s_knn_graph"   -> (sKnnGraph _, sKnnGraphSql),
     "s_quantize"    -> (sQuantize _, sQuantizeSql),
     "s_pq"          -> (sPq _, sPqSql),
