@@ -1137,6 +1137,76 @@ object Curation {
   }
 
   // --------------------------------------------- k-anonymity audit
+  // ---------------------------------------- differentially-private release
+  /** ε for the released per-source counts (sensitivity 1: one document
+    * moves one source's count by one).
+    */
+  val DpEps = 0.5
+  /** Truncation radius of the discrete-Laplace noise table; tail mass
+    * beyond ±K collapses onto ±K (≈ alpha^K/(1+alpha) ≈ 2·10⁻⁵ per
+    * side at ε=0.5) — the standard bounded-noise variant.
+    */
+  val DpK = 20
+
+  /** Inverse-CDF breakpoints of the two-sided geometric (discrete
+    * Laplace) distribution P(Z=k) ∝ e^{-ε|k|}, k ∈ [-K, K], encoded as
+    * 13-hex-digit cumulative thresholds. The noise draw for a uniform
+    * hex string u is |{b : b ≤ u}| − K — a pure STRING comparison, so
+    * both engines sample the identical integer with zero cross-engine
+    * float math (the table is computed once here and embedded as
+    * literals in both plans; 13 hex digits = 52 bits, exact in the
+    * double arithmetic that builds the table).
+    */
+  private[graft] val dpBreaks: Seq[String] = {
+    val alpha = math.exp(-DpEps)
+    val p0 = (1 - alpha) / (1 + alpha)
+    val probs = (-DpK to DpK).map(k => p0 * math.pow(alpha, math.abs(k)))
+    val cums = probs.scanLeft(0.0)(_ + _).tail
+    cums.dropRight(1).map { c =>
+      val v = math.floor(c * math.pow(16.0, 13.0)).toLong
+      f"$v%013x"
+    }
+  }
+
+  /** Differentially-private released per-source document counts — the
+    * publishable datacard row when the corpus's source mix is itself
+    * sensitive (licensing negotiations, crawl-partner NDAs). Adds
+    * discrete-Laplace noise (ε = [[DpEps]], sensitivity 1) to each
+    * source's count via the geometric mechanism, then clamps at 0
+    * (post-processing preserves DP). The noise draw is derived from
+    * md5 of the source name against the [[dpBreaks]] inverse-CDF
+    * table, so the release is deterministic per source AND
+    * bit-identical cross-engine — a seeded mechanism, the standard
+    * trick for reproducible DP pipelines (the seed, not the noise, is
+    * the secret).
+    *
+    * Scale shape: one map-side-combined groupBy(source) — source-count
+    * rows thereafter; the noise fold is a 40-element literal-array
+    * filter per SOURCE row, not per document. Counts exact before
+    * noising.
+    */
+  def pDpRelease(s: SparkSession, d: String): DataFrame = {
+    val u = substring(md5(concat(lit("dp|"), col("source"))), 1, 13)
+    val noise = (size(filter(
+      array(dpBreaks.map(lit(_)): _*), b => u >= b)) - lit(DpK)).cast("long")
+    Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        greatest(lit(0L), col("n") + noise).as("n_released"))
+      .orderBy("source")
+  }
+
+  val pDpReleaseSql: String = {
+    val arr = dpBreaks.map(b => s"'$b'").mkString(", ")
+    s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+       |z AS (SELECT source, n,
+       |    len(list_filter([$arr],
+       |      b -> b <= substr(md5('dp|' || source), 1, 13))) - $DpK AS noise
+       |  FROM c)
+       |SELECT source, CAST(greatest(0, n + noise) AS BIGINT) AS n_released
+       |FROM z ORDER BY source""".stripMargin
+  }
+
   /** k-anonymity release audit over the corpus's quasi-identifiers —
     * the privacy check run before a dataset ships: group documents by
     * the attribute combination an adversary could link on (language ×
@@ -1215,6 +1285,7 @@ object Curation {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p_integrity"   -> (pIntegrity _, pIntegritySql),
     "p_kanon"       -> (pKanon _, pKanonSql),
+    "p_dp_release"  -> (pDpRelease _, pDpReleaseSql),
     "p_epochs"      -> (pEpochs _, pEpochsSql),
     "p_quality_ppl" -> (pQualityPpl _, pQualityPplSql),
     "p_temperature_mix" -> (pTemperatureMix _, pTemperatureMixSql),
