@@ -1238,7 +1238,7 @@ object Relational {
     */
   def qTpchQ7(s: SparkSession, d: String): DataFrame = {
     val twoNations = Tables.nation(s, d)
-      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
     val supNat = Tables.supplier(s, d)
       .join(twoNations, col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -1249,8 +1249,8 @@ object Relational {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8")
+        || (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(sum(revDec).cast("double").as("revenue"))
@@ -1267,8 +1267,8 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-       |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // ------------------------------------------- TPC-H Q8 (market share)

@@ -300,4 +300,35 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(pTemp - w / swq) < 5.001e-7, s"$src p_temp=$pTemp want ${w / swq}")
     }
   }
+
+  test("dp release: noise table well-formed, draws bounded, release deterministic") {
+    // the inverse-CDF table: strictly increasing 13-hex-digit cutoffs
+    val breaks = Curation.dpBreaks
+    assert(breaks.length === 2 * Curation.DpK)
+    assert(breaks.forall(b => b.length === 13 && b.forall("0123456789abcdef".contains(_))))
+    breaks.sliding(2).foreach { case Seq(a, b) => assert(a < b, s"$a !< $b"); case _ => }
+    // symmetry of the mechanism: the median cutoff splits at ~0.5 minus
+    // half the mass of the zero bucket (P(Z<0) = alpha/(1+alpha))
+    val alpha = math.exp(-Curation.DpEps)
+    val mid = java.lang.Long.parseLong(breaks(Curation.DpK - 1), 16) / math.pow(16.0, 13.0)
+    // P(Z < 0) over the TRUNCATED support [-K, K]
+    val negMass = alpha * (1 - math.pow(alpha, Curation.DpK)) / (1 + alpha)
+    assert(math.abs(mid - negMass) < 1e-9, s"median cutoff $mid want $negMass")
+
+    val rel = Curation.pDpRelease(spark, sf).as[(String, Long)].collect().toMap
+    val truth = Tables.documents(spark, sf).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(rel.keySet === truth.keySet)
+    // every released count is within the truncation radius of truth
+    // (clamped at zero), and at least one source actually got noise
+    rel.foreach { case (src, n) =>
+      val t = truth(src)
+      assert(n >= math.max(0L, t - Curation.DpK) && n <= t + Curation.DpK,
+        s"$src: released $n outside [$t ± ${Curation.DpK}]")
+    }
+    assert(rel.exists { case (src, n) => n != truth(src) },
+      "no source received any noise — mechanism degenerate")
+    // seeded: a second run releases the identical table
+    assert(Curation.pDpRelease(spark, sf).as[(String, Long)].collect().toMap === rel)
+  }
 }

@@ -262,7 +262,9 @@ class PlanSpec extends SparkSpec {
         "q3" -> Relational.qTpchQ3(spark, sf),
         "q5" -> Relational.qTpchQ5(spark, sf),
         "q10" -> Relational.qTpchQ10(spark, sf),
-        "q18" -> Relational.qTpchQ18(spark, sf))) {
+        "q18" -> Relational.qTpchQ18(spark, sf),
+        "q7" -> Relational.qTpchQ7(spark, sf),
+        "q8" -> Relational.qTpchQ8(spark, sf))) {
       val p = plan(df)
       val finalSection = p.split("== Initial Plan ==").head
       assert(finalSection.contains("BroadcastHashJoin"),
@@ -278,6 +280,58 @@ class PlanSpec extends SparkSpec {
     // the two top-k queries must not materialize a global sort
     assert(plan(Relational.qTpchQ3(spark, sf)).contains("TakeOrderedAndProject"))
     assert(plan(Relational.qTpchQ10(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("tpch q4: EXISTS compiles to one semi join, quarter filter pushed") {
+    val p = plan(Relational.qTpchQ4(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("LeftSemi"),
+      "EXISTS did not compile to a semi join:\n" + finalSection.take(1200))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(o_orderdate"),
+      "quarter predicate not pushed to the orders scan:\n" + p.take(1500))
+  }
+
+  test("tpch q17: zero fact-fact shuffles — brand filter + per-part avg both broadcast") {
+    // the decorrelated scalar aggregate must come back as a broadcast:
+    // a shuffled join here re-stages the brand's fact sliver twice
+    val p = plan(Relational.qTpchQ17(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    val shuffledJoins = "SortMergeJoin".r.findAllIn(finalSection).length +
+      "ShuffledHashJoin".r.findAllIn(finalSection).length
+    assert(shuffledJoins === 0,
+      s"q17: $shuffledJoins shuffled joins (want 0):\n" + finalSection.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(finalSection).length >= 2,
+      "part filter + per-part averages must both broadcast:\n" + finalSection.take(1200))
+  }
+
+  test("tpch q22: anti join on the pruned URGENT slice, balance scalar broadcast") {
+    val p = plan(Relational.qTpchQ22(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("LeftAnti"),
+      "NOT EXISTS did not compile to an anti join:\n" + finalSection.take(1200))
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "priority filter not pushed to the orders scan:\n" + p.take(1500))
+  }
+
+  test("range search: banded queries broadcast; no window/top-k at all") {
+    // radius search's selling point over top-k: the threshold is a
+    // map-side filter — no rank window may appear, and the corpus scan
+    // must join the broadcast probe side
+    val p = plan(Similarity.sRangeSearch(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "banded query side no longer broadcasts:\n" + finalSection.take(1200))
+    assert(!finalSection.contains("Window"),
+      "radius search grew a rank window:\n" + finalSection.take(1200))
+  }
+
+  test("boilerplate: one pinned gram table feeds both the frequency agg and the probe") {
+    val p = plan(graft.operators.TextAnalysis.tBoilerplate(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Generate explode"),
+      "gram explode re-ran per consumer — pin lost:\n" + finalSection.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(finalSection).length >= 2,
+      "grams not read from the materialized table:\n" + finalSection.take(1200))
   }
 
   test("q_bloom_join: explicit bloom probe prefilters the fact side before the shuffle") {
