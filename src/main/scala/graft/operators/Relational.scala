@@ -1409,6 +1409,119 @@ object Relational {
       |FROM liP JOIN pp ON l_partkey = pk
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  // ------------------------------ TPC-H Q13 (customer order distribution)
+  /** TPC-H Q13 shape: the histogram of orders-per-customer INCLUDING
+    * zero-order customers — the left-outer join into a double
+    * aggregation, the one TPC-H query whose first join must preserve
+    * unmatched build rows. (Fixture adaptation: the excluded-comment
+    * predicate becomes an order-priority exclusion.)
+    *
+    * Scale shape: customer⋈orders shuffles both sides on custkey (at
+    * 100 TB both are fact-sized, and the LEFT join forbids pruning the
+    * customer side); the per-customer count is the same exchange's
+    * aggregation, and the distribution rollup runs on count-distinct-
+    * many rows. The priority filter prunes the orders scan before the
+    * exchange.
+    */
+  def qTpchQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val qTpchQ13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------ TPC-H Q15 (top supplier by revenue)
+  /** TPC-H Q15 shape: the supplier(s) whose quarter revenue equals the
+    * maximum — the "view + scalar max" query. The revenue view is
+    * computed ONCE and pinned, then consumed by both the max and the
+    * equality probe (the textbook formulation reads the view twice; an
+    * unpinned plan would re-aggregate the fact table for each).
+    *
+    * Scale shape: one suppkey aggregation of the quarter's lines (the
+    * quarter predicate pushed to the scan); the 1-row max broadcasts
+    * back onto the supplier-count-sized view; supplier names broadcast.
+    * Ties: revenue is an exact-DECIMAL sum surfaced as double on both
+    * engines, so the equality keeps the identical winner set.
+    */
+  def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = Materialize.pin(
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(revDec).cast("double").as("total_revenue")))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTpchQ15Sql: String =
+    s"""WITH rev AS (SELECT l_suppkey AS supplier_no,
+       |    CAST(SUM($REV_SQL) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN rev ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------- TPC-H Q16 (supplier-count report)
+  /** TPC-H Q16 shape: how many distinct suppliers can furnish each
+    * surviving part variant — distinct aggregation over an excluded-
+    * supplier NOT IN. (Fixture adaptations: lineitem stands in for the
+    * missing partsupp as the part↔supplier relation, and the excluded
+    * suppliers are those in arrears — s_acctbal < 0 — instead of the
+    * missing comment pattern.)
+    *
+    * Scale shape: part filters by brand/size before its broadcast; the
+    * NOT IN is a left-anti against the (tiny, pre-filtered) excluded-
+    * supplier set — broadcast, so exclusion is map-side; the distinct
+    * supplier count shuffles (brand, type, size, suppkey) pairs once
+    * (Spark plans count(DISTINCT) as the two-level Expand aggregate).
+    */
+  def qTpchQ16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#13"
+            && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  val qTpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_size IN (1,5,9,13,17,21,25,29)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |    WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   // ------------------------------- TPC-H Q22 (global sales opportunity)
   /** TPC-H Q22 shape: well-funded customers with no recent engagement,
     * grouped by a code derived from an identifier — the scalar-average
@@ -1687,6 +1800,9 @@ object Relational {
     "q_tpch_q6"        -> (qTpchQ6 _, qTpchQ6Sql),
     "q_tpch_q7"        -> (qTpchQ7 _, qTpchQ7Sql),
     "q_tpch_q8"        -> (qTpchQ8 _, qTpchQ8Sql),
+    "q_tpch_q13"       -> (qTpchQ13 _, qTpchQ13Sql),
+    "q_tpch_q15"       -> (qTpchQ15 _, qTpchQ15Sql),
+    "q_tpch_q16"       -> (qTpchQ16 _, qTpchQ16Sql),
     "q_tpch_q17"       -> (qTpchQ17 _, qTpchQ17Sql),
     "q_tpch_q22"       -> (qTpchQ22 _, qTpchQ22Sql),
     "q_bloom_join"     -> (qBloomJoin _, qBloomJoinSql),
