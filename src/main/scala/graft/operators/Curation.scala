@@ -1137,6 +1137,57 @@ object Curation {
   }
 
   // --------------------------------------------- k-anonymity audit
+  // ------------------------------------------------ right-to-be-forgotten
+  /** Right-to-be-forgotten purge audit — the compliance artifact a
+    * training-data pipeline emits when a deletion request lands: per
+    * source, documents before, documents purged, documents after, and
+    * an order-insensitive checksum over the SURVIVORS' ids (the value
+    * an auditor recomputes later to prove the purged ids never crept
+    * back in a rebuild). The forget set here is the deterministic
+    * ~3 % md5 gate standing in for an external request list; the
+    * production op swaps in a broadcast membership join against that
+    * list (exactly [[pDecontaminate]]'s shape).
+    *
+    * The checksum is Σ (48-bit md5 prefix of the id) mod p over
+    * surviving docs — mergeable (a plain SUM), order-free, and within
+    * BIGINT headroom past 10¹² documents (each term < 10⁹+7).
+    *
+    * Scale shape: one map-side pass derives gate + term per row; one
+    * source-keyed aggregation; counts exact.
+    */
+  def pForget(s: SparkSession, d: String): DataFrame = {
+    val gate = substring(
+      md5(concat(lit("forget|"), col("doc_id").cast("string"))), 1, 2) < "08"
+    val term = pmod(
+      conv(substring(md5(concat(lit("idsig|"), col("doc_id").cast("string"))),
+        1, 12), 16, 10).cast("long"),
+      lit(1000000007L))
+    Tables.documents(s, d)
+      .select(col("source"), gate.as("forget"), term.as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("forget").cast("long")).as("n_forgotten"),
+        sum((!col("forget")).cast("long")).as("n_after"),
+        sum(when(!col("forget"), col("term")).otherwise(lit(0L)))
+          .as("survivor_checksum"))
+      .orderBy("source")
+  }
+
+  val pForgetSql: String =
+    """SELECT source, COUNT(*) AS n_before,
+      |  CAST(SUM(CASE WHEN forget THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_forgotten,
+      |  CAST(SUM(CASE WHEN forget THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+      |  CAST(SUM(CASE WHEN forget THEN 0 ELSE term END) AS BIGINT)
+      |    AS survivor_checksum
+      |FROM (SELECT source,
+      |    substr(md5('forget|' || CAST(doc_id AS VARCHAR)), 1, 2) < '08'
+      |      AS forget,
+      |    CAST(('0x' || substr(md5('idsig|' || CAST(doc_id AS VARCHAR)),
+      |      1, 12)) AS BIGINT) % 1000000007 AS term
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   // ---------------------------------------- differentially-private release
   /** ε for the released per-source counts (sensitivity 1: one document
     * moves one source's count by one).
@@ -1286,6 +1337,7 @@ object Curation {
     "p_integrity"   -> (pIntegrity _, pIntegritySql),
     "p_kanon"       -> (pKanon _, pKanonSql),
     "p_dp_release"  -> (pDpRelease _, pDpReleaseSql),
+    "p_forget"      -> (pForget _, pForgetSql),
     "p_epochs"      -> (pEpochs _, pEpochsSql),
     "p_quality_ppl" -> (pQualityPpl _, pQualityPplSql),
     "p_temperature_mix" -> (pTemperatureMix _, pTemperatureMixSql),
