@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1409,6 +1409,130 @@ object Relational {
       |FROM liP JOIN pp ON l_partkey = pk
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  // ---------------------------------------- TPC-H Q14 (promo revenue)
+  /** TPC-H Q14 shape: the share of one month's revenue that came from
+    * promotional parts — the conditional-aggregate percentage over a
+    * fact⋈dim join. (Fixture p_type is a single word, so the LIKE
+    * 'PROMO%' prefix test is equality.)
+    *
+    * Scale shape: the month predicate is pushed to the lineitem scan;
+    * part broadcasts (the promo test must see every part, so no
+    * pre-filter — the CASE needs both arms); numerator and denominator
+    * are exact DECIMAL sums in ONE aggregate pass, surfaced through a
+    * single double division.
+    */
+  def qTpchQ14(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-09-01").cast("timestamp")
+    val hi = lit("1996-10-01").cast("timestamp")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(((lit(100.0).cast("decimal(12,2)") *
+          sum(when(col("p_type") === "PROMO", revDec)
+            .otherwise(lit(0).cast("decimal(12,2)")))).cast("double")
+        / sum(revDec).cast("double")).as("promo_revenue"))
+  }
+
+  val qTpchQ14Sql: String =
+    s"""SELECT CAST(CAST(100.0 AS DECIMAL(12,2))
+       |    * SUM(CASE WHEN p_type = 'PROMO' THEN $REV_SQL
+       |          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |  / CAST(SUM($REV_SQL) AS DOUBLE) AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  // ------------------------------- TPC-H Q19 (discounted revenue, OR join)
+  /** TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    * brand/size/quantity bands — the query that stresses residual
+    * predicate handling, because each OR arm mixes FACT columns
+    * (l_quantity) with DIM columns (p_brand, p_size): no single arm
+    * can push to either scan alone. (Fixture adaptation: container and
+    * shipmode don't exist; size and quantity bands carry the shape.)
+    *
+    * Scale shape: the join stays an equijoin on partkey with the whole
+    * disjunction as a post-join filter; part broadcasts, so the fact
+    * table is scanned once and never shuffled. Catalyst still prunes
+    * both scans with the OR's per-side implications (quantity ≤ the
+    * max arm bound, size ≤ the max arm bound) — the 100 TB win is that
+    * the disjunction never forces a fallback to a nested-loop join.
+    */
+  def qTpchQ19(s: SparkSession, d: String): DataFrame = {
+    def arm(brand: String, szHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#12", 15, 1, 20) || arm("Brand#23", 25, 5, 35)
+        || arm("Brand#34", 40, 10, 50))
+      .agg(sum(revDec).cast("double").as("revenue"))
+  }
+
+  val qTpchQ19Sql: String =
+    s"""SELECT CAST(SUM($REV_SQL) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity >= 1 AND l_quantity <= 20)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       |       AND l_quantity >= 5 AND l_quantity <= 35)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40
+       |       AND l_quantity >= 10 AND l_quantity <= 50)""".stripMargin
+
+  // --------------------------------- TPC-H Q20 (excess-supply suppliers)
+  /** TPC-H Q20 shape: suppliers who moved materially more than their
+    * peers' promo volume — the nested-IN chain (supplier IN lineitem-
+    * derived set, part IN type-filtered set) with a RELATIVE threshold
+    * (1.2× the per-supplier average, standing in for the missing
+    * partsupp availability; self-scaling across SFs where a constant
+    * cut degenerates to all-or-nothing).
+    *
+    * Scale shape: the promo part list broadcasts as a semi join into
+    * the (date-pruned) fact scan; per-supplier quantities aggregate on
+    * suppkey; the 1-row threshold broadcasts back; the outer IN is a
+    * semi join from the supplier dim onto the surviving supplier-count
+    * rows. Threshold determinism: the mean divides an exact-DECIMAL
+    * grand total by the supplier count — one double division + one
+    * multiply on both engines.
+    */
+  def qTpchQ20(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val ps = Materialize.pin(
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(sum(qtyDec).as("promo_qty_dec")))
+    val thr = ps.agg((lit(1.2) * (sum(col("promo_qty_dec")).cast("double")
+      / count(lit(1)))).as("cut"))
+    val heavy = ps.crossJoin(broadcast(thr))
+      .filter(col("promo_qty_dec").cast("double") > col("cut"))
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTpchQ20Sql: String =
+    """WITH ps AS (SELECT l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS promo_qty_dec
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |      WHERE p_type = 'PROMO')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1),
+      |thr AS (SELECT 1.2 * (CAST(SUM(promo_qty_dec) AS DOUBLE) / COUNT(*))
+      |    AS cut FROM ps)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM ps, thr
+      |  WHERE CAST(promo_qty_dec AS DOUBLE) > cut)
+      |ORDER BY s_suppkey""".stripMargin
+
   // ------------------------------ TPC-H Q13 (customer order distribution)
   /** TPC-H Q13 shape: the histogram of orders-per-customer INCLUDING
     * zero-order customers — the left-outer join into a double
@@ -1801,6 +1925,9 @@ object Relational {
     "q_tpch_q7"        -> (qTpchQ7 _, qTpchQ7Sql),
     "q_tpch_q8"        -> (qTpchQ8 _, qTpchQ8Sql),
     "q_tpch_q13"       -> (qTpchQ13 _, qTpchQ13Sql),
+    "q_tpch_q14"       -> (qTpchQ14 _, qTpchQ14Sql),
+    "q_tpch_q19"       -> (qTpchQ19 _, qTpchQ19Sql),
+    "q_tpch_q20"       -> (qTpchQ20 _, qTpchQ20Sql),
     "q_tpch_q15"       -> (qTpchQ15 _, qTpchQ15Sql),
     "q_tpch_q16"       -> (qTpchQ16 _, qTpchQ16Sql),
     "q_tpch_q17"       -> (qTpchQ17 _, qTpchQ17Sql),
