@@ -153,6 +153,78 @@ object Events {
         col("n"), col("total"))
       .orderBy("user_id", "session_start")
 
+  // ---------------------------------------------- concurrency sweep line
+  /** Peak concurrent sessions per day — the occupancy/capacity shape
+    * (how many users were mid-session at the busiest instant): sweep
+    * line over session intervals. Sessions are [[eSession]]'s
+    * 5-minute-gap windows (interval = [window.start, window.end));
+    * each contributes a +1 delta at its start and a −1 at its end, and
+    * concurrency is the running sum over (ts, delta) order — ends sort
+    * before starts at the same instant, so back-to-back sessions never
+    * overlap. Days with no session boundary don't emit a row
+    * (documented contract — a spine join adds them if needed).
+    *
+    * Scale shape: the running sum is the DISTRIBUTED two-level prefix
+    * scan (cf. pPack): deltas partition by day (per-day Window), and
+    * the cross-day carry is a day-grain cumulative over day-count
+    * rows — no global single-partition pass over deltas. Tie groups
+    * use the default RANGE frame on both engines, so equal (ts, delta)
+    * peers share one value and the per-day max is order-free.
+    */
+  def eConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = load(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start")).as("st"),
+        unix_micros(col("session_window.end")).as("en"))
+    val deltas = sess.select(col("st").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("en").as("us"), lit(-1L).as("delta")))
+      .withColumn("day", expr("us div 86400000000"))
+    val wRun = Window.partitionBy("day").orderBy(col("us"), col("delta"))
+    val byDay = deltas
+      .withColumn("run", sum(col("delta")).over(wRun))
+      .groupBy("day")
+      .agg(max(col("run")).as("max_run"), sum(col("delta")).as("day_delta"))
+    val wCarry = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDay
+      .withColumn("carry", coalesce(sum(col("day_delta")).over(wCarry), lit(0L)))
+      .select(col("day"), (col("max_run") + col("carry")).as("peak_concurrency"))
+      .orderBy("day")
+  }
+
+  val eConcurrencySql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |flag AS (SELECT user_id, us,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 300000000
+      |       OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |isl AS (SELECT user_id, us,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flag),
+      |sess AS (SELECT MIN(us) AS st, MAX(us) + 300000000 AS en
+      |  FROM isl GROUP BY user_id, sid),
+      |deltas AS (
+      |  SELECT st AS us, CAST(1 AS BIGINT) AS delta, st // 86400000000 AS day
+      |    FROM sess
+      |  UNION ALL
+      |  SELECT en AS us, CAST(-1 AS BIGINT) AS delta, en // 86400000000 AS day
+      |    FROM sess),
+      |run AS (SELECT day, delta,
+      |  SUM(delta) OVER (PARTITION BY day ORDER BY us, delta) AS run
+      |  FROM deltas),
+      |byday AS (SELECT day, MAX(run) AS max_run, SUM(delta) AS day_delta
+      |  FROM run GROUP BY 1),
+      |carry AS (SELECT day, max_run,
+      |  COALESCE(SUM(day_delta) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+      |  FROM byday)
+      |SELECT day, CAST(max_run + carry AS BIGINT) AS peak_concurrency
+      |FROM carry ORDER BY day""".stripMargin
+
   val eSessionSql: String =
     """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
       |flag AS (SELECT user_id, us, value,
@@ -1851,6 +1923,7 @@ object Events {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_dq_audit"    -> (eDqAudit _, eDqAuditSql),
+    "e_concurrency" -> (eConcurrency _, eConcurrencySql),
     "e_cuped"       -> (eCuped _, eCupedSql),
     "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
