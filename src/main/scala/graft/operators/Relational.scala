@@ -1409,6 +1409,44 @@ object Relational {
       |FROM liP JOIN pp ON l_partkey = pk
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  // ------------------------------------ incremental aggregate maintenance
+  /** Incremental aggregate maintenance: the materialized-view refresh
+    * contract — yesterday's aggregate plus today's DELTA aggregate,
+    * merged algebraically, must equal the full recompute. The fixture
+    * splits orders at a date cut into base and delta, aggregates each
+    * independently (the partials a warehouse would have persisted),
+    * and merges count/sum/min/max by their merge functions. The DuckDB
+    * oracle runs the FULL single-pass aggregate, so the driver's hash
+    * compare IS the refresh-correctness proof.
+    *
+    * Scale shape: at 100 TB this is the whole point — the refresh
+    * touches only the delta partition (here both sides are computed
+    * for the proof; production reads the persisted base). Sums merge
+    * through exact DECIMAL, counts/min/max by their own monoids; the
+    * merge aggregates priority-count rows, not facts.
+    */
+  def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1999-01-01").cast("timestamp")
+    val priceD = col("o_totalprice").cast("decimal(12,2)")
+    def partial(df: DataFrame): DataFrame = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(priceD).as("tot_dec"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val ord = Tables.orders(s, d)
+    partial(ord.filter(col("o_orderdate") < cut))
+      .unionAll(partial(ord.filter(col("o_orderdate") >= cut)))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n")).as("n"),
+        sum(col("tot_dec")).cast("double").as("total"),
+        min(col("mn")).as("min_price"), max(col("mx")).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qIncrementalAggSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------- TPC-H Q14 (promo revenue)
   /** TPC-H Q14 shape: the share of one month's revenue that came from
     * promotional parts — the conditional-aggregate percentage over a
@@ -1925,6 +1963,7 @@ object Relational {
     "q_tpch_q7"        -> (qTpchQ7 _, qTpchQ7Sql),
     "q_tpch_q8"        -> (qTpchQ8 _, qTpchQ8Sql),
     "q_tpch_q13"       -> (qTpchQ13 _, qTpchQ13Sql),
+    "q_incremental_agg" -> (qIncrementalAgg _, qIncrementalAggSql),
     "q_tpch_q14"       -> (qTpchQ14 _, qTpchQ14Sql),
     "q_tpch_q19"       -> (qTpchQ19 _, qTpchQ19Sql),
     "q_tpch_q20"       -> (qTpchQ20 _, qTpchQ20Sql),
