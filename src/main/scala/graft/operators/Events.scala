@@ -153,6 +153,70 @@ object Events {
         col("n"), col("total"))
       .orderBy("user_id", "session_start")
 
+  // ------------------------------------------------- time to convert
+  /** Time-to-convert distribution: from each user's FIRST signup to
+    * their FIRST subsequent purchase — the activation-latency report
+    * (how long does onboarding take for the users it works on). One
+    * summary row: signed-up users, converters, conversion rate, and
+    * the gap distribution (min / median / p90 / max / floored mean,
+    * microseconds). Quantiles are percentile_disc — ATTAINED integer
+    * values, not interpolated — so the row is deterministic
+    * cross-engine; the mean is the e_interarrival floor-division
+    * contract (exact integer sum // count, cast BIGINT).
+    *
+    * Scale shape: one user-keyed aggregation computes both firsts as
+    * conditional mins (map-side partial); the distribution is a 1-row
+    * aggregate over user-count gaps. The only ordered pass is the
+    * percentile_disc sort inside one aggregate over converter-count
+    * rows (users, not events).
+    */
+  def eTtc(s: SparkSession, d: String): DataFrame = {
+    val firsts = load(s, d)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_ns"))).as("s_ns"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("p_ns"))
+      .filter(col("s_ns").isNotNull)
+    val gaps = firsts.filter(col("p_ns") > col("s_ns"))
+      .select(expr("(p_ns - s_ns) div 1000").as("gap_us"))
+    val signed = firsts.agg(count(lit(1)).as("n_signed"))
+    val dist = gaps.agg(
+      count(lit(1)).as("n_converted"),
+      min(col("gap_us")).as("min_us"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long").as("p50_us"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long").as("p90_us"),
+      max(col("gap_us")).as("max_us"),
+      floor(sum(col("gap_us")) / count(lit(1))).cast("long").as("avg_us"))
+    signed.crossJoin(broadcast(dist))
+      .select(col("n_signed"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_signed"), 6)
+          .as("cvr"),
+        col("min_us"), col("p50_us"), col("p90_us"), col("max_us"),
+        col("avg_us"))
+  }
+
+  val eTtcSql: String =
+    """WITH f AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS s_ns,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS p_ns
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |  GROUP BY 1 HAVING s_ns IS NOT NULL),
+      |g AS (SELECT (p_ns - s_ns) // 1000 AS gap_us FROM f WHERE p_ns > s_ns),
+      |n AS (SELECT COUNT(*) AS n_signed FROM f),
+      |d AS (SELECT COUNT(*) AS n_converted,
+      |    MIN(gap_us) AS min_us,
+      |    CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_us,
+      |    CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_us,
+      |    MAX(gap_us) AS max_us,
+      |    CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_us
+      |  FROM g)
+      |SELECT n_signed, n_converted,
+      |  round(CAST(n_converted AS DOUBLE) / n_signed, 6) AS cvr,
+      |  min_us, p50_us, p90_us, max_us, avg_us
+      |FROM n, d""".stripMargin
+
   // ---------------------------------------------- concurrency sweep line
   /** Peak concurrent sessions per day — the occupancy/capacity shape
     * (how many users were mid-session at the busiest instant): sweep
@@ -1924,6 +1988,7 @@ object Events {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_dq_audit"    -> (eDqAudit _, eDqAuditSql),
     "e_concurrency" -> (eConcurrency _, eConcurrencySql),
+    "e_ttc"         -> (eTtc _, eTtcSql),
     "e_cuped"       -> (eCuped _, eCupedSql),
     "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
