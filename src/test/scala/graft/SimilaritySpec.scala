@@ -683,4 +683,20 @@ class SimilaritySpec extends SparkSpec {
         s"cell $cell: got $meanSil want ${want(cell)}")
     }
   }
+
+  test("range search: thresholded, and exactly the LSH candidate set above tau") {
+    val got = Similarity.sRangeSearch(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(_._3 >= Similarity.RangeTau), "a pair below tau leaked")
+    assert(got.map(r => (r._1, r._2)).distinct.length === got.length)
+    // the single-probe ANN ranks the SAME candidate set, so its top-k
+    // rows at-or-above tau must all appear in the radius result
+    val annAbove = Similarity.sAnnLsh(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .filter(_._4 >= Similarity.RangeTau)
+      .map(r => (r._1, r._2)).toSet
+    val gotSet = got.map(r => (r._1, r._2)).toSet
+    assert(annAbove.subsetOf(gotSet),
+      s"ANN top-k pairs above tau missing from radius result: ${annAbove -- gotSet}")
+  }
 }
