@@ -1293,6 +1293,70 @@ object Events {
     * aggregate. Determinism: absolute errors are exact integers; the
     * two MAEs and their ratio round once at 6 dp.
     */
+  // -------------------------------------- classical decomposition
+  /** Classical additive time-series decomposition of the daily event
+    * count: trend = centered 7-day moving average, seasonal = per-
+    * weekday mean of the detrended series, residual = the rest — the
+    * STL-lite every metrics stack runs before alerting on "is today
+    * actually anomalous or just Saturday". All arithmetic is integer
+    * micro-units with floor division (FIXTURES §C), so every emitted
+    * value is exact cross-engine. Only days with a FULL ±3-day window
+    * emit rows (no NULL trend edges — pandas would silently promote a
+    * nullable int64 column to float64 and flap the driver hash), and
+    * the seasonal indices are fit on those same inner days.
+    *
+    * Scale shape: day-grain everything — the events table collapses
+    * to day counts in one map-side-combined aggregate, and the MA
+    * window, weekday means, and residuals all run on day-count rows
+    * (the accepted day-bounded single-partition window family; cf.
+    * e_changepoint).
+    */
+  def eDecompose(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val U = 1000000L
+    val wMa = Window.orderBy("day").rowsBetween(-3, 3)
+    val daily = load(s, d)
+      .select(expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("day").agg((count(lit(1)) * U).as("yu"))
+    val trended = daily
+      .select(col("day"), col("yu"),
+        count(lit(1)).over(wMa).as("n_win"),
+        floor(sum(col("yu")).over(wMa) / count(lit(1)).over(wMa))
+          .cast("long").as("trend_u"))
+      .filter(col("n_win") === 7)
+      .withColumn("detr_u", col("yu") - col("trend_u"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val seas = trended.groupBy("dow")
+      .agg(floor(sum(col("detr_u")) / count(lit(1))).cast("long").as("seas_u"))
+    trended.join(broadcast(seas), Seq("dow"))
+      .select(col("day"), col("yu"), col("trend_u"), col("seas_u"),
+        (col("detr_u") - col("seas_u")).as("resid_u"))
+      .orderBy("day")
+  }
+
+  val eDecomposeSql: String =
+    """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    COUNT(*) * 1000000 AS yu FROM events GROUP BY 1),
+      |ma AS (SELECT day, yu,
+      |    COUNT(*) OVER w AS n_win,
+      |    CAST(SUM(yu) OVER w // (COUNT(*) OVER w) AS BIGINT) AS trend_u
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |inner_days AS (SELECT day, yu, trend_u, yu - trend_u AS detr_u,
+      |    day % 7 AS dow
+      |  FROM ma WHERE n_win = 7),
+      |seas AS (SELECT dow,
+      |    -- floor, not DuckDB's truncating integer //: detrended sums
+      |    -- go NEGATIVE and Spark's floor() rounds toward -inf (the
+      |    -- double is exact: |sum| < 2^53)
+      |    CAST(floor(CAST(SUM(detr_u) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS seas_u
+      |  FROM inner_days GROUP BY 1)
+      |SELECT day, yu, trend_u, seas_u,
+      |  CAST(detr_u - seas_u AS BIGINT) AS resid_u
+      |FROM inner_days JOIN seas USING (dow)
+      |ORDER BY day""".stripMargin
+
   def eSeasonalNaive(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.orderBy("day")
@@ -1989,6 +2053,7 @@ object Events {
     "e_dq_audit"    -> (eDqAudit _, eDqAuditSql),
     "e_concurrency" -> (eConcurrency _, eConcurrencySql),
     "e_ttc"         -> (eTtc _, eTtcSql),
+    "e_decompose"   -> (eDecompose _, eDecomposeSql),
     "e_cuped"       -> (eCuped _, eCupedSql),
     "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
