@@ -482,6 +482,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decompose/concurrency: ordered windows run on day/delta aggregates, not raw events") {
+    // e_decompose: the MA window input is the day aggregate
+    val pd = plan(graft.operators.Events.eDecompose(spark, sf))
+    val wIdx = pd.indexOf("Window")
+    assert(wIdx >= 0, pd.take(800))
+    assert(pd.indexOf("HashAggregate", wIdx) > wIdx,
+      "no aggregate below the MA window — it would sort raw events:\n" + pd.take(1200))
+    // e_concurrency: the running sum partitions by day (never a global
+    // single-partition pass over deltas); the carry window is day-grain
+    val pc = finalOnly(plan(graft.operators.Events.eConcurrency(spark, sf)))
+    assert(pc.contains("Window [sum(delta#") || pc.contains("windowspecdefinition(day#"),
+      "per-day delta window missing:\n" + pc.take(1500))
+    assert("Window ".r.findAllIn(pc).length === 2, pc.take(1500))
+  }
+
   test("changepoint/seasonal-naive: the ordered window runs on the day aggregate") {
     // the single-partition window is safe ONLY because its input is the
     // day-bounded series — assert the aggregate sits below the window
