@@ -193,6 +193,133 @@ object TextAnalysis {
        |SELECT q_id, doc_id, rnk, score FROM r WHERE rnk <= $Bm25TopK
        |ORDER BY q_id, rnk""".stripMargin
 
+  // -------------------------------------- pseudo-relevance feedback
+  val PrfR = 3   // feedback docs per query (round-1 top-R)
+  val PrfE = 5   // expansion terms adopted per query
+
+  /** Pseudo-relevance feedback (Rocchio-style query expansion): run
+    * BM25, assume the top-[[PrfR]] hits are relevant, adopt their
+    * [[PrfE]] highest idf·tf terms (minus the original query's own
+    * words), and retrieve AGAIN with the expanded term set — the
+    * classic two-round lexical recall lever, and the deployment shape
+    * for "the user's three words weren't enough". Output is round 2's
+    * top-k per query.
+    *
+    * Scale shape: the corpus (doc, word, tf) table, doc lengths, and
+    * the idf table are pinned ONCE and feed both rounds; everything
+    * query-sided — original terms, feedback doc ids (|Q|·R), expansion
+    * weights, the expanded term set — is |Q|-bounded and broadcasts,
+    * so each round is one map-side probe of the tf scan plus one
+    * (q, doc) aggregate. Two corpus passes is the op's definition, not
+    * a plan defect. Determinism: contribs round to 6 dp and sum
+    * through DECIMAL(16,6) exactly as t_bm25; expansion weights round
+    * to 6 dp with word tie-break.
+    */
+  def tPrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Materialize.pin(
+      docsWithTokens(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    val dl = Materialize.pin(
+      tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idf = Materialize.pin(
+      tf.groupBy("word").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("word"),
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))).as("idf")))
+    val qwords = Materialize.pin(
+      tf.filter(col("doc_id") < Bm25Queries)
+        .select(col("doc_id").as("q_id"), col("word")))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contrib = round(
+      col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+        (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl)),
+      6)
+    def score(qterms: DataFrame): DataFrame =
+      tf.filter(col("doc_id") >= Bm25Queries)
+        .join(dl, "doc_id")
+        .join(broadcast(qterms.join(idf, "word")), "word")
+        .crossJoin(broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(contrib.cast("decimal(16,6)")).cast("double").as("score"))
+    val wR = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    val r1 = score(qwords)
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= PrfR)
+      .select("q_id", "doc_id")
+    val wE = Window.partitionBy("q_id").orderBy(col("wgt").desc, col("word"))
+    val fb = broadcast(r1).join(tf, "doc_id")
+      .groupBy("q_id", "word").agg(sum(col("tf")).as("sum_tf"))
+      .join(idf, "word")
+      .select(col("q_id"), col("word"),
+        round(col("idf") * col("sum_tf"), 6).as("wgt"))
+      .join(qwords, Seq("q_id", "word"), "left_anti")
+      .withColumn("ernk", row_number().over(wE))
+      .filter(col("ernk") <= PrfE)
+      .select("q_id", "word")
+    val expanded = qwords.unionAll(fb).distinct()
+    score(expanded)
+      .withColumn("rnk", row_number().over(wR).cast("int"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("q_id", "doc_id", "rnk", "score")
+      .orderBy("q_id", "rnk")
+  }
+
+  val tPrfSql: String = {
+    val avgdlSql = "(CAST(s.sum_dl AS DOUBLE) / s.n_docs)"
+    def contribSql(q: String) =
+      s"""round($q.idf * t.tf * ${Bm25K1 + 1.0} /
+         |      (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * d.dl /
+         |        $avgdlSql)), 6)""".stripMargin
+    s"""WITH w AS (SELECT doc_id, unnest(${Text.ToksSql}) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |dfc AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |idf AS (SELECT word,
+       |    ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) AS idf
+       |  FROM dfc f CROSS JOIN stats s),
+       |qw AS (SELECT doc_id AS q_id, word FROM tf WHERE doc_id < $Bm25Queries),
+       |q1 AS (SELECT q_id, qw.word, idf FROM qw JOIN idf USING (word)),
+       |c1 AS (SELECT q.q_id, t.doc_id, ${contribSql("q")} AS contrib
+       |  FROM tf t JOIN dl d USING (doc_id) JOIN q1 q USING (word)
+       |  CROSS JOIN stats s WHERE t.doc_id >= $Bm25Queries),
+       |sc1 AS (SELECT q_id, doc_id,
+       |    CAST(SUM(CAST(contrib AS DECIMAL(16,6))) AS DOUBLE) AS score
+       |  FROM c1 GROUP BY 1, 2),
+       |r1 AS (SELECT q_id, doc_id FROM (SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS rnk FROM sc1)
+       |  WHERE rnk <= $PrfR),
+       |fbw AS (SELECT r.q_id, t.word, CAST(SUM(t.tf) AS BIGINT) AS sum_tf
+       |  FROM r1 r JOIN tf t USING (doc_id) GROUP BY 1, 2),
+       |fb AS (SELECT j.q_id, j.word, round(i.idf * j.sum_tf, 6) AS wgt
+       |  FROM fbw j JOIN idf i USING (word)
+       |  WHERE NOT EXISTS (SELECT 1 FROM qw
+       |    WHERE qw.q_id = j.q_id AND qw.word = j.word)),
+       |fbtop AS (SELECT q_id, word FROM (SELECT q_id, word,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY wgt DESC, word) AS ernk FROM fb)
+       |  WHERE ernk <= $PrfE),
+       |expq AS (SELECT q_id, word FROM qw
+       |  UNION SELECT q_id, word FROM fbtop),
+       |q2 AS (SELECT q_id, expq.word, idf FROM expq JOIN idf USING (word)),
+       |c2 AS (SELECT q.q_id, t.doc_id, ${contribSql("q")} AS contrib
+       |  FROM tf t JOIN dl d USING (doc_id) JOIN q2 q USING (word)
+       |  CROSS JOIN stats s WHERE t.doc_id >= $Bm25Queries),
+       |sc2 AS (SELECT q_id, doc_id,
+       |    CAST(SUM(CAST(contrib AS DECIMAL(16,6))) AS DOUBLE) AS score
+       |  FROM c2 GROUP BY 1, 2),
+       |r2 AS (SELECT q_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, doc_id) AS INT) AS rnk FROM sc2)
+       |SELECT q_id, doc_id, rnk, score FROM r2 WHERE rnk <= $Bm25TopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------------ lang id
   /** Marker-word language ID heuristic: count hits in per-language
     * marker sets, pick the max (alphabetical tie-break). Deterministic
@@ -2741,6 +2868,7 @@ object TextAnalysis {
     "t_source_overlap" -> (tSourceOverlap _, tSourceOverlapSql),
     "t_novelty"      -> (tNovelty _, tNoveltySql),
     "t_boilerplate"  -> (tBoilerplate _, tBoilerplateSql),
+    "t_prf"          -> (tPrf _, tPrfSql),
     "t_skipgram"     -> (tSkipgram _, tSkipgramSql),
     "t_zipf"         -> (tZipf _, tZipfSql),
   )
