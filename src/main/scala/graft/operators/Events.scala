@@ -640,6 +640,71 @@ object Events {
     * normalization reuses the prev_type grouping as a broadcast-size
     * window, so nothing user-sized shuffles twice.
     */
+  // ------------------------------------------- Markov steady state
+  val MkIters = 20   // power-iteration steps (chain mixes in far fewer)
+
+  /** Stationary distribution of the per-user event-type Markov chain —
+    * "where does user behavior settle": the long-run share of each
+    * event type under the observed transition matrix, computed by
+    * [[MkIters]] power-iteration steps in EXACT integer micro-units
+    * (vᵤ′(j) = Σᵢ ⌊vᵤ(i)·n(i,j) / rowtotal(i)⌋, anchor uniform
+    * ⌊10⁶/K⌋). Floor division loses ≤ K micro-units of mass per step
+    * — a documented quantization, and the price of a bit-identical
+    * fixed point on both engines. The chain is defined over types
+    * observed as a transition SOURCE (every fixture type is).
+    *
+    * Scale shape: the transition matrix is a K²-row aggregate of one
+    * user-windowed pass over events (the [[eTransitions]] pass) and is
+    * pinned; each of the 20 steps is a K-row broadcast joined to the
+    * K²-row matrix — iteration cost is independent of the event count.
+    */
+  def eMarkovSteady(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val pairs = load(s, d)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wu))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val m2 = graft.operators.Materialize.pin(
+      pairs.join(pairs.groupBy("src").agg(sum(col("n")).as("rt")), "src"))
+    val k = m2.select(col("src")).distinct()
+      .agg(count(lit(1)).as("k"))
+    var v = m2.select(col("src").as("etype")).distinct()
+      .crossJoin(broadcast(k))
+      .select(col("etype"), expr("1000000 div k").as("vu"))
+    for (_ <- 1 to MkIters)
+      v = m2.join(broadcast(v), col("src") === col("etype"))
+        .select(col("dst"), expr("(vu * n) div rt").as("term"))
+        .groupBy("dst").agg(sum(col("term")).as("vu"))
+        .withColumnRenamed("dst", "etype")
+    v.select(col("etype"), col("vu").as("steady_u")).orderBy("etype")
+  }
+
+  val eMarkovSteadySql: String = {
+    val steps = (1 to MkIters).map { i =>
+      s"""v$i AS (SELECT dst AS etype, CAST(SUM((vu * n) // rt) AS BIGINT) AS vu
+         |  FROM m2 JOIN v${i - 1} ON src = etype GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    epoch_ns(ts) AS ts_ns FROM events),
+       |p AS (SELECT event_type AS dst,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts_ns, event_id) AS src
+       |  FROM e),
+       |mat AS (SELECT src, dst, COUNT(*) AS n FROM p
+       |  WHERE src IS NOT NULL GROUP BY 1, 2),
+       |m2 AS (SELECT mat.src, mat.dst, mat.n, rt.rt FROM mat
+       |  JOIN (SELECT src, CAST(SUM(n) AS BIGINT) AS rt FROM mat GROUP BY 1) rt
+       |  USING (src)),
+       |kk AS (SELECT COUNT(DISTINCT src) AS k FROM m2),
+       |v0 AS (SELECT DISTINCT src AS etype, 1000000 // k AS vu FROM m2, kk),
+       |$steps
+       |SELECT etype, CAST(vu AS BIGINT) AS steady_u FROM v$MkIters
+       |ORDER BY etype""".stripMargin
+  }
+
   def eTransitions(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wu = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
@@ -2054,6 +2119,7 @@ object Events {
     "e_concurrency" -> (eConcurrency _, eConcurrencySql),
     "e_ttc"         -> (eTtc _, eTtcSql),
     "e_decompose"   -> (eDecompose _, eDecomposeSql),
+    "e_markov_steady" -> (eMarkovSteady _, eMarkovSteadySql),
     "e_cuped"       -> (eCuped _, eCupedSql),
     "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
