@@ -1959,6 +1959,92 @@ object Events {
     * partials) plus a 1-row moment reduce; the day midpoint is a
     * 1-row broadcast.
     */
+  // ------------------------------------------ difference-in-differences
+  /** Difference-in-differences: the quasi-experimental effect estimate
+    * when randomization isn't available — (treat.post − treat.pre) −
+    * (ctrl.post − ctrl.pre) of per-user daily event counts. Assignment
+    * is the deterministic user_id parity (the fixture's stand-in for
+    * a rollout flag), the period split is the data's midpoint day
+    * ([[eCuped]]'s convention). All four cell means divide an exact
+    * integer event count by an exact user-day count — unrounded per
+    * the FIXTURES §C mean-tie rule — and the DiD is three subtractions
+    * of those quotients, bit-identical cross-engine.
+    *
+    * Scale shape: one map-side conditional aggregation over events
+    * into the 4 (group × period) cells (plus exact user counts per
+    * group via a user-grain pre-aggregate); the estimate is arithmetic
+    * on one broadcastable row.
+    */
+  def eDid(s: SparkSession, d: String): DataFrame = {
+    val days = load(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+    val mid = days.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"),
+      expr("max(day) - min(day) + 1").as("span"),
+      expr("(min(day) + max(day) + 1) div 2 - min(day)").as("pre_days"))
+    val users = days.select(col("user_id")).distinct()
+      .agg(sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_ctrl"))
+    val cells = days.crossJoin(broadcast(mid))
+      .agg(
+        sum(when(col("user_id") % 2 === 1 && col("day") < col("mid"), 1L)
+          .otherwise(0L)).as("t_pre"),
+        sum(when(col("user_id") % 2 === 1 && col("day") >= col("mid"), 1L)
+          .otherwise(0L)).as("t_post"),
+        sum(when(col("user_id") % 2 === 0 && col("day") < col("mid"), 1L)
+          .otherwise(0L)).as("c_pre"),
+        sum(when(col("user_id") % 2 === 0 && col("day") >= col("mid"), 1L)
+          .otherwise(0L)).as("c_post"),
+        max(col("pre_days")).as("pre_days"),
+        max(col("span") - col("pre_days")).as("post_days"))
+    val rate = (n: Column, users: Column, d: Column) =>
+      n.cast("double") / (users * d)
+    cells.crossJoin(broadcast(users))
+      .select(col("n_treat"), col("n_ctrl"),
+        rate(col("t_pre"), col("n_treat"), col("pre_days")).as("treat_pre"),
+        rate(col("t_post"), col("n_treat"), col("post_days")).as("treat_post"),
+        rate(col("c_pre"), col("n_ctrl"), col("pre_days")).as("ctrl_pre"),
+        rate(col("c_post"), col("n_ctrl"), col("post_days")).as("ctrl_post"))
+      .select(col("n_treat"), col("n_ctrl"),
+        col("treat_pre"), col("treat_post"), col("ctrl_pre"), col("ctrl_post"),
+        ((col("treat_post") - col("treat_pre"))
+          - (col("ctrl_post") - col("ctrl_pre"))).as("did"))
+  }
+
+  val eDidSql: String =
+    """WITH days AS (SELECT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid,
+      |    MAX(day) - MIN(day) + 1 AS span,
+      |    (MIN(day) + MAX(day) + 1) // 2 - MIN(day) AS pre_days
+      |  FROM days),
+      |users AS (SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treat,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_ctrl
+      |  FROM (SELECT DISTINCT user_id FROM days)),
+      |cells AS (SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND day < mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t_pre,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND day >= mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t_post,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND day < mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_pre,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND day >= mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_post,
+      |    MAX(pre_days) AS pre_days,
+      |    MAX(span - pre_days) AS post_days
+      |  FROM days, mid),
+      |rates AS (SELECT n_treat, n_ctrl,
+      |    CAST(t_pre AS DOUBLE) / (n_treat * pre_days) AS treat_pre,
+      |    CAST(t_post AS DOUBLE) / (n_treat * post_days) AS treat_post,
+      |    CAST(c_pre AS DOUBLE) / (n_ctrl * pre_days) AS ctrl_pre,
+      |    CAST(c_post AS DOUBLE) / (n_ctrl * post_days) AS ctrl_post
+      |  FROM cells, users)
+      |SELECT n_treat, n_ctrl, treat_pre, treat_post, ctrl_pre, ctrl_post,
+      |  (treat_post - treat_pre) - (ctrl_post - ctrl_pre) AS did
+      |FROM rates""".stripMargin
+
   def eCuped(s: SparkSession, d: String): DataFrame = {
     val days = load(s, d)
       .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
@@ -2120,6 +2206,7 @@ object Events {
     "e_ttc"         -> (eTtc _, eTtcSql),
     "e_decompose"   -> (eDecompose _, eDecomposeSql),
     "e_markov_steady" -> (eMarkovSteady _, eMarkovSteadySql),
+    "e_did"         -> (eDid _, eDidSql),
     "e_cuped"       -> (eCuped _, eCupedSql),
     "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
