@@ -432,4 +432,54 @@ class EventsSpec extends SparkSpec {
     // assert that precondition so a gappy regenerated fixture is loud
     assert(daily.map(_._1).toSeq === (daily.head._1 until daily.head._1 + daily.length))
   }
+
+  test("e_markov_steady: mass conserved within the floor bound, and a fixed point") {
+    val v = Events.eMarkovSteady(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val k = v.size
+    // each step floors up to K² terms, losing < 1 µu per term (plus
+    // up to K−1 µu at the uniform anchor)
+    val mass = v.values.sum
+    assert(mass <= 1000000L
+      && mass >= 1000000L - (k + k.toLong * k * Events.MkIters),
+      s"mass $mass outside the floor-loss bound")
+    assert(v.values.forall(_ >= 0L))
+    // fixed point: one more exact-integer step moves each entry by at
+    // most K micro-units (the per-step quantization), i.e. the chain
+    // has mixed — a driver recompute of step 21 from the raw matrix
+    val mat = Events.eTransitions(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    val rt = mat.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val next = mat.groupBy(_._2).map { case (dst, rows) =>
+      dst -> rows.map { case (src, _, n, _) => v(src) * n / rt(src) }.sum
+    }
+    next.foreach { case (t, nv) =>
+      assert(math.abs(nv - v(t)) <= k,
+        s"$t: step moves $nv vs ${v(t)} — not a fixed point")
+    }
+  }
+
+  test("e_did: estimate matches a driver recompute of the four cells") {
+    val row = Events.eDid(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+    assert(row.length === 1)
+    val (nt, nc, tp, tq, cp, cq, did) = row.head
+    val days = Events.load(spark, sf)
+      .selectExpr("user_id", "ts_ns div 86400000000000 as day")
+      .as[(Long, Long)].collect()
+    val (lo, hi) = (days.map(_._2).min, days.map(_._2).max)
+    val mid = (lo + hi + 1) / 2
+    val (preD, postD) = (mid - lo, hi - mid + 1)
+    val users = days.map(_._1).distinct
+    assert(nt === users.count(_ % 2 == 1).toLong)
+    assert(nc === users.count(_ % 2 == 0).toLong)
+    def cell(treat: Boolean, post: Boolean) = days.count { case (u, d) =>
+      (u % 2 == 1) == treat && (d >= mid) == post }.toDouble
+    val wTp = cell(true, false) / (nt * preD)
+    val wTq = cell(true, true) / (nt * postD)
+    val wCp = cell(false, false) / (nc * preD)
+    val wCq = cell(false, true) / (nc * postD)
+    assert(tp === wTp && tq === wTq && cp === wCp && cq === wCq)
+    assert(did === (wTq - wTp) - (wCq - wCp))
+  }
 }
