@@ -304,6 +304,18 @@ class PlanSpec extends SparkSpec {
       "part filter + per-part averages must both broadcast:\n" + finalSection.take(1200))
   }
 
+  test("tpch q15: the revenue view is pinned — max and probe read one materialization") {
+    // unpinned, Catalyst specializes the two consumers and the fact
+    // table aggregates twice (the textbook read-the-view-twice trap)
+    val p = plan(Relational.qTpchQ15(spark, sf))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("Scan ExistingRDD".r.findAllIn(finalSection).length >= 2,
+      "revenue view not read from the materialized table:\n" + finalSection.take(1200))
+    val aggs = "HashAggregate".r.findAllIn(finalSection).length
+    assert(!finalSection.contains("Scan parquet") || aggs <= 2,
+      "fact table re-aggregated inside the final plan:\n" + finalSection.take(1200))
+  }
+
   test("tpch q22: anti join on the pruned URGENT slice, balance scalar broadcast") {
     val p = plan(Relational.qTpchQ22(spark, sf))
     val finalSection = p.split("== Initial Plan ==").head
