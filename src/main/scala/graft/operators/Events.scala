@@ -667,19 +667,38 @@ object Events {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("n"))
-    val m2 = graft.operators.Materialize.pin(
-      pairs.join(pairs.groupBy("src").agg(sum(col("n")).as("rt")), "src"))
-    val k = m2.select(col("src")).distinct()
-      .agg(count(lit(1)).as("k"))
-    var v = m2.select(col("src").as("etype")).distinct()
-      .crossJoin(broadcast(k))
-      .select(col("etype"), expr("1000000 div k").as("vu"))
-    for (_ <- 1 to MkIters)
-      v = m2.join(broadcast(v), col("src") === col("etype"))
-        .select(col("dst"), expr("(vu * n) div rt").as("term"))
-        .groupBy("dst").agg(sum(col("term")).as("vu"))
-        .withColumnRenamed("dst", "etype")
-    v.select(col("etype"), col("vu").as("steady_u")).orderBy("etype")
+    val m2 = pairs.join(pairs.groupBy("src").agg(sum(col("n")).as("rt")), "src")
+    // the whole iteration folds INSIDE one row: the K²-row matrix
+    // packs into a single array column and all 20 power steps run as
+    // one interpreted HOF expression — a chained-joins loop paid ~20
+    // tiny scheduler stages (measured 4.2 s at sf0.1) for K²·T ≈ 500
+    // integer ops. Transitions into a dst that never occurs as a src
+    // contribute no state (the documented src-domain contract).
+    val folded = m2
+      .agg(sort_array(collect_list(struct(
+        col("src"), col("dst"), col("n"), col("rt")))).as("mat"))
+      .select(col("mat"),
+        sort_array(array_distinct(transform(col("mat"), e => e.getField("src"))))
+          .as("tys"))
+      .select(col("tys"), transform(col("mat"), e => struct(
+        (array_position(col("tys"), e.getField("src")) - 1).cast("int").as("si"),
+        (array_position(col("tys"), e.getField("dst")) - 1).cast("int").as("di"),
+        e.getField("n").as("n"), e.getField("rt").as("rt"))).as("im"))
+      .select(col("tys"),
+        aggregate(sequence(lit(1), lit(MkIters)),
+          transform(col("tys"), _ => expr("1000000 div size(tys)").cast("long")),
+          (v, _) => transform(sequence(lit(0), size(col("tys")) - 1), j =>
+            aggregate(col("im"), lit(0L), (acc, e) =>
+              // ⌊v·n/rt⌋ — all positive, products < 2^53, so the
+              // double division + floor is the exact integer floor div
+              acc + when(e.getField("di") === j.cast("int"),
+                floor(element_at(v, e.getField("si") + 1) * e.getField("n")
+                  / e.getField("rt")).cast("long"))
+                .otherwise(lit(0L))))).as("v"))
+    folded
+      .select(posexplode(col("tys")).as(Seq("i", "etype")), col("v"))
+      .select(col("etype"), element_at(col("v"), col("i") + 1).as("steady_u"))
+      .orderBy("etype")
   }
 
   val eMarkovSteadySql: String = {
