@@ -1571,6 +1571,46 @@ object Relational {
       |  WHERE CAST(promo_qty_dec AS DOUBLE) > cut)
       |ORDER BY s_suppkey""".stripMargin
 
+  // --------------------------------- TPC-H Q12 (late lines by category)
+  /** TPC-H Q12 shape: late lines per line category, split into
+    * high/low-priority counts — the fact-fact join with DUAL
+    * complementary conditional aggregates and IN-list predicates.
+    * (Fixture adaptations: l_returnflag stands in for the missing
+    * shipmode, and "late" is the 60-day ship-after-order rule shared
+    * with Q4/Q21 — commit/receipt dates don't exist.)
+    *
+    * Scale shape: the year predicate pushes to the lineitem scan;
+    * orders⋈lineitem is the one shuffle on the natural orderkey; the
+    * lateness test rides the join as a residual; both CASE counts
+    * come out of ONE aggregate pass (no second scan for the
+    * complement). Output grain is the 3-value flag domain.
+    */
+  def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag").as("shipmode"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("shipmode")
+  }
+
+  val qTpchQ12Sql: String =
+    """SELECT l_returnflag AS shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------ TPC-H Q13 (customer order distribution)
   /** TPC-H Q13 shape: the histogram of orders-per-customer INCLUDING
     * zero-order customers — the left-outer join into a double
@@ -1962,6 +2002,7 @@ object Relational {
     "q_tpch_q6"        -> (qTpchQ6 _, qTpchQ6Sql),
     "q_tpch_q7"        -> (qTpchQ7 _, qTpchQ7Sql),
     "q_tpch_q8"        -> (qTpchQ8 _, qTpchQ8Sql),
+    "q_tpch_q12"       -> (qTpchQ12 _, qTpchQ12Sql),
     "q_tpch_q13"       -> (qTpchQ13 _, qTpchQ13Sql),
     "q_incremental_agg" -> (qIncrementalAgg _, qIncrementalAggSql),
     "q_tpch_q14"       -> (qTpchQ14 _, qTpchQ14Sql),
