@@ -1978,6 +1978,61 @@ object Events {
     * partials) plus a 1-row moment reduce; the day midpoint is a
     * 1-row broadcast.
     */
+  // ----------------------------------------------- SLO burn-rate alert
+  /** Multi-window burn-rate alerting (the SRE-workbook pattern): per
+    * hour, the error rate over the trailing 1-hour and 6-hour windows
+    * expressed as a BURN RATE against a 20 % error budget, with the
+    * alert firing only when BOTH windows burn hot (fast window > 2×
+    * budget AND slow window > 1.5×) — the two-window AND is what kills
+    * both false positives (one bad minute) and false negatives (slow
+    * leaks). Windows are over observed hourly buckets (the fixture's
+    * hours are contiguous; a production deploy puts a gap-fill spine
+    * underneath — [[eGapfill]]).
+    *
+    * Scale shape: events collapse to hour-grain (err, total) pairs in
+    * one map-side-combined aggregate; both trailing windows and the
+    * alert flag run on hour-count rows (day/hour-bounded ordered
+    * window family). Rates are unrounded exact-integer quotients
+    * (FIXTURES §C); burn rates divide them by the exact literal
+    * budget.
+    */
+  def eBurnRate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 0.2
+    val w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    val hourly = load(s, d)
+      .select(expr("ts_ns div 3600000000000").as("hr"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy("hr")
+      .agg(sum(col("is_err")).as("err"), count(lit(1)).as("total"))
+    hourly
+      .withColumn("err6", sum(col("err")).over(w6))
+      .withColumn("total6", sum(col("total")).over(w6))
+      .select(col("hr"), col("err"), col("total"),
+        (col("err").cast("double") / col("total") / budget).as("burn_1h"),
+        (col("err6").cast("double") / col("total6") / budget).as("burn_6h"))
+      .withColumn("alert",
+        col("burn_1h") > 2.0 && col("burn_6h") > 1.5)
+      .orderBy("hr")
+  }
+
+  val eBurnRateSql: String =
+    """WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS err,
+      |    COUNT(*) AS total
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT hr, err, total,
+      |    SUM(err) OVER w6 AS err6, SUM(total) OVER w6 AS total6
+      |  FROM h
+      |  WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+      |SELECT hr, err, total,
+      |  CAST(err AS DOUBLE) / total / 0.2 AS burn_1h,
+      |  CAST(err6 AS DOUBLE) / total6 / 0.2 AS burn_6h,
+      |  (CAST(err AS DOUBLE) / total / 0.2 > 2.0
+      |    AND CAST(err6 AS DOUBLE) / total6 / 0.2 > 1.5) AS alert
+      |FROM w ORDER BY hr""".stripMargin
+
   // ------------------------------------------ difference-in-differences
   /** Difference-in-differences: the quasi-experimental effect estimate
     * when randomization isn't available — (treat.post − treat.pre) −
@@ -2226,6 +2281,7 @@ object Events {
     "e_decompose"   -> (eDecompose _, eDecomposeSql),
     "e_markov_steady" -> (eMarkovSteady _, eMarkovSteadySql),
     "e_did"         -> (eDid _, eDidSql),
+    "e_burn_rate"   -> (eBurnRate _, eBurnRateSql),
     "e_cuped"       -> (eCuped _, eCupedSql),
     "e_holtwinters" -> (eHoltWinters _, eHoltWintersSql),
     "e_survival"    -> (eSurvival _, eSurvivalSql),
