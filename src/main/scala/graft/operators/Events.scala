@@ -2274,7 +2274,63 @@ object Events {
       |  UNION ALL SELECT * FROM dups)
       |ORDER BY check_name""".stripMargin
 
+  // ------------------------------------------- activity streaks
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape on the CALENDAR grid (engagement metrics,
+    * "7-day streak" badges), distinct from [[eSession]]'s timestamp-gap
+    * sessionization: here the island key is `day − row_number()`, which
+    * is constant exactly while active days are consecutive. Output per
+    * user: the best streak's length and start day (earliest start wins
+    * length ties) plus total active days.
+    *
+    * Scale shape: one distinct on (user, day) — the day grain bounds
+    * state at users × days regardless of event volume — then two
+    * user-partitioned windows and a user-keyed aggregate; everything
+    * after the distinct is partitioned by `user_id`, so the plan
+    * reuses one hash partitioning end-to-end (no driver state, no
+    * global window). Determinism: all columns are exact ints; the
+    * best-streak tie-break is (len DESC, start_day).
+    */
+  def eStreaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = load(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val streaks = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("start_day"))
+    streaks
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .join(days.groupBy("user_id").agg(count(lit(1)).as("n_active_days")),
+        Seq("user_id"))
+      .select(col("user_id"), col("len").as("best_streak"),
+        col("start_day"), col("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  val eStreaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |isl AS (SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island FROM days),
+      |st AS (SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM isl GROUP BY 1, 2),
+      |best AS (SELECT user_id, len, start_day,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, start_day) AS rk FROM st),
+      |act AS (SELECT user_id, COUNT(*) AS n_active_days FROM days GROUP BY 1)
+      |SELECT b.user_id, b.len AS best_streak, b.start_day, a.n_active_days
+      |FROM best b JOIN act a USING (user_id)
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_streaks"     -> (eStreaks _, eStreaksSql),
     "e_dq_audit"    -> (eDqAudit _, eDqAuditSql),
     "e_concurrency" -> (eConcurrency _, eConcurrencySql),
     "e_ttc"         -> (eTtc _, eTtcSql),

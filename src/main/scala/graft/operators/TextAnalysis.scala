@@ -2821,7 +2821,106 @@ object TextAnalysis {
        |FROM na, nb, com, mism""".stripMargin
   }
 
+  // ------------------------------------------- quality-rule ledger
+  /** Gopher-style hard quality rules as a per-rule violation ledger —
+    * the corpus-curation twin of [[Events.eDqAudit]]'s event checks:
+    * each document is tested against five structural rules (too few
+    * tokens; mean token length out of band; low type/token diversity;
+    * no stopword at all; single-token dominance), and the output is
+    * one row per rule with its violation count and rate plus an
+    * `any_fail` roll-up — the report a data-curation run reads to
+    * decide which filter is doing the work (rule thresholds are
+    * corpus-calibrated; the shape, not the constants, is the op).
+    *
+    * Scale shape: all five flags compute in ONE let-bound lambda over
+    * the token array (single tokenize, no re-inlining — the
+    * [[tQuality]] Generate pattern), the aggregate is a 1-row
+    * partial+final sum, and the ledger unpivots driver-free via
+    * `stack`. Dominance is O(v·n) per doc with v ≤ n bounded by doc
+    * length — per-row work, no shuffle beyond the 1-row agg.
+    * Determinism: counts are exact ints; fail_rate is one int/int
+    * double quotient (FIXTURES §C); threshold compares hit identical
+    * doubles on both engines (int-sum/int-count quotients vs decimal
+    * literals).
+    */
+  def tGopherRules(s: SparkSession, d: String): DataFrame = {
+    def flags(toks: Column): Column = {
+      val n = size(toks)
+      val meanLen = aggregate(toks, lit(0), (a, x) => a + length(x))
+        .cast("double") / n
+      val distinctRatio = size(array_distinct(toks)).cast("double") / n
+      val stopHits = size(filter(toks, x => x.isin("the", "a")))
+      val dom = array_max(transform(array_distinct(toks),
+        w => size(filter(toks, x => x === w)))).cast("double") / n
+      struct(
+        (n < 25).as("too_short"),
+        (meanLen < 4.3 || meanLen > 4.75).as("mean_len_oob"),
+        (distinctRatio < 0.35).as("low_diversity"),
+        (stopHits === 0).as("no_stopword"),
+        (dom > 0.14).as("dominance"))
+    }
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val f = docsWithTokens(s, d)
+      .filter(size(col("toks")) > 0)
+      .select(explode(transform(array(col("toks")), t => flags(t))).as("f"))
+    f.agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("f.too_short")).as("c_short"),
+        cnt(col("f.mean_len_oob")).as("c_mlen"),
+        cnt(col("f.low_diversity")).as("c_div"),
+        cnt(col("f.no_stopword")).as("c_stop"),
+        cnt(col("f.dominance")).as("c_dom"),
+        cnt(col("f.too_short") || col("f.mean_len_oob")
+          || col("f.low_diversity") || col("f.no_stopword")
+          || col("f.dominance")).as("c_any"))
+      .select(expr(
+        """stack(6,
+          |  'any_fail', c_any, 'dominance', c_dom, 'low_diversity', c_div,
+          |  'mean_len_oob', c_mlen, 'no_stopword', c_stop,
+          |  'too_short', c_short) AS (rule, n_fail)""".stripMargin),
+        col("n_docs"))
+      .select(col("rule"), col("n_fail"), col("n_docs"),
+        (col("n_fail").cast("double") / col("n_docs")).as("fail_rate"))
+      .orderBy("rule")
+  }
+
+  val tGopherRulesSql: String =
+    s"""WITH t AS (SELECT ${Text.ToksSql} AS toks FROM documents),
+       |m AS (SELECT len(toks) AS n,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |      / len(toks) AS ml,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+       |    len(list_filter(toks, x -> x IN ('the', 'a'))) AS stop_n,
+       |    CAST(list_max(list_transform(list_distinct(toks),
+       |      w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+       |      / len(toks) AS dom
+       |  FROM t WHERE len(toks) > 0),
+       |fl AS (SELECT n < 25 AS too_short,
+       |    (ml < 4.3 OR ml > 4.75) AS mean_len_oob,
+       |    dr < 0.35 AS low_diversity, stop_n = 0 AS no_stopword,
+       |    dom > 0.14 AS dominance FROM m),
+       |agg AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS c_short,
+       |    CAST(SUM(CASE WHEN mean_len_oob THEN 1 ELSE 0 END) AS BIGINT) AS c_mlen,
+       |    CAST(SUM(CASE WHEN low_diversity THEN 1 ELSE 0 END) AS BIGINT) AS c_div,
+       |    CAST(SUM(CASE WHEN no_stopword THEN 1 ELSE 0 END) AS BIGINT) AS c_stop,
+       |    CAST(SUM(CASE WHEN dominance THEN 1 ELSE 0 END) AS BIGINT) AS c_dom,
+       |    CAST(SUM(CASE WHEN too_short OR mean_len_oob OR low_diversity
+       |      OR no_stopword OR dominance THEN 1 ELSE 0 END) AS BIGINT) AS c_any
+       |  FROM fl)
+       |SELECT rule, n_fail, n_docs,
+       |  CAST(n_fail AS DOUBLE) / n_docs AS fail_rate
+       |FROM (
+       |  SELECT 'any_fail' AS rule, c_any AS n_fail, n_docs FROM agg
+       |  UNION ALL SELECT 'dominance', c_dom, n_docs FROM agg
+       |  UNION ALL SELECT 'low_diversity', c_div, n_docs FROM agg
+       |  UNION ALL SELECT 'mean_len_oob', c_mlen, n_docs FROM agg
+       |  UNION ALL SELECT 'no_stopword', c_stop, n_docs FROM agg
+       |  UNION ALL SELECT 'too_short', c_short, n_docs FROM agg)
+       |ORDER BY rule""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_gopher_rules" -> (tGopherRules _, tGopherRulesSql),
     "t_bpe_stability" -> (tBpeStability _, tBpeStabilitySql),
     "t_lang_confusion" -> (tLangConfusion _, tLangConfusionSql),
     "t_heldout_ppl"  -> (tHeldoutPpl _, tHeldoutPplSql),

@@ -482,4 +482,31 @@ class EventsSpec extends SparkSpec {
     assert(tp === wTp && tq === wTq && cp === wCp && cq === wCq)
     assert(did === (wTq - wTp) - (wCq - wCp))
   }
+
+  test("e_streaks: best streak matches a driver-side scan of each user's day set") {
+    val got = Events.eStreaks(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val days = Events.load(spark, sf)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(got.keySet === days.keySet)
+    days.foreach { case (u, ds) =>
+      // runs of consecutive days; best = longest, earliest start on tie
+      val runs = ds.foldLeft(Vector.empty[(Long, Long)]) { case (acc, d) =>
+        acc.lastOption match {
+          case Some((start, len)) if start + len == d =>
+            acc.init :+ (start, len + 1)
+          case _ => acc :+ (d, 1L)
+        }
+      }
+      val best = runs.maxBy { case (start, len) => (len, -start) }
+      val (bestLen, bestStart, nActive) = got(u)
+      assert(nActive === ds.size.toLong, s"user $u active days")
+      assert(bestLen === best._2, s"user $u streak len")
+      assert(bestStart === best._1, s"user $u streak start")
+      assert(runs.map(_._2).sum === ds.size.toLong, s"user $u runs partition")
+    }
+  }
 }

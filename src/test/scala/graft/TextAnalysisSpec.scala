@@ -931,4 +931,36 @@ class TextAnalysisSpec extends SparkSpec {
       assert(nBoiler === nb, s"doc $id n_boiler: got $nBoiler want $nb")
     }
   }
+
+  test("t_gopher_rules: ledger counts match a driver-side re-evaluation of all five rules") {
+    val got = TextAnalysis.tGopherRules(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet === Set("any_fail", "dominance", "low_diversity",
+      "mean_len_oob", "no_stopword", "too_short"))
+    val docs = Tables.documents(spark, sf).select("text").as[String].collect()
+      .map(_.split("[ \t\n\r\f]+").filter(_.nonEmpty)).filter(_.nonEmpty)
+    var (cShort, cMlen, cDiv, cStop, cDom, cAny) = (0L, 0L, 0L, 0L, 0L, 0L)
+    docs.foreach { toks =>
+      val n = toks.length
+      val short = n < 25
+      val ml = toks.map(_.length).sum.toDouble / n
+      val mlen = ml < 4.3 || ml > 4.75
+      val div = toks.distinct.length.toDouble / n < 0.35
+      val stop = !toks.exists(t => t == "the" || t == "a")
+      val dom = toks.groupBy(identity).values.map(_.size).max.toDouble / n > 0.14
+      if (short) cShort += 1; if (mlen) cMlen += 1; if (div) cDiv += 1
+      if (stop) cStop += 1; if (dom) cDom += 1
+      if (short || mlen || div || stop || dom) cAny += 1
+    }
+    val want = Map("too_short" -> cShort, "mean_len_oob" -> cMlen,
+      "low_diversity" -> cDiv, "no_stopword" -> cStop,
+      "dominance" -> cDom, "any_fail" -> cAny)
+    want.foreach { case (rule, n) =>
+      val (nFail, nDocs, rate) = got(rule)
+      assert(nFail === n, s"rule $rule")
+      assert(nDocs === docs.length.toLong, s"rule $rule n_docs")
+      assert(rate === n.toDouble / docs.length, s"rule $rule rate")
+    }
+  }
 }
