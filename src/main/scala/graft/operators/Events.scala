@@ -2284,11 +2284,12 @@ object Events {
     * length ties) plus total active days.
     *
     * Scale shape: one distinct on (user, day) — the day grain bounds
-    * state at users × days regardless of event volume — then two
-    * user-partitioned windows and a user-keyed aggregate; everything
-    * after the distinct is partitioned by `user_id`, so the plan
-    * reuses one hash partitioning end-to-end (no driver state, no
-    * global window). Determinism: all columns are exact ints; the
+    * state at users × days regardless of event volume — then the
+    * island window, the island aggregate, and two more windows (total
+    * days, best-streak rank) ALL partitioned by `user_id`: after the
+    * distinct the plan reuses one hash partitioning end-to-end, with
+    * no second events scan and no join (no driver state, no global
+    * window). Determinism: all columns are exact ints; the
     * best-streak tie-break is (len DESC, start_day).
     */
   def eStreaks(s: SparkSession, d: String): DataFrame = {
@@ -2303,11 +2304,14 @@ object Events {
       .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
     val wBest = Window.partitionBy("user_id")
       .orderBy(col("len").desc, col("start_day"))
+    // n_active_days = Σ island lengths per user, as a window sum over
+    // the streaks already partitioned by user_id — no second events
+    // scan, no join; both windows share one partitioning
     streaks
+      .withColumn("n_active_days", sum(col("len"))
+        .over(Window.partitionBy("user_id")))
       .withColumn("rk", row_number().over(wBest))
       .filter(col("rk") === 1)
-      .join(days.groupBy("user_id").agg(count(lit(1)).as("n_active_days")),
-        Seq("user_id"))
       .select(col("user_id"), col("len").as("best_streak"),
         col("start_day"), col("n_active_days"))
       .orderBy("user_id")
@@ -2322,12 +2326,12 @@ object Events {
       |st AS (SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
       |  FROM isl GROUP BY 1, 2),
       |best AS (SELECT user_id, len, start_day,
+      |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+      |      AS n_active_days,
       |    row_number() OVER (PARTITION BY user_id
-      |      ORDER BY len DESC, start_day) AS rk FROM st),
-      |act AS (SELECT user_id, COUNT(*) AS n_active_days FROM days GROUP BY 1)
-      |SELECT b.user_id, b.len AS best_streak, b.start_day, a.n_active_days
-      |FROM best b JOIN act a USING (user_id)
-      |WHERE rk = 1 ORDER BY user_id""".stripMargin
+      |      ORDER BY len DESC, start_day) AS rk FROM st)
+      |SELECT user_id, len AS best_streak, start_day, n_active_days
+      |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "e_streaks"     -> (eStreaks _, eStreaksSql),

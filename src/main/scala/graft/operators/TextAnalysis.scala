@@ -2844,25 +2844,38 @@ object TextAnalysis {
     * literals).
     */
   def tGopherRules(s: SparkSession, d: String): DataFrame = {
-    def flags(toks: Column): Column = {
+    // metrics in the first lambda (each fold evaluated ONCE — the ml
+    // threshold band below references its struct field twice, which
+    // would re-run the O(n) length fold if inlined), thresholds over
+    // the Generate-materialized struct fields
+    def metrics(toks: Column): Column = {
       val n = size(toks)
-      val meanLen = aggregate(toks, lit(0), (a, x) => a + length(x))
-        .cast("double") / n
-      val distinctRatio = size(array_distinct(toks)).cast("double") / n
-      val stopHits = size(filter(toks, x => x.isin("the", "a")))
-      val dom = array_max(transform(array_distinct(toks),
-        w => size(filter(toks, x => x === w)))).cast("double") / n
       struct(
-        (n < 25).as("too_short"),
-        (meanLen < 4.3 || meanLen > 4.75).as("mean_len_oob"),
-        (distinctRatio < 0.35).as("low_diversity"),
-        (stopHits === 0).as("no_stopword"),
-        (dom > 0.14).as("dominance"))
+        n.as("n"),
+        (aggregate(toks, lit(0), (a, x) => a + length(x))
+          .cast("double") / n).as("ml"),
+        (size(array_distinct(toks)).cast("double") / n).as("dr"),
+        size(filter(toks, x => x.isin("the", "a"))).as("stop_n"),
+        (array_max(transform(array_distinct(toks),
+          w => size(filter(toks, x => x === w)))).cast("double") / n)
+          .as("dom"))
     }
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     val f = docsWithTokens(s, d)
       .filter(size(col("toks")) > 0)
-      .select(explode(transform(array(col("toks")), t => flags(t))).as("f"))
+      .select(explode(transform(array(col("toks")), t => metrics(t))).as("m"))
+      .select(
+        (col("m.n") < 25).as("f_too_short"),
+        (col("m.ml") < 4.3 || col("m.ml") > 4.75).as("f_mean_len_oob"),
+        (col("m.dr") < 0.35).as("f_low_diversity"),
+        (col("m.stop_n") === 0).as("f_no_stopword"),
+        (col("m.dom") > 0.14).as("f_dominance"))
+      .select(struct(
+        col("f_too_short").as("too_short"),
+        col("f_mean_len_oob").as("mean_len_oob"),
+        col("f_low_diversity").as("low_diversity"),
+        col("f_no_stopword").as("no_stopword"),
+        col("f_dominance").as("dominance")).as("f"))
     f.agg(
         count(lit(1)).as("n_docs"),
         cnt(col("f.too_short")).as("c_short"),
