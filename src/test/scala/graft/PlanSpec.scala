@@ -522,4 +522,29 @@ class PlanSpec extends SparkSpec {
           p.take(1200))
     }
   }
+
+  test("streaks: one events scan, user-partitioned windows, group-limited best pick") {
+    val p = finalOnly(plan(graft.operators.Events.eStreaks(spark, sf)))
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      "n_active_days re-scans events (should be a window sum):\n" + p.take(1500))
+    assert(!p.contains("Join"), "unexpected join:\n" + p.take(1500))
+    // every window partitions by user_id — no global single-partition window
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    val specs = "windowspecdefinition\\(user_id#".r.findAllIn(p).length
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(p).length
+    assert(specs === allSpecs && allSpecs >= 3,
+      s"non-user-partitioned window present ($specs/$allSpecs):\n" + p.take(1500))
+  }
+
+  test("gopher rules: pruned scan, one generate, partial+final 1-row agg") {
+    val p = finalOnly(plan(graft.operators.TextAnalysis.tGopherRules(spark, sf)))
+    assert(!p.contains("lang") && !p.contains("n_chars"),
+      "scan not pruned to doc_id+text:\n" + p.take(1200))
+    // one metrics Generate + the ledger's stack Generate — never a
+    // third (a re-inlined tokenize would add one)
+    assert("Generate ".r.findAllIn(p).length === 2, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length === 2,
+      "partial+final agg lost:\n" + p.take(1200))
+    assert(p.contains("Exchange SinglePartition"), p.take(1200))
+  }
 }
