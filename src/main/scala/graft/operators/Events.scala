@@ -2333,7 +2333,140 @@ object Events {
       |SELECT user_id, len AS best_streak, start_day, n_active_days
       |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  // -------------------------------------- seasonality strength
+  /** Trend and seasonality strength of the daily series — the two
+    * standard diagnostics computed from [[eDecompose]]'s additive
+    * components: F_trend = max(0, 1 − Var(resid)/Var(deseasonalized))
+    * and F_seas = max(0, 1 − Var(resid)/Var(detrended)). Near 1 the
+    * component dominates; near 0 the series is noise — the one-row
+    * readout that says whether forecasting should bother modeling
+    * trend/season at all (and which [[eHoltWinters]] smoother to pick).
+    *
+    * Determinism: every component is an exact integer in micro-units
+    * (the decompose chain's contract), and Var ratios cancel the n²
+    * denominator, so each strength is 1 − numR/numD with both
+    * numerators n·Σx² − (Σx)² summed EXACTLY in DECIMAL(38,0) (Spark)
+    * / HUGEINT (DuckDB) — the only doubles are the two final
+    * correctly-rounded casts and one division, bit-identical on both
+    * engines. Zero-variance denominators yield 0.0 by contract; an
+    * empty inner-day set yields 0 rows on both engines.
+    *
+    * Scale shape: inherits [[eDecompose]]'s day-grain bounds (all
+    * state is days × 1), plus one 1-row partial+final aggregate.
+    */
+  def eSeasonStrength(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val comp = eDecompose(s, d)
+    val r = col("resid_u")
+    val ds = col("yu") - col("seas_u")
+    val dt = col("yu") - col("trend_u")
+    val a = comp.agg(
+      count(lit(1)).as("n"),
+      sum(dec(r) * dec(r)).as("srr"), sum(dec(r)).as("sr"),
+      sum(dec(ds) * dec(ds)).as("sdd"), sum(dec(ds)).as("sd"),
+      sum(dec(dt) * dec(dt)).as("stt"), sum(dec(dt)).as("st"))
+    def num(sxx: Column, sx: Column): Column =
+      dec(col("n")) * sxx - sx * sx
+    def strength(den: Column): Column =
+      when(den === 0, 0.0).otherwise(greatest(lit(0.0),
+        lit(1.0) - num(col("srr"), col("sr")).cast("double")
+          / den.cast("double")))
+    a.select(col("n").as("n_days"),
+        strength(num(col("sdd"), col("sd"))).as("f_trend"),
+        strength(num(col("stt"), col("st"))).as("f_seas"))
+      .where(col("n_days") > 0)
+  }
+
+  val eSeasonStrengthSql: String =
+    s"""WITH comp AS ($eDecomposeSql),
+       |x AS (SELECT CAST(resid_u AS HUGEINT) AS r,
+       |    CAST(yu - seas_u AS HUGEINT) AS ds,
+       |    CAST(yu - trend_u AS HUGEINT) AS dt FROM comp),
+       |a AS (SELECT COUNT(*) AS n, SUM(r*r) AS srr, SUM(r) AS sr,
+       |    SUM(ds*ds) AS sdd, SUM(ds) AS sd,
+       |    SUM(dt*dt) AS stt, SUM(dt) AS st FROM x)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  CASE WHEN n*sdd - sd*sd = 0 THEN 0.0 ELSE GREATEST(0.0,
+       |    1 - CAST(n*srr - sr*sr AS DOUBLE)
+       |      / CAST(n*sdd - sd*sd AS DOUBLE)) END AS f_trend,
+       |  CASE WHEN n*stt - st*st = 0 THEN 0.0 ELSE GREATEST(0.0,
+       |    1 - CAST(n*srr - sr*sr AS DOUBLE)
+       |      / CAST(n*stt - st*st AS DOUBLE)) END AS f_seas
+       |FROM a WHERE n > 0""".stripMargin
+
+  // --------------------------------------------- Lorenz deciles
+  /** Lorenz concentration curve — per-decile activity share and
+    * cumulative share of events over users ranked by event count (the
+    * "top 10 % of users generate X % of traffic" readout; the curve
+    * whose area [[eGini]] summarizes to one number). Output: one row
+    * per populated decile with user count, event count, share, and
+    * cumulative share.
+    *
+    * Scale shape: the per-user count aggregates map-side, then
+    * everything runs on the count HISTOGRAM (distinct-count-bounded,
+    * like [[eGini]]) — decile membership is derived arithmetically
+    * from each histogram block's rank interval against the standard
+    * ntile boundaries (first `n mod 10` buckets take one extra row),
+    * so no global per-user window ever runs: the only ordered windows
+    * are over the histogram and the ≤ 10 decile rows. Value-identical
+    * to textbook `ntile(10)` (the oracle's form) because rank ties
+    * share one count value — splitting a tie block across deciles
+    * moves only interchangeable users. Determinism: counts are exact
+    * ints; shares are int/int double quotients (FIXTURES §C).
+    */
+  def eLorenz(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy("cnt").agg(count(lit(1)).as("m"))
+    val wr = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    // r = users ranked strictly below this count block
+    val blocks = hist.select(col("cnt"), col("m"),
+      coalesce(sum(col("m")).over(wr), lit(0L)).as("r"))
+    val stats = counts.agg(count(lit(1)).as("nu"), sum(col("cnt")).as("tot"))
+    val q = expr("nu div 10")
+    val rem = col("nu") % 10
+    val dec = blocks.crossJoin(broadcast(stats))
+      .select(col("cnt"), col("m"), col("r"), col("nu"), col("tot"),
+        explode(sequence(lit(1L), least(lit(10L), col("nu")))).as("decile"))
+      .select(col("cnt"), col("m"), col("r"), col("tot"), col("decile"),
+        (col("decile") * q + least(col("decile"), rem)).as("hi"),
+        ((col("decile") - 1) * q + least(col("decile") - 1, rem)).as("lo"))
+      .select(col("cnt"), col("decile"), col("tot"),
+        greatest(lit(0L),
+          least(col("hi"), col("r") + col("m"))
+            - greatest(col("lo"), col("r"))).as("k"))
+      .filter(col("k") > 0)
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.groupBy("decile", "tot")
+      .agg(sum(col("k")).as("n_users"),
+        sum(col("k") * col("cnt")).as("n_events"))
+      .select(col("decile").cast("int").as("decile"),
+        col("n_users"), col("n_events"),
+        (col("n_events").cast("double") / col("tot")).as("share"),
+        (sum(col("n_events")).over(wCum).cast("double") / col("tot"))
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val eLorenzSql: String =
+    """WITH counts AS (SELECT user_id, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |dec AS (SELECT cnt,
+      |    ntile(10) OVER (ORDER BY cnt, user_id) AS decile FROM counts),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM counts),
+      |d AS (SELECT decile, COUNT(*) AS n_users,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_events FROM dec GROUP BY 1)
+      |SELECT CAST(decile AS INT) AS decile, n_users, n_events,
+      |  CAST(n_events AS DOUBLE) / t AS share,
+      |  CAST(CAST(SUM(n_events) OVER (ORDER BY decile) AS BIGINT)
+      |    AS DOUBLE) / t AS cum_share
+      |FROM d, tot ORDER BY decile""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_season_strength" -> (eSeasonStrength _, eSeasonStrengthSql),
+    "e_lorenz"      -> (eLorenz _, eLorenzSql),
     "e_streaks"     -> (eStreaks _, eStreaksSql),
     "e_dq_audit"    -> (eDqAudit _, eDqAuditSql),
     "e_concurrency" -> (eConcurrency _, eConcurrencySql),

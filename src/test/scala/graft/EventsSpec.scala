@@ -509,4 +509,49 @@ class EventsSpec extends SparkSpec {
       assert(runs.map(_._2).sum === ds.size.toLong, s"user $u runs partition")
     }
   }
+
+  test("e_lorenz: histogram-split deciles equal a driver-side textbook ntile") {
+    val got = Events.eLorenz(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    val counts = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(c => (c._2, c._1))
+    val n = counts.length
+    val (q, rem) = (n / 10, n % 10)
+    // standard ntile: first rem buckets get q+1 rows, the rest q
+    val byDecile = counts.zipWithIndex.groupBy { case (_, i) =>
+      if (i < rem * (q + 1)) i / (q + 1) + 1 else rem + (i - rem * (q + 1)) / q + 1
+    }
+    val tot = counts.map(_._2).sum
+    assert(got.map(_._1).toSeq === byDecile.keys.toSeq.sorted.map(_.toInt))
+    var cum = 0L
+    got.foreach { case (dec, nUsers, nEvents, share, cumShare) =>
+      val want = byDecile(dec)
+      cum += nEvents
+      assert(nUsers === want.length.toLong, s"decile $dec users")
+      assert(nEvents === want.map(_._1._2).sum, s"decile $dec events")
+      assert(share === nEvents.toDouble / tot, s"decile $dec share")
+      assert(cumShare === cum.toDouble / tot, s"decile $dec cum")
+    }
+    assert(cum === tot, "deciles partition all events")
+  }
+
+  test("e_season_strength: strengths match a BigInt recompute from the decompose components") {
+    val Seq((nDays, fTrend, fSeas)) = Events.eSeasonStrength(spark, sf)
+      .as[(Long, Double, Double)].collect().toSeq
+    val comp = Events.eDecompose(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nDays === comp.length.toLong)
+    def num(xs: Seq[BigInt]): BigInt =
+      BigInt(xs.length) * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val r = comp.map(c => BigInt(c._5)).toSeq
+    val ds = comp.map(c => BigInt(c._2 - c._4)).toSeq
+    val dt = comp.map(c => BigInt(c._2 - c._3)).toSeq
+    def strength(den: BigInt): Double =
+      if (den == 0) 0.0
+      else math.max(0.0, 1.0 - num(r).toDouble / den.toDouble)
+    assert(fTrend === strength(num(ds)), "f_trend")
+    assert(fSeas === strength(num(dt)), "f_seas")
+    assert(fTrend >= 0.0 && fTrend <= 1.0 && fSeas >= 0.0 && fSeas <= 1.0)
+  }
 }
