@@ -1409,6 +1409,184 @@ object Relational {
       |FROM liP JOIN pp ON l_partkey = pk
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  // ------------------------------- TPC-H Q2 (minimum-cost supplier)
+  /** TPC-H Q2 shape: for each qualifying part, the cheapest supplier
+    * in one region — the correlated MIN subquery (each part's cost
+    * compared against ITS own minimum) decorrelated into a per-part
+    * aggregate joined back on equality. (Fixture adaptation: there is
+    * no partsupp table, so the offered unit cost of a (part, supplier)
+    * pair is derived from lineitem as MIN(l_extendedprice /
+    * l_quantity) — the best observed unit price that supplier ever
+    * shipped that part at.)
+    *
+    * Scale shape: both qualification lists broadcast as semi joins
+    * into the single fact scan (region-filtered suppliers via the
+    * nation⋈region dims, size/type-filtered parts), so the
+    * (part, supplier) cost aggregate only ever sees qualifying lines;
+    * the per-part minimum is a partkey-grain aggregate of THAT
+    * already-small frame joined back on (partkey, cost-equality).
+    * Determinism: unit cost is one IEEE double division and MIN is
+    * order-free, so the min and the equality rejoin are bit-identical
+    * cross-engine; ties (several suppliers at the best cost) are all
+    * kept, as in the original Q2, and the output order
+    * (s_acctbal DESC, p_partkey, s_name) is total because
+    * (p_partkey, s_name) is unique per row.
+    */
+  def qTpchQ2(s: SparkSession, d: String): DataFrame = {
+    val eurSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(s, d)
+      .filter(col("p_type") === "LARGE" && col("p_size") < 10)
+      .select("p_partkey")
+    val cost = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(eurSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val best = cost.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("unit_cost")).as("best_cost"))
+    cost
+      .join(best, col("l_partkey") === col("pk")
+        && col("unit_cost") === col("best_cost"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+  }
+
+  val qTpchQ2Sql: String =
+    """WITH eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |qp AS (SELECT p_partkey FROM part
+      |  WHERE p_type = 'LARGE' AND p_size < 10),
+      |cost AS (SELECT l_partkey, l_suppkey,
+      |    MIN(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM qp)
+      |    AND l_suppkey IN (SELECT s_suppkey FROM eur)
+      |  GROUP BY 1, 2),
+      |best AS (SELECT l_partkey AS pk, MIN(unit_cost) AS best_cost
+      |  FROM cost GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+      |FROM cost
+      |JOIN best ON l_partkey = pk AND unit_cost = best_cost
+      |JOIN eur ON l_suppkey = s_suppkey
+      |ORDER BY s_acctbal DESC, p_partkey, s_name""".stripMargin
+
+  // ----------------------------------- TPC-H Q9 (product-type profit)
+  /** TPC-H Q9 shape: profit by supplier nation and order year for one
+    * product family — the 5-table star join with an arithmetic profit
+    * measure aggregated on a derived (nation, year) grain. (Fixture
+    * adaptation: no partsupp, so p_retailprice stands in for the unit
+    * supply cost: profit = extendedprice·(1−discount) −
+    * retailprice·quantity.)
+    *
+    * Scale shape: the p_name family filter cuts PART before its
+    * broadcast and prunes the fact scan at the join; supplier and
+    * nation broadcast; lineitem⋈orders is the one shuffle (orderkey),
+    * feeding the low-cardinality (nation, year) aggregate. Profit is
+    * exact DECIMAL end-to-end (products of DECIMAL(12,2) terms,
+    * order-free sum), surfaced through one double cast.
+    */
+  def qTpchQ9(s: SparkSession, d: String): DataFrame = {
+    val profitDec = revDec -
+      col("p_retailprice").cast("decimal(12,2)") * qtyDec
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profitDec).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val qTpchQ9Sql: String =
+    s"""SELECT n_name AS nation,
+       |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM($REV_SQL
+       |    - CAST(p_retailprice AS DECIMAL(12,2))
+       |      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN part     ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%bolt%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ------------------------------- TPC-H Q11 (important stock value)
+  /** TPC-H Q11 shape: the parts whose shipped value from one region's
+    * suppliers exceeds a FRACTION of the grand total — the
+    * grouped-aggregate-vs-scalar-subquery HAVING. (Fixture adaptation:
+    * no partsupp availability, so "stock value" of a part is its
+    * shipped revenue from that region's suppliers.)
+    *
+    * Scale shape: the region's supplier list broadcasts as a semi
+    * join into the single fact scan; the partkey-grain value
+    * aggregate is pinned once (it feeds both the grand total and the
+    * HAVING filter — the fan-out rule); the 1-row total broadcasts
+    * back. Threshold determinism: the cut is an exact-DECIMAL grand
+    * total through one double cast and one multiply, bit-identical
+    * cross-engine; values compare as the same cast doubles.
+    */
+  def qTpchQ11(s: SparkSession, d: String): DataFrame = {
+    val asiaSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Materialize.pin(
+      Tables.lineitem(s, d)
+        .join(broadcast(asiaSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(revDec).as("value_dec")))
+    val thr = value
+      .agg((sum(col("value_dec")).cast("double") * lit(0.001)).as("cut"))
+    value.crossJoin(broadcast(thr))
+      .filter(col("value_dec").cast("double") > col("cut"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  val qTpchQ11Sql: String =
+    s"""WITH asia AS (SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA'),
+       |v AS (SELECT l_partkey, SUM($REV_SQL) AS value_dec
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (SELECT s_suppkey FROM asia)
+       |  GROUP BY 1),
+       |thr AS (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 AS cut FROM v)
+       |SELECT l_partkey AS p_partkey,
+       |  CAST(value_dec AS DOUBLE) AS part_value
+       |FROM v, thr
+       |WHERE CAST(value_dec AS DOUBLE) > cut
+       |ORDER BY part_value DESC, p_partkey""".stripMargin
+
   // ------------------------------------ incremental aggregate maintenance
   /** Incremental aggregate maintenance: the materialized-view refresh
     * contract — yesterday's aggregate plus today's DELTA aggregate,
@@ -2011,6 +2189,9 @@ object Relational {
     "q_tpch_q15"       -> (qTpchQ15 _, qTpchQ15Sql),
     "q_tpch_q16"       -> (qTpchQ16 _, qTpchQ16Sql),
     "q_tpch_q17"       -> (qTpchQ17 _, qTpchQ17Sql),
+    "q_tpch_q2"        -> (qTpchQ2 _, qTpchQ2Sql),
+    "q_tpch_q9"        -> (qTpchQ9 _, qTpchQ9Sql),
+    "q_tpch_q11"       -> (qTpchQ11 _, qTpchQ11Sql),
     "q_tpch_q22"       -> (qTpchQ22 _, qTpchQ22Sql),
     "q_bloom_join"     -> (qBloomJoin _, qBloomJoinSql),
     "q1_agg"           -> (q1Agg _, q1AggSql),

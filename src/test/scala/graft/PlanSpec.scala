@@ -536,6 +536,26 @@ class PlanSpec extends SparkSpec {
       s"non-user-partitioned window present ($specs/$allSpecs):\n" + p.take(1500))
   }
 
+  test("tpch q2/q9/q11: qualification lists broadcast; one fact scan each side") {
+    // Q2: both semi joins (qualifying parts, region suppliers) and the
+    // final supplier-detail join broadcast; the decorrelated per-part
+    // min rejoin must never degenerate to a cartesian
+    val p2 = finalOnly(plan(Relational.qTpchQ2(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p2).length >= 3, p2.take(1500))
+    assert(!p2.contains("CartesianProduct"), p2.take(1500))
+    // Q9: part/supplier/nation all broadcast; exactly one fact-fact
+    // join (lineitem⋈orders) is allowed to shuffle
+    val p9 = finalOnly(plan(Relational.qTpchQ9(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p9).length >= 3, p9.take(1500))
+    // Q11: the 1-row threshold comes back as a broadcast nested loop,
+    // never a cartesian (the value aggregate itself sits behind a
+    // Materialize pin, so its supplier semi join is in the pinned
+    // subplan, not this final plan)
+    val p11 = finalOnly(plan(Relational.qTpchQ11(spark, sf)))
+    assert(p11.contains("BroadcastNestedLoopJoin"), p11.take(1500))
+    assert(!p11.contains("CartesianProduct"), p11.take(1500))
+  }
+
   test("gopher rules: pruned scan, one generate, partial+final 1-row agg") {
     val p = finalOnly(plan(graft.operators.TextAnalysis.tGopherRules(spark, sf)))
     assert(!p.contains("lang") && !p.contains("n_chars"),
