@@ -1184,6 +1184,85 @@ object Events {
        |  round(zr, 6) AS z, abs(zr) > 1.96 AS significant
        |FROM z""".stripMargin
 
+  // ----------------------------------------------- ab-test power plan
+  /** Sample-size planning for [[eAbtest]]'s experiment: the per-arm N
+    * required to detect the OBSERVED effect size at α = 0.05
+    * (two-sided) with 80 % power, from the standard two-proportion
+    * formula n = (z_{α/2}·√(2·p̄·(1−p̄)) + z_β·√(p₀(1−p₀)+p₁(1−p₁)))²
+    * / δ² — the "how much longer must this experiment run" answer
+    * that decides whether a flat result means "no effect" or "not
+    * enough data".
+    *
+    * Scale shape: identical to [[eAbtest]] — one user_id shuffle down
+    * to per-user flags, then 2-row and 1-row aggregates; the planning
+    * math runs on the single output row. Determinism: p₀/p₁ divide
+    * exact integer counts, the z constants are shared literals, and
+    * both engines evaluate the one fixed double expression and ceil
+    * the identical quotient; δ = 0 yields NULL rather than a ±inf
+    * cast. Rates round for display only — `powered` compares the
+    * unrounded requirement.
+    */
+  def ePower(s: SparkSession, d: String): DataFrame = {
+    val perUser = load(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("np") >= AbConvMin, 1).otherwise(0).as("conv"))
+    val one = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("c"))).as("c0"),
+        max(when(col("variant") === 1, col("c"))).as("c1"))
+    val p0 = col("c0") / col("n0")
+    val p1 = col("c1") / col("n1")
+    val pBar = (col("c0") + col("c1")) / (col("n0") + col("n1"))
+    val delta = p1 - p0
+    val nReq = ceil(
+      pow(lit(1.959964) * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar))
+        + lit(0.841621) * sqrt(p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1)), 2)
+      / (delta * delta))
+    one.select(
+      round(p0, 6).as("rate0"),
+      round(p1, 6).as("rate1"),
+      round(delta, 6).as("delta"),
+      when(delta === 0.0, lit(null)).otherwise(nReq).as("n_req_per_arm"),
+      least(col("n0"), col("n1")).as("n_min"),
+      when(delta === 0.0, lit(null))
+        .otherwise(least(col("n0"), col("n1")) >= nReq).as("powered"))
+  }
+
+  val ePowerSql: String =
+    s"""WITH u AS (SELECT user_id,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      >= $AbConvMin THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY 1),
+       |a AS (SELECT user_id % 2 AS variant, COUNT(*) AS n,
+       |    CAST(SUM(conv) AS BIGINT) AS c
+       |  FROM u GROUP BY 1),
+       |o AS (SELECT
+       |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+       |    MAX(CASE WHEN variant = 1 THEN c END) AS c1 FROM a),
+       |m AS (SELECT n0, n1, c0, c1,
+       |    c0 / n0 AS p0, c1 / n1 AS p1,
+       |    (c0 + c1) / (n0 + n1) AS pbar,
+       |    c1 / n1 - c0 / n0 AS delta FROM o),
+       |r AS (SELECT *,
+       |    ceil(pow(1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+       |        + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)), 2)
+       |      / (delta * delta)) AS nreq FROM m)
+       |SELECT round(p0, 6) AS rate0, round(p1, 6) AS rate1,
+       |  round(delta, 6) AS delta,
+       |  CASE WHEN delta = 0.0 THEN NULL
+       |    ELSE CAST(nreq AS BIGINT) END AS n_req_per_arm,
+       |  LEAST(n0, n1) AS n_min,
+       |  CASE WHEN delta = 0.0 THEN NULL
+       |    ELSE LEAST(n0, n1) >= nreq END AS powered
+       |FROM r""".stripMargin
+
   // ---------------------------------------------- late-data profiling
   /** Out-of-order arrival profile per event type: treating `event_id`
     * as arrival order and `ts` as event time, an event is LATE when
@@ -2488,6 +2567,7 @@ object Events {
     "e_gini"       -> (eGini _, eGiniSql),
     "e_late_profile" -> (eLateProfile _, eLateProfileSql),
     "e_abtest"     -> (eAbtest _, eAbtestSql),
+    "e_power"      -> (ePower _, ePowerSql),
     "e_trending"   -> (eTrending _, eTrendingSql),
     "e_interarrival" -> (eInterarrival _, eInterarrivalSql),
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),

@@ -1543,8 +1543,12 @@ object Relational {
     * join into the single fact scan; the partkey-grain value
     * aggregate is pinned once (it feeds both the grand total and the
     * HAVING filter — the fan-out rule); the 1-row total broadcasts
-    * back. Threshold determinism: the cut is an exact-DECIMAL grand
-    * total through one double cast and one multiply, bit-identical
+    * back. The cut is RELATIVE (2× the mean part value, the Q20
+    * treatment) because the original's fixed fraction is specified to
+    * scale with 1/SF — a constant fraction empties at sf0.1 while a
+    * mean-relative one keeps a stable tail at every SF. Threshold
+    * determinism: the cut divides an exact-DECIMAL grand total by the
+    * part count — one double division and multiply, bit-identical
     * cross-engine; values compare as the same cast doubles.
     */
   def qTpchQ11(s: SparkSession, d: String): DataFrame = {
@@ -1563,7 +1567,8 @@ object Relational {
         .groupBy("l_partkey")
         .agg(sum(revDec).as("value_dec")))
     val thr = value
-      .agg((sum(col("value_dec")).cast("double") * lit(0.001)).as("cut"))
+      .agg((lit(2.0) * (sum(col("value_dec")).cast("double")
+        / count(lit(1)))).as("cut"))
     value.crossJoin(broadcast(thr))
       .filter(col("value_dec").cast("double") > col("cut"))
       .select(col("l_partkey").as("p_partkey"),
@@ -1580,7 +1585,8 @@ object Relational {
        |  FROM lineitem
        |  WHERE l_suppkey IN (SELECT s_suppkey FROM asia)
        |  GROUP BY 1),
-       |thr AS (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 AS cut FROM v)
+       |thr AS (SELECT 2.0 * (CAST(SUM(value_dec) AS DOUBLE) / COUNT(*))
+       |    AS cut FROM v)
        |SELECT l_partkey AS p_partkey,
        |  CAST(value_dec AS DOUBLE) AS part_value
        |FROM v, thr

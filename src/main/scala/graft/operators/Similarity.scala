@@ -2385,7 +2385,99 @@ object Similarity {
        |FROM cells, st ORDER BY cell""".stripMargin
   }
 
+  // --------------------------- greedy k-center (farthest-point sampling)
+  /** Gonzalez greedy k-center over the embedding corpus — the classic
+    * coreset / diversity-seed selection for training-data subsampling
+    * (pick the K points that best SPREAD over the space, unlike
+    * k-means' density-seeking [[sCentroids]]). Seeded at the minimum
+    * vec_id; each of the remaining K−1 steps picks the point farthest
+    * (squared L2) from every center chosen so far. One row per step:
+    * the chosen center, the max-min distance that made it the pick
+    * (`picked_dist`, 0 for the seed), and the corpus coverage radius
+    * after including it — the 2-approximation certificate (optimal
+    * K-center cost ≥ coverage/2 at every prefix).
+    *
+    * Scale shape: exactly K passes over the corpus. The running
+    * min-distance frame is pinned per step (it feeds the next argmax,
+    * the min-update, AND the coverage aggregate — the fan-out rule;
+    * at production scale it would persist between steps), each new
+    * center arrives as a broadcast 1-row frame, and both the argmax
+    * (TakeOrdered, partial per partition) and the coverage max are
+    * top-1 reductions — no shuffle ever carries vectors. Determinism:
+    * distances fold index-sequentially in DOUBLE and round to 6 dp on
+    * BOTH engines before selection, ties break on vec_id.
+    */
+  val KcSteps = 4
+  def sKcenter(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def d2(a: Column, b: Column): Column = round(aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+    val c1 = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    var cur = Materialize.pin(base.crossJoin(broadcast(c1.select("c_emb")))
+      .select(col("vec_id"), col("embedding"),
+        d2(col("embedding"), col("c_emb")).as("dmin")))
+    var rows: DataFrame = cur.agg(max(col("dmin")).as("coverage"))
+      .crossJoin(broadcast(c1.select("c_id")))
+      .select(lit(1).as("step"), col("c_id"),
+        lit(0.0).as("picked_dist"), col("coverage"))
+    for (i <- 2 to KcSteps) {
+      val next = Materialize.pin(
+        cur.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("dmin").as("picked_dist")))
+      cur = Materialize.pin(cur.crossJoin(broadcast(next.select("c_emb")))
+        .select(col("vec_id"), col("embedding"),
+          least(col("dmin"), d2(col("embedding"), col("c_emb"))).as("dmin")))
+      rows = rows.unionAll(cur.agg(max(col("dmin")).as("coverage"))
+        .crossJoin(broadcast(next.select("c_id", "picked_dist")))
+        .select(lit(i).as("step"), col("c_id"),
+          col("picked_dist"), col("coverage")))
+    }
+    rows.orderBy("step")
+  }
+
+  lazy val sKcenterSql: String = {
+    def d2(a: String, b: String): String =
+      s"""round(list_reduce(list_transform(range(1, 65),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |      (x, y) -> x + y), 6)""".stripMargin
+    s"""WITH c1 AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |  FROM embeddings ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.embedding,
+       |    ${d2("e.embedding", "c1.c_emb")} AS dmin
+       |  FROM embeddings e, c1),
+       |n2 AS (SELECT vec_id AS c_id, embedding AS c_emb, dmin AS picked
+       |  FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+       |d2 AS (SELECT d1.vec_id, d1.embedding,
+       |    LEAST(d1.dmin, ${d2("d1.embedding", "n2.c_emb")}) AS dmin
+       |  FROM d1, n2),
+       |n3 AS (SELECT vec_id AS c_id, embedding AS c_emb, dmin AS picked
+       |  FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+       |d3 AS (SELECT d2.vec_id, d2.embedding,
+       |    LEAST(d2.dmin, ${d2("d2.embedding", "n3.c_emb")}) AS dmin
+       |  FROM d2, n3),
+       |n4 AS (SELECT vec_id AS c_id, embedding AS c_emb, dmin AS picked
+       |  FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1),
+       |d4 AS (SELECT d3.vec_id, d3.embedding,
+       |    LEAST(d3.dmin, ${d2("d3.embedding", "n4.c_emb")}) AS dmin
+       |  FROM d3, n4)
+       |SELECT CAST(1 AS INT) AS step, c1.c_id, 0.0 AS picked_dist,
+       |  (SELECT MAX(dmin) FROM d1) AS coverage FROM c1
+       |UNION ALL SELECT CAST(2 AS INT), n2.c_id, n2.picked,
+       |  (SELECT MAX(dmin) FROM d2) FROM n2
+       |UNION ALL SELECT CAST(3 AS INT), n3.c_id, n3.picked,
+       |  (SELECT MAX(dmin) FROM d3) FROM n3
+       |UNION ALL SELECT CAST(4 AS INT), n4.c_id, n4.picked,
+       |  (SELECT MAX(dmin) FROM d4) FROM n4
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s_kcenter"     -> (sKcenter _, sKcenterSql),
     "s_cell_balance" -> (sCellBalance _, sCellBalanceSql),
     "s_probe_curve" -> (sProbeCurve _, sProbeCurveSql),
     "s_hubness"     -> (sHubness _, sHubnessSql),

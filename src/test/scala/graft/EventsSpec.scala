@@ -413,6 +413,34 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("e_power: requirement matches the textbook two-proportion formula") {
+    import spark.implicits._
+    val row = graft.operators.Events.ePower(spark, sf)
+      .as[(Double, Double, Double, Option[Long], Long, Option[Boolean])]
+      .collect()
+    assert(row.length === 1)
+    val (r0, r1, delta, nReq, nMin, powered) = row.head
+    // recompute from the abtest's own counts (the two share the
+    // per-user conversion pipeline)
+    val (n0, n1, c0, c1) = graft.operators.Events.eAbtest(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().head match { case (a, b, c, d, _, _, _, _) => (a, b, c, d) }
+    val p0 = c0.toDouble / n0; val p1 = c1.toDouble / n1
+    val pBar = (c0 + c1).toDouble / (n0 + n1)
+    val d = p1 - p0
+    assert(d != 0.0, "fixture produced a zero effect — test is vacuous")
+    val want = math.ceil(
+      math.pow(1.959964 * math.sqrt(2.0 * pBar * (1.0 - pBar))
+        + 0.841621 * math.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)), 2)
+        / (d * d)).toLong
+    assert(nReq === Some(want), s"nReq=$nReq want=$want")
+    assert(nMin === math.min(n0, n1))
+    assert(powered === Some(nMin >= want))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0 === r6(p0) && r1 === r6(p1) && delta === r6(d))
+  }
+
   test("e_seasonal_naive: MAEs match the lag-1/lag-7 recompute") {
     val daily = Events.eChangepoint(spark, sf)
       .as[(Long, Long, Double, Boolean)].collect().map(r => (r._1, r._2))

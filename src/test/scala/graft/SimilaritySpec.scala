@@ -699,4 +699,44 @@ class SimilaritySpec extends SparkSpec {
     assert(annAbove.subsetOf(gotSet),
       s"ANN top-k pairs above tau missing from radius result: ${annAbove -- gotSet}")
   }
+
+  test("kcenter: matches a driver-side farthest-point replay; coverage chains") {
+    val got = Similarity.sKcenter(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (1 to Similarity.KcSteps))
+    assert(got.map(_._2).distinct.length === got.length, "repeated center")
+    // greedy invariant: step i's pick distance IS step i−1's coverage
+    // (the argmax and the max read the same min-distance frame)
+    got.sliding(2).foreach {
+      case Array(prev, next) =>
+        assert(next._3 === prev._4,
+          s"picked_dist(${next._1}) != coverage(${prev._1})")
+      case _ =>
+    }
+    // coverage is non-increasing as centers are added
+    assert(got.map(_._4).sliding(2).forall {
+      case Array(a, b) => b <= a; case _ => true
+    })
+    // full driver-side replay on the 6-dp-rounded distance grid
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      r6(a.indices.foldLeft(0.0)((acc, i) =>
+        acc + (a(i).toDouble - b(i).toDouble) * (a(i).toDouble - b(i).toDouble)))
+    var centers = Vector(vecs.head)
+    var dmin = vecs.map(v => d2(v._2, vecs.head._2))
+    var wantRows = Vector((1, vecs.head._1, 0.0, dmin.max))
+    for (step <- 2 to Similarity.KcSteps) {
+      val pick = vecs.indices.minBy(i => (-dmin(i), vecs(i)._1))
+      val picked = dmin(pick)
+      centers :+= vecs(pick)
+      dmin = vecs.indices.map(i =>
+        math.min(dmin(i), d2(vecs(i)._2, vecs(pick)._2))).toArray
+      wantRows :+= ((step, vecs(pick)._1, picked, dmin.max))
+    }
+    assert(got.toSeq === wantRows.toSeq)
+  }
 }
