@@ -290,6 +290,80 @@ object EventStreams {
         col("p.event_id").as("purchase_id"), col("c.user_id").as("user_id"))
   }
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, kind: Int) // kind: 0 = click, 1 = purchase
+  case class ClickOutcome(user_id: Long, click_us: Long, converted: Boolean)
+  case class FunnelState(clicks: List[Long], purchases: List[Long])
+
+  /** Streaming funnel with EXPIRY: every click gets exactly one
+    * outcome row — `converted = true` as soon as a same-user purchase
+    * lands within the 30-minute window ([[graft.operators.Events
+    * .eFunnel]]'s rule, purchase-at-or-after-click inclusive), or
+    * `converted = false` when the event-time watermark passes the
+    * click's window unmatched. The stream-stream join
+    * ([[clickToPurchase]]) can only ever emit the matches; the
+    * business question — conversion RATE — needs the non-matches too,
+    * and that is precisely what `GroupStateTimeout.EventTimeTimeout`
+    * exists for: the timeout callback fires once the watermark
+    * guarantees no qualifying purchase can still arrive, so the
+    * false-outcome emission is late-data-safe by construction.
+    *
+    * State per user is the pending-click list plus the purchases still
+    * inside the match horizon — both pruned against the watermark
+    * every invocation, so state is bounded by per-user traffic within
+    * one watermark+window span regardless of stream length. Out-of-
+    * order arrival within the watermark is handled (a purchase may
+    * arrive before its click); rows older than the watermark are
+    * dropped by the engine, which is exactly the contract the pruning
+    * relies on.
+    */
+  def clickFunnelOutcomes(events: Dataset[FunnelEvent]): Dataset[ClickOutcome] = {
+    import events.sparkSession.implicits._
+    val H = 1800000000L // 30-minute match window, microseconds
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, ClickOutcome](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val newRows = rows.toList
+          val clicks = prev.clicks ++ newRows.filter(_.kind == 0).map(_.ts_us)
+          val purchases =
+            prev.purchases ++ newRows.filter(_.kind == 1).map(_.ts_us)
+          val (conv, pend) = clicks.partition(c =>
+            purchases.exists(p => p >= c && p <= c + H))
+          // expired: the watermark is past the click's whole window, no
+          // qualifying purchase can still arrive
+          val (expired, pending) = pend.partition(c => (c + H) / 1000L < wmMs)
+          // a purchase can only match clicks at-or-before it; future
+          // clicks are at-or-after the watermark, so older purchases
+          // are dead weight
+          val keptP = purchases.filter(p => p / 1000L >= wmMs)
+          if (pending.isEmpty && keptP.isEmpty) state.remove()
+          else {
+            state.update(FunnelState(pending, keptP))
+            // wake at the earliest moment any state row becomes prunable
+            val next = (pending.map(c => (c + H) / 1000L) ++
+              keptP.map(_ / 1000L)).min + 1
+            state.setTimeoutTimestamp(math.max(next, wmMs + 1))
+          }
+          (conv.map(c => ClickOutcome(uid, c, converted = true)) ++
+            expired.map(c => ClickOutcome(uid, c, converted = false))).iterator
+      }
+  }
+
+  /** Adapter: raw events frame → typed funnel stream. */
+  def toFunnelEvents(events: DataFrame): Dataset[FunnelEvent] = {
+    import events.sparkSession.implicits._
+    events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        expr("unix_micros(ts)").as("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+      .as[FunnelEvent]
+  }
+
   /** Stream-static enrichment join: the streaming side joins a static
     * dimension frame (broadcast — the static side is planned once per
     * micro-batch, never shuffled with the stream). The standard shape

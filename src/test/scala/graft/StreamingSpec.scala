@@ -297,6 +297,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("funnel with expiry: every click gets exactly one outcome; rule matches batch") {
+    val H = 1800000000L // 30 min in µs, the eFunnel window
+    val funnelEvents = EventStreams.toFunnelEvents(batchEvents.toDF())
+      .collect().toSeq.sortBy(_.ts_us)
+    assert(funnelEvents.nonEmpty)
+    val maxUs = funnelEvents.map(_.ts_us).max
+    def sentinel(offsetUs: Long) = EventStreams.FunnelEvent(-1L,
+      new Timestamp((maxUs + offsetUs) / 1000L), maxUs + offsetUs, 1)
+    val input = MemoryStream[EventStreams.FunnelEvent](spark)
+    val q = EventStreams.clickFunnelOutcomes(input.toDS())
+      .writeStream.format("memory").queryName("t_funnel").outputMode("append").start()
+    try {
+      funnelEvents.grouped(math.max(1, funnelEvents.size / 4)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      // two far-future sentinels: the first advances the watermark past
+      // every pending click's window, the second triggers the batch in
+      // which those event-time timeouts actually fire
+      input.addData(Seq(sentinel(7200000000L))); q.processAllAvailable()
+      input.addData(Seq(sentinel(10800000000L))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_funnel")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // exactly one outcome per click (the sentinel user has none)
+    val clicks = funnelEvents.filter(_.kind == 0)
+    assert(got.length === clicks.length,
+      s"${got.length} outcomes for ${clicks.length} clicks")
+    // the outcome matches eFunnel's rule: purchase at-or-after the
+    // click, within 30 minutes, same user
+    val purByUser = funnelEvents.filter(_.kind == 1)
+      .groupBy(_.user_id).view.mapValues(_.map(_.ts_us)).toMap
+    val want = clicks.map { c =>
+      (c.user_id, c.ts_us, purByUser.getOrElse(c.user_id, Nil)
+        .exists(p => p >= c.ts_us && p <= c.ts_us + H))
+    }.sorted
+    assert(got.sorted === want)
+    assert(want.exists(_._3) && want.exists(!_._3),
+      "fixture must exercise both outcomes")
+  }
+
   test("parquet file-stream reader drives the tumbling pipeline") {
     val q = EventStreams.tumblingCounts(
         EventStreams.readEventStream(spark, sf))
