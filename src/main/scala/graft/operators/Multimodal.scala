@@ -473,7 +473,127 @@ object Multimodal {
       |  CAST(SUM(CASE WHEN dim = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  // --------------------------------------------------- audio VAD stub
+  /** One row per complete analysis window of the fake PCM stream. */
+  case class AudioWindow(doc_id: Long, win_idx: Int, energy: Long)
+
+  val VadWin = 32 // bytes (samples) per analysis window, non-overlapping
+
+  /** Per-window signal energy through the decode seam: the payload is
+    * treated as unsigned 8-bit PCM, split into complete [[VadWin]]-
+    * sample windows, each reporting Σ(sample−128)² — exact integer
+    * arithmetic, so both engines agree bit-for-bit. A real audio
+    * binding replaces the closure via [[decodeWith]]; the window/hop
+    * framing and everything downstream is plan-identical.
+    */
+  def audioWindows(s: SparkSession, d: String): Dataset[AudioWindow] = {
+    import s.implicits._
+    decodeWith(payloads(s, d), () => (id: Long, bytes: Array[Byte]) => {
+      val nw = bytes.length / VadWin
+      val energies = Array.tabulate(nw) { w =>
+        var e = 0L
+        var j = 0
+        while (j < VadWin) {
+          val v = (bytes(w * VadWin + j) & 0xff) - 128
+          e += v.toLong * v
+          j += 1
+        }
+        e
+      }
+      (id, energies)
+    }).flatMap { case (id, es) =>
+      es.iterator.zipWithIndex.map { case (e, w) => AudioWindow(id, w, e) }
+    }
+  }
+
+  /** Voice-activity segmentation over the stubbed PCM windows — the
+    * audio twin of the video [[mFrameSample]]: a window is VOICED when
+    * its energy is at-or-above the document's mean window energy
+    * (compared as the exact integer cross-product energy·n ≥ total, no
+    * division), and consecutive voiced windows merge into segments via
+    * gaps-and-islands (win_idx − voiced-rank is constant inside an
+    * island). Output per document: window/voiced counts, segment
+    * count, and the longest segment — the framing a diarizer or
+    * speech-filter stage consumes.
+    *
+    * Scale shape: the decode seam is one mapPartitions pass (payload
+    * bytes never shuffle — windows leave as (id, idx, energy)
+    * triples); the mean test and the islands both partition by
+    * doc_id, so after the first exchange everything is doc-local;
+    * documents with no complete window survive through the left join
+    * as zero rows. All-integer arithmetic end-to-end — nothing to
+    * round, nothing engine-specific.
+    */
+  def mVadStub(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id")
+    val wOrd = Window.partitionBy("doc_id").orderBy("win_idx")
+    val per = audioWindows(s, d).toDF()
+      .withColumn("n_win", count(lit(1)).over(wDoc))
+      .withColumn("tot", sum(col("energy")).over(wDoc))
+      .filter(col("energy") * col("n_win") >= col("tot"))
+      .withColumn("grp", col("win_idx") - row_number().over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("seg_len"), max(col("n_win")).as("nw"))
+      .groupBy("doc_id")
+      .agg(max(col("nw")).cast("int").as("n_windows"),
+        sum(col("seg_len")).cast("int").as("n_voiced"),
+        count(lit(1)).cast("int").as("n_segments"),
+        max(col("seg_len")).cast("int").as("longest"))
+    Tables.documents(s, d).select(col("doc_id"),
+        (length(encode(col("text"), "UTF-8")) / VadWin).cast("int").as("nw0"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), col("nw0")).as("n_windows"),
+        coalesce(col("n_voiced"), lit(0)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0)).as("n_segments"),
+        coalesce(col("longest"), lit(0)).as("longest"))
+      .orderBy("doc_id")
+  }
+
+  val mVadStubSql: String = {
+    val W = VadWin
+    // byte i (1-based) of the utf8 payload, as 0..255
+    val byteVal =
+      s"""(16 * (instr('0123456789abcdef', hx[2*($W*w+j)-1]) - 1)
+         |  + (instr('0123456789abcdef', hx[2*($W*w+j)]) - 1))""".stripMargin
+    s"""WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    octet_length(encode(text)) // $W AS nw FROM documents),
+       |win AS (SELECT doc_id, nw,
+       |    CAST(unnest(range(0, nw)) AS INT) AS win_idx,
+       |    unnest(list_transform(range(0, nw), w ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, $W + 1), j ->
+       |          CAST(($byteVal - 128) * ($byteVal - 128) AS BIGINT))),
+       |        (a, b) -> a + b))) AS energy
+       |  FROM h WHERE nw > 0),
+       |v AS (SELECT doc_id, win_idx, nw,
+       |    SUM(energy) OVER (PARTITION BY doc_id) AS tot
+       |  FROM win
+       |  QUALIFY energy * nw >= tot),
+       |g AS (SELECT doc_id, nw,
+       |    win_idx - row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY win_idx) AS grp
+       |  FROM v),
+       |segs AS (SELECT doc_id, MAX(nw) AS nw, grp, COUNT(*) AS seg_len
+       |  FROM g GROUP BY doc_id, grp),
+       |per AS (SELECT doc_id, CAST(MAX(nw) AS INT) AS n_windows,
+       |    CAST(SUM(seg_len) AS INT) AS n_voiced,
+       |    CAST(COUNT(*) AS INT) AS n_segments,
+       |    CAST(MAX(seg_len) AS INT) AS longest
+       |  FROM segs GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_windows,
+       |    CAST(octet_length(encode(d.text)) // $W AS INT)) AS n_windows,
+       |  COALESCE(per.n_voiced, 0) AS n_voiced,
+       |  COALESCE(per.n_segments, 0) AS n_segments,
+       |  COALESCE(per.longest, 0) AS longest
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m_vad_stub"     -> (mVadStub _, Some(mVadStubSql)),
     "m_pair_audit"   -> (mPairAudit _, Some(mPairAuditSql)),
     "m_shard_pack"   -> (mShardPack _, Some(mShardPackSql)),
     "m_binary_meta"  -> (mBinaryMeta _, Some(mBinaryMetaSql)),

@@ -17,6 +17,38 @@ class MultimodalSpec extends SparkSpec {
     assert(mismatch.count() === 0)
   }
 
+  test("vad stub: windows match a driver recompute; segment invariants hold") {
+    // window energies == driver-side PCM math on the same payload
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val wantWin = texts.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      (0 until bytes.length / Multimodal.VadWin).map { w =>
+        var e = 0L
+        (0 until Multimodal.VadWin).foreach { j =>
+          val v = (bytes(w * Multimodal.VadWin + j) & 0xff) - 128
+          e += v.toLong * v
+        }
+        (id, w, e)
+      }
+    }.toSet
+    val gotWin = Multimodal.audioWindows(spark, sf)
+      .collect().map(a => (a.doc_id, a.win_idx, a.energy)).toSet
+    assert(gotWin === wantWin && gotWin.nonEmpty)
+    // per-doc report invariants: counts tile, the mean rule guarantees
+    // at least one voiced window whenever any window exists
+    val rep = Multimodal.mVadStub(spark, sf)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(rep.length === texts.size)
+    rep.foreach { case (id, nWin, nVoiced, nSeg, longest) =>
+      assert(nWin === texts(id).getBytes("UTF-8").length / Multimodal.VadWin)
+      if (nWin > 0) assert(nVoiced >= 1 && nSeg >= 1, s"doc $id")
+      assert(nVoiced <= nWin && longest <= nVoiced && nSeg <= nVoiced)
+      if (nSeg > 0) assert(longest >= (nVoiced + nSeg - 1) / nSeg, s"doc $id")
+    }
+    assert(rep.exists(_._4 > 1), "fixture should produce a multi-segment doc")
+  }
+
   test("frame sampling caps at 8 frames and ids are distinct") {
     val frames = Multimodal.mFrameSample(spark, sf)
     assert(frames.groupBy("doc_id").count()
