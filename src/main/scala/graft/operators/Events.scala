@@ -1263,6 +1263,79 @@ object Events {
        |    ELSE LEAST(n0, n1) >= nreq END AS powered
        |FROM r""".stripMargin
 
+  // ------------------------------------------- MAD robust outlier audit
+  /** Median-absolute-deviation outlier audit per event type — the
+    * robust complement of [[eAnomaly]]'s rolling z-score: mean/stddev
+    * are themselves dragged by the outliers they're meant to find,
+    * while the median and MAD have a 50 % breakdown point, so this is
+    * the screen that survives a heavy-tailed `value` column. Flags
+    * |value − median| > 3·MAD and reports per-type counts and rate.
+    *
+    * Determinism: values ride as integer CENTS (exact DECIMAL(12,2)
+    * scaled by 100), and both medians are `percentile_disc` — ATTAINED
+    * values, never interpolated. Spark's percentile_disc surfaces a
+    * DOUBLE, so working in cents keeps every quantity integer-valued
+    * (exact below 2⁵³) on both engines: the 3·MAD threshold and every
+    * comparison are exact, and the two display columns divide by 100.0
+    * once at the end.
+    *
+    * Scale shape: three passes over the event stream (median, MAD,
+    * flag+count), each a per-type sort-based aggregate with 1-row-per-
+    * type results broadcast back. The event-grain intermediate is
+    * deliberately NOT pinned: recomputing a columnar scan twice beats
+    * materializing the full stream (the fan-out pin rule applies to
+    * SMALL deterministic subplans; full-grain intermediates recompute).
+    * MAD fundamentally needs the median first — the pass count is the
+    * algorithm, not the plan.
+    */
+  def eMad(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_type"),
+      (valDec * 100).cast("long").as("vc"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vc) AS DOUBLE)")
+        .as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("vc").cast("double") - col("med")).as("adev"))
+    val madt = dev.groupBy("event_type")
+      .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS DOUBLE)")
+        .as("mad"))
+    dev.join(broadcast(madt), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (max(col("med")) / 100.0).as("median_value"),
+        (max(col("mad")) / 100.0).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("median_value"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6).as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
+  val eMadSql: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |med AS (SELECT event_type,
+      |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vc) AS DOUBLE) AS med
+      |  FROM ev GROUP BY 1),
+      |dev AS (SELECT ev.event_type, med,
+      |    abs(CAST(vc AS DOUBLE) - med) AS adev
+      |  FROM ev JOIN med USING (event_type)),
+      |madt AS (SELECT event_type,
+      |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS DOUBLE) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  MAX(d.med) / 100.0 AS median_value,
+      |  MAX(m.mad) / 100.0 AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  round(CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+      |FROM dev d JOIN madt m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- late-data profiling
   /** Out-of-order arrival profile per event type: treating `event_id`
     * as arrival order and `ts` as event time, an event is LATE when
@@ -2568,6 +2641,7 @@ object Events {
     "e_late_profile" -> (eLateProfile _, eLateProfileSql),
     "e_abtest"     -> (eAbtest _, eAbtestSql),
     "e_power"      -> (ePower _, ePowerSql),
+    "e_mad"        -> (eMad _, eMadSql),
     "e_trending"   -> (eTrending _, eTrendingSql),
     "e_interarrival" -> (eInterarrival _, eInterarrivalSql),
     "e_anomaly"    -> (eAnomaly _, eAnomalySql),

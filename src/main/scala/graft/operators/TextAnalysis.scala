@@ -2932,7 +2932,84 @@ object TextAnalysis {
        |  UNION ALL SELECT 'too_short', c_short, n_docs FROM agg)
        |ORDER BY rule""".stripMargin
 
+  // --------------------------------------- Heaps-law vocabulary growth
+  /** Vocabulary growth curve (Heaps' law V ≈ K·Nᵝ) over doc-id-ordered
+    * corpus prefixes: at each doc-count decile, the cumulative token
+    * count, the cumulative DISTINCT vocabulary, and their type/token
+    * ratio — the scaling-law diagnostic that says whether more data
+    * keeps buying new vocabulary (natural corpora: β ≈ 0.5–0.7) or the
+    * source has started repeating itself (β → 0, a dedup/boilerplate
+    * red flag before training).
+    *
+    * Determinism: decile boundaries are `percentile_disc` over doc_id —
+    * ATTAINED ids, never interpolated — and everything downstream is
+    * exact integer counting; the one rounded division is display-only.
+    *
+    * Scale shape: vocabulary never re-counts per prefix — each word
+    * reduces to its FIRST host doc (one word-grain shuffle, the t_vocab
+    * cost), and the 10 cumulative counts come from joining that
+    * word→first_doc frame against the BROADCAST 10-row boundary list
+    * (cum by construction: a word counts in every decile at-or-after
+    * its first appearance). Token mass joins the same broadcast at doc
+    * grain. No global window, no per-prefix rescans.
+    */
+  def tHeaps(s: SparkSession, d: String): DataFrame = {
+    val t = docsWithTokens(s, d).select(col("doc_id"), col("toks"))
+    val docs = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+    val bounds = Tables.documents(s, d)
+      .agg((1 to 10).map(i =>
+        expr(s"percentile_disc(${i / 10.0}) WITHIN GROUP (ORDER BY doc_id)")
+          .as(s"b$i")).head,
+        (2 to 10).map(i =>
+          expr(s"percentile_disc(${i / 10.0}) WITHIN GROUP (ORDER BY doc_id)")
+            .as(s"b$i")): _*)
+      .select(posexplode(array((1 to 10).map(i => col(s"b$i")): _*)))
+      // percentile_disc surfaces DOUBLE; the attained doc_id is an
+      // exact integer, so the cast is lossless
+      .select((col("pos") + 1).cast("int").as("decile"),
+        col("col").cast("long").as("boundary"))
+    val firstDoc = t.select(explode(col("toks")).as("word"), col("doc_id"))
+      .groupBy("word").agg(min(col("doc_id")).as("first_doc"))
+    val cumDocs = docs.crossJoin(broadcast(bounds))
+      .filter(col("doc_id") <= col("boundary"))
+      .groupBy("decile", "boundary")
+      .agg(count(lit(1)).as("cum_docs"), sum(col("n_toks")).as("cum_tokens"))
+    val cumVocab = firstDoc.crossJoin(broadcast(bounds))
+      .filter(col("first_doc") <= col("boundary"))
+      .groupBy("decile").agg(count(lit(1)).as("vocab"))
+    cumDocs.join(cumVocab, "decile")
+      .select(col("decile"), col("boundary"), col("cum_docs"),
+        col("cum_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / col("cum_tokens"), 6).as("ttr"))
+      .orderBy("decile")
+  }
+
+  val tHeapsSql: String = {
+    // DuckDB's quantile fraction must be a CONSTANT — unroll the ten
+    // deciles as literal-fraction scalar subqueries
+    val bd = (1 to 10).map { i =>
+      s"""SELECT CAST($i AS INT) AS decile,
+         |    (SELECT CAST(percentile_disc(${i / 10.0})
+         |       WITHIN GROUP (ORDER BY doc_id) AS BIGINT)
+         |     FROM documents) AS boundary""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+       |w AS (SELECT unnest(toks) AS word, doc_id FROM t),
+       |fo AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY 1),
+       |bd AS ($bd),
+       |cd AS (SELECT decile, boundary, COUNT(*) AS cum_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS cum_tokens
+       |  FROM bd JOIN d ON doc_id <= boundary GROUP BY 1, 2),
+       |cv AS (SELECT decile, COUNT(*) AS vocab
+       |  FROM bd JOIN fo ON first_doc <= boundary GROUP BY 1)
+       |SELECT decile, boundary, cum_docs, cum_tokens, vocab,
+       |  round(CAST(vocab AS DOUBLE) / cum_tokens, 6) AS ttr
+       |FROM cd JOIN cv USING (decile) ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_heaps"        -> (tHeaps _, tHeapsSql),
     "t_gopher_rules" -> (tGopherRules _, tGopherRulesSql),
     "t_bpe_stability" -> (tBpeStability _, tBpeStabilitySql),
     "t_lang_confusion" -> (tLangConfusion _, tLangConfusionSql),

@@ -441,6 +441,36 @@ class EventsSpec extends SparkSpec {
     assert(r0 === r6(p0) && r1 === r6(p1) && delta === r6(d))
   }
 
+  test("e_mad: medians, MAD, and outlier counts match a driver recompute in cents") {
+    import spark.implicits._
+    val evs = graft.operators.Events.load(spark, sf)
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc")
+      .as[(String, Long)].collect()
+    def pdisc(xs: Seq[Long]): Long = { // smallest value with cume_dist >= 0.5
+      val s = xs.sorted
+      s((math.ceil(0.5 * s.length) - 1).toInt)
+    }
+    val want = evs.groupBy(_._1).map { case (tpe, rows) =>
+      val cents = rows.map(_._2).toSeq
+      val med = pdisc(cents)
+      val adev = cents.map(c => math.abs(c - med))
+      val mad = pdisc(adev)
+      val nOut = adev.count(_ > 3L * mad)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (tpe, (cents.length.toLong, med / 100.0, mad / 100.0, nOut.toLong,
+        r6(nOut.toDouble / cents.length)))
+    }
+    val got = graft.operators.Events.eMad(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(got.length === want.size)
+    got.foreach { case (tpe, n, med, mad, nOut, rate) =>
+      assert((n, med, mad, nOut, rate) === want(tpe), s"type $tpe")
+    }
+    assert(got.exists(_._5 > 0), "fixture should contain MAD outliers")
+  }
+
   test("e_seasonal_naive: MAEs match the lag-1/lag-7 recompute") {
     val daily = Events.eChangepoint(spark, sf)
       .as[(Long, Long, Double, Boolean)].collect().map(r => (r._1, r._2))

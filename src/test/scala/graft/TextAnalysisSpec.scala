@@ -932,6 +932,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t_heaps: growth curve matches a driver-side prefix replay") {
+    val got = TextAnalysis.tHeaps(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (1 to 10))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val ids = docs.map(_._1)
+    def pdisc(f: Double): Long = ids((math.ceil(f * ids.length) - 1).toInt)
+    def toks(t: String) = t.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+    got.foreach { case (dec, boundary, cumDocs, cumTokens, vocab, ttr) =>
+      assert(boundary === pdisc(dec / 10.0), s"decile $dec boundary")
+      val prefix = docs.filter(_._1 <= boundary)
+      assert(cumDocs === prefix.length.toLong, s"decile $dec docs")
+      assert(cumTokens === prefix.map(d => toks(d._2).length.toLong).sum,
+        s"decile $dec tokens")
+      assert(vocab === prefix.iterator.flatMap(d => toks(d._2)).toSet.size.toLong,
+        s"decile $dec vocab")
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ttr === r6(vocab.toDouble / cumTokens), s"decile $dec ttr")
+    }
+    // growth sanity: curves are non-decreasing and the law bites — the
+    // type/token ratio falls as the corpus grows
+    assert(got.sliding(2).forall { case Array(a, b) =>
+      b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5; case _ => true })
+    assert(got.last._6 < got.head._6, "TTR should decay across deciles")
+  }
+
   test("t_gopher_rules: ledger counts match a driver-side re-evaluation of all five rules") {
     val got = TextAnalysis.tGopherRules(spark, sf)
       .as[(String, Long, Long, Double)].collect()
