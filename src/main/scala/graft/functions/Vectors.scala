@@ -31,6 +31,19 @@ object Vectors {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0), (acc, x) => acc + x)
 
+  /** Σ (aᵢ−bᵢ)² — native codegen'd Catalyst expression (hot path). */
+  def sqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.floatSqDist(a, b)
+
+  /** Portable higher-order-function form of [[sqDist]]; bit-identical
+    * results (same per-term arithmetic and fold order), kept as the
+    * reference implementation and exercised against the native one in
+    * VectorExprSpec.
+    */
+  def sqDistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (dbl(x) - dbl(y)) * (dbl(x) - dbl(y))),
+      lit(0.0), (acc, x) => acc + x)
+
   /** ‖a‖₂ (sequential double sum of squares, codegen'd). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

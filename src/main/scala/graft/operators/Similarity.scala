@@ -1347,11 +1347,9 @@ object Similarity {
   def sRecallPq(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = base.toDF("q_id", "q_emb").filter(col("q_id") < NumQueries)
-    val l2 = round(aggregate(
-      zip_with(col("q_emb"), col("embedding"),
-        (x, y) => (x.cast("double") - y.cast("double"))
-          * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v), 6)
+    // native codegen'd squared L2 — bit-identical to the HOF form
+    // (VectorExprSpec pins it), fuses into the crossJoin's codegen stage
+    val l2 = round(Vectors.sqDist(col("q_emb"), col("embedding")), 6)
     val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id"))
     val exact = broadcast(q).crossJoin(base)
       .filter(col("q_id") =!= col("vec_id"))
@@ -2410,10 +2408,8 @@ object Similarity {
   val KcSteps = 4
   def sKcenter(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    def d2(a: Column, b: Column): Column = round(aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v), 6)
+    // native codegen'd squared L2 (bit-identical to the HOF reference)
+    def d2(a: Column, b: Column): Column = round(Vectors.sqDist(a, b), 6)
     val c1 = base.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     var cur = Materialize.pin(base.crossJoin(broadcast(c1.select("c_emb")))

@@ -72,6 +72,69 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: Σ (aᵢ−bᵢ)² over two ArrayType(FloatType)
+  * columns — the squared-L2 distance the k-center / PQ-recall /
+  * exact-kNN paths rank on. Same contract as [[FloatDotProduct]]:
+  * accumulates in double, left-to-right, each term computed as
+  * ((double)aᵢ − (double)bᵢ)² — bit-identical to the
+  * `aggregate(zip_with(...))` higher-order form it replaces (same
+  * operation order) and to DuckDB's `list_reduce` fold, but codegen'd:
+  * the loop reads floats straight off the UnsafeArrayData buffers and
+  * fuses into the surrounding WholeStageCodegen stage instead of
+  * paying interpreted lambda dispatch and a per-pair array allocation.
+  */
+case class FloatSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_sqdist expects two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_sqdist"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native sign-random-projection LSH band buckets: all `planes` signed
   * projections of an ArrayType(FloatType) vector in ONE pass, sliced
   * into `bands` bucket strings of planes/bands sign bits each —

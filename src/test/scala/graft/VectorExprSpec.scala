@@ -39,6 +39,50 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("native sqdist == HOF sqdist, bit-exact, on fixture pairs and random arrays") {
+    // fixture cross pairs: every query embedding against every corpus row
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val diff = base.toDF("q_id", "q_emb").filter(col("q_id") < 5)
+      .crossJoin(base)
+      .select(Vectors.sqDist(col("q_emb"), col("embedding")).as("fast"),
+        Vectors.sqDistHof(col("q_emb"), col("embedding")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // property: random float arrays, bit-level equality
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    val pairs = (1 to 200).flatMap { i =>
+      for {
+        a <- genVec(Gen.Parameters.default, Seed(7 * i.toLong))
+        b <- genVec(Gen.Parameters.default, Seed(-7 * i.toLong))
+      } yield (a, b)
+    }
+    val rows = pairs.toDF("a", "b")
+      .select(Vectors.sqDist(col("a"), col("b")).as("fast"),
+        Vectors.sqDistHof(col("a"), col("b")).as("ref"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (fast, ref) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ===
+        java.lang.Double.doubleToLongBits(ref))
+    }
+    // interpreted eval path (nullSafeEval, codegen off) agrees too
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val r = Tables.embeddings(spark, sf)
+        .select(Vectors.sqDist(col("embedding"), col("embedding")).as("d"),
+          Vectors.sqDistHof(col("embedding"), col("embedding")).as("ref"))
+        .filter(col("d") =!= col("ref") || col("d") =!= 0.0)
+      assert(r.count() === 0)
+    }
+  }
+
+  test("float_sqdist is registered and callable from SQL") {
+    org.apache.spark.sql.graft.GraftSql.ensureRegistered(spark)
+    val got = spark.sql(
+      "SELECT float_sqdist(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(0 AS FLOAT)))").as[Double].head()
+    assert(got === 8.0)
+  }
+
   test("float_dot is registered and callable from SQL") {
     org.apache.spark.sql.graft.GraftSql.ensureRegistered(spark)
     val r = spark.sql("SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
