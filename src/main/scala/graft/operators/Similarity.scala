@@ -134,12 +134,20 @@ object Similarity {
     val ccos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("c_emb")),
         col("nrm"), col("c_nrm")), 6)
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    // argmax as a partial-aggregable max(struct): picks max ccos, ties
+    // by LOWEST c_id (the negated field) — identical to the previous
+    // row_number(ccos DESC, c_id ASC)==1 window, but the map-side
+    // partial max collapses each vector's K candidate rows to 1 BEFORE
+    // the exchange (the crossJoin leaves all K on the vector's own
+    // partition), so the shuffle carries n rows instead of n·K and no
+    // per-vector sort runs at all. embedding/nrm are group-constant, so
+    // first() is value-deterministic.
     val assigned = base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"), ccos.as("ccos"))
-      .withColumn("arn", row_number().over(wA))
-      .filter(col("arn") === 1)
-      .select(col("c_id").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("c_id")).as("nc"))).as("m"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select((-col("m.nc")).as("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val means = assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
@@ -155,13 +163,17 @@ object Similarity {
     val mnrm = sqrt(aggregate(transform(col("m_emb"), x => x * x),
       lit(0.0), (a, x) => a + x))
     val mcos = round(mdot / (col("nrm") * mnrm), 6)
-    val wM = Window.partitionBy("cell").orderBy(col("mcos").desc, col("vec_id"))
+    // medoid pick: same max(struct) argmax (ties by lowest vec_id —
+    // unique, so the trailing payload fields never drive the compare);
+    // map-side partials shrink each cell's member rows before the
+    // K-row exchange
     assigned.join(meanVec, "cell")
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"), mcos.as("mcos"))
-      .withColumn("mrn", row_number().over(wM))
-      .filter(col("mrn") === 1)
-      .select(col("cell").as("c_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
+      .groupBy("cell")
+      .agg(max(struct(col("mcos"), (-col("vec_id")).as("nv"),
+        col("embedding").as("e"), col("nrm").as("n"))).as("m"))
+      .select(col("cell").as("c_id"), col("m.e").as("c_emb"),
+        col("m.n").as("c_nrm"))
   }
 
   def sAnnIvf(s: SparkSession, d: String): DataFrame = annIvf(s, d, LloydIters)
@@ -189,12 +201,15 @@ object Similarity {
     val centCos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("c_emb")),
         col("nrm"), col("c_nrm")), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    // same partial-aggregable argmax as lloydStep: n rows shuffle
+    // instead of n·K, no per-vector sort (semantics pinned equal to the
+    // old row_number window by the fit's unchanged oracle hashes)
     base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"), centCos.as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("c_id")).as("nc"))).as("m"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), (-col("m.nc")).as("cell"))
   }
 
   def annIvf(s: SparkSession, d: String, iters: Int,
