@@ -556,6 +556,33 @@ class PlanSpec extends SparkSpec {
     assert(!p11.contains("CartesianProduct"), p11.take(1500))
   }
 
+  test("mad audit: per-type medians come back as broadcast joins") {
+    val p = finalOnly(plan(graft.operators.Events.eMad(spark, sf)))
+    // both the median and the MAD rejoin the event stream broadcast —
+    // a lost hint would shuffle the full stream on event_type (8 keys,
+    // the worst possible skew)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("heaps: decile boundaries broadcast; vocabulary reduces once") {
+    val p = finalOnly(plan(graft.operators.TextAnalysis.tHeaps(spark, sf)))
+    // the 10-row boundary list must arrive as broadcast nested loops
+    // (range predicate), one for token mass and one for vocabulary
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // first-doc reduction is a real partial+final aggregate (word grain)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(1500))
+  }
+
+  test("vad: every window partitions by doc_id — no global ordered pass") {
+    val p = finalOnly(plan(graft.operators.Multimodal.mVadStub(spark, sf)))
+    val docSpecs = "windowspecdefinition\\(doc_id#".r.findAllIn(p).length
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(p).length
+    assert(docSpecs === allSpecs && allSpecs >= 2,
+      s"non-doc-partitioned window present ($docSpecs/$allSpecs):\n" + p.take(1500))
+  }
+
   test("gopher rules: pruned scan, one generate, partial+final 1-row agg") {
     val p = finalOnly(plan(graft.operators.TextAnalysis.tGopherRules(spark, sf)))
     assert(!p.contains("lang") && !p.contains("n_chars"),
