@@ -1593,6 +1593,48 @@ object Relational {
        |WHERE CAST(value_dec AS DOUBLE) > cut
        |ORDER BY part_value DESC, p_partkey""".stripMargin
 
+  // ------------------------------------------ cohort LTV revenue triangle
+  /** Customer-lifetime-value triangle: customers cohorted by their
+    * FIRST order month, revenue rolled up by (cohort, months-since-
+    * first) — the classic retention-revenue layout every subscription/
+    * marketplace warehouse reports from (read a row = a cohort's
+    * spend at age k; read a diagonal = a calendar month).
+    *
+    * Scale shape: one custkey-grain aggregate for the cohort map, one
+    * shuffle join back onto orders on the same key (grows with the
+    * customer dimension, so no broadcast hint — AQE picks one when it
+    * fits), then a low-cardinality (cohort, offset) rollup. Revenue is
+    * an exact DECIMAL sum through one double cast; month indexes are
+    * pure integer arithmetic (year·12 + month).
+    */
+  def qLtv(s: SparkSession, d: String): DataFrame = {
+    val priceDec = col("o_totalprice").cast("decimal(12,2)")
+    val monthIdx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), monthIdx.as("m"), priceDec.as("pd"))
+    val cohort = ord.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+    ord.join(cohort, "o_custkey")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("offset_m"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("pd")).cast("double").as("revenue"))
+      .orderBy("cohort_m", "offset_m")
+  }
+
+  val qLtvSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS pd
+      |  FROM orders),
+      |c AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1)
+      |SELECT cohort_m, m - cohort_m AS offset_m,
+      |  COUNT(DISTINCT o.o_custkey) AS active_customers,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(pd) AS DOUBLE) AS revenue
+      |FROM o JOIN c USING (o_custkey)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------ incremental aggregate maintenance
   /** Incremental aggregate maintenance: the materialized-view refresh
     * contract — yesterday's aggregate plus today's DELTA aggregate,
@@ -2189,6 +2231,7 @@ object Relational {
     "q_tpch_q12"       -> (qTpchQ12 _, qTpchQ12Sql),
     "q_tpch_q13"       -> (qTpchQ13 _, qTpchQ13Sql),
     "q_incremental_agg" -> (qIncrementalAgg _, qIncrementalAggSql),
+    "q_ltv"            -> (qLtv _, qLtvSql),
     "q_tpch_q14"       -> (qTpchQ14 _, qTpchQ14Sql),
     "q_tpch_q19"       -> (qTpchQ19 _, qTpchQ19Sql),
     "q_tpch_q20"       -> (qTpchQ20 _, qTpchQ20Sql),

@@ -190,4 +190,27 @@ class RelationalSpec extends SparkSpec {
       .groupBy("o_orderpriority").count().as[(String, Long)].collect().toMap
     assert(viaSql === viaApi)
   }
+
+  test("ltv triangle: conserves orders and revenue; age-0 cell equals cohort size") {
+    val tri = Relational.qLtv(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS p")
+      .as[(Long, Long, Double)].collect()
+    // every order lands in exactly one triangle cell
+    assert(tri.map(_._4).sum === orders.length.toLong)
+    assert(math.abs(tri.map(_._5).sum - orders.map(_._3).sum) < 1e-4)
+    // the age-0 diagonal counts each cohort's full membership (every
+    // customer is active in their own first month by definition)
+    val cohortOf = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortSize = cohortOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    tri.filter(_._2 == 0L).foreach { case (c, _, active, _, _) =>
+      assert(active === cohortSize(c), s"cohort $c")
+    }
+    assert(tri.exists(_._2 > 0), "fixture should span multi-month lifetimes")
+    // offsets never precede the cohort month
+    assert(tri.forall(_._2 >= 0))
+  }
 }
