@@ -669,9 +669,10 @@ object Similarity {
     * division; the per-vector error is the fixed-order sum of the M
     * rounded subspace distances, rounded once.
     */
-  private val pqDist = (a: Column, b: Column) => round(aggregate(
-    zip_with(a, b, (x, y) => (x - y) * (x - y)),
-    lit(0.0), (acc, v) => acc + v), 6)
+  // native codegen'd double-array squared L2 (bit-identical to the HOF
+  // form it replaced — VectorExprSpec pins the equality)
+  private val pqDist = (a: Column, b: Column) =>
+    round(org.apache.spark.sql.graft.GraftSql.doubleSqDist(a, b), 6)
 
   /** Long form (vec_id, m, sub double[PqSub]): one row per subspace. */
   private def pqSub(s: SparkSession, d: String): DataFrame =

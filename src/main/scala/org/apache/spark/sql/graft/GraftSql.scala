@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.plans.{CharStats, FloatDotProduct, FloatSqDist, PairExplode,
-  ShingleHashSet, ShingleMinHash, ShingleSet, SignBands, SimHash16Expr,
-  SimHash64Expr, SortedIntersectCount, SparseDotProduct}
+import graft.plans.{CharStats, DoubleSqDist, FloatDotProduct, FloatSqDist,
+  PairExplode, ShingleHashSet, ShingleMinHash, ShingleSet, SignBands,
+  SimHash16Expr, SimHash64Expr, SortedIntersectCount, SparseDotProduct}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -28,6 +28,10 @@ object GraftSql {
   /** Codegen'd float-array squared L2 (see graft.plans.FloatSqDist). */
   def floatSqDist(a: Column, b: Column): Column =
     column(FloatSqDist(expression(a), expression(b)))
+
+  /** Codegen'd double-array squared L2 (see graft.plans.DoubleSqDist). */
+  def doubleSqDist(a: Column, b: Column): Column =
+    column(DoubleSqDist(expression(a), expression(b)))
 
   /** Native MinHash signature mins (see graft.plans.ShingleMinHash). */
   def shingleMinHash(toks: Column, n: Int, salts: Seq[String]): Column =
@@ -149,6 +153,8 @@ object GraftSql {
       es => { arity("float_dot", 2, es); FloatDotProduct(es(0), es(1)) }),
     ("float_sqdist", classOf[FloatSqDist].getName,
       es => { arity("float_sqdist", 2, es); FloatSqDist(es(0), es(1)) }),
+    ("double_sqdist", classOf[DoubleSqDist].getName,
+      es => { arity("double_sqdist", 2, es); DoubleSqDist(es(0), es(1)) }),
     ("shingle_minhash", classOf[ShingleMinHash].getName,
       es => { arity("shingle_minhash", 3, es)
         val k = intArg("shingle_minhash", 2, es)

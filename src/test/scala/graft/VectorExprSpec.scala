@@ -75,6 +75,28 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("native double_sqdist == HOF, bit-exact, incl. interpreted path") {
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val nat = org.apache.spark.sql.graft.GraftSql.doubleSqDist _
+    // PQ-shaped fixture pairs: double subvectors against each other
+    val subs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(slice(embedding, 1, 16), x -> CAST(x AS DOUBLE))").as("s"))
+    val diff = subs.toDF("q_id", "q_s").filter(col("q_id") < 8)
+      .crossJoin(subs)
+      .select(nat(col("q_s"), col("s")).as("fast"), hof(col("q_s"), col("s")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val r = subs.select(nat(col("s"), col("s")).as("d"))
+        .filter(col("d") =!= 0.0)
+      assert(r.count() === 0)
+    }
+  }
+
   test("float_sqdist is registered and callable from SQL") {
     org.apache.spark.sql.graft.GraftSql.ensureRegistered(spark)
     val got = spark.sql(
