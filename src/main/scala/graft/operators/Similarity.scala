@@ -158,8 +158,8 @@ object Similarity {
       .select(col("cell"), transform(col("pm"), p => p.getField("mv")).as("m_emb"))
     // medoid update: the member closest (max cosine) to the cell mean,
     // ties by vec_id — centroids stay actual data vectors
-    val mdot = aggregate(zip_with(col("embedding"), col("m_emb"),
-      (x, y) => x.cast("double") * y), lit(0.0), (a, x) => a + x)
+    val mdot = org.apache.spark.sql.graft.GraftSql
+      .fdDot(col("embedding"), col("m_emb"))
     val mnrm = sqrt(aggregate(transform(col("m_emb"), x => x * x),
       lit(0.0), (a, x) => a + x))
     val mcos = round(mdot / (col("nrm") * mnrm), 6)
@@ -1187,8 +1187,7 @@ object Similarity {
         sqrt(aggregate(col("c_emb"), lit(0.0), (a, x) => a + x * x)).as("c_nrm"))
     val base = withNorm(s, d)
     val cos = round(
-      aggregate(zip_with(col("embedding"), col("c_emb"),
-        (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
+      org.apache.spark.sql.graft.GraftSql.fdDot(col("embedding"), col("c_emb"))
         / (col("nrm") * col("c_nrm")), 6)
     val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_label"))
     val pred = base
@@ -1821,10 +1820,8 @@ object Similarity {
       .select(transform(col("cs"), x => x("mu")).as("mu"))
     val dists = Tables.embeddings(s, d).crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("label"),
-        round(sqrt(aggregate(
-          zip_with(col("embedding"), col("mu"), (x, m) =>
-            (x.cast("double") - m) * (x.cast("double") - m)),
-          lit(0.0), (a, t) => a + t)), 6).as("dist"))
+        round(sqrt(org.apache.spark.sql.graft.GraftSql
+          .fdSqDist(col("embedding"), col("mu"))), 6).as("dist"))
     val stats = dists.agg(
       sum(floor(col("dist") * lit(1e6)).cast("long")).as("sdm"),
       count(lit(1)).as("n"))
@@ -1899,8 +1896,8 @@ object Similarity {
           / lit(1e6)).as("cq"))
     val cells = compSums.join(cellStats, "c2")
     val m2 = col("cn") * col("sqx") -
-      lit(2.0) * aggregate(zip_with(col("embedding"), col("sVec"),
-        (x, sv) => x.cast("double") * sv), lit(0.0), (a, x) => a + x) + col("cq")
+      lit(2.0) * org.apache.spark.sql.graft.GraftSql
+        .fdDot(col("embedding"), col("sVec")) + col("cq")
     val perVC = assign
       .withColumn("sqx", sqOf(col("embedding")))
       .crossJoin(broadcast(cells))

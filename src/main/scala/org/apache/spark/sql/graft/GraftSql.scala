@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.plans.{CharStats, DoubleSqDist, FloatDotProduct, FloatSqDist,
-  PairExplode, ShingleHashSet, ShingleMinHash, ShingleSet, SignBands,
-  SimHash16Expr, SimHash64Expr, SortedIntersectCount, SparseDotProduct}
+import graft.plans.{CharStats, DoubleSqDist, FloatDotProduct, FloatDoubleDot,
+  FloatDoubleSqDist, FloatSqDist, PairExplode, ShingleHashSet, ShingleMinHash,
+  ShingleSet, SignBands, SimHash16Expr, SimHash64Expr, SortedIntersectCount,
+  SparseDotProduct}
 
 /** Bridge into Spark's private[sql] surface (hence the package): builds
   * Columns from custom Catalyst Expressions and registers them as SQL
@@ -32,6 +33,14 @@ object GraftSql {
   /** Codegen'd double-array squared L2 (see graft.plans.DoubleSqDist). */
   def doubleSqDist(a: Column, b: Column): Column =
     column(DoubleSqDist(expression(a), expression(b)))
+
+  /** Codegen'd float×double dot (see graft.plans.FloatDoubleDot). */
+  def fdDot(a: Column, b: Column): Column =
+    column(FloatDoubleDot(expression(a), expression(b)))
+
+  /** Codegen'd float×double squared L2 (graft.plans.FloatDoubleSqDist). */
+  def fdSqDist(a: Column, b: Column): Column =
+    column(FloatDoubleSqDist(expression(a), expression(b)))
 
   /** Native MinHash signature mins (see graft.plans.ShingleMinHash). */
   def shingleMinHash(toks: Column, n: Int, salts: Seq[String]): Column =
@@ -155,6 +164,10 @@ object GraftSql {
       es => { arity("float_sqdist", 2, es); FloatSqDist(es(0), es(1)) }),
     ("double_sqdist", classOf[DoubleSqDist].getName,
       es => { arity("double_sqdist", 2, es); DoubleSqDist(es(0), es(1)) }),
+    ("fd_dot", classOf[FloatDoubleDot].getName,
+      es => { arity("fd_dot", 2, es); FloatDoubleDot(es(0), es(1)) }),
+    ("fd_sqdist", classOf[FloatDoubleSqDist].getName,
+      es => { arity("fd_sqdist", 2, es); FloatDoubleSqDist(es(0), es(1)) }),
     ("shingle_minhash", classOf[ShingleMinHash].getName,
       es => { arity("shingle_minhash", 3, es)
         val k = intArg("shingle_minhash", 2, es)

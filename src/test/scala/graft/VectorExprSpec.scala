@@ -97,6 +97,33 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("native fd_dot / fd_sqdist == HOF forms, bit-exact") {
+    val subs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.5)").as("m"))
+    val hofDot = aggregate(zip_with(col("embedding"), col("m"),
+      (x, y) => x.cast("double") * y), lit(0.0), (a, x) => a + x)
+    val hofSq = aggregate(zip_with(col("embedding"), col("m"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (a, x) => a + x)
+    val diff = subs.select(
+        org.apache.spark.sql.graft.GraftSql.fdDot(col("embedding"), col("m")).as("fd"),
+        hofDot.as("rd"),
+        org.apache.spark.sql.graft.GraftSql.fdSqDist(col("embedding"), col("m")).as("fs"),
+        hofSq.as("rs"))
+      .filter(col("fd") =!= col("rd") || col("fs") =!= col("rs"))
+    assert(diff.count() === 0)
+    // interpreted path
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val r = subs.select(
+          org.apache.spark.sql.graft.GraftSql.fdDot(col("embedding"), col("m")).as("fd"),
+          hofDot.as("rd"))
+        .filter(col("fd") =!= col("rd"))
+      assert(r.count() === 0)
+    }
+  }
+
   test("float_sqdist is registered and callable from SQL") {
     org.apache.spark.sql.graft.GraftSql.ensureRegistered(spark)
     val got = spark.sql(
