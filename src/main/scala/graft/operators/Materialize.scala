@@ -45,7 +45,17 @@ object Materialize {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.ArrayList[org.apache.spark.rdd.RDD[_]]]()
 
+  /** Test seam: a pin truncates lineage, so plan-audit sweeps walking a
+    * query's outer optimized plan cannot see inside pinned subframes.
+    * WindowRuleSpec registers an inspector here to audit every pinned
+    * subplan as it is built. Null (the default) costs one volatile read
+    * per pin; never set outside tests.
+    */
+  @volatile private[graft] var inspector: DataFrame => Unit = null
+
   def pin(df: DataFrame): DataFrame = {
+    val insp = inspector
+    if (insp != null) insp(df)
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // checkpoint() alone computes the plan TWICE: the eager count job
       // materializes the un-persisted RDD, then ReliableRDDCheckpointData

@@ -540,8 +540,18 @@ object Multimodal {
         sum(col("seg_len")).cast("int").as("n_voiced"),
         count(lit(1)).cast("int").as("n_segments"),
         max(col("seg_len")).cast("int").as("longest"))
-    Tables.documents(s, d).select(col("doc_id"),
-        (length(encode(col("text"), "UTF-8")) / VadWin).cast("int").as("nw0"))
+    // zero-window fallback counts derive from the PAYLOAD frame the
+    // decode seam actually reads (not re-derived from text). STUB-ONLY
+    // COUPLING, by construction: ⌊payload bytes / VadWin⌋ is exactly
+    // the stub decoder's window count, so the fallback agrees with the
+    // seam bit-for-bit — but a real codec bound via [[decodeWith]]
+    // defines its window count over DECODED samples, so it must
+    // replace this fallback expression together with the closure
+    // (docs the codec decodes to zero windows would otherwise report
+    // the payload-derived count here).
+    payloads(s, d).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        (length(col("payload")) / VadWin).cast("int").as("nw0"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), col("nw0")).as("n_windows"),

@@ -145,7 +145,7 @@ object TextAnalysis {
     val qdf = tf.filter(col("doc_id") < Bm25Queries)
       .select(col("doc_id").as("q_id"), col("word"))
       .join(df, "word")
-      .crossJoin(stats)
+      .crossJoin(broadcast(stats))
       .select(col("q_id"), col("word"),
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           .as("idf"))
@@ -1229,12 +1229,20 @@ object TextAnalysis {
     * added vocab stops paying; everything past it becomes byte/BPE
     * fallback, [[tTokenCountBpe]] territory). Ranking breaks count
     * ties deterministically by word. All coverage sums are exact
-    * BIGINTs with one final division+round per ladder row. Scale: the
-    * word-count aggregation collapses map-side into the
-    * vocabulary-bounded table; the global rank window and the
-    * ladder conditional aggregation touch only vocabulary rows
-    * (single-task by design, like [[Events.eGini]]'s histogram);
-    * the ladder cross join is |vocab|×5.
+    * BIGINTs with one final division+round per ladder row.
+    *
+    * Scale: the word-count aggregation collapses map-side into the
+    * vocabulary-bounded table — but the VOCABULARY itself is NOT
+    * bounded at corpus scale (whitespace tokens over 100 TB are
+    * billions of distinct strings), so no vocabulary-grain frame may
+    * pass through a global rank window. Only ranks ≤ max(ladder) =
+    * 4096 ever matter here, so the rank input is first cut to the
+    * top-4096 by a parallel TakeOrderedAndProject (per-partition
+    * top-k, one 4096-row final merge — the [[Relational.qTopK]]
+    * plan), and the row_number window runs over THAT ≤4096-row frame:
+    * bounded by construction, regardless of corpus size. The ladder
+    * cross join is then ≤4096×5 and the denominator total comes from
+    * a separate scalar aggregate over the full word-count table.
     */
   val CoverageLadder: Seq[Int] = Seq(16, 64, 256, 1024, 4096)
 
@@ -1243,7 +1251,9 @@ object TextAnalysis {
     val wc = docsWithTokens(s, d)
       .select(explode(col("toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val ranked = wc.withColumn("rk",
+    val top = wc.orderBy(col("cnt").desc, col("word"))
+      .limit(CoverageLadder.max)
+    val ranked = top.withColumn("rk",
       row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
     val tot = wc.agg(sum(col("cnt")).cast("double").as("total"))
     val ladder = {
@@ -1525,26 +1535,65 @@ object TextAnalysis {
     * class — for no extra diagnostic power; slope alone carries the
     * Zipf health signal.)
     *
-    * Scale: the frequency table is vocabulary-bounded; the rank
-    * window is a single ordered pass over THAT table (bounded by
-    * construction — the wordscore sort's acceptance), and the
-    * regression is one aggregate row. Determinism: x = round(ln rank,
-    * 6) and y = round(ln freq, 6) are single lns of integers rounded
-    * once; every regression sum quantizes through DECIMAL(18,6) with
-    * exact products at scale 12 (the sparse-cosine rule), so
-    * reduction order cannot move a bit; the two divisions happen in
-    * double on identical inputs and round once.
+    * Scale: the vocabulary is NOT bounded at corpus scale, so no
+    * per-word global rank window appears anywhere in this plan. The
+    * regression consumes only the (rank, freq) MULTISET, and under
+    * (freq desc, word) the words sharing a frequency occupy a
+    * contiguous rank run [base+1, base+m] — the word tiebreak only
+    * permutes ranks WITHIN a run of constant freq, which cannot move
+    * any (rank, freq) pair. So the plan collapses the vocabulary to
+    * its distinct-frequency run table (D rows, D ≤ √(2·total_tokens):
+    * D distinct frequencies cost at least 1+2+…+D tokens), computes
+    * each run's base with the p_pack/m_shard_pack two-level
+    * distributed scan (within-block prefix sums partitioned by
+    * blk = ⌊log2 freq⌋, which is monotone in the sort order; block b
+    * holds ≤ min(2^b, N/2^b) ≤ √N freq rows since each distinct freq
+    * in it costs ≥ 2^b tokens; the ≤64 block totals cumulate in one
+    * tiny window and broadcast back), then enumerates each run's
+    * ranks arithmetically in [[ZipfChunk]]-wide chunks — bounded
+    * explode fanout, with the chunk DESCRIPTORS (|vocab|/chunk rows,
+    * no strings) shuffled for balance before expansion. Every frame
+    * a window or explode touches is provably sublinear in the corpus.
+    * Determinism: x = round(ln rank, 6) and y = round(ln freq, 6) are
+    * single lns of integers rounded once; every regression sum
+    * quantizes through DECIMAL(18,6) with exact products at scale 12
+    * (the sparse-cosine rule), so reduction order cannot move a bit;
+    * the two divisions happen in double on identical inputs and round
+    * once.
     */
+  val ZipfChunk = 65536
+
   def tZipf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val counts = docsWithTokens(s, d)
       .select(explode(col("toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val ranked = counts.withColumn("rank",
-      row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+    val mf = counts.groupBy("freq").agg(count(lit(1)).as("m"))
+    val withBlk = mf.withColumn("blk",
+      floor(log2(col("freq").cast("double"))).cast("int"))
+    val wIntra = Window.partitionBy("blk").orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val intra = withBlk.withColumn("intra",
+      coalesce(sum(col("m")).over(wIntra), lit(0L)))
+    val wBase = Window.orderBy(col("blk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val bases = withBlk.groupBy("blk").agg(sum(col("m")).as("bm"))
+      .withColumn("base", coalesce(sum(col("bm")).over(wBase), lit(0L)))
+      .select(col("blk"), col("base"))
+    val runs = intra.join(broadcast(bases), "blk")
+      .select(col("freq"), col("m"),
+        (col("base") + col("intra")).as("run_base"))
+    val chunks = runs.select(col("freq"), col("m"), col("run_base"),
+      explode(sequence(lit(0L), expr(s"(m - 1) div $ZipfChunk"))).as("ci"))
+    val ranks = chunks.repartition(col("freq"), col("ci"))
+      .select(col("freq"),
+        explode(sequence(
+          col("run_base") + col("ci") * ZipfChunk + 1,
+          col("run_base") + least(col("m"), (col("ci") + 1) * ZipfChunk)))
+          .as("rank"))
     val d6 = (c: Column) => c.cast(DecimalType(18, 6))
-    val xy = ranked.select(col("freq"),
+    val xy = ranks.select(col("freq"),
       round(log(col("rank").cast("double")), 6).as("x"),
       round(log(col("freq").cast("double")), 6).as("y"))
     val agg = xy.agg(
@@ -2977,10 +3026,15 @@ object TextAnalysis {
     val cumVocab = firstDoc.crossJoin(broadcast(bounds))
       .filter(col("first_doc") <= col("boundary"))
       .groupBy("decile").agg(count(lit(1)).as("vocab"))
-    cumDocs.join(cumVocab, "decile")
+    // left join: a prefix whose documents all tokenize to zero tokens
+    // has no cumVocab row — it must still emit its decile (vocab 0,
+    // ttr null on a zero-token prefix), not silently disappear
+    cumDocs.join(cumVocab, Seq("decile"), "left")
       .select(col("decile"), col("boundary"), col("cum_docs"),
-        col("cum_tokens"), col("vocab"),
-        round(col("vocab").cast("double") / col("cum_tokens"), 6).as("ttr"))
+        col("cum_tokens"), coalesce(col("vocab"), lit(0L)).as("vocab"),
+        when(col("cum_tokens") > 0,
+          round(coalesce(col("vocab"), lit(0L)).cast("double")
+            / col("cum_tokens"), 6)).as("ttr"))
       .orderBy("decile")
   }
 
@@ -3003,9 +3057,12 @@ object TextAnalysis {
        |  FROM bd JOIN d ON doc_id <= boundary GROUP BY 1, 2),
        |cv AS (SELECT decile, COUNT(*) AS vocab
        |  FROM bd JOIN fo ON first_doc <= boundary GROUP BY 1)
-       |SELECT decile, boundary, cum_docs, cum_tokens, vocab,
-       |  round(CAST(vocab AS DOUBLE) / cum_tokens, 6) AS ttr
-       |FROM cd JOIN cv USING (decile) ORDER BY decile""".stripMargin
+       |SELECT decile, boundary, cum_docs, cum_tokens,
+       |  COALESCE(vocab, 0) AS vocab,
+       |  CASE WHEN cum_tokens > 0
+       |    THEN round(CAST(COALESCE(vocab, 0) AS DOUBLE) / cum_tokens, 6)
+       |  END AS ttr
+       |FROM cd LEFT JOIN cv USING (decile) ORDER BY decile""".stripMargin
   }
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(

@@ -21,10 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Precondition: array elements are non-null (embedding vectors). A
   * null ARRAY (either side) yields null via BinaryExpression's default
-  * null handling.
+  * null handling, and a LENGTH MISMATCH yields null too — exactly the
+  * higher-order form's semantics (zip_with null-pads the shorter array
+  * and the aggregate fold propagates the null), so the bit-equality
+  * claim covers malformed/short vectors as well, not just the fixture's
+  * fixed-width case.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
@@ -42,7 +48,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -58,12 +65,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -86,6 +97,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
 case class FloatSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // length mismatch -> null, matching the HOF form (see FloatDotProduct)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
@@ -102,7 +116,8 @@ case class FloatSqDist(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -120,13 +135,17 @@ case class FloatSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
          |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -144,6 +163,9 @@ case class FloatSqDist(left: Expression, right: Expression)
 case class DoubleSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // length mismatch -> null, matching the HOF form (see FloatDotProduct)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
       case ArrayType(DoubleType, _) => true
@@ -160,7 +182,8 @@ case class DoubleSqDist(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -178,13 +201,17 @@ case class DoubleSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $d = $a.getDouble($i) - $b.getDouble($i);
          |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -204,6 +231,9 @@ case class DoubleSqDist(left: Expression, right: Expression)
 case class FloatDoubleDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // length mismatch -> null, matching the HOF form (see FloatDotProduct)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
@@ -220,7 +250,8 @@ case class FloatDoubleDot(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -236,12 +267,16 @@ case class FloatDoubleDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 
@@ -256,6 +291,9 @@ case class FloatDoubleDot(left: Expression, right: Expression)
   */
 case class FloatDoubleSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // length mismatch -> null, matching the HOF form (see FloatDotProduct)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -273,7 +311,8 @@ case class FloatDoubleSqDist(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -291,13 +330,17 @@ case class FloatDoubleSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $d = ((double) $a.getFloat($i)) - $b.getDouble($i);
          |  $acc += $d * $d;
          |}
          |${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -583,6 +583,42 @@ class PlanSpec extends SparkSpec {
       s"non-doc-partitioned window present ($docSpecs/$allSpecs):\n" + p.take(1500))
   }
 
+  test("rerank: shortlist + query sides broadcast; no corpus shuffle join") {
+    // the two-stage retrieval contract: stage-1 joins codes to the
+    // BROADCAST |Q|·M·K ADC table, stage-2 fetches full vectors via a
+    // BROADCAST of the |Q|·R shortlist — a silent hint loss would
+    // stage the vector store through a shuffle join
+    val p = finalOnly(plan(Similarity.sRerank(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus-side shuffle join appeared:\n" + p.take(1500))
+  }
+
+  test("kcenter: per-step center frames broadcast; argmax is a top-1 cut") {
+    // the per-step corpus passes hide behind Materialize.pin — audit
+    // every pinned subplan via the inspector seam: each cross join
+    // must carry the broadcast hint (centers are 1-row frames), and
+    // the farthest-point argmax must plan as a limit-1 cut, never a
+    // global sort of the corpus
+    val captured = scala.collection.mutable.Buffer[String]()
+    graft.operators.Materialize.inspector =
+      d => captured += d.queryExecution.optimizedPlan.toString
+    try Similarity.sKcenter(spark, sf).collect()
+    finally {
+      graft.operators.Materialize.inspector = null
+      graft.operators.Materialize.releaseAll(spark)
+    }
+    val withJoin = captured.filter(_.contains("Join Cross"))
+    assert(withJoin.nonEmpty, captured.mkString("\n---\n").take(1200))
+    withJoin.foreach { p =>
+      assert(!p.replace("Join Cross, rightHint=(strategy=broadcast)", "")
+        .contains("Join Cross"),
+        "unhinted cross join in pinned k-center step:\n" + p.take(1200))
+    }
+    assert(captured.exists(_.contains("GlobalLimit 1")),
+      "argmax not a top-1 cut:\n" + captured.mkString("\n---\n").take(1200))
+  }
+
   test("gopher rules: pruned scan, one generate, partial+final 1-row agg") {
     val p = finalOnly(plan(graft.operators.TextAnalysis.tGopherRules(spark, sf)))
     assert(!p.contains("lang") && !p.contains("n_chars"),

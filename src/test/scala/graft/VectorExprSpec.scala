@@ -151,6 +151,35 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("length mismatch -> null on every array-pair native expression (HOF parity)") {
+    // the HOF forms null-pad the shorter array (zip_with) and the fold
+    // propagates the null — the native expressions must agree, so a
+    // malformed/short vector yields NULL, never a silently-finite
+    // distance over the truncated prefix. Checked on codegen AND
+    // interpreted paths, with the HOF columns asserted alongside so the
+    // parity claim itself is exercised, not assumed.
+    val gs = org.apache.spark.sql.graft.GraftSql
+    gs.ensureRegistered(spark)
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+      .withColumn("ad", expr("transform(a, x -> CAST(x AS DOUBLE))"))
+      .withColumn("bd", expr("transform(b, x -> CAST(x AS DOUBLE))"))
+    def check(): Unit = {
+      val row = df.select(
+        Vectors.dot(col("a"), col("b")).as("d"),
+        Vectors.dotHof(col("a"), col("b")).as("dh"),
+        Vectors.sqDist(col("a"), col("b")).as("s"),
+        Vectors.sqDistHof(col("a"), col("b")).as("sh"),
+        expr("double_sqdist(ad, bd)").as("ds"),
+        gs.fdDot(col("a"), col("bd")).as("fd"),
+        gs.fdSqDist(col("a"), col("bd")).as("fs")).head()
+      (0 until 7).foreach(i =>
+        assert(row.isNullAt(i), s"column $i finite on length mismatch"))
+    }
+    check()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") { check() }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
