@@ -228,10 +228,15 @@ object GraftSql {
   *
   * Injects the same functions [[GraftSql.ensureRegistered]] adds
   * programmatically (one shared description table — the two paths
-  * cannot drift). Query functions still call ensureRegistered
-  * defensively, so either path (or both) works.
+  * cannot drift), plus the [[graft.plans.NativeVectorRewrite]]
+  * optimizer rule, which transparently upgrades user-written
+  * `aggregate(zip_with(...))` inner products to the fused native
+  * expressions where bit-exactness is provable. Query functions still
+  * call ensureRegistered defensively, so either path (or both) works.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftSql.functionDescriptions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
+  }
 }

@@ -120,6 +120,60 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCols)
   }
 
+  test("optimizer rule rewrites HOF inner products to natives, bit-exact") {
+    withExtensionsSession { s2 =>
+      import graft.functions.Vectors
+      // transform-derived arrays carry containsNull = false (non-null
+      // lambda over non-null elements): the soundness precondition the
+      // rule checks. Built over range() — a literal Seq would
+      // constant-fold into a LocalRelation and leave no plan to assert.
+      val df = s2.range(4).select(col("id"),
+          expr("transform(sequence(1, 3), i -> CAST(i * 3 + id AS FLOAT))")
+            .as("a"),
+          expr("transform(sequence(1, 3), i -> CAST(i - 2 * id AS FLOAT))")
+            .as("b"))
+        .withColumn("bd", expr("transform(b, x -> CAST(x AS DOUBLE))"))
+      val q = df.select(
+        Vectors.dotHof(col("a"), col("b")).as("dot_ff"),
+        Vectors.sqDistHof(col("a"), col("b")).as("sq_ff"),
+        aggregate(zip_with(col("a"), col("bd"),
+          (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+          .as("dot_fd"),
+        aggregate(zip_with(col("bd"), col("a"),
+          (x, y) => (x - y.cast("double")) * (x - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("sq_df_swapped"))
+      val p = q.queryExecution.optimizedPlan.toString
+      // every HOF form replaced by its native (incl. the commuted one)
+      assert(!p.contains("aggregate(zip_with"), p.take(1200))
+      assert(p.contains("float_dot") && p.contains("float_sqdist") &&
+        p.contains("fd_dot") && p.contains("fd_sqdist"), p.take(1200))
+      // bit-equality against the directly-written natives
+      val got = q.collect().map(_.toString).toSeq
+      val want = df.select(
+        Vectors.dot(col("a"), col("b")).as("dot_ff"),
+        Vectors.sqDist(col("a"), col("b")).as("sq_ff"),
+        GraftSql.fdDot(col("a"), col("bd")).as("dot_fd"),
+        GraftSql.fdSqDist(col("a"), col("bd")).as("sq_df_swapped"))
+        .collect().map(_.toString).toSeq
+      assert(got === want)
+    }
+  }
+
+  test("optimizer rule leaves nullable-element arrays on the HOF path") {
+    withExtensionsSession { s2 =>
+      import graft.functions.Vectors
+      // parquet arrays default to containsNull = true — the HOF nulls
+      // out on a null element where the natives read primitive buffers,
+      // so the rewrite must NOT fire
+      val emb = Tables.embeddings(s2, sf).limit(8)
+      val q = emb.select(
+        Vectors.dotHof(col("embedding"), col("embedding")).as("d"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("aggregate(zip_with"), p.take(1200))
+      assert(!p.contains("float_dot"), p.take(1200))
+    }
+  }
+
   test("conf path: spark.sql.extensions resolves the injector in a fresh JVM") {
     val java = sys.props("java.home") + "/bin/java"
     val addOpens = Seq(
