@@ -2616,7 +2616,67 @@ object Events {
       |    AS DOUBLE) / t AS cum_share
       |FROM d, tot ORDER BY decile""".stripMargin
 
+  // --------------------------------------- distribution drift (PSI)
+  /** Population Stability Index between the two time halves of the
+    * stream — the standard drift monitor a training pipeline runs
+    * between corpus snapshots or serving windows: per event type, the
+    * share of traffic in the first half vs the second (split at the
+    * exact midpoint of the observed epoch-nano range) and the type's
+    * PSI contribution (p₂−p₁)·ln(p₂/p₁), always ≥ 0; Σ contributions
+    * ≥ 0.2 is the conventional "actionable drift" flag. Types absent
+    * from either half are excluded (the standard finite-PSI
+    * convention — with a dozen fixture types and thousands of events
+    * per half, an absence IS the drift signal and shows up as the
+    * row disappearing).
+    *
+    * Scale shape: one map-side-combined per-type conditional
+    * aggregation (bounded by |event types| regardless of volume), the
+    * midpoint from a broadcast 1-row min/max aggregate, totals from a
+    * second |types|-row aggregate — no shuffle ever carries events
+    * beyond the type-keyed combine. Determinism: counts are exact
+    * BIGINTs; shares and the contribution are double arithmetic over
+    * identical integers ((n₂/t₂ − n₁/t₁)·ln(n₂t₁/(n₁t₂))), each
+    * output rounded once at 6 dp.
+    */
+  def ePsi(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_type"), col("ts_ns"))
+    val mid = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
+    val perType = ev.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(sum(when(col("ts_ns") <= col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ts_ns") > col("mid"), 1L).otherwise(0L)).as("n2"))
+    val totals = perType.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val p1 = col("n1").cast("double") / col("t1")
+    val p2 = col("n2").cast("double") / col("t2")
+    perType.crossJoin(broadcast(totals))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round((p2 - p1) * log((col("n2") * col("t1")).cast("double")
+          / (col("n1") * col("t2")).cast("double")), 6).as("psi_term"))
+      .orderBy("event_type")
+  }
+
+  val ePsiSql: String =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) AS ns FROM events),
+      |m AS (SELECT (MIN(ns) + MAX(ns)) // 2 AS mid FROM e),
+      |a AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN ns <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN ns > mid THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM e CROSS JOIN m GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+      |    CAST(SUM(n2) AS BIGINT) AS t2 FROM a)
+      |SELECT event_type, n1, n2,
+      |  round(CAST(n1 AS DOUBLE) / t1, 6) AS p1,
+      |  round(CAST(n2 AS DOUBLE) / t2, 6) AS p2,
+      |  round((CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1)
+      |    * ln(CAST(n2 * t1 AS DOUBLE) / CAST(n1 * t2 AS DOUBLE)), 6)
+      |    AS psi_term
+      |FROM a CROSS JOIN t WHERE n1 > 0 AND n2 > 0
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_psi"         -> (ePsi _, ePsiSql),
     "e_season_strength" -> (eSeasonStrength _, eSeasonStrengthSql),
     "e_lorenz"      -> (eLorenz _, eLorenzSql),
     "e_streaks"     -> (eStreaks _, eStreaksSql),

@@ -3065,7 +3065,56 @@ object TextAnalysis {
        |FROM cd LEFT JOIN cv USING (decile) ORDER BY decile""".stripMargin
   }
 
+  // ------------------------------------- green-list watermark detection
+  /** Green-list watermark detection (Kirchenbauer et al. 2023, "A
+    * Watermark for Large Language Models") — the screen a training
+    * pipeline runs to keep WATERMARKED SYNTHETIC TEXT out of a
+    * pretraining corpus: a watermarking sampler biases each generated
+    * token toward a pseudorandom "green" half of the vocabulary seeded
+    * by the previous token; detection needs no model — count green
+    * continuations and z-test against the γ=½ null. Per document, for
+    * each of the n bigram positions the continuation is GREEN iff the
+    * first hex nibble of md5("wm|" ++ bigram) < 8 (an engine-portable
+    * stand-in for the scheme's seeded hash; γ = ½ exactly under
+    * md5 uniformity), and z = (2·green − n)/√n — the γ=½ form of
+    * (g − γn)/√(nγ(1−γ)). Natural text sits |z| ≲ 2; text generated
+    * against THIS green rule scores z ≫ 4. Documents under 2 tokens
+    * have no scored positions and drop on both engines.
+    *
+    * Scale shape: a pure per-row map (tokenize → bigrams → hash test)
+    * followed by one map-side-combined doc-grain aggregation — no
+    * joins, no windows, nothing keyed beyond doc_id. Determinism:
+    * counts are exact; z is one subtract/√/divide over identical
+    * integers, rounded once at 6 dp.
+    */
+  def tWatermark(s: SparkSession, d: String): DataFrame = {
+    val bi = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("bg"))
+    bi.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(substring(md5(concat(lit("wm|"), col("bg"))), 1, 1) <= "7",
+          1L).otherwise(0L)).as("n_green"))
+      .select(col("doc_id"), col("n_scored"), col("n_green"),
+        round((lit(2L) * col("n_green") - col("n_scored")).cast("double")
+          / sqrt(col("n_scored").cast("double")), 6).as("z"))
+      .orderBy("doc_id")
+  }
+
+  val tWatermarkSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+       |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg FROM i),
+       |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |    CAST(SUM(CASE WHEN substr(md5('wm|' || bg), 1, 1) <= '7'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+       |  FROM b GROUP BY 1)
+       |SELECT doc_id, n_scored, n_green,
+       |  round(CAST(2 * n_green - n_scored AS DOUBLE)
+       |    / sqrt(CAST(n_scored AS DOUBLE)), 6) AS z
+       |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_watermark"    -> (tWatermark _, tWatermarkSql),
     "t_heaps"        -> (tHeaps _, tHeapsSql),
     "t_gopher_rules" -> (tGopherRules _, tGopherRulesSql),
     "t_bpe_stability" -> (tBpeStability _, tBpeStabilitySql),

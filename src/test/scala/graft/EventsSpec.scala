@@ -13,6 +13,24 @@ import graft.operators.Events
 class EventsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("psi: non-negative terms, exact half split, shares sum to 1") {
+    val rows = Events.ePsi(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // every PSI contribution is >= 0 ((p2-p1) and ln(p2/p1) share sign)
+    rows.foreach { case (t, n1, n2, p1, p2, term) =>
+      assert(term >= 0.0, s"$t: negative psi_term $term")
+      assert(n1 > 0 && n2 > 0 && p1 > 0 && p2 > 0)
+    }
+    // the two halves partition the full event set exactly
+    val total = Events.load(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum === total,
+      "half counts do not partition the stream (a type vanished from one half?)")
+    // with every type in both halves, each half's shares sum to ~1
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+  }
+
   test("ewma: matches a driver-side recompute over each user's ordered history") {
     val got = Events.eEwma(spark, sf)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap

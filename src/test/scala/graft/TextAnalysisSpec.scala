@@ -10,6 +10,45 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("watermark: natural corpus near null; greedily-watermarked text flagged") {
+    // fixture corpus: every doc scores, greens never exceed scored
+    val rows = TextAnalysis.tWatermark(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, g, _) => assert(g >= 0 && g <= n) }
+    // natural text sits near the gamma=1/2 null: the corpus MEAN z must
+    // be near 0 (individual short docs can wander a couple of sigma)
+    val meanZ = rows.map(_._4).sum / rows.size
+    assert(math.abs(meanZ) < 1.0, s"corpus mean z $meanZ")
+    // construct ACTUALLY WATERMARKED text with the scheme's sampler:
+    // greedily pick, at each position, a continuation the green rule
+    // accepts (first md5 nibble of "wm|prev next" <= '7')
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cands = ('a' to 'z').map(_.toString)
+    val toks = scala.collection.mutable.Buffer("seed")
+    while (toks.size < 101) {
+      val prev = toks.last
+      toks += cands.find(c => md5hex(s"wm|$prev $c").head <= '7')
+        .getOrElse(cands.head)
+    }
+    // score the constructed doc through the SAME Spark expressions
+    val wm = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val bg = wm.select(explode(graft.functions.Text.shingles(
+        graft.functions.Text.tokens(col("text")), 2)).as("bg"))
+    val (n, g) = bg.select(count(lit(1)),
+        sum(when(substring(md5(concat(lit("wm|"), col("bg"))), 1, 1) <= "7",
+          1L).otherwise(0L)))
+      .as[(Long, Long)].head()
+    assert(n === 100L)
+    // Spark's md5 agrees with the JVM sampler: every pick is green
+    // unless the greedy search fell through (it never does over a-z)
+    assert(g === n, s"sampler/detector hash disagreement: $g green of $n")
+    val z = (2.0 * g - n) / math.sqrt(n.toDouble)
+    assert(z > 4.0, s"watermarked text not flagged: z=$z")
+  }
+
   test("bpe train: learned merges equal an independent reference trainer") {
     import spark.implicits._
     val got = TextAnalysis.tBpeTrain(spark, sf)
