@@ -1503,7 +1503,93 @@ object Dedup {
        |${blocks.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY bands""".stripMargin
   }
 
+  // -------------------------------- content-defined chunking (CDC) dedup
+  /** Content-defined chunk dedup over token streams — the
+    * rsync/FastCDC idea at the granularity LLM pipelines dedup at:
+    * chunk boundaries are decided by the CONTENT (a token closes its
+    * chunk when the first md5 nibble of "cdc|token" is ≤ '1'; p = 1/8 →
+    * mean chunk ≈ 8 tokens, matched to the fixture's repeat lengths —
+    * production CDC tunes the mask to its target chunk size the same
+    * way), so a shared passage produces the SAME
+    * chunks in every document regardless of where it sits — insertions
+    * before it shift positions but not boundaries, which is exactly
+    * what fixed-stride blocking gets wrong. Output: every chunk VALUE
+    * occurring ≥ 2 times with its occurrence/document counts — the
+    * shared-passage inventory [[dSubstring]] approaches from the
+    * per-position side (spans in each doc) and this query answers at
+    * the value level (what is shared, how widely).
+    *
+    * Scale shape: tokenize+posexplode is linear; the boundary test is
+    * a per-row map; the chunk index is a DOC-LOCAL running sum (window
+    * partitioned by doc_id — never global); chunk assembly is one
+    * (doc, chunk)-keyed aggregation and the dedup count one
+    * chunk-hash-keyed aggregation. Token text shuffles once into the
+    * chunk build to stay oracle-exact; at 100 TB the tokens would
+    * carry as 8-byte hashes and the chunk key as a hash-of-hashes (the
+    * [[graft.plans.ShingleHashSet]] treatment), same plan. A document
+    * with no boundary token is one whole-doc chunk — production CDC
+    * adds a max-size cut; the fixture rule keeps the canonical
+    * hash-only form so both engines agree by construction.
+    */
+  /** The CDC chunker on any (doc_id, text) frame: one row per chunk
+    * with its token count and content hash. Factored out so the spec
+    * can pin shift-invariance (the property that makes CDC CDC) on
+    * constructed documents.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    // boundaries strictly BEFORE this token: a boundary token is the
+    // LAST token of its chunk
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val marked = toks
+      .withColumn("b",
+        when(substring(md5(concat(lit("cdc|"), col("tok"))), 1, 1) <= "1",
+          1L).otherwise(0L))
+      .withColumn("chunk", coalesce(sum(col("b")).over(wPrev), lit(0L)))
+    marked.groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("chunk_hash"))
+  }
+
+  def dCdc(s: SparkSession, d: String): DataFrame =
+    cdcChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_toks")).cast("int").as("n_toks"))
+      .filter(col("n_occ") >= 2)
+      .orderBy("chunk_hash")
+
+  val dCdcSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |p AS (SELECT doc_id, pos, toks[pos] AS tok FROM g),
+       |m AS (SELECT doc_id, pos, tok,
+       |  CASE WHEN substr(md5('cdc|' || tok), 1, 1) <= '1'
+       |    THEN 1 ELSE 0 END AS b FROM p),
+       |c AS (SELECT doc_id, pos, tok,
+       |  CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS chunk FROM m),
+       |h AS (SELECT doc_id, chunk, COUNT(*) AS n_toks,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM c GROUP BY 1, 2)
+       |SELECT chunk_hash, COUNT(*) AS n_occ,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(MAX(n_toks) AS INT) AS n_toks
+       |FROM h GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY chunk_hash""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d_cdc"         -> (dCdc _, dCdcSql),
     "d_band_curve"  -> (dBandCurve _, dBandCurveSql),
     "d_threshold_curve" -> (dThresholdCurve _, dThresholdCurveSql),
     "d_dup_curve"   -> (dDupCurve _, dDupCurveSql),

@@ -11,6 +11,32 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cdc: boundaries are shift-invariant — shared passages chunk identically") {
+    // the property that makes CDC CDC: an inserted prefix shifts every
+    // position but no boundary, so a shared passage's INTERIOR chunks
+    // hash identically in both documents (fixed-stride blocking breaks
+    // here). The passage is long enough to contain several boundaries.
+    val passage = (1 to 400).map(i => s"w${i * 7 % 211}").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage tail alpha beta"),
+      (2L, s"completely different preamble tokens xx yy zz $passage other end")
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs)
+      .select(col("doc_id"), col("chunk_hash"))
+      .as[(Long, String)].collect().toSeq
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = h1 intersect h2
+    // several interior chunks of the passage must coincide despite the
+    // shifted start; only the passage's edge chunks may differ
+    assert(shared.size >= 3, s"only ${shared.size} shared chunks")
+    assert(shared.size >= h1.size - 3,
+      s"doc 1 has ${h1.size - shared.size} unshared chunks — boundaries drifted")
+    // and the registered query surfaces duplicated chunk values
+    val rows = Dedup.dCdc(spark, sf).count()
+    assert(rows > 0, "fixture has no duplicated CDC chunks")
+  }
+
   test("exact dedup partitions all docs; keeper is the min doc_id") {
     val groups = Dedup.dExact(spark, sf)
     assert(groups.agg(sum("n")).as[Long].head() ===
