@@ -2675,7 +2675,58 @@ object Events {
       |FROM a CROSS JOIN t WHERE n1 > 0 AND n2 > 0
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ burstiness (Fano)
+  /** Per-type burstiness: the Fano factor F = Var(n)/E(n) of hourly
+    * event counts over the stream's observed hour span (absent hours
+    * count as 0 — the span comes from a broadcast 1-row min/max, no
+    * gap-fill join needed because zero buckets contribute nothing to
+    * either sum). A Poisson arrival process sits at F ≈ 1; retries,
+    * bots and thundering herds push F ≫ 1, making this the
+    * dispersion-side sibling of [[eBotScore]]'s per-user signals.
+    * Population variance over k hours computed entirely from exact
+    * integers: F = (k·Σn² − (Σn)²) / (k·Σn), one double division
+    * rounded at 6 dp.
+    *
+    * Scale shape: one map-side-combined (type, hour) aggregation
+    * (bounded by |types|·span-hours), one |rows|-bounded per-type
+    * reduce, a broadcast scalar for the span. Nothing event-grain
+    * shuffles past the first combine.
+    */
+  def eBurstiness(s: SparkSession, d: String): DataFrame = {
+    val hours = load(s, d)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+    val span = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val perHour = hours.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"))
+    perHour.groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("n") * col("n")).as("s2"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        (col("h1") - col("h0") + 1).cast("int").as("n_hours"),
+        col("n_events"),
+        round(((col("h1") - col("h0") + 1) * col("s2")
+          - col("n_events") * col("n_events")).cast("double")
+          / ((col("h1") - col("h0") + 1) * col("n_events")).cast("double"), 6)
+          .as("fano"))
+      .orderBy("event_type")
+  }
+
+  val eBurstinessSql: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_ns(ts) // 3600000000000 AS h FROM events),
+      |s AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+      |ph AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1, 2),
+      |a AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+      |    CAST(SUM(n * n) AS BIGINT) AS s2 FROM ph GROUP BY 1)
+      |SELECT event_type, CAST(h1 - h0 + 1 AS INT) AS n_hours, n_events,
+      |  round(CAST((h1 - h0 + 1) * s2 - n_events * n_events AS DOUBLE)
+      |    / CAST((h1 - h0 + 1) * n_events AS DOUBLE), 6) AS fano
+      |FROM a CROSS JOIN s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_burstiness"  -> (eBurstiness _, eBurstinessSql),
     "e_psi"         -> (ePsi _, ePsiSql),
     "e_season_strength" -> (eSeasonStrength _, eSeasonStrengthSql),
     "e_lorenz"      -> (eLorenz _, eLorenzSql),

@@ -2214,8 +2214,112 @@ object Relational {
     parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
   }
 
+  // --------------------------------------------- Z-order layout audit
+  /** Morton/Z-order bit interleave of (l_partkey, l_suppkey), emitted
+    * once as a Spark-SQL string and once as DuckDB SQL from the same
+    * loop — the single source of truth for both engines.
+    */
+  private def zkeyExpr(p: String, s: String, duck: Boolean): String = {
+    def shr(x: String, n: Int) =
+      if (n == 0) x else if (duck) s"($x >> $n)" else s"shiftright($x, $n)"
+    def shl(x: String, n: Int) =
+      if (n == 0) x else if (duck) s"($x << $n)" else s"shiftleft($x, $n)"
+    (0 until 8).map { i =>
+      s"(${shl(s"(${shr(p, i)} & 1)", 2 * i + 1)} | " +
+        s"${shl(s"(${shr(s, i)} & 1)", 2 * i)})"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Range-map a raw key onto the 8-bit z grid: (x − lo)·256 div span.
+    * The grid normalization every real Z-order implementation applies
+    * before interleaving — raw keys of very different ranges would
+    * otherwise leave the high interleave bits constant.
+    */
+  private def grid8(x: String, lo: String, hi: String, duck: Boolean): String =
+    if (duck) s"((($x - $lo) * 256) // ($hi - $lo + 1))"
+    else s"((($x - $lo) * 256) div ($hi - $lo + 1))"
+
+  /** Z-order vs single-key layout effectiveness — the data-layout
+    * decision behind every lakehouse OPTIMIZE/cluster-by at 100 TB:
+    * files carry min/max stats per column, and a scan prunes a file
+    * when the predicate misses its bounding box, so the layout's job
+    * is to make per-file boxes TIGHT on every filtered dimension.
+    * This audit lays lineitem out both ways over the (l_partkey,
+    * l_suppkey) plane — 64 fixed-width buckets of the Morton
+    * bit-interleaved key vs 64 equal-width l_partkey ranges — and
+    * reports, per layout, the row-weighted average per-file span of
+    * EACH dimension in exact ppm of its global span (the expected
+    * unprunable fraction for a single-dimension range predicate).
+    * The lex layout is perfect on its sort key and useless on the
+    * other (span_supp ≈ 1e6 ppm); Z-order pays a bounded factor on
+    * partkey to make BOTH dimensions prunable — the balance argument
+    * for multi-dimensional clustering, quantified.
+    *
+    * Scale shape: the zkey is 32 codegen'd bit ops per row; each
+    * layout is ONE map-side-combined 64-bucket aggregation plus a
+    * broadcast 1-row global-span frame; everything after the combine
+    * is 64 rows. Determinism: all spans and weights are exact
+    * integers; ppm values use integer div (the m_shard_pack fill_ppm
+    * rule) — no float rounding anywhere.
+    */
+  def qZorder(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+    val span = li.agg(min(col("l_partkey")).as("p0"), max(col("l_partkey")).as("p1"),
+      min(col("l_suppkey")).as("s0"), max(col("l_suppkey")).as("s1"))
+    val withSpan = li.crossJoin(broadcast(span))
+    def audit(name: String, bucket: Column): DataFrame =
+      withSpan.withColumn("b", bucket)
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"),
+          (max(col("l_partkey")) - min(col("l_partkey")) + 1).as("dp"),
+          (max(col("l_suppkey")) - min(col("l_suppkey")) + 1).as("ds"),
+          max(col("p1") - col("p0") + 1).as("gp"),
+          max(col("s1") - col("s0") + 1).as("gs"))
+        .agg(count(lit(1)).cast("int").as("n_buckets"),
+          sum(col("n")).as("n_rows"),
+          expr("sum(n * dp * 1000000) div (sum(n) * max(gp))")
+            .as("span_part_ppm"),
+          expr("sum(n * ds * 1000000) div (sum(n) * max(gs))")
+            .as("span_supp_ppm"))
+        .select(lit(name).as("layout"), col("n_buckets"), col("n_rows"),
+          col("span_part_ppm"), col("span_supp_ppm"))
+    val pg = grid8("l_partkey", "p0", "p1", duck = false)
+    val sg = grid8("l_suppkey", "s0", "s1", duck = false)
+    // 16-bit z over the 8+8-bit grid, cut into 64 fixed-width buckets
+    val z = audit("zorder", expr(s"${zkeyExpr(pg, sg, duck = false)} div 1024"))
+    val lex = audit("lex", expr(s"$pg div 4"))
+    z.unionAll(lex).orderBy(desc("layout"))
+  }
+
+  val qZorderSql: String = {
+    val pg = grid8("l_partkey", "p0", "p1", duck = true)
+    val sg = grid8("l_suppkey", "s0", "s1", duck = true)
+    val zk = zkeyExpr(pg, sg, duck = true)
+    def auditSql(name: String, bucket: String): String =
+      s"""SELECT '$name' AS layout, CAST(COUNT(*) AS INT) AS n_buckets,
+         |    CAST(SUM(n) AS BIGINT) AS n_rows,
+         |    CAST(SUM(n * dp * 1000000) // (SUM(n) * MAX(gp)) AS BIGINT)
+         |      AS span_part_ppm,
+         |    CAST(SUM(n * ds * 1000000) // (SUM(n) * MAX(gs)) AS BIGINT)
+         |      AS span_supp_ppm
+         |  FROM (SELECT $bucket AS b, COUNT(*) AS n,
+         |      MAX(l_partkey) - MIN(l_partkey) + 1 AS dp,
+         |      MAX(l_suppkey) - MIN(l_suppkey) + 1 AS ds,
+         |      MAX(p1 - p0 + 1) AS gp, MAX(s1 - s0 + 1) AS gs
+         |    FROM li CROSS JOIN sp GROUP BY 1)""".stripMargin
+    s"""WITH li AS (SELECT l_partkey, l_suppkey FROM lineitem),
+       |sp AS (SELECT MIN(l_partkey) AS p0, MAX(l_partkey) AS p1,
+       |    MIN(l_suppkey) AS s0, MAX(l_suppkey) AS s1 FROM li)
+       |SELECT * FROM (
+       |${auditSql("zorder", s"($zk // 1024)")}
+       |UNION ALL
+       |${auditSql("lex", s"($pg // 4)")}
+       |) ORDER BY layout DESC""".stripMargin
+  }
+
   /** All queries + oracles, for SparkEntry registration. */
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_zorder"         -> (qZorder _, qZorderSql),
     "q_outer_join"     -> (qOuterJoin _, qOuterJoinSql),
     "q_regression"     -> (qRegression _, qRegressionSql),
     "q_profile"        -> (qProfile _, qProfileSql),

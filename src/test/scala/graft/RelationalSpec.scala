@@ -12,6 +12,21 @@ import graft.operators.Relational
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zorder: both dims prunable; lex perfect on its key, blind on the other") {
+    val rows = Relational.qZorder(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    val (zP, zS) = rows("zorder")
+    val (lP, lS) = rows("lex")
+    // lex: near-perfect partkey spans, but every file spans ~all suppkeys
+    assert(lP < 100000, s"lex partkey span $lP ppm")
+    assert(lS > 800000, s"lex suppkey span $lS ppm — fixture too small?")
+    // zorder: BOTH dims well under half their global span (the balance
+    // the layout exists for), suppkey dramatically better than lex
+    assert(zP < 500000 && zS < 500000, s"zorder spans $zP/$zS ppm")
+    assert(zS * 2 < lS, s"zorder suppkey $zS ppm not clearly below lex $lS")
+  }
+
   test("every relational query returns rows at sf0.001") {
     Relational.queries.foreach { case (name, (fn, _)) =>
       assert(fn(spark, sf).count() > 0, s"$name returned no rows")
