@@ -31,35 +31,49 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit,
   */
 class WindowRuleSpec extends SparkSpec {
 
-  /** query name -> why every unpartitioned window frame in it is
-    * bounded by construction (frame grain + bound). Mirrored by the
-    * bounded-frame windows table in docs/SCALE.md.
+  /** query name -> the window-expression column names its documented
+    * bounded-frame unpartitioned windows may emit (reasons inline;
+    * mirrored by the bounded-frame windows table in docs/SCALE.md).
+    * Keyed by COLUMN NAMES, not just query names, so a NEW
+    * unpartitioned window added to an already-allowlisted query (the
+    * round-8 t_zipf defect reintroduced) still fails: its alias won't
+    * be in the set.
     */
-  private val allow: Map[String, String] = Map(
-    "e_autocorr" -> "day-grain daily-count series (calendar-bounded)",
-    "e_burn_rate" -> "hour-grain SLO window series (calendar-bounded)",
-    "e_changepoint" -> "day-grain series (calendar-bounded)",
-    "e_concurrency" ->
-      "block-base table of the two-level prefix scan (#blocks = events/8192, sublinear)",
-    "e_decompose" -> "day-grain series (calendar-bounded)",
-    "e_gini" -> "per-user activity-count histogram (value-bounded)",
-    "e_lorenz" -> "per-user activity-count histogram (value-bounded)",
-    "e_season_strength" -> "day-grain series (calendar-bounded)",
-    "e_seasonal_naive" -> "day-grain series (calendar-bounded)",
-    "e_survival" -> "day-grain Kaplan-Meier life table (calendar-bounded)",
-    "m_shard_pack" ->
-      "block-base table of the two-level prefix scan (#blocks = docs/8192, sublinear)",
-    "p_length_buckets" ->
-      "doc-length histogram (<= max_doc_tokens/16 bucket rows, value-bounded)",
-    "p_pack" ->
-      "block-base table of the two-level prefix scan (#blocks = docs/8192, sublinear)",
-    "p_pack_bpe" ->
-      "block-base table of the two-level prefix scan (#blocks = docs/8192, sublinear)",
-    "s_pq_layout" -> "64-row dimension frame (embedding width, constant)",
-    "t_bpe_ids" ->
-      "BPE symbol alphabet (base chars + <= BpeMerges symbols, trainer constant)",
-    "t_zipf" ->
-      "floor(log2 freq) block-base table (<= 64 rows by construction)")
+  private val allow: Map[String, Set[String]] = Map(
+    // day-grain daily-count series (calendar-bounded)
+    "e_autocorr" -> Set("d1", "d7"),
+    // hour-grain SLO window series (calendar-bounded)
+    "e_burn_rate" -> Set("err6", "total6"),
+    // day-grain series (calendar-bounded)
+    "e_changepoint" -> Set("_we0", "_we1"),
+    // block-base table of the two-level prefix scan (events/8192, sublinear)
+    "e_concurrency" -> Set("_we0"),
+    // day-grain series (calendar-bounded)
+    "e_decompose" -> Set("n_win", "_we1", "_we2"),
+    // per-user activity-count histogram (value-bounded)
+    "e_gini" -> Set("_we0"),
+    // per-user activity-count histogram (value-bounded)
+    "e_lorenz" -> Set("_we0"),
+    // day-grain series (calendar-bounded)
+    "e_season_strength" -> Set("n_win", "_we1", "_we2"),
+    // day-grain series (calendar-bounded)
+    "e_seasonal_naive" -> Set("f1", "f7"),
+    // day-grain Kaplan-Meier life table (calendar-bounded)
+    "e_survival" -> Set("lnsum", "zero", "n_risk"),
+    // block-base table of the two-level prefix scan (docs/8192, sublinear)
+    "m_shard_pack" -> Set("_we0"),
+    // doc-length histogram (<= max_doc_tokens/16 bucket rows, value-bounded)
+    "p_length_buckets" -> Set("_we0"),
+    // block-base table of the two-level prefix scan (docs/8192, sublinear)
+    "p_pack" -> Set("_we0"),
+    // block-base table of the two-level prefix scan (docs/8192, sublinear)
+    "p_pack_bpe" -> Set("_we0"),
+    // 64-row dimension frame (embedding width, constant)
+    "s_pq_layout" -> Set("rk"),
+    // BPE symbol alphabet (base chars + <= BpeMerges symbols, constant)
+    "t_bpe_ids" -> Set("tok_id"),
+    // floor(log2 freq) block-base table (<= 64 rows by construction)
+    "t_zipf" -> Set("_we0"))
 
   /** Literal limits above which a GlobalLimit no longer counts as a
     * bounded frame for auto-acceptance.
@@ -93,11 +107,11 @@ class WindowRuleSpec extends SparkSpec {
   }
 
   test("unpartitioned windows appear only on documented bounded frames") {
-    val offenders = mutable.SortedMap[String, mutable.Buffer[String]]()
+    val offenders = mutable.SortedMap[String, mutable.Set[String]]()
     def audit(name: String, plan: LogicalPlan): Unit = plan.foreach {
       case w: Window if w.partitionSpec.isEmpty && !boundedByPlan(w) =>
-        offenders.getOrElseUpdate(name, mutable.Buffer()) +=
-          w.windowExpressions.map(_.name).mkString("+")
+        offenders.getOrElseUpdate(name, mutable.Set()) ++=
+          w.windowExpressions.map(_.name)
       case _ => ()
     }
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -110,19 +124,25 @@ class WindowRuleSpec extends SparkSpec {
         operators.Materialize.releaseAll(spark)
       }
     }
-    val undocumented = (offenders.keySet -- allow.keySet).toSeq.sorted
+    val undocumented = offenders.toSeq.flatMap { case (q, cols) =>
+      val extra = cols -- allow.getOrElse(q, Set.empty)
+      if (extra.isEmpty) None else Some(s"  $q: cols ${extra.mkString(", ")}")
+    }
     assert(undocumented.isEmpty,
       s"""UNDOCUMENTED unpartitioned window(s) — either repartition the
          |plan (two-level rank / TakeOrdered cut / WindowGroupLimit
          |filter) or, if the frame is provably bounded, document it in
          |the allowlist AND docs/SCALE.md:
-         |${undocumented.map(q => s"  $q: cols " +
-             offenders(q).mkString("; ")).mkString("\n")}""".stripMargin)
-    // keep the allowlist honest in the other direction too: an entry
-    // whose query no longer has any unpartitioned window is stale
-    val stale = (allow.keySet -- offenders.keySet).toSeq.sorted
+         |${undocumented.mkString("\n")}""".stripMargin)
+    // keep the allowlist honest in the other direction too: entries
+    // whose query or columns no longer match any window are stale
+    val stale = allow.toSeq.flatMap { case (q, cols) =>
+      val have = offenders.getOrElse(q, mutable.Set.empty[String])
+      val gone = cols.filterNot(have.contains)
+      if (gone.isEmpty) None else Some(s"$q: ${gone.mkString(", ")}")
+    }
     assert(stale.isEmpty,
-      s"stale allowlist entries (no unpartitioned window anymore): " +
-        stale.mkString(", "))
+      s"stale allowlist entries (window gone or renamed): " +
+        stale.mkString("; "))
   }
 }
