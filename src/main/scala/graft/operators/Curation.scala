@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1333,7 +1333,81 @@ object Curation {
       |  UNION ALL SELECT * FROM dups)
       |ORDER BY check_name""".stripMargin
 
+  // --------------------------------------- embedding domain shift
+  /** Per-source embedding-centroid shift — PSI's sibling in embedding
+    * space: for each document source, the cosine between that source's
+    * mean embedding and the global mean. A source whose centroid sits
+    * far off the corpus mix (low cosine) is the domain to investigate
+    * before it skews a training run — the semantic drift check that
+    * token-level monitors ([[graft.operators.Events.ePsi]], t_divergence)
+    * can't see, because two sources can share a vocabulary and still
+    * embed differently.
+    *
+    * Scale shape: ONE pass over the joined (source, embedding) rows —
+    * per-(source, dim) exact-decimal component sums collapse map-side
+    * to |sources|·64 rows, the global mean derives from regrouping
+    * those same sums (no second corpus pass), and the cosine runs on
+    * the ≤|sources|+1 tiny mean frames (broadcast join). Determinism:
+    * the lloydStep mean idiom — DECIMAL(20,8) sums, one double
+    * division per component, index-ordered double folds for dot/norm
+    * (identical on both engines), rounded once at 6 dp.
+    */
+  def pDomainShift(s: SparkSession, d: String): DataFrame = {
+    val joined = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    // per-(source, dim) exact sums — reused (regrouped, not rescanned)
+    // for the global mean
+    val sums = Materialize.pin(joined.groupBy("source", "pos")
+      .agg(sum(col("v").cast("decimal(20,8)")).as("sv"),
+        count(lit(1)).as("n")))
+    def meanVec(df: DataFrame, key: Seq[Column], out: String): DataFrame =
+      df.groupBy(key: _*)
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("sv").cast("double") / col("n")).as("mv")))).as("pm"),
+          max(col("n")).as("n_docs"))
+        .withColumn(out, transform(col("pm"), p => p.getField("mv")))
+        .drop("pm")
+    val bySource = meanVec(sums, Seq(col("source")), "m_src")
+    val global = meanVec(
+      sums.groupBy("pos").agg(sum(col("sv")).as("sv"), sum(col("n")).as("n")),
+      Seq(), "m_all").select(col("m_all"))
+    def dotd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def nrm(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    bySource.crossJoin(broadcast(global))
+      .select(col("source"), col("n_docs"),
+        round(dotd(col("m_src"), col("m_all"))
+          / (nrm(col("m_src")) * nrm(col("m_all"))), 6).as("cos_to_global"))
+      .orderBy("source")
+  }
+
+  val pDomainShiftSql: String =
+    """WITH j AS (SELECT d.source, e.embedding
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |x AS (SELECT source, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM j CROSS JOIN range(1, 65) t(i)),
+      |sums AS (SELECT source, pos, SUM(CAST(v AS DECIMAL(20,8))) AS sv,
+      |    COUNT(*) AS n FROM x GROUP BY 1, 2),
+      |ms AS (SELECT source, MAX(n) AS n_docs,
+      |    list(CAST(sv AS DOUBLE) / n ORDER BY pos) AS m_src
+      |  FROM sums GROUP BY 1),
+      |gsum AS (SELECT pos, SUM(sv) AS sv, SUM(n) AS n FROM sums GROUP BY 1),
+      |mg AS (SELECT list(CAST(sv AS DOUBLE) / n ORDER BY pos) AS m_all
+      |  FROM gsum)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  round(list_reduce(list_transform(range(1, 65),
+      |      i -> m_src[i] * m_all[i]), (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_transform(m_src, x -> x * x),
+      |        (a, b) -> a + b))
+      |      * sqrt(list_reduce(list_transform(m_all, x -> x * x),
+      |        (a, b) -> a + b))), 6) AS cos_to_global
+      |FROM ms CROSS JOIN mg ORDER BY source""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p_domain_shift" -> (pDomainShift _, pDomainShiftSql),
     "p_integrity"   -> (pIntegrity _, pIntegritySql),
     "p_kanon"       -> (pKanon _, pKanonSql),
     "p_dp_release"  -> (pDpRelease _, pDpReleaseSql),

@@ -14,6 +14,37 @@ class CurationSpec extends SparkSpec {
     .select(size(graft.functions.Text.tokens(col("text"))).cast("long").as("n"))
     .agg(sum("n")).as[Long].head()
 
+  test("domain shift: cosines in [-1,1]; one source recomputed driver-side") {
+    val rows = Curation.pDomainShift(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, n, c) =>
+      assert(n > 0 && c >= -1.0 && c <= 1.0, s"$s: n=$n cos=$c")
+    }
+    // driver-side recompute of one source's centroid cosine from raw
+    // embeddings (plain double means — 1e-5 tolerance vs the query's
+    // exact-decimal path)
+    val target = rows.head._1
+    val joined = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")), col("doc_id") === col("vec_id"))
+      .select(col("source"), col("embedding")).as[(String, Array[Float])]
+      .collect()
+    def mean(vs: Seq[Array[Float]]): Array[Double] = {
+      val m = new Array[Double](vs.head.length)
+      vs.foreach(v => v.indices.foreach(i => m(i) += v(i)))
+      m.map(_ / vs.size)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = cos(mean(joined.filter(_._1 == target).map(_._2).toSeq),
+      mean(joined.map(_._2).toSeq))
+    val got = rows.find(_._1 == target).get._3
+    assert(math.abs(got - want) < 1e-5, s"$target: $got vs $want")
+  }
+
   test("triplets: anchors have LSH partners, positive is the min partner, negative is clean") {
     import spark.implicits._
     val trips = Curation.pTriplets(spark, sf)
