@@ -2256,6 +2256,100 @@ object Similarity {
        |LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  // -------------------------------------- matryoshka prefix-recall curve
+  /** Prefix-dimension recall CURVE — the Matryoshka (MRL) eval table:
+    * for every prefix width d ∈ {8, 16, 32}, the corpus-level
+    * recall@10 of exact cosine search over the FIRST d dimensions
+    * against the full-64-dim ground truth. [[sDimRecall]] answers the
+    * single-point question per query; this is the curve a team reads
+    * to pick the smallest first-tier index width that clears its
+    * recall bar (8→16→32 is typically the knee region for
+    * MRL-trained embeddings).
+    *
+    * Scale shape: ONE broadcast-query corpus pass computes all four
+    * cosines per pair (prefix slices are in-row — no second scan, and
+    * the three prefix dots are the same codegen'd native as the full
+    * one); four per-query rank windows share one (q_id) exchange; the
+    * curve is a single conditional aggregate over the ranked pairs,
+    * unpivoted to 3 rows. Determinism: the suite's 6-dp cosine +
+    * n_id tiebreak, hits are exact counts, one rounded division per
+    * curve row.
+    */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32)
+
+  def sMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val dims = MatryoshkaDims
+    val base0 = Tables.embeddings(s, d).select(
+      Seq(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("n64")) ++
+      dims.map(k => Vectors.norm(slice(col("embedding"), 1, k)).as(s"n$k")): _*)
+    val base = base0
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val q = base.toDF(Seq("q_id", "q_emb", "q_n64") ++
+      dims.map(k => s"q_n$k"): _*).filter(col("q_id") < NumQueries)
+    val pairs = broadcast(q).crossJoin(base)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(Seq(col("q_id"), col("vec_id").as("n_id"),
+        round(Vectors.dot(col("q_emb"), col("embedding"))
+          / (col("q_n64") * col("n64")), 6).as("cos64")) ++
+      dims.map(k =>
+        round(Vectors.dot(slice(col("q_emb"), 1, k),
+            slice(col("embedding"), 1, k))
+          / (col(s"q_n$k") * col(s"n$k")), 6).as(s"cos$k")): _*)
+    def w(c: String) = Window.partitionBy("q_id")
+      .orderBy(col(c).desc, col("n_id"))
+    val ranked = (Seq(64) ++ dims).foldLeft(pairs) { (df, k) =>
+      df.withColumn(s"r$k", row_number().over(w(s"cos$k")))
+    }
+    val aggCols = Seq(countDistinct(col("q_id")).as("nq")) ++
+      dims.map(k => sum(when(col("r64") <= TopK * 2
+        && col(s"r$k") <= TopK * 2, 1L).otherwise(0L)).as(s"h$k"))
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    agg.selectExpr("nq",
+        s"stack(${dims.size}, ${dims.map(k => s"$k, h$k").mkString(", ")}) " +
+          "AS (dim, hits)")
+      .select(col("dim").cast("int").as("dim"), col("hits"),
+        round(col("hits").cast("double") / (col("nq") * (TopK * 2)), 6)
+          .as("recall"))
+      .orderBy("dim")
+  }
+
+  lazy val sMatryoshkaSql: String = {
+    val dims = MatryoshkaDims
+    def nrmSql(k: Int) =
+      s"""sqrt(list_reduce(list_transform(embedding[1:$k],
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, x) -> p + x))""".stripMargin
+    def cosSqlK(k: Int): String =
+      s"""round(list_reduce(list_transform(range(1, ${k + 1}),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+         |      (x, y) -> x + y) / (a.n$k * b.n$k), 6)""".stripMargin
+    val curve = dims.map(k =>
+      s"SELECT $k AS dim, h$k AS hits FROM agg").mkString("\n  UNION ALL ")
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  ${nrmSql(64)} AS n64,
+       |  ${dims.map(k => s"${nrmSql(k)} AS n$k").mkString(",\n  ")}
+       |  FROM embeddings),
+       |pairs AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    ${cosSqlK(64)} AS cos64,
+       |    ${dims.map(k => s"${cosSqlK(k)} AS cos$k").mkString(",\n    ")}
+       |  FROM n a JOIN n b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |ranked AS (SELECT q_id, n_id,
+       |    ${(Seq(64) ++ dims).map(k =>
+             s"row_number() OVER (PARTITION BY q_id ORDER BY cos$k DESC, n_id) AS r$k")
+             .mkString(",\n    ")}
+       |  FROM pairs),
+       |agg AS (SELECT COUNT(DISTINCT q_id) AS nq,
+       |    ${dims.map(k =>
+             s"CAST(SUM(CASE WHEN r64 <= ${TopK * 2} AND r$k <= ${TopK * 2} " +
+               s"THEN 1 ELSE 0 END) AS BIGINT) AS h$k").mkString(",\n    ")}
+       |  FROM ranked),
+       |curve AS ($curve)
+       |SELECT CAST(dim AS INT) AS dim, hits,
+       |  round(CAST(hits AS DOUBLE) / (SELECT nq * ${TopK * 2} FROM agg), 6)
+       |    AS recall
+       |FROM curve ORDER BY dim""".stripMargin
+  }
+
   // ------------------------------------------------------- hubness
   /** Hubness diagnostic over the [[sKnnGraph]] digraph: the in-degree
     * histogram — how many vectors appear in k other vectors' top-k
@@ -2491,6 +2585,7 @@ object Similarity {
     "s_probe_curve" -> (sProbeCurve _, sProbeCurveSql),
     "s_hubness"     -> (sHubness _, sHubnessSql),
     "s_dim_recall"  -> (sDimRecall _, sDimRecallSql),
+    "s_matryoshka"  -> (sMatryoshka _, sMatryoshkaSql),
     "s_pca"         -> (sPca _, sPcaSql),
     "s_drift"       -> (sDrift _, sDriftSql),
     "s_hamming"     -> (sHamming _, sHammingSql),

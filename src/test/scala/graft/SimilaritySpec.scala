@@ -10,6 +10,24 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("matryoshka: recall non-decreasing in dim; 16-dim row == s_dim_recall mean") {
+    val curve = Similarity.sMatryoshka(spark, sf)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Similarity.MatryoshkaDims)
+    // wider prefixes can only agree with the full-dim truth more
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 <= hi._3, s"recall fell: $lo -> $hi")
+    }
+    // cross-query consistency: the curve's 16-dim recall equals the
+    // mean of s_dim_recall's per-query recalls (same truth, same cut)
+    val perQuery = Similarity.sDimRecall(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val meanRecall = perQuery.map(_._2).sum.toDouble / (perQuery.length * 10)
+    val curve16 = curve.find(_._1 == 16).get._3
+    assert(math.abs(curve16 - meanRecall) < 1e-9,
+      s"curve $curve16 vs s_dim_recall mean $meanRecall")
+  }
+
   test("brute-force top-k: k rows per query, cosine non-increasing") {
     val rows = Similarity.sCosineTopK(spark, sf)
       .as[(Long, Long, Int, Double)].collect()
