@@ -159,6 +159,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule also installs via spark.experimental.extraOptimizations") {
+    // the per-session path for sessions built without the injector —
+    // extraOptimizations run in their own post-optimization batch, so
+    // the rule must match the already-cast-simplified shapes too
+    import graft.functions.Vectors
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.NativeVectorRewrite
+    try {
+      val df = spark.range(4).select(
+        expr("transform(sequence(1, 3), i -> CAST(i + id AS FLOAT))").as("a"),
+        expr("transform(sequence(1, 3), i -> CAST(i * 2 - id AS FLOAT))").as("b"))
+      val q = df.select(Vectors.dotHof(col("a"), col("b")).as("d"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("float_dot") && !p.contains("aggregate(zip_with"),
+        p.take(800))
+      val want = df.select(Vectors.dot(col("a"), col("b")).as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(q.collect().map(_.getDouble(0)).toSeq === want)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("optimizer rule leaves nullable-element arrays on the HOF path") {
     withExtensionsSession { s2 =>
       import graft.functions.Vectors
