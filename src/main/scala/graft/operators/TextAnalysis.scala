@@ -3113,7 +3113,44 @@ object TextAnalysis {
        |    / sqrt(CAST(n_scored AS DOUBLE)), 6) AS z
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- langid confusion matrix
+  /** Language-ID evaluation against the corpus's labeled `lang` column
+    * — the confusion matrix + per-class recall every pipeline builds
+    * before trusting a cheap classifier to route documents: one row
+    * per observed (true lang, predicted lang) cell with its count and
+    * its share of the true class. Prediction comes from
+    * [[tLangIdNgram]] (the trigram-profile classifier), so this query
+    * also pins that classifier's END-TO-END quality into the oracle
+    * gate, not just its per-doc outputs.
+    *
+    * Scale shape: the prediction pass is [[tLangIdNgram]]'s per-row
+    * map; the matrix is one (lang, pred)-keyed aggregation bounded by
+    * |langs|², and the per-class totals regroup the matrix itself
+    * (|langs|² rows — no second corpus pass). Determinism: exact
+    * counts, one rounded division per cell.
+    */
+  def tLangIdEval(s: SparkSession, d: String): DataFrame = {
+    val cm = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(tLangIdNgram(s, d).select(col("doc_id"), col("pred_lang")),
+        "doc_id")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy("lang").agg(sum(col("n")).as("t"))
+    cm.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("t"), 6).as("frac"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  lazy val tLangIdEvalSql: String =
+    s"""WITH pred AS (SELECT doc_id, pred_lang FROM ($tLangIdNgramSql)),
+       |cm AS (SELECT d.lang, p.pred_lang, COUNT(*) AS n
+       |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM cm GROUP BY 1)
+       |SELECT lang, pred_lang, n, round(CAST(n AS DOUBLE) / t, 6) AS frac
+       |FROM cm JOIN tot USING (lang) ORDER BY lang, pred_lang""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t_langid_eval"  -> (tLangIdEval _, tLangIdEvalSql),
     "t_watermark"    -> (tWatermark _, tWatermarkSql),
     "t_heaps"        -> (tHeaps _, tHeapsSql),
     "t_gopher_rules" -> (tGopherRules _, tGopherRulesSql),

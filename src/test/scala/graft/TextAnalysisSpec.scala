@@ -49,6 +49,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(z > 4.0, s"watermarked text not flagged: z=$z")
   }
 
+  test("langid eval: cells partition each true class; fracs sum to 1") {
+    val rows = TextAnalysis.tLangIdEval(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    val byLang = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(cells.map(_._3).sum === byLang(lang),
+        s"$lang cells don't partition the class")
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-4,
+        s"$lang fracs sum to ${cells.map(_._4).sum}")
+    }
+    // the classifier must beat the trivial all-one-class matrix
+    assert(rows.map(_._2).distinct.size > 1, "degenerate predictions")
+  }
+
   test("bpe train: learned merges equal an independent reference trainer") {
     import spark.implicits._
     val got = TextAnalysis.tBpeTrain(spark, sf)
