@@ -619,6 +619,29 @@ class PlanSpec extends SparkSpec {
       "argmax not a top-1 cut:\n" + captured.mkString("\n---\n").take(1200))
   }
 
+  test("domain shift: global mean regroups the pinned sums — no second corpus pass") {
+    val p = finalOnly(plan(graft.operators.Curation.pDomainShift(spark, sf)))
+    // the corpus pass lives inside the pin job; the visible plan must
+    // read the pinned (source, dim) sums for BOTH means and never
+    // rescan parquet
+    assert(!p.contains("Scan parquet"), "corpus rescanned:\n" + p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2,
+      "pinned sums not feeding both means:\n" + p.take(1200))
+  }
+
+  test("matryoshka: four rank windows on shared q_id partitioning, two scans") {
+    val p = finalOnly(plan(Similarity.sMatryoshka(spark, sf)))
+    assert("Window ".r.findAllIn(p).length === 4, p.take(1200))
+    // corpus side + broadcast query side — a third scan means the
+    // prefix cosines stopped being computed in-row
+    assert("Scan parquet".r.findAllIn(p).length === 2, p.take(1200))
+    // one vec_id spread + one q_id window exchange + countDistinct's
+    // dedup shuffle; a 4th hash exchange means the windows stopped
+    // sharing their partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      p.take(1500))
+  }
+
   test("gopher rules: pruned scan, one generate, partial+final 1-row agg") {
     val p = finalOnly(plan(graft.operators.TextAnalysis.tGopherRules(spark, sf)))
     assert(!p.contains("lang") && !p.contains("n_chars"),
