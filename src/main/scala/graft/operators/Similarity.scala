@@ -219,16 +219,40 @@ object Similarity {
     annIvfFrom(base, cent, ivfAssignment(base, cent), nProbe)
   }
 
+  /** Build the servable IVF index for a corpus: the fitted K-row
+    * centroid frame and the corpus cell assignment (vec_id, embedding,
+    * nrm, cell) — the two frames [[graft.sources.IndexStore]] persists
+    * and [[annIvfServe]] serves from. Public so a deployment can build
+    * once and serve many times without re-fitting.
+    */
+  def buildIvfIndex(s: SparkSession, d: String,
+      iters: Int = LloydIters): (DataFrame, DataFrame) = {
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, iters)
+    (cent, ivfAssignment(base, cent))
+  }
+
   /** IVF search over ALREADY-BUILT index frames — callers that sweep a
     * parameter ([[sProbeCurve]]'s nProbe arms) pass pinned cent/assign
     * so the fit and the corpus assignment run once, not once per arm.
     */
   private def annIvfFrom(base: DataFrame, cent: DataFrame,
-      assign: DataFrame, nProbe: Int): DataFrame = {
+      assign: DataFrame, nProbe: Int): DataFrame =
+    annIvfServe(base.filter(col("vec_id") < NumQueries)
+      .toDF("q_id", "q_emb", "q_nrm"), cent, assign, nProbe)
+
+  /** Serve IVF queries from index frames (built in-session or reloaded
+    * via [[graft.sources.IndexStore.loadIvf]]): `queries` carries
+    * (q_id, q_emb, q_nrm). When the postings frame comes from the
+    * cell-partitioned store, the `probes.join(assign, "cell")` below
+    * is what partition pruning keys on — only probed cells' files are
+    * read at serve time.
+    */
+  def annIvfServe(queries: DataFrame, cent: DataFrame,
+      assign: DataFrame, nProbe: Int = NumProbes): DataFrame = {
     // query probes: top nProbe centroids per query
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
-    val probes = base.filter(col("vec_id") < NumQueries)
-      .toDF("q_id", "q_emb", "q_nrm")
+    val probes = queries
       .crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"),
         round(Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("c_emb")),

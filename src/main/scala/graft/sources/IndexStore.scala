@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Persistence for the IVF similarity index — the build-once /
+  * serve-many contract every production ANN deployment needs: the fit
+  * (Lloyd iterations over the corpus) runs in an offline job, the two
+  * resulting frames land as parquet, and query-serving sessions reload
+  * them without ever re-fitting.
+  *
+  * Layout under `dir`:
+  *  - `centroids/` — the K-row fitted frame (c_id, c_emb, c_nrm);
+  *    trivially broadcast at serve time.
+  *  - `postings/`  — the corpus assignment (vec_id, embedding, nrm),
+  *    written `partitionBy("cell")`: one directory per inverted list.
+  *    This is the layout decision that makes serving cheap at 100 TB —
+  *    `Similarity.annIvfServe` joins postings on the probed cells, so
+  *    the scan reads ONLY the nProbe·|Q| cell directories a query
+  *    batch touches (static pruning when probes are literals, dynamic
+  *    partition pruning under the broadcast join otherwise); the other
+  *    K − nProbe lists are never opened.
+  *
+  * Both writes are deterministic parquet (Overwrite — an index rebuild
+  * replaces the index). No driver-side state: save is two distributed
+  * writes, load is two reads.
+  */
+object IndexStore {
+
+  def saveIvf(dir: String, cent: DataFrame, assign: DataFrame): Unit = {
+    cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    assign.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Reload (centroids, postings) for [[graft.operators.Similarity
+    * .annIvfServe]]. Column order is restored to the build-time shape
+    * (partitionBy moves `cell` last on disk).
+    */
+  def loadIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cent = s.read.parquet(s"$dir/centroids")
+      .select(col("c_id"), col("c_emb"), col("c_nrm"))
+    val assign = s.read.parquet(s"$dir/postings")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    (cent, assign)
+  }
+}
