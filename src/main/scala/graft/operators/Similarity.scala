@@ -698,14 +698,19 @@ object Similarity {
   private val pqDist = (a: Column, b: Column) =>
     round(org.apache.spark.sql.graft.GraftSql.doubleSqDist(a, b), 6)
 
-  /** Long form (vec_id, m, sub double[PqSub]): one row per subspace. */
-  private def pqSub(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+  /** Long form (vec_id, m, sub double[PqSub]): one row per subspace.
+    * Frame-based so the serve path can derive QUERY subvectors from a
+    * live query frame with the exact same slicing expressions.
+    */
+  private def pqSubOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until PqM).map(m =>
         struct(lit(m).as("m"),
           transform(slice(col("embedding"), m * PqSub + 1, PqSub),
             x => x.cast("double")).as("sub"))): _*)).as("p"))
       .select(col("vec_id"), col("p.m"), col("p.sub"))
+
+  private def pqSub(s: SparkSession, d: String): DataFrame =
+    pqSubOf(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
 
   /** The fitted model: codebook (m, cell, c_emb) — M·K rows, pinned —
     * and per-vector codes (m, vec_id, cell, d) long-form. Shared by
@@ -940,34 +945,53 @@ object Similarity {
     * |Q|·M·K rows, broadcast. Ranking shuffles (q, id, dist) triples
     * of the probed minority only.
     */
-  def sIvfPq(s: SparkSession, d: String): DataFrame = {
+  /** Build the servable composed IVF-PQ index: the fitted IVF centroid
+    * frame, the pinned PQ codebook (M·K rows), and the corpus AS CODES
+    * — (vec_id, m, cell, ivf_cell), no raw vectors anywhere — the
+    * frames [[graft.sources.IndexStore.saveIvfPq]] persists and
+    * [[annIvfPqServe]] serves from. This is the production compressed
+    * index: storage is M small ints + one list id per vector.
+    */
+  def buildIvfPqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = withNorm(s, d)
     val cent = fittedCentroids(base, LloydIters)
-    val assign = ivfAssignment(base, cent).select(col("vec_id"), col("cell").as("ivf_cell"))
+    val ivf = ivfAssignment(base, cent)
+      .select(col("vec_id"), col("cell").as("ivf_cell"))
+    val (codebook, codes) = pqModel(s, d)
+    (cent, codebook,
+      codes.select(col("vec_id"), col("m"), col("cell")).join(ivf, "vec_id"))
+  }
+
+  /** Serve IVF-PQ queries from index frames (in-session or reloaded):
+    * `queries` carries (q_id, q_emb, q_nrm); probes and the |Q|·M·K
+    * ADC table derive from it live (queries are never part of the
+    * persisted index), the corpus participates as codes only.
+    */
+  def annIvfPqServe(queries: DataFrame, cent: DataFrame,
+      codebook: DataFrame, codes: DataFrame,
+      nProbe: Int = NumProbes): DataFrame = {
     val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
-    val probes = base.filter(col("vec_id") < NumQueries)
-      .toDF("q_id", "q_emb", "q_nrm")
+    val probes = queries
       .crossJoin(broadcast(cent))
       .select(col("q_id"), col("c_id"),
         round(Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("c_emb")),
           col("q_nrm"), col("c_nrm")), 6).as("ccos"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= NumProbes)
+      .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("c_id").as("ivf_cell"))
     // probes is |Q|·nProbe rows ALWAYS — hint it broadcast (the
     // window-filtered frame has no size estimate, so the planner would
-    // otherwise stage a shuffle join of the corpus-sized assignment)
-    val cand = assign.join(broadcast(probes), "ivf_cell")
-      .filter(col("q_id") =!= col("vec_id"))
-      .select("q_id", "vec_id")
-    val (codebook, codes) = pqModel(s, d)
-    val dtab = pqSub(s, d).filter(col("vec_id") < NumQueries)
+    // otherwise stage a shuffle join of the corpus-sized codes)
+    val dtab = pqSubOf(queries.select(col("q_id").as("vec_id"),
+        col("q_emb").as("embedding")))
       .select(col("vec_id").as("q_id"), col("m"), col("sub"))
       .join(codebook, "m")
       .select(col("q_id"), col("m"), col("cell"),
         pqDist(col("sub"), col("c_emb")).as("dq"))
     val wR = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id"))
-    cand.join(codes.select(col("vec_id"), col("m"), col("cell")), "vec_id")
+    codes.join(broadcast(probes), "ivf_cell")
+      .filter(col("q_id") =!= col("vec_id"))
       .join(broadcast(dtab), Seq("q_id", "m", "cell"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum(col("dq").cast("decimal(16,6)")).cast("double").as("adist"))
@@ -975,6 +999,13 @@ object Similarity {
       .filter(col("rnk") <= TopK)
       .select("q_id", "n_id", "rnk", "adist")
       .orderBy("q_id", "rnk")
+  }
+
+  def sIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (cent, codebook, codes) = buildIvfPqIndex(s, d)
+    val queries = withNorm(s, d).filter(col("vec_id") < NumQueries)
+      .toDF("q_id", "q_emb", "q_nrm")
+    annIvfPqServe(queries, cent, codebook, codes)
   }
 
   lazy val sIvfPqSql: String = {

@@ -44,4 +44,32 @@ object IndexStore {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     (cent, assign)
   }
+
+  /** Persist the composed IVF-PQ index — the production COMPRESSED
+    * layout: `centroids/` (IVF, K rows), `codebook/` (PQ, M·K rows),
+    * and `codes/` — the corpus as (vec_id, m, cell) PQ codes
+    * partitioned by `ivf_cell`. No raw vector appears anywhere in the
+    * store: per-vector storage is M small ints + one list id, and
+    * serving ([[graft.operators.Similarity.annIvfPqServe]]) reads only
+    * probed `ivf_cell=` directories and broadcasts the two tiny model
+    * frames.
+    */
+  def saveIvfPq(dir: String, cent: DataFrame, codebook: DataFrame,
+      codes: DataFrame): Unit = {
+    cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    codebook.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+    codes.write.mode(SaveMode.Overwrite)
+      .partitionBy("ivf_cell").parquet(s"$dir/codes")
+  }
+
+  def loadIvfPq(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cent = s.read.parquet(s"$dir/centroids")
+      .select(col("c_id"), col("c_emb"), col("c_nrm"))
+    val codebook = s.read.parquet(s"$dir/codebook")
+      .select(col("m"), col("cell"), col("c_emb"))
+    val codes = s.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("m"), col("cell"), col("ivf_cell"))
+    (cent, codebook, codes)
+  }
 }

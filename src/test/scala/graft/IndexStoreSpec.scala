@@ -50,10 +50,51 @@ class IndexStoreSpec extends SparkSpec {
       assert(got === oracleChecked)
     } finally {
       Materialize.releaseAll(spark)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(dir))
+      rmTree(dir)
     }
+  }
+
+  test("ivf-pq index round-trips as codes only and serves == s_ivf_pq") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_index")
+      .toString
+    try {
+      val (cent, codebook, codes) = Similarity.buildIvfPqIndex(spark, sf)
+      IndexStore.saveIvfPq(dir, cent, codebook, codes)
+      Materialize.releaseAll(spark) // reload must stand alone — no re-fit
+      val (cent2, cb2, codes2) = IndexStore.loadIvfPq(spark, dir)
+      val queries = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          Vectors.norm(col("embedding")).as("q_nrm"))
+        .filter(col("q_id") < Similarity.NumQueries)
+      val got = Similarity.annIvfPqServe(queries, cent2, cb2, codes2)
+        .as[(Long, Long, Int, Double)].collect().toSeq
+      // the oracle-checked query IS the serve path over the in-session
+      // build — reload must reproduce it exactly
+      val want = Similarity.sIvfPq(spark, sf)
+        .as[(Long, Long, Int, Double)].collect().toSeq
+      assert(got === want)
+      assert(got.nonEmpty)
+      // the compressed-index property: the persisted codes carry NO
+      // raw vector column (storage = M small ints + a list id)
+      val codesSchema = spark.read.parquet(s"$dir/codes").schema
+      assert(!codesSchema.exists(_.dataType.typeName == "array"),
+        s"raw vectors leaked into the codes store: $codesSchema")
+      // inverted-list layout on disk
+      val cells = Option(new java.io.File(s"$dir/codes").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("ivf_cell="))
+      assert(cells.nonEmpty && cells.size <= Similarity.IvfK,
+        s"expected ivf_cell=* dirs, found ${cells.map(_.getName)}")
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir)
+    }
+  }
+
+  private def rmTree(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir))
   }
 }
