@@ -66,8 +66,15 @@ class IndexStoreSpec extends SparkSpec {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           Vectors.norm(col("embedding")).as("q_nrm"))
         .filter(col("q_id") < Similarity.NumQueries)
-      val got = Similarity.annIvfPqServe(queries, cent2, cb2, codes2)
-        .as[(Long, Long, Int, Double)].collect().toSeq
+      val served = Similarity.annIvfPqServe(queries, cent2, cb2, codes2)
+      val got = served.as[(Long, Long, Int, Double)].collect().toSeq
+      // the layout pays off: the broadcast probes join drives DYNAMIC
+      // PARTITION PRUNING into the codes scan — only probed ivf_cell=
+      // directories are read, which at corpus scale is the difference
+      // between scanning the index and scanning a few inverted lists
+      assert(served.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+        "partition pruning lost on the loaded codes scan")
       // the oracle-checked query IS the serve path over the in-session
       // build — reload must reproduce it exactly
       val want = Similarity.sIvfPq(spark, sf)
