@@ -56,4 +56,18 @@ object Vectors {
     */
   def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
     dotAB / (normA * normB)
+
+  /** Declare an embedding column DENSE (no null elements) so
+    * optimizer rewrites gated on `containsNull = false` — the
+    * [[graft.plans.NativeVectorRewrite]] HOF→native upgrade — can fire
+    * on PARQUET-SOURCED frames, whose scans always report elements
+    * nullable. Zero-cost retyping pass-through (Spark's `KnownNotNull`
+    * pattern), NOT a runtime check: assert only what ingestion
+    * enforces — a lying assertion makes the natives read undefined
+    * buffer slots for null elements. SQL form: `assert_dense(col)`.
+    */
+  def assertDense(a: Column): Column = {
+    val gs = org.apache.spark.sql.graft.GraftSql
+    gs.column(graft.plans.KnownDenseArray(gs.expression(a)))
+  }
 }

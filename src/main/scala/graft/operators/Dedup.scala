@@ -63,6 +63,19 @@ object Dedup {
       .select(col("blk"), col("v"),
         ceil(count(lit(1)).over(wBlk).cast("double") / cap).cast("int").as("ng"))
       .withColumn("g", pmod(xxhash64(col("v.doc_id")), col("ng")).cast("int"))
+      // DISTRIBUTE the ×G replication: the sizing window necessarily
+      // parks a whole block on one task (linear, spill-backed count
+      // state — acceptable), but without this exchange the explode AND
+      // the partial collect_list over all m·G replicated rows would run
+      // on that same task (the replicated rows never cross a shuffle —
+      // partial aggregation compacts them into G² list-records first),
+      // concentrating the m²/cap work of a hot block in one place.
+      // Re-keying the m ORIGINAL rows by (blk, g) — a cheap linear
+      // shuffle — spreads the replication across the salt groups, so
+      // per-task explode work is O(block/G · G) = O(block) and
+      // per-task aggregation state is bounded by the task's own
+      // exploded share. Measured in DedupSpec's hot-block runtime test.
+      .repartition(col("blk"), col("g"))
       .select(col("blk"), col("g"), col("v"),
         explode(sequence(lit(0), col("ng") - 1)).as("g2"))
       .groupBy(col("blk"),

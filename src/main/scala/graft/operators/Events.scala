@@ -2624,10 +2624,19 @@ object Events {
     * exact midpoint of the observed epoch-nano range) and the type's
     * PSI contribution (p₂−p₁)·ln(p₂/p₁), always ≥ 0; Σ contributions
     * ≥ 0.2 is the conventional "actionable drift" flag. Types absent
-    * from either half are excluded (the standard finite-PSI
-    * convention — with a dozen fixture types and thousands of events
-    * per half, an absence IS the drift signal and shows up as the
-    * row disappearing).
+    * from either half are excluded, and the per-half totals are
+    * computed AFTER that exclusion (renormalized finite PSI: each
+    * half's shares sum to exactly 1 over the co-present types, so the
+    * summed psi_term matches the textbook Σ(p₂−p₁)·ln(p₂/p₁) identity
+    * — totals taken before the filter would leave the surviving
+    * shares summing to < 1 whenever a type is one-sided). With a
+    * dozen fixture types and thousands of events per half, an absence
+    * IS the drift signal and shows up as the row disappearing.
+    * Degenerate input — a stream where min(ts_ns) = max(ts_ns) puts
+    * every event in the first half — yields zero co-present types and
+    * an EMPTY result by design (PSI is undefined on a one-sided
+    * split); callers monitoring drift should treat an empty frame as
+    * "no comparable window", not "no drift".
     *
     * Scale shape: one map-side-combined per-type conditional
     * aggregation (bounded by |event types| regardless of volume), the
@@ -2645,11 +2654,11 @@ object Events {
       .groupBy("event_type")
       .agg(sum(when(col("ts_ns") <= col("mid"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("ts_ns") > col("mid"), 1L).otherwise(0L)).as("n2"))
-    val totals = perType.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val present = perType.filter(col("n1") > 0 && col("n2") > 0)
+    val totals = present.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
     val p1 = col("n1").cast("double") / col("t1")
     val p2 = col("n2").cast("double") / col("t2")
-    perType.crossJoin(broadcast(totals))
-      .filter(col("n1") > 0 && col("n2") > 0)
+    present.crossJoin(broadcast(totals))
       .select(col("event_type"), col("n1"), col("n2"),
         round(p1, 6).as("p1"), round(p2, 6).as("p2"),
         round((p2 - p1) * log((col("n2") * col("t1")).cast("double")
@@ -2664,15 +2673,16 @@ object Events {
       |    CAST(SUM(CASE WHEN ns <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
       |    CAST(SUM(CASE WHEN ns > mid THEN 1 ELSE 0 END) AS BIGINT) AS n2
       |  FROM e CROSS JOIN m GROUP BY 1),
+      |f AS (SELECT * FROM a WHERE n1 > 0 AND n2 > 0),
       |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
-      |    CAST(SUM(n2) AS BIGINT) AS t2 FROM a)
+      |    CAST(SUM(n2) AS BIGINT) AS t2 FROM f)
       |SELECT event_type, n1, n2,
       |  round(CAST(n1 AS DOUBLE) / t1, 6) AS p1,
       |  round(CAST(n2 AS DOUBLE) / t2, 6) AS p2,
       |  round((CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1)
       |    * ln(CAST(n2 * t1 AS DOUBLE) / CAST(n1 * t2 AS DOUBLE)), 6)
       |    AS psi_term
-      |FROM a CROSS JOIN t WHERE n1 > 0 AND n2 > 0
+      |FROM f CROSS JOIN t
       |ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------ burstiness (Fano)

@@ -50,6 +50,15 @@ object Materialize {
     * WindowRuleSpec registers an inspector here to audit every pinned
     * subplan as it is built. Null (the default) costs one volatile read
     * per pin; never set outside tests.
+    *
+    * CONCURRENCY CONTRACT: this is a mutable JVM-global shared by
+    * WindowRuleSpec and PlanSpec. It is race-free today ONLY because
+    * build.sbt pins `Test / testForkedParallel := false` (suites run
+    * sequentially in the forked test JVM); enabling suite parallelism
+    * would let one suite's registration clobber another's mid-sweep
+    * (missed audits or cross-suite capture). If that build setting
+    * ever changes, convert this to a thread-confined or synchronized
+    * registry first.
     */
   @volatile private[graft] var inspector: DataFrame => Unit = null
 

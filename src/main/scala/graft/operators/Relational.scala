@@ -2233,11 +2233,14 @@ object Relational {
   /** Range-map a raw key onto the 8-bit z grid: (x − lo)·256 div span.
     * The grid normalization every real Z-order implementation applies
     * before interleaving — raw keys of very different ranges would
-    * otherwise leave the high interleave bits constant.
+    * otherwise leave the high interleave bits constant. The offset is
+    * widened to BIGINT before the ·256: in the key's native INT type
+    * the product wraps once the key span exceeds 2²³, which a 100 TB
+    * partkey domain crosses easily.
     */
   private def grid8(x: String, lo: String, hi: String, duck: Boolean): String =
-    if (duck) s"((($x - $lo) * 256) // ($hi - $lo + 1))"
-    else s"((($x - $lo) * 256) div ($hi - $lo + 1))"
+    if (duck) s"(((CAST($x AS BIGINT) - $lo) * 256) // ($hi - $lo + 1))"
+    else s"(((CAST($x AS BIGINT) - $lo) * 256) div ($hi - $lo + 1))"
 
   /** Z-order vs single-key layout effectiveness — the data-layout
     * decision behind every lakehouse OPTIMIZE/cluster-by at 100 TB:
@@ -2277,9 +2280,14 @@ object Relational {
           max(col("s1") - col("s0") + 1).as("gs"))
         .agg(count(lit(1)).cast("int").as("n_buckets"),
           sum(col("n")).as("n_rows"),
-          expr("sum(n * dp * 1000000) div (sum(n) * max(gp))")
+          // ppm products widened through DECIMAL(38,0): n (corpus rows)
+          // × dp (key span) × 10⁶ exceeds BIGINT range at large SF;
+          // `div` over decimals is still exact integral division
+          expr("sum(cast(n as decimal(38,0)) * dp * 1000000)" +
+            " div (sum(cast(n as decimal(38,0))) * max(gp))")
             .as("span_part_ppm"),
-          expr("sum(n * ds * 1000000) div (sum(n) * max(gs))")
+          expr("sum(cast(n as decimal(38,0)) * ds * 1000000)" +
+            " div (sum(cast(n as decimal(38,0))) * max(gs))")
             .as("span_supp_ppm"))
         .select(lit(name).as("layout"), col("n_buckets"), col("n_rows"),
           col("span_part_ppm"), col("span_supp_ppm"))
@@ -2298,9 +2306,11 @@ object Relational {
     def auditSql(name: String, bucket: String): String =
       s"""SELECT '$name' AS layout, CAST(COUNT(*) AS INT) AS n_buckets,
          |    CAST(SUM(n) AS BIGINT) AS n_rows,
-         |    CAST(SUM(n * dp * 1000000) // (SUM(n) * MAX(gp)) AS BIGINT)
+         |    CAST(SUM(CAST(n AS HUGEINT) * dp * 1000000)
+         |      // (SUM(CAST(n AS HUGEINT)) * MAX(gp)) AS BIGINT)
          |      AS span_part_ppm,
-         |    CAST(SUM(n * ds * 1000000) // (SUM(n) * MAX(gs)) AS BIGINT)
+         |    CAST(SUM(CAST(n AS HUGEINT) * ds * 1000000)
+         |      // (SUM(CAST(n AS HUGEINT)) * MAX(gs)) AS BIGINT)
          |      AS span_supp_ppm
          |  FROM (SELECT $bucket AS b, COUNT(*) AS n,
          |      MAX(l_partkey) - MIN(l_partkey) + 1 AS dp,

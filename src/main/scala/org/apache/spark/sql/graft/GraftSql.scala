@@ -121,6 +121,14 @@ object GraftSql {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
+  /** Block until every queued listener event has been delivered —
+    * `listenerBus.waitUntilEmpty` is `private[spark]`, so the metrics
+    * specs (task-grain skew bounds, scan-pruning counters) reach it
+    * through this bridge instead of sleeping and hoping.
+    */
+  def drainListenerBus(s: SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty(30000L)
+
   // ------------------------------------------------- SQL function surface
   // One shared description table drives BOTH registration paths
   // (programmatic ensureRegistered and config-driven GraftExtensions),
@@ -196,6 +204,9 @@ object GraftSql {
       es => { arity("pair_explode", 1, es); PairExplode(es(0)) }),
     ("sparse_dot", classOf[SparseDotProduct].getName,
       es => { arity("sparse_dot", 2, es); SparseDotProduct(es(0), es(1)) }),
+    ("assert_dense", classOf[graft.plans.KnownDenseArray].getName,
+      es => { arity("assert_dense", 1, es)
+        graft.plans.KnownDenseArray(es(0)) }),
   )
 
   /** The injectFunction-shaped descriptions for [[GraftExtensions]]. */

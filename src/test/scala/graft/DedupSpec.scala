@@ -146,6 +146,87 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length)  // ...exactly once
   }
 
+  test("hot block runtime: max task reads <= 2.5x even share of the pair stage") {
+    // The salt-group cap is design-argued and property-tested for
+    // CORRECTNESS above; this pins the RUNTIME claim with measured
+    // task metrics: under a 4000-copy hot block, the stage that builds
+    // the pair sub-buckets must spread its shuffle-read records across
+    // tasks (max task <= 2.5x the even share), where the unbounded
+    // design provably concentrates 100% of the block on ONE task —
+    // both facts asserted from the same SparkListenerTaskEnd stream.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val m = 4000
+    val rows = (1L to m.toLong).toDF("id")
+      .select(lit("hot").as("blk"), struct(col("id").as("doc_id")).as("v"))
+
+    def measure(cap: Int): Map[Int, Seq[Long]] = {
+      val perStage = new java.util.concurrent.ConcurrentHashMap[
+        Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) perStage.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(tm.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(Dedup.blockPairs(rows, cap).count() === m.toLong * (m - 1) / 2)
+        org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      perStage.asScala.map { case (sid, q) => sid -> q.asScala.toSeq }.toMap
+    }
+
+    // AQE partition coalescing would legitimately re-merge small even
+    // shares and muddy the balance measurement — scope it off
+    // (save/restore), leaving adaptive itself on like production.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      // control: an effectively uncapped design — ng = 1, the whole
+      // block collects into one bucket, and the task stream must show
+      // a stage where ONE task reads every replicated row (>= 99%).
+      val unsalted = measure(Int.MaxValue)
+      val worstCtl = unsalted.values
+        .filter(ts => ts.sum >= m && ts.size > 1)
+        .map(ts => ts.max.toDouble / ts.sum).max
+      assert(worstCtl >= 0.99,
+        s"control lost its hot task — salting is being tested against " +
+          s"nothing (max share $worstCtl)")
+
+      // salted: the heaviest shuffle stage (the final sub-bucket merge
+      // — it reads at least one partial-list record per (lg, hg)
+      // bucket, G(G+1)/2 of them, more than any other stage) must be
+      // BALANCED: max task <= 2.5x the even share. The window-by-blk
+      // sizing stage stays single-task by design (linear, spill-backed
+      // count state, documented in saltedMembers) and reads only m
+      // rows, so stage selection by total records never picks it.
+      val salted = measure(Dedup.BlockCap)
+      val g = (m + Dedup.BlockCap - 1) / Dedup.BlockCap
+      val buckets = g.toLong * (g + 1) / 2
+      val (heavyStage, reads) = salted.maxBy(_._2.sum)
+      val total = reads.sum
+      assert(total >= buckets && total > m,
+        s"stage $heavyStage read $total — expected every one of " +
+          s"$buckets sub-buckets to cross the wire")
+      val evenShare = total.toDouble / reads.size
+      assert(reads.max <= 2.5 * evenShare,
+        s"stage $heavyStage skewed: max task ${reads.max} vs even " +
+          s"share $evenShare over ${reads.size} tasks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    // pin the AQE skew-join posture the 100 TB story depends on: AQE
+    // on, runtime skew-join splitting available for the JOIN-shaped
+    // skew this operator family doesn't cover by salting.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+  }
+
   test("pair_explode: edge cases (null, empty, singleton, duplicates) and HOF equality") {
     val gs = org.apache.spark.sql.graft.GraftSql
     val df = Seq(

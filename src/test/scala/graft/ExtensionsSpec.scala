@@ -196,6 +196,43 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("assertDense unlocks the rewrite on parquet-sourced frames") {
+    withExtensionsSession { s2 =>
+      import graft.functions.Vectors
+      // the on-ramp for the rule's real audience: read data. The user
+      // asserts the embedding column dense (zero-cost retyping, no
+      // runtime check) and the same HOF query that stays interpreted
+      // above now compiles onto the fused natives — bit-exactly.
+      val emb = Tables.embeddings(s2, sf).limit(8)
+        .withColumn("e", Vectors.assertDense(col("embedding")))
+      val q = emb.select(col("vec_id"),
+        Vectors.dotHof(col("e"), col("e")).as("d"),
+        Vectors.sqDistHof(col("e"), col("e")).as("s"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("float_dot") && p.contains("float_sqdist") &&
+        !p.contains("aggregate(zip_with"), p.take(1200))
+      val got = q.collect().map(_.toString).toSeq
+      val want = Tables.embeddings(s2, sf).limit(8)
+        .select(col("vec_id"),
+          Vectors.dot(col("embedding"), col("embedding")).as("d"),
+          Vectors.sqDist(col("embedding"), col("embedding")).as("s"))
+        .collect().map(_.toString).toSeq
+      assert(got === want && got.nonEmpty)
+      // and the SQL spelling reaches the same expression
+      GraftSql.ensureRegistered(s2)
+      Tables.embeddings(s2, sf).limit(2).createOrReplaceTempView("emb_ad")
+      val viaSql = s2.sql(
+        """SELECT aggregate(zip_with(assert_dense(embedding),
+          |    assert_dense(embedding), (x, y)
+          |    -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d
+          |FROM emb_ad""".stripMargin)
+      assert(viaSql.queryExecution.optimizedPlan.toString
+        .contains("float_dot"))
+      assert(viaSql.collect().map(_.getDouble(0)).forall(_ > 0.0))
+    }
+  }
+
   test("conf path: spark.sql.extensions resolves the injector in a fresh JVM") {
     val java = sys.props("java.home") + "/bin/java"
     val addOpens = Seq(

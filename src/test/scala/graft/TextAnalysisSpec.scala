@@ -66,6 +66,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.size > 1, "degenerate predictions")
   }
 
+  test("langid ngram: per-class recall >= 0.95 on marker-pure labeled docs") {
+    // QUALITY FLOOR, not just plumbing: the fixture corpus's `lang`
+    // labels are uncorrelated with its synthetic text (recall there is
+    // chance-level by construction), so the floor is pinned on a
+    // purpose-built labeled corpus each of whose docs is drawn from
+    // its own language's marker lexicon — the distribution the trigram
+    // profiles are derived from. On it the classifier must be
+    // near-perfect, so any silent degradation (tokenizer delimiter
+    // drift, a broken ^w$ padding convention in the trigram derivation,
+    // a profile/lexicon mismatch) tanks the diagonal and fails here —
+    // previously nothing failed as long as the confusion matrix merely
+    // hashed consistently.
+    val langs = TextAnalysis.LangMarkers
+    val docs = (0 until 100).map { i =>
+      val (lang, words) = langs(i % langs.size)
+      // deterministic rotation: varied word orders, no randomness
+      val body = (0 until 12).map(j => words((i + j) % words.size))
+        .mkString(" ")
+      (i.toLong, lang, body)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_langid_floor").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val cells = TextAnalysis.tLangIdEval(spark, dir)
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(cells.nonEmpty)
+      langs.foreach { case (l, _) =>
+        val recall = cells.filter(c => c._1 == l && c._2 == l)
+          .map(_._4).sum
+        assert(recall >= 0.95,
+          s"recall floor broken for $l: $recall — cells: $cells")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("bpe train: learned merges equal an independent reference trainer") {
     import spark.implicits._
     val got = TextAnalysis.tBpeTrain(spark, sf)
