@@ -262,12 +262,31 @@ object Similarity {
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id").as("cell"))
 
-    // search only the probed cells
+    // search only the probed cells. probes is |Q|·nProbe rows ALWAYS —
+    // broadcast for the pairing join — and the cell restriction is
+    // pushed as a STATIC partition filter: the distinct probed cells
+    // (≤ K values, bounded by the INDEX, never the corpus or the query
+    // batch) are collected once driver-side and planted as a literal
+    // isin, so a cell-partitioned postings store prunes at FILE
+    // LISTING time, deterministically. Dynamic partition pruning is
+    // structurally unavailable here — Spark's DPP-reuse match compares
+    // the captured subquery plan against the join's build side, and a
+    // window-derived build side (the top-nProbe rank filter) never
+    // matches because InsertWindowGroupLimit rewrites it after capture;
+    // the planner inserts the filter and then silently degrades it to
+    // dynamicpruningexpression(true), reading ALL K inverted lists
+    // (measured — the executed-scan metric assertion in IndexStoreSpec
+    // now pins the static filter's partition count instead). Cost: the
+    // probe pipeline (a |Q|·K broadcast cross, map-side) runs once
+    // extra to produce the literal list.
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq
     val cos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
         col("q_nrm"), col("nrm")), 6)
     val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    probes.join(assign, "cell")
+    assign.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
       .withColumn("rnk", row_number().over(wRank))
@@ -983,7 +1002,15 @@ object Similarity {
       .select(col("q_id"), col("c_id").as("ivf_cell"))
     // probes is |Q|·nProbe rows ALWAYS — hint it broadcast (the
     // window-filtered frame has no size estimate, so the planner would
-    // otherwise stage a shuffle join of the corpus-sized codes)
+    // otherwise stage a shuffle join of the corpus-sized codes), and
+    // plant the probed cells as a STATIC literal partition filter on
+    // the codes side: ≤ K values collected once driver-side (bounded
+    // by the index), pruning a cell-partitioned codes store at file
+    // listing. DPP cannot do this here — its broadcast-reuse match
+    // fails against window-derived build sides (see annIvfServe) and
+    // degrades to dynamicpruningexpression(true), reading all K lists.
+    val probedCells = probes.select("ivf_cell").distinct()
+      .collect().map(_.get(0)).toSeq
     val dtab = pqSubOf(queries.select(col("q_id").as("vec_id"),
         col("q_emb").as("embedding")))
       .select(col("vec_id").as("q_id"), col("m"), col("sub"))
@@ -991,7 +1018,8 @@ object Similarity {
       .select(col("q_id"), col("m"), col("cell"),
         pqDist(col("sub"), col("c_emb")).as("dq"))
     val wR = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id"))
-    codes.join(broadcast(probes), "ivf_cell")
+    codes.filter(col("ivf_cell").isin(probedCells: _*))
+      .join(broadcast(probes), "ivf_cell")
       .filter(col("q_id") =!= col("vec_id"))
       .join(broadcast(dtab), Seq("q_id", "m", "cell"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))

@@ -68,13 +68,23 @@ class IndexStoreSpec extends SparkSpec {
         .filter(col("q_id") < Similarity.NumQueries)
       val served = Similarity.annIvfPqServe(queries, cent2, cb2, codes2)
       val got = served.as[(Long, Long, Int, Double)].collect().toSeq
-      // the layout pays off: the broadcast probes join drives DYNAMIC
-      // PARTITION PRUNING into the codes scan — only probed ivf_cell=
-      // directories are read, which at corpus scale is the difference
-      // between scanning the index and scanning a few inverted lists
-      assert(served.queryExecution.executedPlan.toString
-        .toLowerCase.contains("dynamicpruning"),
-        "partition pruning lost on the loaded codes scan")
+      // the layout pays off: the serve path plants the probed cells as
+      // a STATIC literal partition filter, so only probed ivf_cell=
+      // directories are read — asserted on the EXECUTED scan's metric,
+      // not the plan string (round 9 pinned the string "dynamicpruning",
+      // which also matches the degraded dynamicpruningexpression(true)
+      // no-op Spark actually planned — a metric can't lie)
+      val codesScans = scansUnder(served.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.endsWith("/codes")))
+      assert(codesScans.nonEmpty, "codes scan not found")
+      val readCells = codesScans.map(_.metrics("numPartitions").value).max
+      val allCells = Option(new java.io.File(s"$dir/codes").listFiles())
+        .toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("ivf_cell="))
+      assert(readCells < allCells,
+        s"partition pruning lost on the loaded codes scan: " +
+          s"read $readCells of $allCells cells")
       // the oracle-checked query IS the serve path over the in-session
       // build — reload must reproduce it exactly
       val want = Similarity.sIvfPq(spark, sf)
@@ -96,6 +106,81 @@ class IndexStoreSpec extends SparkSpec {
       Materialize.releaseAll(spark)
       rmTree(dir)
     }
+  }
+
+  test("scan metrics: a served query READS only the probed cells, counted") {
+    // The DPP pin above checks the PLAN SHAPE; this pins the effect
+    // with executed-scan METRICS: the partition count the postings
+    // scan actually read must equal the number of DISTINCT PROBED
+    // cells (nProbe-bounded), strictly fewer than the K cell
+    // directories on disk. A regression that keeps the plan string
+    // ("dynamicpruning") but stops pruning files (e.g. a filter pushed
+    // to the wrong side) now fails on the measured count.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_metrics")
+      .toString
+    try {
+      val (cent, assign) = Similarity.buildIvfIndex(spark, sf)
+      IndexStore.saveIvf(dir, cent, assign)
+      Materialize.releaseAll(spark)
+      val (cent2, assign2) = IndexStore.loadIvf(spark, dir)
+      val queries = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          Vectors.norm(col("embedding")).as("q_nrm"))
+        .filter(col("q_id") < Similarity.NumQueries)
+      val served = Similarity.annIvfServe(queries, cent2, assign2)
+      assert(served.collect().nonEmpty)
+
+      // expected: the distinct probed cells, recomputed with the serve
+      // path's own probe rule (top-nProbe rounded cosine, c_id ties)
+      import org.apache.spark.sql.expressions.Window
+      val wP = Window.partitionBy("q_id")
+        .orderBy(col("ccos").desc, col("c_id"))
+      val probedCells = queries.crossJoin(broadcast(cent2))
+        .select(col("q_id"), col("c_id"),
+          round(Vectors.cosineWithNorms(
+            Vectors.dot(col("q_emb"), col("c_emb")),
+            col("q_nrm"), col("c_nrm")), 6).as("ccos"))
+        .withColumn("prn", row_number().over(wP))
+        .filter(col("prn") <= Similarity.NumProbes)
+        .select("c_id").distinct().count()
+      val cellsOnDisk = Option(new java.io.File(s"$dir/postings")
+        .listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+
+      // the executed postings scan, dug out of the adaptive plan
+      val postingsScan = scansUnder(served.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.endsWith("/postings")))
+      assert(postingsScan.nonEmpty, "postings scan not found in plan")
+      val readPartitions = postingsScan
+        .map(_.metrics("numPartitions").value).max
+      assert(readPartitions === probedCells,
+        s"scan read $readPartitions cell dirs; probes cover $probedCells")
+      assert(readPartitions < cellsOnDisk,
+        s"no pruning: read $readPartitions of $cellsOnDisk cells")
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir)
+    }
+  }
+
+  /** Every FileSourceScanExec in an executed plan, descending through
+    * adaptive wrappers (AQE hides finalized stages from plain
+    * collect).
+    */
+  private def scansUnder(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val self = p match {
+      case f: FileSourceScanExec => Seq(f); case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(scansUnder)
   }
 
   private def rmTree(dir: String): Unit = {
