@@ -213,6 +213,21 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), (-col("m.nc")).as("cell"))
   }
 
+  /** Assign raw (vec_id, embedding) vectors to their nearest FITTED
+    * centroid — the public seam incremental index maintenance needs:
+    * a microbatch of new vectors is assigned against the frozen
+    * centroid frame (one broadcast cross, map-side argmax — zero
+    * shuffles of vector data) and appended into the store's cell
+    * partitions, extending the inverted lists without a re-fit.
+    * Output matches the postings layout: (vec_id, embedding, nrm,
+    * cell).
+    */
+  def assignVectors(vectors: DataFrame, cent: DataFrame): DataFrame =
+    ivfAssignment(
+      vectors.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm")),
+      cent)
+
   def annIvf(s: SparkSession, d: String, iters: Int,
       nProbe: Int = NumProbes): DataFrame = {
     val base = withNorm(s, d)

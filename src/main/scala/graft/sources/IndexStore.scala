@@ -33,6 +33,26 @@ object IndexStore {
       .partitionBy("cell").parquet(s"$dir/postings")
   }
 
+  /** Incremental maintenance: append an already-assigned batch of new
+    * vectors into the postings store's cell partitions — the
+    * build-once/serve-many contract under a GROWING corpus: centroids
+    * stay frozen, each new vector lands in its inverted list's
+    * directory, and serving sessions pick the additions up on their
+    * next load with no re-fit and no rewrite of existing lists.
+    * Callers assign with [[graft.operators.Similarity.assignVectors]]
+    * against the store's own centroids (the streaming upsert sink in
+    * [[graft.streaming.IndexUpserts]] wires the two together).
+    *
+    * Delivery note: parquet Append is at-least-once under retried
+    * microbatches — production deployments key files by batch id (the
+    * foreachBatch argument) or land appends in a transactional table
+    * format; the upsert sink documents the same caveat.
+    */
+  def appendIvf(dir: String, assigned: DataFrame): Unit =
+    assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$dir/postings")
+
   /** Reload (centroids, postings) for [[graft.operators.Similarity
     * .annIvfServe]]. Column order is restored to the build-time shape
     * (partitionBy moves `cell` last on disk).

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+import graft.sources.IndexStore
+
+/** Incremental ANN-index maintenance from a vector stream — the piece
+  * that makes the IVF store's build-once/serve-many contract honest
+  * under a GROWING corpus: the expensive fit ran once offline, and new
+  * vectors arriving on a stream are folded into the index per
+  * microbatch instead of forcing rebuilds.
+  *
+  * Shape: `foreachBatch` is the right Structured-Streaming primitive
+  * here because the sink is a partitioned-parquet APPEND keyed by a
+  * value computed AGAINST BATCH-EXTERNAL state (the frozen centroids)
+  * — not a stateful aggregation the engine could fold itself. Each
+  * microbatch: one broadcast of the K-row centroid frame, a map-side
+  * argmax assignment (zero shuffles of vector data —
+  * [[Similarity.assignVectors]]), one append into the probed-at-serve
+  * `cell=` directories. Serving sessions see additions on their next
+  * [[IndexStore.loadIvf]]; centroid drift is a REBUILD decision made
+  * offline (monitor with s_drift/p_domain_shift), never an online one.
+  *
+  * Delivery: foreachBatch re-runs a batch after failure, so the
+  * parquet Append is at-least-once; production lands appends keyed by
+  * `batchId` (exposed to the writer) or in a transactional table
+  * format. The equivalence spec (IndexStoreSpec) covers the happy
+  * path: served top-k after N microbatches == a from-scratch
+  * assignment of the union against the same frozen centroids.
+  */
+object IndexUpserts {
+
+  /** Assign one microbatch against the store's frozen centroids and
+    * append it to the inverted lists. Public so batch backfills can
+    * reuse the exact streaming code path.
+    */
+  def upsertIvfBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val cent = batch.sparkSession.read.parquet(s"$dir/centroids")
+        .select(col("c_id"), col("c_emb"), col("c_nrm"))
+      IndexStore.appendIvf(dir, Similarity.assignVectors(batch, cent))
+    }
+  }
+
+  /** Start the upsert stream: `vectors` carries (vec_id, embedding).
+    * Checkpointed so a restart resumes from the last committed
+    * microbatch.
+    */
+  def startIvfUpserts(vectors: DataFrame, dir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertIvfBatch(dir) _)
+      .start()
+}

@@ -164,6 +164,69 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming upserts: served top-k after N microbatches == from-scratch union build") {
+    // build-once/serve-many under a GROWING corpus: fit + save on a
+    // base slice, stream the held-out vectors in 3 microbatches
+    // through the foreachBatch upsert sink (assign against FROZEN
+    // centroids, append into cell partitions), then prove the RELOADED
+    // index serves exactly what a from-scratch assignment of the full
+    // union against the same centroids serves.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_upsert")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt")
+      .toString
+    try {
+      val all = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val baseIds = all.filter(col("vec_id") % 5 =!= 0)
+      val lateIds = all.filter(col("vec_id") % 5 === 0)
+      // initial offline build. buildIvfIndex fits on the full fixture
+      // — for this spec the FROZEN-CENTROID contract is what matters,
+      // not which slice fed the fit — so reuse the fitted frame and
+      // assign only the base slice into the initial store.
+      val (centFit, _) = Similarity.buildIvfIndex(spark, sf)
+      IndexStore.saveIvf(dir, centFit,
+        Similarity.assignVectors(baseIds, centFit))
+      Materialize.releaseAll(spark)
+      val (centFrozen, _) = IndexStore.loadIvf(spark, dir)
+
+      // stream the late vectors in 3 microbatches
+      val input = MemoryStream[(Long, Array[Float])](spark)
+      val q = graft.streaming.IndexUpserts.startIvfUpserts(
+        input.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+      try {
+        val late = lateIds.as[(Long, Array[Float])].collect().toSeq
+        late.grouped(math.max(1, late.size / 3)).foreach { g =>
+          input.addData(g); q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      // serve from the grown store
+      val queries = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          Vectors.norm(col("embedding")).as("q_nrm"))
+        .filter(col("q_id") < Similarity.NumQueries)
+      val (cent2, assign2) = IndexStore.loadIvf(spark, dir)
+      val got = Similarity.annIvfServe(queries, cent2, assign2)
+        .as[(Long, Long, Int, Double)].collect().toSeq
+      // from-scratch reference: the UNION assigned against the same
+      // frozen centroids, served in-session
+      val want = Similarity.annIvfServe(queries, centFrozen,
+          Similarity.assignVectors(all, centFrozen))
+        .as[(Long, Long, Int, Double)].collect().toSeq
+      assert(got === want)
+      assert(got.nonEmpty)
+      // every appended vector actually landed in a cell partition
+      val totalPostings = spark.read.parquet(s"$dir/postings").count()
+      assert(totalPostings === all.count())
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir); rmTree(ckpt)
+    }
+  }
+
   /** Every FileSourceScanExec in an executed plan, descending through
     * adaptive wrappers (AQE hides finalized stages from plain
     * collect).
