@@ -213,6 +213,119 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------- MinHash estimator calibration
+  /** MinHash estimator CALIBRATION — E[signature agreement / K] is the
+    * true Jaccard, and this query measures how tight that estimate is
+    * at K = [[MinhashK]] on the real corpus: every LSH candidate pair
+    * is scored twice (estimated similarity from its signatures, exact
+    * Jaccard from its shingle-hash sets) and the pairs are binned by
+    * exact-Jaccard decile with mean estimate / mean exact / mean and
+    * max absolute error per bin. The accept-a-sketch audit every
+    * MinHash deployment owes itself before trusting `est_sim`
+    * thresholds at 100 TB (the σ = √(J(1−J)/K) band is the theory;
+    * this is the measurement). Complements [[dLshEval]] (which grades
+    * candidate RECALL, not estimator accuracy).
+    *
+    * Scale shape: candidate generation is the dMinhashLsh machinery
+    * (banded buckets, salt-bounded pairs — never all-pairs); the two
+    * exact-set probes join pair rows against the pinned (doc, hashes)
+    * frame on ids; the decile aggregation is ≤ 10 rows out of a
+    * map-side combine. Determinism: binning is exact integer math
+    * ((inter·10) div union), per-pair values are round-6 doubles,
+    * means divide exact decimal sums once.
+    */
+  def dMinhashEstErr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val banded = minhashBanded(docs)
+      .select(col("bucket").as("blk"),
+        struct(col("doc_id"), col("sig")).as("v"))
+    val agree = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y), (b: Column) => b))
+    val cand = blockPairs(banded)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        agree.cast("int").as("agree"))
+      .distinct()
+    val sh = Materialize.pin(docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftSql.shingleHashSet(col("toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val inter = org.apache.spark.sql.graft.GraftSql
+      .sortedIntersectCount(col("sha"), col("shb")).cast("bigint")
+    val paired = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("agree"), inter.as("inter"),
+        (size(col("sha")).cast("bigint") + size(col("shb"))).as("sz"))
+      .select(col("agree"), col("inter"), (col("sz") - col("inter")).as("uni"))
+    val est6 = round(col("agree").cast("double") / MinhashK, 6)
+    val jac6 = round(col("inter").cast("double") / col("uni"), 6)
+    paired
+      .select(expr("cast(least(9, (inter * 10) div uni) as int)").as("bin"),
+        est6.as("est6"), jac6.as("jac6"))
+      .withColumn("err6", round(abs(col("est6") - col("jac6")), 6))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("est6").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_est"),
+        round(sum(col("jac6").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_jac"),
+        round(sum(col("err6").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_abs_err"),
+        max(col("err6")).as("max_abs_err"))
+      .orderBy("bin")
+  }
+
+  lazy val dMinhashEstErrSql: String = {
+    val sigExprs = (0 until MinhashK).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS sig_$j")
+      .mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"sig_${b * RowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until MinhashK)
+      .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |sigs AS (SELECT doc_id,
+       |  $sigExprs
+       |FROM sh3 WHERE len(sh) > 0),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |pr AS (SELECT ($agree) AS agree,
+       |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))
+       |      AS BIGINT) AS uni
+       |  FROM cand cd
+       |  JOIN sigs sa ON sa.doc_id = cd.a JOIN sigs sb ON sb.doc_id = cd.b
+       |  JOIN sh3 ha ON ha.doc_id = cd.a JOIN sh3 hb ON hb.doc_id = cd.b),
+       |e AS (SELECT CAST(LEAST(9, (inter * 10) // uni) AS INT) AS bin,
+       |    round(CAST(agree AS DOUBLE) / $MinhashK, 6) AS est6,
+       |    round(CAST(inter AS DOUBLE) / uni, 6) AS jac6 FROM pr),
+       |e2 AS (SELECT bin, est6, jac6, round(abs(est6 - jac6), 6) AS err6
+       |  FROM e)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(CAST(est6 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_est,
+       |  round(CAST(SUM(CAST(jac6 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_jac,
+       |  round(CAST(SUM(CAST(err6 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_abs_err,
+       |  MAX(err6) AS max_abs_err
+       |FROM e2 GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   // -------------------------------------- recursive duplication reach
   /** Bounded transitive duplication reach via the SQL front door's
     * RECURSIVE CTE (Spark 4's iterative-CTE execution — the engine
@@ -1612,6 +1725,7 @@ object Dedup {
     "d_lsh_eval"    -> (dLshEval _, dLshEvalSql),
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
+    "d_minhash_est_err" -> (dMinhashEstErr _, dMinhashEstErrSql),
     "d_reach"       -> (dReach _, dReachSql),
     "d_incremental" -> (dIncremental _, dIncrementalSql),
     "d_incremental_bloom" -> (dIncrementalBloom _, dIncrementalBloomSql),

@@ -751,8 +751,14 @@ object Similarity {
     * and per-vector codes (m, vec_id, cell, d) long-form. Shared by
     * [[sPq]] (emits codes) and [[sAnnPq]] (searches on them).
     */
-  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sub = pqSub(s, d)
+  private def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqModelOf(pqSub(s, d))
+
+  /** The same fit over ANY long-form (vec_id, m, sub) frame — raw
+    * subvectors for the classic model, IVF residuals for
+    * [[sPqResidual]]'s production formulation.
+    */
+  private def pqModelOf(sub: DataFrame): (DataFrame, DataFrame) = {
     val seeds = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("c_id"), col("sub").as("c_sub"))
     val w0 = Window.partitionBy("m", "vec_id").orderBy(col("d0").asc, col("c_id"))
@@ -800,6 +806,30 @@ object Similarity {
        |      i -> ($sub[i] - $cb[i]) * ($sub[i] - $cb[i])),
        |      (x, y) -> x + y), 6)""".stripMargin
 
+  /** The PQ fit CTE chain over ANY long-form (vec_id, m, sub) CTE —
+    * seed → assign → means → codebook → fin (per-vector codes +
+    * distances). `pfx` namespaces the chain so raw and residual fits
+    * coexist in one query ([[sPqResidualSql]]).
+    */
+  private def pqFitCtes(sub: String, pfx: String): String =
+    s"""${pfx}seed AS (SELECT m, vec_id AS c_id, sub AS c_sub FROM $sub WHERE vec_id < $PqK),
+       |${pfx}a0 AS (SELECT m, vec_id, sub, cell FROM (
+       |  SELECT s.m, s.vec_id, s.sub, c.c_id AS cell,
+       |    row_number() OVER (PARTITION BY s.m, s.vec_id
+       |      ORDER BY ${pqDistSql("s.sub", "c.c_sub")} ASC, c.c_id) AS rn
+       |  FROM $sub s JOIN ${pfx}seed c USING (m)) WHERE rn = 1),
+       |${pfx}mm AS (SELECT m, cell, i AS pos,
+       |    CAST(SUM(CAST(sub[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS mv
+       |  FROM ${pfx}a0 CROSS JOIN range(1, ${PqSub + 1}) t(i) GROUP BY 1, 2, 3),
+       |${pfx}cb AS (SELECT m, cell, list(mv ORDER BY pos) AS c_emb FROM ${pfx}mm GROUP BY 1, 2),
+       |${pfx}fin AS (SELECT m, vec_id, cell, d FROM (
+       |  SELECT q.m, q.vec_id, q.cell, q.d,
+       |    row_number() OVER (PARTITION BY q.m, q.vec_id
+       |      ORDER BY q.d ASC, q.cell) AS rn
+       |  FROM (SELECT s.m, s.vec_id, c.cell,
+       |      ${pqDistSql("s.sub", "c.c_emb")} AS d
+       |    FROM $sub s JOIN ${pfx}cb c USING (m)) q) WHERE rn = 1)"""
+
   /** Shared oracle CTE chain mirroring [[pqModel]]: sub → seed → a0 →
     * mm → cb (codebook) → fin (per-vector codes + distances).
     */
@@ -808,23 +838,7 @@ object Similarity {
        |    list_transform(range(1, ${PqSub + 1}),
        |      i -> CAST(embedding[m * $PqSub + i] AS DOUBLE)) AS sub
        |  FROM embeddings CROSS JOIN range(0, $PqM) t(m)),
-       |seed AS (SELECT m, vec_id AS c_id, sub AS c_sub FROM sub WHERE vec_id < $PqK),
-       |a0 AS (SELECT m, vec_id, sub, cell FROM (
-       |  SELECT s.m, s.vec_id, s.sub, c.c_id AS cell,
-       |    row_number() OVER (PARTITION BY s.m, s.vec_id
-       |      ORDER BY ${pqDistSql("s.sub", "c.c_sub")} ASC, c.c_id) AS rn
-       |  FROM sub s JOIN seed c USING (m)) WHERE rn = 1),
-       |mm AS (SELECT m, cell, i AS pos,
-       |    CAST(SUM(CAST(sub[i] AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS mv
-       |  FROM a0 CROSS JOIN range(1, ${PqSub + 1}) t(i) GROUP BY 1, 2, 3),
-       |cb AS (SELECT m, cell, list(mv ORDER BY pos) AS c_emb FROM mm GROUP BY 1, 2),
-       |fin AS (SELECT m, vec_id, cell, d FROM (
-       |  SELECT q.m, q.vec_id, q.cell, q.d,
-       |    row_number() OVER (PARTITION BY q.m, q.vec_id
-       |      ORDER BY q.d ASC, q.cell) AS rn
-       |  FROM (SELECT s.m, s.vec_id, c.cell,
-       |      ${pqDistSql("s.sub", "c.c_emb")} AS d
-       |    FROM sub s JOIN cb c USING (m)) q) WHERE rn = 1)""".stripMargin
+       |${pqFitCtes("sub", "")}""".stripMargin
 
   lazy val sPqSql: String =
     s"""WITH $pqCtesSql
@@ -1043,6 +1057,109 @@ object Similarity {
       .filter(col("rnk") <= TopK)
       .select("q_id", "n_id", "rnk", "adist")
       .orderBy("q_id", "rnk")
+  }
+
+  // ------------------------------------------------ residual PQ audit
+  /** Residual product quantization vs raw PQ, per inverted list — the
+    * formulation production IVF-PQ actually trains (FAISS's
+    * `IndexIVFPQ`): quantize x − c(x) (the vector's offset from its
+    * IVF centroid) instead of x itself, because residuals concentrate
+    * near the origin once the coarse quantizer has soaked up the
+    * between-cell variance, so the SAME codebook budget (M·K entries)
+    * spends its resolution on a much smaller ball. This audit runs
+    * both fits with identical budgets and reports, per IVF cell, the
+    * mean per-vector reconstruction error of each — the measurement
+    * that justifies (or refutes) the residual step before a 100 TB
+    * index build commits to it, and the per-list view that flags
+    * cells where the coarse fit is doing so little that residual ≈
+    * raw. On the synthetic fixture the audit REFUTES it — residual
+    * mean error ≈ 1.7× raw in every cell — for a structural reason
+    * worth reading off the numbers: this IVF assigns by COSINE, so
+    * the subtracted centroid is angle-near but not L2-near, and on
+    * clusterless vectors x − c carries MORE L2 energy than x; FAISS
+    * pairs residual PQ with an L2 coarse quantizer on genuinely
+    * clustered data, where the sign flips. That a calibration query
+    * can return "don't" is the point of running it.
+    *
+    * Scale shape: one IVF fit + assignment (broadcast argmax), the
+    * residual map is zip_with over assigned rows (no shuffle), and
+    * each PQ fit is the [[pqModel]] shape — broadcast codebooks, long
+    * -form subspaces, zero vector shuffles; the output is K rows.
+    * Determinism: residual components are exact float−float double
+    * subtractions; both fits inherit pqModel's decimal-mean /
+    * rounded-distance discipline; per-vector errors are decimal sums
+    * of rounded subspace distances; cell means divide decimal sums
+    * once.
+    */
+  def sPqResidual(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val cent = fittedCentroids(base, LloydIters)
+    val assign = ivfAssignment(base, cent)
+    val resid = assign.join(broadcast(cent), col("cell") === col("c_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
+    val (_, codesRaw) = pqModel(s, d)
+    val (_, codesRes) = pqModelOf(pqSubOf(resid))
+    def perVec(codes: DataFrame, name: String) = codes.groupBy("vec_id")
+      .agg(round(sum(col("d").cast("decimal(16,6)")).cast("double"), 6)
+        .as(name))
+    def meanOf(c: Column) =
+      round(sum(c.cast("decimal(16,6)")).cast("double") / count(lit(1)), 6)
+    perVec(codesRaw, "err_raw")
+      .join(perVec(codesRes, "err_res"), "vec_id")
+      .join(assign.select(col("vec_id"), col("cell").as("ivf_cell")), "vec_id")
+      .groupBy("ivf_cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        meanOf(col("err_raw")).as("mean_err_raw"),
+        meanOf(col("err_res")).as("mean_err_res"))
+      .orderBy("ivf_cell")
+  }
+
+  lazy val sPqResidualSql: String = {
+    val centFinal = if (LloydIters == 0) "cent0" else s"cent$LloydIters"
+    val lloydCtes = (1 to LloydIters)
+      .map(t => lloydSql(s"cent${t - 1}", s"cent$t"))
+      .mkString(",\n")
+    val ivfCtes = (Seq(
+      NORM_CTE,
+      s"cent0 AS (SELECT vec_id AS c_id, embedding, nrm FROM n WHERE vec_id < $IvfK)")
+      ++ (if (LloydIters == 0) Nil else Seq(lloydCtes))).mkString(",\n")
+    def errCte(name: String, fin: String) =
+      s"""$name AS (SELECT vec_id,
+         |  round(CAST(SUM(CAST(d AS DECIMAL(16,6))) AS DOUBLE), 6) AS err
+         |FROM $fin GROUP BY 1)""".stripMargin
+    def meanSql(c: String) =
+      s"round(CAST(SUM(CAST($c AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)"
+    s"""WITH $ivfCtes,
+       |assign AS (SELECT vec_id, ivf_cell FROM (
+       |  SELECT v.vec_id, c.c_id AS ivf_cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${cosSql("v", "c")} DESC, c.c_id) AS arn
+       |  FROM n v CROSS JOIN $centFinal c) WHERE arn = 1),
+       |resid AS (SELECT a.vec_id, a.ivf_cell,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE)
+       |         - CAST(c.embedding[i] AS DOUBLE)) AS remb
+       |  FROM assign a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN $centFinal c ON c.c_id = a.ivf_cell),
+       |$pqCtesSql,
+       |rsub AS (SELECT vec_id, m,
+       |    list_transform(range(1, ${PqSub + 1}),
+       |      i -> remb[m * $PqSub + i]) AS sub
+       |  FROM resid CROSS JOIN range(0, $PqM) t(m)),
+       |${pqFitCtes("rsub", "r")},
+       |${errCte("eraw", "fin")},
+       |${errCte("eres", "rfin")}
+       |SELECT CAST(a.ivf_cell AS BIGINT) AS ivf_cell,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  ${meanSql("w.err")} AS mean_err_raw,
+       |  ${meanSql("z.err")} AS mean_err_res
+       |FROM assign a
+       |JOIN eraw w ON w.vec_id = a.vec_id
+       |JOIN eres z ON z.vec_id = a.vec_id
+       |GROUP BY 1 ORDER BY ivf_cell""".stripMargin
   }
 
   def sIvfPq(s: SparkSession, d: String): DataFrame = {
@@ -2745,6 +2862,7 @@ object Similarity {
     "s_recall_pq"   -> (sRecallPq _, sRecallPqSql),
     "s_ivf_pq"      -> (sIvfPq _, sIvfPqSql),
     "s_ivf_pq_served" -> (sIvfPqServed _, sIvfPqSql),
+    "s_pq_residual" -> (sPqResidual _, sPqResidualSql),
     "s_rrf"         -> (sRrf _, sRrfSql),
     "s_filtered"    -> (sFiltered _, sFilteredSql),
     "s_classify"    -> (sClassify _, sClassifySql),

@@ -3113,6 +3113,52 @@ object TextAnalysis {
        |    / sqrt(CAST(n_scored AS DOUBLE)), 6) AS z
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- OOV rate
+  /** Out-of-vocabulary rate of a held-out split against the training
+    * split's vocabulary — the tokenizer/corpus-coverage diagnostic run
+    * before fixing a vocab: docs are split 80/20 by `doc_id % 10`
+    * (deterministic, id-keyed like p_split), the train side's distinct
+    * words form the vocabulary, and every eval doc reports its token
+    * count, OOV token count and OOV rate. High-OOV eval docs flag
+    * domain shift between splits; corpus-level OOV is the Σn_oov/Σn
+    * the per-doc rows roll up to. Distinct from [[tVocabCoverage]],
+    * which measures FREQUENCY coverage of a top-k vocab on the whole
+    * corpus, not held-out generalization.
+    *
+    * Scale shape: one tokenization feeds both splits (pinned token
+    * frame); vocabulary membership is a token-grain LEFT join hashed
+    * on the word — vocab-sized, never broadcast (a 100 TB corpus's
+    * vocab outgrows any broadcast budget); the final aggregation is
+    * per-doc counts. Determinism: exact counts, one rounded division.
+    */
+  def tOovRate(s: SparkSession, d: String): DataFrame = {
+    val tok = Materialize.pin(docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("word")))
+    val vocab = tok.filter(col("doc_id") % 10 < 8)
+      .select("word").distinct().withColumn("seen", lit(1))
+    tok.filter(col("doc_id") % 10 >= 8)
+      .join(vocab, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val tOovRateSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+       |vocab AS (SELECT DISTINCT word FROM tok WHERE doc_id % 10 < 8),
+       |ev AS (SELECT doc_id, word FROM tok WHERE doc_id % 10 >= 8)
+       |SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  round(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS oov_rate
+       |FROM ev LEFT JOIN vocab v ON ev.word = v.word
+       |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
+
   // ------------------------------------------- langid confusion matrix
   /** Language-ID evaluation against the corpus's labeled `lang` column
     * — the confusion matrix + per-class recall every pipeline builds
@@ -3151,6 +3197,7 @@ object TextAnalysis {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t_langid_eval"  -> (tLangIdEval _, tLangIdEvalSql),
+    "t_oov_rate"     -> (tOovRate _, tOovRateSql),
     "t_watermark"    -> (tWatermark _, tWatermarkSql),
     "t_heaps"        -> (tHeaps _, tHeapsSql),
     "t_gopher_rules" -> (tGopherRules _, tGopherRulesSql),
