@@ -753,6 +753,62 @@ object Events {
       |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  // -------------------------------------- conditional entropy of next event
+  /** Per-source conditional entropy of the next-event distribution —
+    * how PREDICTABLE each event type's successor is, in nats:
+    * H(next|src) = −Σ p·ln p over [[eTransitions]]' empirical row.
+    * H ≈ 0 means a deterministic funnel step (one dominant successor);
+    * H near ln(n_dsts) means the chain carries no signal after this
+    * event — the per-state view a sequence model's feasibility check
+    * starts from, complementing e_markov_steady's long-run occupancy.
+    *
+    * Scale shape: the lag window is per-user event order (the
+    * e_transitions grain); everything after the (src, dst) combine is
+    * ≤ |types|² rows. Determinism: per-src terms fold left-to-right
+    * over the dst-sorted list from a 0.0 seed — the exact operation
+    * sequence is mirrored in the oracle (0−t₁−t₂−… on both engines),
+    * one round at 6 dp.
+    */
+  def eCondEntropy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val pairs = load(s, d)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wu))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs.groupBy("src")
+      .agg(sum(col("n")).as("n_out"),
+        count(lit(1)).cast("int").as("n_dsts"),
+        sort_array(collect_list(struct(col("dst"), col("n")))).as("ds"))
+      .select(col("src"), col("n_out"), col("n_dsts"),
+        round(aggregate(col("ds"), lit(0.0), (acc, e) =>
+          acc - (e.getField("n").cast("double") / col("n_out"))
+            * log(e.getField("n").cast("double") / col("n_out"))), 6)
+          .as("h_nats"))
+      .orderBy("src")
+  }
+
+  val eCondEntropySql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_ns(ts) AS ns FROM events),
+      |l AS (SELECT event_type AS dst,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ns, event_id)
+      |    AS src
+      |  FROM e),
+      |c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM l WHERE src IS NOT NULL GROUP BY 1, 2),
+      |g AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_out,
+      |  CAST(COUNT(*) AS INT) AS n_dsts,
+      |  list(n ORDER BY dst, n) AS ns FROM c GROUP BY src)
+      |SELECT src, n_out, n_dsts,
+      |  round(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+      |    list_transform(ns, x -> (CAST(x AS DOUBLE) / n_out)
+      |      * ln(CAST(x AS DOUBLE) / n_out))), (a, b) -> a - b), 6)
+      |    AS h_nats
+      |FROM g ORDER BY src""".stripMargin
+
   // -------------------------------------------------- RFM segmentation
   /** RFM (recency / frequency / monetary) user segmentation: per-user
     * aggregates bucketed into quartiles per axis — the classic
@@ -2772,6 +2828,7 @@ object Events {
     "e_attribution" -> (eAttribution _, eAttributionSql),
     "e_rfm"        -> (eRfm _, eRfmSql),
     "e_transitions" -> (eTransitions _, eTransitionsSql),
+    "e_cond_entropy" -> (eCondEntropy _, eCondEntropySql),
     "e_funnel"     -> (eFunnel _, eFunnelSql),
     "e_retention"  -> (eRetention _, eRetentionSql),
     "e_cohort"     -> (eCohort _, eCohortSql),
