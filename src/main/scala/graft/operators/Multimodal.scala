@@ -83,7 +83,10 @@ object Multimodal {
     * payload, each with a derived frame id — the video-keyframe /
     * audio-chunk extraction shape (1 row in → N bounded rows out).
     */
-  def mFrameSample(s: SparkSession, d: String): DataFrame = {
+  /** The raw frame stream (no output ordering) — shared by the gated
+    * sample query and the scene-cut detector built on top of it.
+    */
+  private def frames(s: SparkSession, d: String): DataFrame = {
     val nFrames = least(length(col("payload")).cast("long") / 64L, lit(8L)).cast("int")
     withPayload(s, d)
       .select(col("doc_id"), md5(col("payload")).as("fp"), nFrames.as("nf"))
@@ -92,8 +95,10 @@ object Multimodal {
         explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         md5(concat(col("fp"), lit("|"), col("frame_idx").cast("string")).cast("binary")).as("frame_id"))
-      .orderBy("doc_id", "frame_idx")
   }
+
+  def mFrameSample(s: SparkSession, d: String): DataFrame =
+    frames(s, d).orderBy("doc_id", "frame_idx")
 
   val mFrameSampleSql: String =
     """WITH p AS (SELECT doc_id, md5(text) AS fp,
@@ -103,6 +108,116 @@ object Multimodal {
       |  FROM p WHERE nf > 0)
       |SELECT doc_id, frame_idx, md5(fp || '|' || frame_idx) AS frame_id
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // --------------------------------------------------------- scene cuts
+  /** Scene-cut detection over the sampled frame stream: each frame gets
+    * a scalar "luma" feature (here the ASCII code of the frame digest's
+    * first hex char — the deterministic stand-in for a decoded mean
+    * luminance), and a cut is declared wherever consecutive frames'
+    * luma jumps by ≥ 20 (the digit↔letter ASCII gap, so cuts are
+    * non-trivially distributed). Per-clip report: frames seen, cuts
+    * found.
+    *
+    * Scale shape: the lag window is partitioned by doc_id with ≤ 8
+    * frame rows per partition (the generator's cap) — per-clip state is
+    * constant regardless of corpus size, and the final report is a
+    * doc-keyed aggregation that reuses the window's hash partitioning.
+    */
+  def mSceneCut(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames(s, d)
+      .withColumn("luma", ascii(substring(col("frame_id"), 1, 1)))
+      .withColumn("prev", lag("luma", 1).over(w))
+      .select(col("doc_id"),
+        when(col("prev").isNotNull && abs(col("luma") - col("prev")) >= 20, 1)
+          .otherwise(0).as("cut"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).cast("long").as("n_cuts"))
+      .orderBy("doc_id")
+  }
+
+  val mSceneCutSql: String =
+    """WITH p AS (SELECT doc_id, md5(text) AS fp,
+      |  CAST(LEAST(octet_length(encode(text)) // 64, 8) AS INT) AS nf
+      |  FROM documents),
+      |f AS (SELECT doc_id, fp, CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+      |  FROM p WHERE nf > 0),
+      |g AS (SELECT doc_id, frame_idx,
+      |  ascii(md5(fp || '|' || frame_idx)[1:1]) AS luma FROM f),
+      |l AS (SELECT doc_id, luma,
+      |  lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM g)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(luma - prev) >= 20
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------- modality stats
+  /** Per-modality × language ingest profile — the first dashboard run
+    * over any mixed-modality landing zone: row counts, total/average/
+    * max payload bytes. Modality is assigned deterministically from
+    * doc_id (the stand-in for a real mime/container column, which the
+    * fixture lacks) so both engines agree.
+    *
+    * Scale shape: one pass, partial-aggregated to a (3 × #langs)-row
+    * result; payload bytes reduce to a length before the shuffle.
+    */
+  def mModalityStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
+          "WHEN 1 THEN 'audio' ELSE 'video' END").as("modality"),
+        col("lang"), length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .groupBy("modality", "lang")
+      .agg(count(lit(1)).as("n"), sum(col("nb")).as("total_bytes"),
+        round(avg(col("nb")), 6).as("avg_bytes"), max(col("nb")).as("max_bytes"))
+      .orderBy("modality", "lang")
+
+  val mModalityStatsSql: String =
+    """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  lang, COUNT(*) AS n,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  round(AVG(octet_length(encode(text))), 6) AS avg_bytes,
+      |  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------- embed fusion
+  /** Cross-modal fusion ranking: join the text-side payload with its
+    * embedding (doc_id = vec_id — the pair-table key from
+    * [[mPairAudit]]) and rank by a fused score, embedding L2 norm ×
+    * ln(1 + payload bytes) — the shape of any "signal strength ×
+    * content size" curation heuristic over a paired multimodal table.
+    * Top-20, fully tie-broken by doc_id.
+    *
+    * Scale shape: an id-keyed equi-join of (id, n_bytes) against
+    * (id, norm) — the norm reduces the vector BEFORE the join so no
+    * embedding bytes shuffle — followed by a TakeOrdered top-k (no
+    * global sort materializes).
+    */
+  def mEmbedFusion(s: SparkSession, d: String): DataFrame = {
+    val docs = withPayload(s, d)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), graft.functions.Vectors.norm(col("embedding")).as("nrm"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("n_bytes"),
+        round(col("nrm"), 6).as("nrm"),
+        round(col("nrm") * log(lit(1.0) + col("n_bytes")), 6).as("fused"))
+      .orderBy(col("fused").desc, col("doc_id")).limit(20)
+  }
+
+  val mEmbedFusionSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+      |e AS (SELECT vec_id,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)) AS nrm
+      |  FROM embeddings)
+      |SELECT doc_id, n_bytes, round(nrm, 6) AS nrm,
+      |  round(nrm * ln(1.0 + n_bytes), 6) AS fused
+      |FROM d JOIN e ON d.doc_id = e.vec_id
+      |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin
 
   // ------------------------------------------------------- decode stub
   /** Output of the fake decoder: byte-level features standing in for
@@ -612,5 +727,8 @@ object Multimodal {
     "m_resize_stub"  -> (mResizeStub _, Some(mResizeStubSql)),
     "m_phash"        -> (mPhash _, Some(mPhashSql)),
     "m_phash_pairs"  -> (mPhashPairs _, Some(mPhashPairsSql)),
+    "m_scene_cut"    -> (mSceneCut _, Some(mSceneCutSql)),
+    "m_modality_stats" -> (mModalityStats _, Some(mModalityStatsSql)),
+    "m_embed_fusion" -> (mEmbedFusion _, Some(mEmbedFusionSql)),
   )
 }

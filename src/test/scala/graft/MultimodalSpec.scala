@@ -170,4 +170,46 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_._6).sum === wantDocPairs.values.sum, "total doc pairs")
     assert(got.map(r => (r._1, r._2)).toSet === wantDocPairs.keySet)
   }
+
+  test("scene cuts: per-clip frames bounded by the generator cap; cuts < frames") {
+    import spark.implicits._
+    val rows = Multimodal.mSceneCut(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nf, nc) =>
+      assert(nf >= 1 && nf <= 8, s"doc $doc frame count $nf outside [1,8]")
+      assert(nc >= 0 && nc < nf, s"doc $doc cuts $nc vs frames $nf")
+    }
+    // clip grain matches the frame generator's (docs with >= 1 frame)
+    val docsWithFrames = Multimodal.mFrameSample(spark, sf)
+      .select("doc_id").distinct().count()
+    assert(rows.length.toLong === docsWithFrames)
+  }
+
+  test("modality stats: counts partition the corpus; avg within [0, max]") {
+    import spark.implicits._
+    val rows = Multimodal.mModalityStats(spark, sf)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum === total, "modality x lang cells partition docs")
+    assert(rows.map(_._1).toSet === Set("image", "audio", "video"))
+    rows.foreach { case (m, l, n, tot, avg, mx) =>
+      assert(avg > 0 && avg <= mx, s"($m,$l) avg $avg vs max $mx")
+      assert(tot >= n, s"($m,$l) total bytes below one byte per doc")
+    }
+  }
+
+  test("embed fusion: top-20 is sorted, fused consistent with norm and bytes") {
+    import spark.implicits._
+    val rows = Multimodal.mEmbedFusion(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length === 20)
+    val fusedSeq = rows.map(_._4).toSeq
+    assert(fusedSeq === fusedSeq.sorted.reverse, "descending fused order")
+    rows.foreach { case (doc, nb, nrm, fused) =>
+      val want = nrm * math.log(1.0 + nb)
+      // both sides rounded to 6 dp; allow the rounding of nrm itself
+      assert(math.abs(fused - want) < 1e-4, s"doc $doc fused $fused vs $want")
+    }
+  }
 }

@@ -653,4 +653,30 @@ class PlanSpec extends SparkSpec {
       "partial+final agg lost:\n" + p.take(1200))
     assert(p.contains("Exchange SinglePartition"), p.take(1200))
   }
+
+  test("embed fusion: norm reduces before the join, top-k is TakeOrdered") {
+    val df = graft.operators.Multimodal.mEmbedFusion(spark, sf)
+    assert(finalOnly(plan(df)).contains("TakeOrderedAndProject"),
+      "top-20 materialized a global sort")
+    // the embedding column must not cross the join — only the scalar
+    // norm does (it is projected out below the join's input)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected an id-keyed pair join")
+    joins.foreach { j =>
+      assert(!j.children.exists(_.output.exists(_.name == "embedding")),
+        "embedding column feeds the join un-reduced:\n" + j.toString.take(1200))
+    }
+  }
+
+  test("scene cut: doc window and report share one doc_id exchange") {
+    val p = finalOnly(plan(graft.operators.Multimodal.mSceneCut(spark, sf)))
+    assert("Window ".r.findAllIn(p).length === 1, p.take(1200))
+    // lag window partitions by doc_id; the per-doc aggregation reuses
+    // that partitioning, so exactly one hash exchange appears
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      "per-doc report re-shuffled after the frame window:\n" + p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 1, p.take(1200))
+  }
 }
