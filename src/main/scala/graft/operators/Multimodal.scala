@@ -123,14 +123,29 @@ object Multimodal {
     * constant regardless of corpus size, and the final report is a
     * doc-keyed aggregation that reuses the window's hash partitioning.
     */
+  /** Luma jump at or above this between consecutive frames is a cut —
+    * shared with the streaming detector ([[graft.streaming.MediaStreams]])
+    * so the two stay rule-identical.
+    */
+  val SceneCutThreshold = 20
+
+  /** Frame stream reduced to the scalar per-frame feature: (doc_id,
+    * frame_idx, luma). Shared by the batch detector and the streaming
+    * spec's source builder.
+    */
+  def frameLuma(s: SparkSession, d: String): DataFrame =
+    frames(s, d)
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(substring(col("frame_id"), 1, 1)).as("luma"))
+
   def mSceneCut(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    frames(s, d)
-      .withColumn("luma", ascii(substring(col("frame_id"), 1, 1)))
+    frameLuma(s, d)
       .withColumn("prev", lag("luma", 1).over(w))
       .select(col("doc_id"),
-        when(col("prev").isNotNull && abs(col("luma") - col("prev")) >= 20, 1)
+        when(col("prev").isNotNull &&
+            abs(col("luma") - col("prev")) >= SceneCutThreshold, 1)
           .otherwise(0).as("cut"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"), sum(col("cut")).cast("long").as("n_cuts"))

@@ -236,6 +236,38 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows === batch)
   }
 
+  test("streaming scene cuts == oracle-checked batch m_scene_cut, out of order") {
+    import graft.streaming.MediaStreams
+    import graft.operators.Multimodal
+    // frame rows delivered in a deterministic NON-frame order (by luma
+    // then doc) so clips split across chunks and arrive idx-shuffled
+    val frames = Multimodal.frameLuma(spark, sf)
+      .as[(Long, Int, Int)].collect().toSeq
+      .sortBy { case (doc, idx, luma) => (luma, doc, idx) }
+      .map { case (doc, idx, luma) => MediaStreams.FrameRow(doc, idx, luma) }
+    val input = MemoryStream[MediaStreams.FrameRow](spark)
+    val q = MediaStreams.sceneCuts(input.toDS())
+      .writeStream.format("memory").queryName("t_scene").outputMode("update").start()
+    try {
+      frames.grouped(math.max(1, frames.size / 3)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // last emitted row per clip: frames only accumulate, so max(n_frames)
+    // picks it; re-read the cut count from that row via a self-join-free
+    // struct max (n_frames strictly grows per emission for a given doc)
+    val got = spark.table("t_scene")
+      .groupBy("doc_id")
+      .agg(max(struct(col("n_frames"), col("n_cuts"))).as("s"))
+      .select(col("doc_id"), col("s.n_frames"), col("s.n_cuts"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, nf, nc) => d -> ((nf, nc)) }.toMap
+    val want = Multimodal.mSceneCut(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, nf, nc) => d -> ((nf, nc)) }.toMap
+    assert(got === want)
+  }
+
   test("transformWithState running stats == flatMapGroupsWithState (RocksDB)") {
     // the 4.x arbitrary-state API refuses the HDFS-backed default
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
