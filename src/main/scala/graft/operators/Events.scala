@@ -809,6 +809,53 @@ object Events {
       |    AS h_nats
       |FROM g ORDER BY src""".stripMargin
 
+  // ------------------------------------------- audience overlap matrix
+  /** Pairwise audience overlap between event-type cohorts: for every
+    * unordered type pair, the shared-user count and Jaccard similarity
+    * of the two user sets (|A∪B| by inclusion–exclusion) — the
+    * audience-overlap matrix behind segmentation and cannibalization
+    * analyses, and the behavioral twin of the dedup family's set
+    * similarity.
+    *
+    * Scale shape: cohorts dedup with one (type, user) combine; the
+    * intersection is a user-keyed self-join where a user active in T
+    * types emits T(T−1)/2 pairs — bounded by the type ALPHABET, never
+    * the event count — and cohort sizes broadcast onto the ≤ |T|²-row
+    * pair table. Nothing materializes a per-type user list.
+    */
+  def eUserOverlap(s: SparkSession, d: String): DataFrame = {
+    val cohorts = load(s, d).select(col("event_type"), col("user_id")).distinct()
+    val sizes = cohorts.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = cohorts.toDF("type_a", "uid_a")
+      .join(cohorts.toDF("type_b", "uid_b"),
+        col("uid_a") === col("uid_b") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("type_a", "n_a")), "type_a")
+      .join(broadcast(sizes.toDF("type_b", "n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val eUserOverlapSql: String =
+    """WITH c AS (SELECT DISTINCT event_type, user_id FROM events),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM c GROUP BY 1),
+      |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM c a JOIN c b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+      |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+      |    AS jaccard
+      |FROM i JOIN s sa ON sa.event_type = type_a
+      |       JOIN s sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   // -------------------------------------------------- RFM segmentation
   /** RFM (recency / frequency / monetary) user segmentation: per-user
     * aggregates bucketed into quartiles per axis — the classic
@@ -2829,6 +2876,7 @@ object Events {
     "e_rfm"        -> (eRfm _, eRfmSql),
     "e_transitions" -> (eTransitions _, eTransitionsSql),
     "e_cond_entropy" -> (eCondEntropy _, eCondEntropySql),
+    "e_user_overlap" -> (eUserOverlap _, eUserOverlapSql),
     "e_funnel"     -> (eFunnel _, eFunnelSql),
     "e_retention"  -> (eRetention _, eRetentionSql),
     "e_cohort"     -> (eCohort _, eCohortSql),

@@ -630,4 +630,29 @@ class EventsSpec extends SparkSpec {
     assert(fSeas === strength(num(dt)), "f_seas")
     assert(fTrend >= 0.0 && fTrend <= 1.0 && fSeas >= 0.0 && fSeas <= 1.0)
   }
+
+  test("e_user_overlap: set-algebra invariants and a driver recompute") {
+    import spark.implicits._
+    val rows = Events.eUserOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // driver-side ground truth from the raw cohort sets
+    val cohorts = Events.load(spark, sf)
+      .select("event_type", "user_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = cohorts.keys.toSeq.sorted
+    val wantPairs = (for {
+      a <- types; b <- types if a < b
+      common = (cohorts(a) & cohorts(b)).size if common > 0
+    } yield (a, b) -> common).toMap
+    assert(rows.map(r => (r._1, r._2)).toSet === wantPairs.keySet)
+    rows.foreach { case (a, b, na, nb, common, jac) =>
+      assert(na === cohorts(a).size.toLong, s"($a,$b) n_a")
+      assert(nb === cohorts(b).size.toLong, s"($a,$b) n_b")
+      assert(common === wantPairs((a, b)).toLong, s"($a,$b) intersection")
+      assert(common <= math.min(na, nb), s"($a,$b) intersection bound")
+      val want = common.toDouble / (na + nb - common)
+      assert(math.abs(jac - want) < 1e-6 && jac > 0.0 && jac <= 1.0,
+        s"($a,$b) jaccard $jac vs $want")
+    }
+  }
 }
