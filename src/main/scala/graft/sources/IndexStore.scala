@@ -53,6 +53,37 @@ object IndexStore {
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$dir/postings")
 
+  /** Compact the postings store: every [[appendIvf]] microbatch lands
+    * one new file per touched cell directory, so a long-running upsert
+    * stream degrades serve-time listing and scan granularity (hundreds
+    * of tiny row groups per inverted list). Compaction rewrites the
+    * postings with one shuffle keyed on `cell` — each cell's rows land
+    * in exactly one task, hence ONE file per cell directory — into a
+    * sibling directory, then swaps it in. Row content is untouched
+    * (IndexStoreSpec pins byte-identical serve results and the
+    * one-file-per-cell invariant).
+    *
+    * The delete+rename swap is not atomic across the two steps — a
+    * crash between them loses the listing until re-run. Production
+    * compaction lands in a transactional table format (manifest swap);
+    * this is the filesystem-level equivalent, same caveat class as
+    * [[appendIvf]]'s at-least-once note.
+    */
+  def compactIvf(s: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/postings_compacting"
+    s.read.parquet(s"$dir/postings")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+    val conf = s.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val fs = live.getFileSystem(conf)
+    fs.delete(live, true)
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+  }
+
   /** Reload (centroids, postings) for [[graft.operators.Similarity
     * .annIvfServe]]. Column order is restored to the build-time shape
     * (partitionBy moves `cell` last on disk).

@@ -227,6 +227,53 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction: one file per cell, serve results byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_compact")
+      .toString
+    try {
+      val all = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val (centFit, _) = Similarity.buildIvfIndex(spark, sf)
+      // base build + 3 appends: each append adds a file per touched cell
+      IndexStore.saveIvf(dir, centFit,
+        Similarity.assignVectors(all.filter(col("vec_id") % 4 === 0), centFit))
+      (1 to 3).foreach { r =>
+        IndexStore.appendIvf(dir, Similarity.assignVectors(
+          all.filter(col("vec_id") % 4 === r), centFit))
+      }
+      def cellDirs = new java.io.File(s"$dir/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      def parquetFiles(d: java.io.File) =
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(cellDirs.exists(parquetFiles(_).length > 1),
+        "fixture never fragmented — appends landed in one file?")
+
+      val queries = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          Vectors.norm(col("embedding")).as("q_nrm"))
+        .filter(col("q_id") < Similarity.NumQueries)
+      def serve(): Seq[(Long, Long, Int, Double)] = {
+        val (c, a) = IndexStore.loadIvf(spark, dir)
+        Similarity.annIvfServe(queries, c, a)
+          .as[(Long, Long, Int, Double)].collect().toSeq
+      }
+      val before = serve()
+      val rowsBefore = spark.read.parquet(s"$dir/postings").count()
+      IndexStore.compactIvf(spark, dir)
+      assert(cellDirs.nonEmpty &&
+        cellDirs.forall(parquetFiles(_).length === 1),
+        "compaction left a multi-file cell directory")
+      assert(!new java.io.File(s"$dir/postings_compacting").exists(),
+        "staging directory survived the swap")
+      assert(spark.read.parquet(s"$dir/postings").count() === rowsBefore)
+      assert(serve() === before, "serve results drifted across compaction")
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir)
+    }
+  }
+
   /** Every FileSourceScanExec in an executed plan, descending through
     * adaptive wrappers (AQE hides finalized stages from plain
     * collect).
