@@ -817,18 +817,26 @@ object Events {
     * analyses, and the behavioral twin of the dedup family's set
     * similarity.
     *
-    * Scale shape: cohorts dedup with one (type, user) combine; the
-    * intersection is a user-keyed self-join where a user active in T
-    * types emits T(T−1)/2 pairs — bounded by the type ALPHABET, never
-    * the event count — and cohort sizes broadcast onto the ≤ |T|²-row
-    * pair table. Nothing materializes a per-type user list.
+    * Scale shape: ONE corpus-grain shuffle — the per-user
+    * `collect_set(type)` combine (map-side partial, per-user state
+    * bounded by the type ALPHABET) — after which everything is
+    * user-table grain: a user active in T types explodes into
+    * T(T−1)/2 pair rows counted into the ≤ |T|²-row matrix, and
+    * cohort sizes regroup from the same pinned per-user frame (no
+    * second corpus pass, no user-keyed self-join — the naive
+    * cohort-table self-join costs a second corpus-scale shuffle).
     */
   def eUserOverlap(s: SparkSession, d: String): DataFrame = {
-    val cohorts = load(s, d).select(col("event_type"), col("user_id")).distinct()
-    val sizes = cohorts.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val inter = cohorts.toDF("type_a", "uid_a")
-      .join(cohorts.toDF("type_b", "uid_b"),
-        col("uid_a") === col("uid_b") && col("type_a") < col("type_b"))
+    val perUser = Materialize.pin(load(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types")))
+    val sizes = perUser
+      .select(explode(col("types")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = perUser
+      .select(explode(col("types")).as("type_a"), col("types"))
+      .select(col("type_a"), explode(col("types")).as("type_b"))
+      .filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
     inter
       .join(broadcast(sizes.toDF("type_a", "n_a")), "type_a")

@@ -45,7 +45,7 @@ object ShardSink {
     val spark = df.sparkSession
     val sorted = df.orderBy(orderCols.map(col): _*)
     val withRank = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       sorted.schema.add("__rank", LongType, nullable = false))
     val sharded = withRank
       .withColumn("shard", (col("__rank") / rowsPerShard).cast("long"))

@@ -670,6 +670,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("user overlap: both consumers regroup the pinned per-user type sets") {
+    val p = finalOnly(plan(graft.operators.Events.eUserOverlap(spark, sf)))
+    // the one corpus-grain shuffle (groupBy user + collect_set) lives
+    // inside the pin job; the visible plan reads the pinned user-grain
+    // frame for BOTH the pair matrix and the cohort sizes and never
+    // rescans the events parquet
+    assert(!p.contains("Scan parquet"), "events rescanned:\n" + p.take(1200))
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2,
+      "pinned per-user sets not feeding both consumers:\n" + p.take(1200))
+  }
+
   test("scene cut: doc window and report share one doc_id exchange") {
     val p = finalOnly(plan(graft.operators.Multimodal.mSceneCut(spark, sf)))
     assert("Window ".r.findAllIn(p).length === 1, p.take(1200))
