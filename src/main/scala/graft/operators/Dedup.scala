@@ -151,7 +151,7 @@ object Dedup {
     * digest-byte order), let-bound in a single-element `transform` so
     * CollapseProject cannot re-inline the fold per band reference.
     */
-  private def minhashBanded(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBanded(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
