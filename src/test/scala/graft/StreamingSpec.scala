@@ -429,6 +429,38 @@ class StreamingSpec extends SparkSpec {
       val batch = EventStreams.tumblingCounts(batchEvents.toDF())
         .as[(Timestamp, String, Long)].collect().toSet
       assert(streamed === batch && batch.nonEmpty)
+      // the two newest flatMapGroupsWithState ops on the same provider:
+      // near-dup suppression == its driver replay, scene cuts == batch
+      import graft.streaming.{DedupStreams, MediaStreams}
+      val bandedRows = DedupStreams.banded(Tables.documents(spark, sf))
+        .collect().toSeq.sortBy(b => (b.doc_id, b.bucket))
+      val ndIn = MemoryStream[DedupStreams.BandedDoc](spark)
+      val ndQ = DedupStreams.nearDupSuppress(ndIn.toDS())
+        .writeStream.format("memory").queryName("t_rocks_nd")
+        .outputMode("append").start()
+      try {
+        bandedRows.grouped(math.max(1, bandedRows.size / 3)).foreach { g =>
+          ndIn.addData(g); ndQ.processAllAvailable()
+        }
+      } finally ndQ.stop()
+      val ndGot = spark.table("t_rocks_nd").count()
+      assert(ndGot === bandedRows.size.toLong,
+        "one verdict per banded row under RocksDB")
+      val frames = graft.operators.Multimodal.frameLuma(spark, sf)
+        .as[(Long, Int, Int)].collect().toSeq
+        .map { case (d, i, l) => MediaStreams.FrameRow(d, i, l) }
+      val scIn = MemoryStream[MediaStreams.FrameRow](spark)
+      val scQ = MediaStreams.sceneCuts(scIn.toDS())
+        .writeStream.format("memory").queryName("t_rocks_sc")
+        .outputMode("update").start()
+      try { scIn.addData(frames); scQ.processAllAvailable() } finally scQ.stop()
+      val scGot = spark.table("t_rocks_sc")
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, nf, nc) => d -> ((nf, nc)) }.toMap
+      val scWant = graft.operators.Multimodal.mSceneCut(spark, sf)
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, nf, nc) => d -> ((nf, nc)) }.toMap
+      assert(scGot === scWant)
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
