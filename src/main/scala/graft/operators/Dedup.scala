@@ -326,6 +326,138 @@ object Dedup {
        |FROM e2 GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // ------------------------------------ b-bit minwise calibration
+  /** b-bit MinHash (Li & König, WWW 2010) at b = 1: store only ONE BIT
+    * per signature component (here the parity of the component's first
+    * hex digit — any fixed bit of the min-hash value works) and
+    * estimate Jaccard from the bit-agreement fraction A via
+    * J ≈ 2A − 1 (for a large hash universe a non-matching component
+    * agrees by chance 1/2, so E[A] = J + (1−J)/2). The 64× storage
+    * cut is what makes sketch tables feasible at 100 TB corpus scale;
+    * the price is variance, and this audit MEASURES it on the real
+    * corpus: every LSH candidate pair scored three ways (1-bit
+    * estimate, full-signature estimate, exact shingle Jaccard), binned
+    * by exact-Jaccard decile with mean estimates and mean absolute
+    * errors side by side — the b-vs-K budget table a deployment reads
+    * before shrinking its sketches.
+    *
+    * Scale shape: identical to [[dMinhashEstErr]] (banded buckets,
+    * salt-bounded pairs, pinned shingle sets joined by id); the bit
+    * projection adds map-side work only.
+    */
+  def dBbitEst(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val banded = minhashBanded(docs)
+      .select(col("bucket").as("blk"),
+        struct(col("doc_id"), col("sig")).as("v"))
+    def bit(c: Column) = ascii(substring(c, 1, 1)) % 2
+    val agreeFull = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y), (b: Column) => b))
+    val agreeBit = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (x, y) => bit(x) === bit(y)),
+      (b: Column) => b))
+    val cand = blockPairs(banded)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        agreeFull.cast("int").as("agree"), agreeBit.cast("int").as("agree1"))
+      .distinct()
+    val sh = Materialize.pin(docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftSql.shingleHashSet(col("toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val inter = org.apache.spark.sql.graft.GraftSql
+      .sortedIntersectCount(col("sha"), col("shb")).cast("bigint")
+    val paired = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("agree"), col("agree1"), inter.as("inter"),
+        (size(col("sha")).cast("bigint") + size(col("shb"))).as("sz"))
+      .select(col("agree"), col("agree1"), col("inter"),
+        (col("sz") - col("inter")).as("uni"))
+    val estK6 = round(col("agree").cast("double") / MinhashK, 6)
+    val est16 = round(greatest(lit(0.0),
+      lit(2.0) * col("agree1").cast("double") / MinhashK - lit(1.0)), 6)
+    val jac6 = round(col("inter").cast("double") / col("uni"), 6)
+    paired
+      .select(expr("cast(least(9, (inter * 10) div uni) as int)").as("bin"),
+        estK6.as("estk6"), est16.as("est16"), jac6.as("jac6"))
+      .withColumn("errk6", round(abs(col("estk6") - col("jac6")), 6))
+      .withColumn("err16", round(abs(col("est16") - col("jac6")), 6))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("est16").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_est_1bit"),
+        round(sum(col("estk6").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_est_full"),
+        round(sum(col("jac6").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_jac"),
+        round(sum(col("err16").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_abs_err_1bit"),
+        round(sum(col("errk6").cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_abs_err_full"))
+      .orderBy("bin")
+  }
+
+  lazy val dBbitEstSql: String = {
+    val sigExprs = (0 until MinhashK).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j|' || x))) AS sig_$j")
+      .mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"sig_${b * RowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until MinhashK)
+      .map(j => s"CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val agree1 = (0 until MinhashK)
+      .map(j => s"CASE WHEN ascii(sa.sig_$j[1:1]) % 2 = " +
+        s"ascii(sb.sig_$j[1:1]) % 2 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ${Text.ToksSql} AS toks FROM documents),
+       |sh3 AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |sigs AS (SELECT doc_id,
+       |  $sigExprs
+       |FROM sh3 WHERE len(sh) > 0),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |pr AS (SELECT ($agree) AS agree, ($agree1) AS agree1,
+       |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))
+       |      AS BIGINT) AS uni
+       |  FROM cand cd
+       |  JOIN sigs sa ON sa.doc_id = cd.a JOIN sigs sb ON sb.doc_id = cd.b
+       |  JOIN sh3 ha ON ha.doc_id = cd.a JOIN sh3 hb ON hb.doc_id = cd.b),
+       |e AS (SELECT CAST(LEAST(9, (inter * 10) // uni) AS INT) AS bin,
+       |    round(CAST(agree AS DOUBLE) / $MinhashK, 6) AS estk6,
+       |    round(GREATEST(0.0,
+       |      2.0 * CAST(agree1 AS DOUBLE) / $MinhashK - 1.0), 6) AS est16,
+       |    round(CAST(inter AS DOUBLE) / uni, 6) AS jac6 FROM pr),
+       |e2 AS (SELECT bin, estk6, est16, jac6,
+       |    round(abs(estk6 - jac6), 6) AS errk6,
+       |    round(abs(est16 - jac6), 6) AS err16 FROM e)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(CAST(est16 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_est_1bit,
+       |  round(CAST(SUM(CAST(estk6 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_est_full,
+       |  round(CAST(SUM(CAST(jac6 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_jac,
+       |  round(CAST(SUM(CAST(err16 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_abs_err_1bit,
+       |  round(CAST(SUM(CAST(errk6 AS DECIMAL(16,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_abs_err_full
+       |FROM e2 GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   // -------------------------------------- recursive duplication reach
   /** Bounded transitive duplication reach via the SQL front door's
     * RECURSIVE CTE (Spark 4's iterative-CTE execution — the engine
@@ -1726,6 +1858,7 @@ object Dedup {
     "d_exact"       -> (dExact _, dExactSql),
     "d_minhash_lsh" -> (dMinhashLsh _, dMinhashLshSql),
     "d_minhash_est_err" -> (dMinhashEstErr _, dMinhashEstErrSql),
+    "d_bbit_est" -> (dBbitEst _, dBbitEstSql),
     "d_reach"       -> (dReach _, dReachSql),
     "d_incremental" -> (dIncremental _, dIncrementalSql),
     "d_incremental_bloom" -> (dIncrementalBloom _, dIncrementalBloomSql),

@@ -528,4 +528,26 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(kept - (n - rm).toDouble / n) < 5.001e-7, s"$src pct_kept")
     }
   }
+
+  test("b-bit estimator: bins agree with the full-K audit; estimates in range") {
+    import spark.implicits._
+    // same candidate machinery + same exact-Jaccard binning → the two
+    // audits must see the SAME pairs: identical bins, n_pairs, mean_jac,
+    // and d_bbit_est's full-K column == d_minhash_est_err's estimate
+    val bbit = Dedup.dBbitEst(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val full = Dedup.dMinhashEstErr(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(bbit.keySet === full.keySet && bbit.nonEmpty)
+    bbit.foreach { case (bin, (_, n, est1, estK, jac, err1, errK)) =>
+      val (_, nF, estF, jacF, errF, _) = full(bin)
+      assert(n === nF, s"bin $bin pair count")
+      assert(estK === estF, s"bin $bin full-K estimate")
+      assert(jac === jacF, s"bin $bin exact jaccard")
+      assert(errK === errF, s"bin $bin full-K error")
+      assert(est1 >= 0.0 && est1 <= 1.0 && err1 >= 0.0, s"bin $bin 1-bit range")
+    }
+  }
 }
