@@ -366,6 +366,91 @@ object Events {
       |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** The same as-of semantics as [[eAsofJoin]] through the NATIVE
+    * whole-operator path (graft.plans.AsofJoinExec): one shuffle per
+    * side on the equality key, a per-partition sort-merge with O(1)
+    * held state, and zero fan-out — vs the composed plan's
+    * |event × same-user orders| intermediate. Same oracle SQL as
+    * e_asof_join, so the driver's hash gate certifies the custom
+    * physical operator bit-for-bit against DuckDB every round.
+    */
+  def eAsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    graft.plans.AsofJoin.joinAsOf(ev, ord,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
+      .orderBy("event_id")
+  }
+
+  /** Native as-of with a 90-day tolerance window: the latest order at
+    * most 90 days before the event — the freshness-bounded lookup every
+    * feature-store join needs (a match older than the window is a
+    * stale feature, worse than none). Same native operator; the
+    * tolerance check rides the O(1) merge state, costing nothing.
+    */
+  def eAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    graft.plans.AsofJoin.joinAsOf(ev, ord,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        tiebreak = Seq("o_orderkey"),
+        toleranceUs = Some(90L * 86400L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
+      .orderBy("event_id")
+  }
+
+  val eAsofToleranceSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM ev e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND epoch(o.o_orderdate) * 1000000 <= e.us
+      |    AND e.us - epoch(o.o_orderdate) * 1000000 <= 7776000000000)
+      |SELECT event_id, user_id, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Native FORWARD as-of: the earliest order at or after the event —
+    * next-action attribution (which order did this click lead to?).
+    * Ties resolve to the smallest orderkey, mirroring backward's
+    * largest-key convention under its DESC ordering.
+    */
+  def eAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    graft.plans.AsofJoin.joinAsOf(ev, ord,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        tiebreak = Seq("o_orderkey"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
+      .orderBy("event_id")
+  }
+
+  val eAsofForwardSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |j AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST) AS rn
+      |  FROM ev e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND epoch(o.o_orderdate) * 1000000 >= e.us)
+      |SELECT event_id, user_id, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------- range join
   /** Interval/range self-join: for every event, how many same-user
     * events follow within 10 minutes (burst/co-occurrence detection).
@@ -2895,6 +2980,9 @@ object Events {
     "e_session"    -> (eSession _, eSessionSql),
     "e_json_props" -> (eJsonProps _, eJsonPropsSql),
     "e_asof_join"  -> (eAsofJoin _, eAsofJoinSql),
+    "e_asof_native" -> (eAsofNative _, eAsofJoinSql),
+    "e_asof_tolerance" -> (eAsofTolerance _, eAsofToleranceSql),
+    "e_asof_forward" -> (eAsofForward _, eAsofForwardSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),
   )
 }

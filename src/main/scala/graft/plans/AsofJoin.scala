@@ -1,0 +1,300 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
+  BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
+
+/** Native as-of join — the whole-operator extension path the preference
+  * order reserves for semantics Spark's relational algebra can't express
+  * without a blow-up: a logical node, a planner strategy, and a physical
+  * sort-merge operator, registered per-session (`AsofJoin.ensureRegistered`)
+  * or cluster-wide via `spark.sql.extensions` (GraftExtensions).
+  *
+  * Semantics (left outer, "backward" direction): for every left row, the
+  * single right row with equal keys and the LARGEST right time that is
+  * `<= ` the left time (within `toleranceUs`, when set); ties on right
+  * time resolve to the largest `tiebreak` value. Left rows with no match
+  * keep null right columns — exactly the composed form in
+  * [[graft.operators.Events.eAsofJoin]] (equality join + range filter +
+  * row_number()==1), which this operator replaces with a plan whose cost
+  * is a sort-merge instead of a fan-out-then-group-limit.
+  *
+  * Why a physical operator is the 100 TB shape: the composed plan fans
+  * out to |left-row × same-key right rows| BEFORE WindowGroupLimit trims
+  * it, so a hot key (one user with 10^6 orders) materializes 10^6
+  * candidates per event. This exec is one shuffle per side on the equality
+  * keys (the same exchanges a sort-merge join pays), a per-partition
+  * merge with O(1) held state — the last usable right row — and zero
+  * fan-out: per task, cost is |left| + |right| rows streamed once,
+  * independent of per-key match multiplicity.
+  *
+  * Both inputs must be sorted by (keys…, time) within each hash-partition
+  * of the keys; the operator DECLARES that requirement
+  * (`requiredChildDistribution` / `requiredChildOrdering`) and
+  * EnsureRequirements plants the exchanges and sorts — AQE, skew handling
+  * and exchange reuse all apply unchanged, which is the point of doing
+  * this as a SparkPlan instead of zipPartitions over hand-shuffled RDDs.
+  *
+  * Time columns are epoch-µs LONGs (the API rejects anything else), so
+  * the merge compares primitives, not Ordering[Any] boxes.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    tiebreak: Seq[Expression],
+    toleranceUs: Option[Long],
+    forward: Boolean) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical backward as-of join: co-partitioned on the equality keys,
+  * per-partition two-pointer merge over (keys, time)-sorted inputs
+  * holding exactly one candidate right row. See [[AsofJoinPlan]].
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    tiebreak: Seq[Expression],
+    toleranceUs: Option[Long],
+    forward: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  /** Same contract as a shuffled equi-join: both children clustered on
+    * the equality keys; EnsureRequirements co-partitions them (and AQE
+    * may later coalesce/split — the merge only assumes same-key
+    * co-location, not a partition count).
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** (keys…, time) ascending both sides; the right side additionally
+    * orders by the tiebreak columns so "hold the LAST usable row" picks
+    * the max tiebreak among equal times — deterministic output without a
+    * post-pass.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +: tiebreak.map(SortOrder(_, Ascending))))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  /** The merge streams the left side in order — downstream sorts on the
+    * same prefix are elided.
+    */
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val tol = toleranceUs
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val allOutput = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val fwd = forward
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+      // Output must be UnsafeRow for downstream exchanges/sorts — same
+      // result projection every join exec applies.
+      val resultProj = UnsafeProjection.create(allOutput, allOutput)
+      val joinedRow = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOutput.length)
+      val rBuf = rIter.buffered
+      // O(1) merge state (backward only): the last right row consumed
+      // whose (key, time) was usable for the current left cursor. Rows
+      // from earlier keys are rejected by the key compare, so no explicit
+      // reset on key change is needed. Forward holds nothing: the match
+      // is always the right cursor's head, which stays buffered because
+      // it may also match later left rows.
+      var heldKey: UnsafeRow = null
+      var held: InternalRow = null
+      var heldTime = 0L
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val ltAny = lTimeB.eval(l)
+        val matched = if (ltAny == null) {
+          // null left time sorts first within its key: nothing can match
+          // and no right rows of this key are consumable yet.
+          null
+        } else if (fwd) {
+          val lt = ltAny.asInstanceOf[Long]
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rk, lk)
+            if (c > 0) done = true // head stays for later keys
+            else if (c < 0) rBuf.next() // left cursor moved past this key
+            else {
+              val rtAny = rTimeB.eval(rBuf.head)
+              // null right times sort first and can never match; rows
+              // strictly before lt can't match this or any later left
+              // row of this key (left times are non-decreasing).
+              if (rtAny == null || rtAny.asInstanceOf[Long] < lt) rBuf.next()
+              else done = true
+            }
+          }
+          if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+            val rtAny = rTimeB.eval(rBuf.head)
+            if (rtAny != null &&
+                tol.forall(t => rtAny.asInstanceOf[Long] - lt <= t)) rBuf.head
+            else null
+          } else null
+        } else {
+          val lt = ltAny.asInstanceOf[Long]
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rk, lk)
+            if (c > 0) {
+              done = true // right cursor is ahead; head stays for later keys
+            } else if (c < 0) {
+              rBuf.next() // left cursor moved past this key: discard
+            } else {
+              val rtAny = rTimeB.eval(rBuf.head)
+              if (rtAny == null) {
+                rBuf.next() // null right times sort first; never usable
+              } else if (rtAny.asInstanceOf[Long] <= lt) {
+                val r = rBuf.next()
+                held = r.copy()
+                heldKey = rKeyProj(r).copy()
+                heldTime = rtAny.asInstanceOf[Long]
+              } else {
+                done = true // future right rows of this key stay buffered
+              }
+            }
+          }
+          if (held != null && keyOrd.compare(heldKey, lk) == 0 &&
+              tol.forall(t => lt - heldTime <= t)) held else null
+        }
+        numOutputRows += 1
+        if (matched != null) {
+          numMatched += 1
+          resultProj(joinedRow(l, matched))
+        } else {
+          resultProj(joinedRow(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]; everything below the node
+  * goes back through the normal planner (`planLater`).
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tb, tol, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, tol, fwd, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level API over [[AsofJoinPlan]]. */
+object AsofJoin {
+
+  /** Idempotent per-session registration via the public
+    * `ExperimentalMethods` hook — query functions receive the session
+    * from the driver and cannot assume `spark.sql.extensions` was set
+    * (mirrors GraftSql.ensureRegistered).
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!em.extraStrategies.contains(AsofJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** As-of join (left outer). Backward (default): for each `left` row,
+    * the latest `right` row with equal keys and `rightTimeUs <=
+    * leftTimeUs` (and `leftTimeUs - rightTimeUs <= toleranceUs` when
+    * set); ties on time resolve to the LARGEST `tiebreak`. Forward
+    * (`direction = "forward"`): the earliest right row with
+    * `rightTimeUs >= leftTimeUs` (within tolerance); ties resolve to
+    * the SMALLEST tiebreak. Time columns must be LONG (epoch µs by
+    * convention — any monotone long works).
+    *
+    * Self-join note: both inputs must carry distinct attribute ids; for
+    * a same-source as-of join, rename the right side's columns first
+    * (`right.select(cols.map(c => col(c).as(c + "_r")): _*)`).
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      leftBy: Seq[String],
+      rightBy: Seq[String],
+      tiebreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"joinAsOf: direction must be backward|forward, got '$direction'")
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"joinAsOf: no column '$n' on the $side side (has ${out.map(_.name).mkString(", ")})"))
+    val lt = attr(lp.output, leftTime, "left")
+    val rt = attr(rp.output, rightTime, "right")
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      s"joinAsOf: time columns must be LONG (epoch µs); got ${lt.dataType} / ${rt.dataType}")
+    require(leftBy.length == rightBy.length,
+      s"joinAsOf: key lists differ in length (${leftBy.length} vs ${rightBy.length})")
+    val lk = leftBy.map(attr(lp.output, _, "left"))
+    val rk = rightBy.map(attr(rp.output, _, "right"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"joinAsOf: key type mismatch ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+    }
+    require(lp.outputSet.intersect(rp.outputSet).isEmpty,
+      "joinAsOf: inputs share attribute ids (self-join) — alias the right side's columns first")
+    toleranceUs.foreach(t => require(t >= 0, s"joinAsOf: negative tolerance $t"))
+    val tb = tiebreak.map(attr(rp.output, _, "right"))
+    org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+      AsofJoinPlan(lp, rp, lk, rk, lt, rt, tb, toleranceUs,
+        forward = direction == "forward"))
+  }
+}

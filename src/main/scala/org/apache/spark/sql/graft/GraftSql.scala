@@ -22,6 +22,16 @@ object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an arbitrary logical plan (`Dataset.ofRows` is
+    * private[sql]) — how the custom whole-operator nodes
+    * (graft.plans.AsofJoinPlan) enter a query.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Codegen'd float-array dot product (see graft.plans.FloatDotProduct). */
   def floatDot(a: Column, b: Column): Column =
     column(FloatDotProduct(expression(a), expression(b)))
@@ -249,5 +259,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftSql.functionDescriptions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

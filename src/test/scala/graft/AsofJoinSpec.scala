@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.plans.{AsofJoin, AsofJoinExec}
+
+/** The native as-of join (logical node + strategy + physical sort-merge
+  * exec): semantics pinned against the composed window form over the
+  * fixtures AND a synthetic frame that exercises ties, tolerance, null
+  * times, and unmatched keys; plan shape pinned to one exchange per
+  * side and zero fan-out nodes (no Window, no Join in the plan).
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Deep collect across AQE stage boundaries (QueryStageExec hides
+    * finalized subtrees from plain collect).
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  test("e_asof_native equals the composed e_asof_join row-for-row") {
+    val native = Events.eAsofNative(spark, sf).collect().toSeq
+    val composed = Events.eAsofJoin(spark, sf).collect().toSeq
+    assert(native.nonEmpty)
+    assert(native === composed)
+  }
+
+  test("ties on right time resolve to the max tiebreak; tolerance nulls out stale matches") {
+    val l = Seq((1L, 100L), (1L, 205L), (2L, 50L), (3L, 10L))
+      .toDF("k", "t")
+    val r = Seq(
+        (1L, 100L, 7L), (1L, 100L, 9L), // tie on time: expect id 9
+        (1L, 200L, 1L),
+        (2L, 45L, 3L))                  // user 3 has no right rows
+      .toDF("rk", "rt", "rid")
+    val out = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        tiebreak = Seq("rid"))
+      .select("k", "t", "rid").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(out === Set(
+      (1L, 100L, Some(9L)),  // exact-time match, tie -> max rid
+      (1L, 205L, Some(1L)),  // latest <= 205 is t=200
+      (2L, 50L, Some(3L)),
+      (3L, 10L, None)))      // no right rows for this key
+
+    val tol = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        tiebreak = Seq("rid"), toleranceUs = Some(4L))
+      .select("k", "t", "rid").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(tol === Set(
+      (1L, 100L, Some(9L)),  // gap 0 <= 4
+      (1L, 205L, None),      // gap 5 > 4: held row rejected
+      (2L, 50L, None),       // gap 5 > 4
+      (3L, 10L, None)))
+  }
+
+  test("forward direction: earliest >= time, min tiebreak on ties, tolerance bound") {
+    val l = Seq((1L, 100L), (1L, 205L), (2L, 50L), (3L, 10L)).toDF("k", "t")
+    val r = Seq(
+        (1L, 100L, 7L), (1L, 100L, 9L), // tie on time: expect min rid 7
+        (1L, 200L, 1L),
+        (2L, 45L, 3L))                  // only BEFORE user 2's event
+      .toDF("rk", "rt", "rid")
+    val out = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        tiebreak = Seq("rid"), direction = "forward")
+      .select("k", "t", "rid").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(out === Set(
+      (1L, 100L, Some(7L)),  // exact-time match, tie -> min rid
+      (1L, 205L, None),      // nothing at/after 205
+      (2L, 50L, None),       // 45 < 50: backward-only
+      (3L, 10L, None)))
+    // and the forward match for an earlier left row must stay available
+    val l2 = Seq((1L, 90L), (1L, 95L)).toDF("k", "t")
+    val out2 = AsofJoin.joinAsOf(l2, r, "t", "rt", Seq("k"), Seq("rk"),
+        tiebreak = Seq("rid"), direction = "forward",
+        toleranceUs = Some(10L))
+      .select("t", "rid").as[(Long, Option[Long])].collect().toSet
+    assert(out2 === Set((90L, Some(7L)), (95L, Some(7L)))) // both within 10
+
+    // e_asof_forward matches its composed-window equivalent on fixtures
+    val native = Events.eAsofForward(spark, sf).collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    val ev = Events.load(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+    val composed = ev.join(ord,
+        col("user_id") === col("o_custkey") && col("o_orderdate") >= col("ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"))
+      .orderBy("event_id").collect().toSeq
+    assert(native.nonEmpty && native === composed)
+  }
+
+  test("null times never match and never block later rows") {
+    val l = Seq((1L, Some(10L)), (1L, None), (2L, Some(5L))).toDF("k", "t")
+      .select(col("k"), col("t").cast("long").as("t"))
+    val r = Seq((1L, Some(8L), 1L), (1L, None, 2L), (2L, Some(9L), 3L))
+      .toDF("rk", "rt", "rid")
+      .select(col("rk"), col("rt").cast("long").as("rt"), col("rid"))
+    val out = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        tiebreak = Seq("rid"))
+      .select("k", "t", "rid").as[(Long, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(out === Set(
+      (1L, Some(10L), Some(1L)), // null-time right row (rid 2) skipped
+      (1L, None, None),          // null-time left row: no match
+      (2L, Some(5L), None)))     // rt=9 > 5
+  }
+
+  test("plan: AsofJoinExec with one shuffle per side, no Window/Join fan-out") {
+    val df = Events.eAsofNative(spark, sf)
+    val plan = executed(df)
+    val nodes = allNodes(plan)
+    val asof = nodes.collect { case e: AsofJoinExec => e }
+    assert(asof.length === 1, s"expected one AsofJoinExec:\n$plan")
+    // key exchanges feeding the merge + one range exchange for the final
+    // orderBy + the fixture respread — never more (the composed form
+    // pays the same plus the window's, and then fans out)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.length <= 4, s"unexpected exchanges:\n$plan")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "native asof must not plan a Window")
+    assert(!plan.toString.contains("SortMergeJoin") &&
+      !plan.toString.contains("BroadcastHashJoin"),
+      "native asof must not plan a relational join")
+  }
+
+  test("merge holds O(1) state under a hot key (no per-key buffering)") {
+    // 20k right rows on ONE key; the composed form would materialize a
+    // 20k-wide candidate set per left row before its group-limit. The
+    // native exec streams them: this passing quickly (and at all) on an
+    // 8-thread heap is the behavioural evidence, and the match is exact.
+    val n = 20000
+    val l = Seq((1L, n.toLong + 5), (1L, 3L)).toDF("k", "t")
+    val r = (1 to n).map(i => (1L, i.toLong, i.toLong)).toDF("k", "rt", "rid")
+    val out = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("k"),
+        tiebreak = Seq("rid"))
+      .select("t", "rid").as[(Long, Option[Long])].collect().toSet
+    assert(out === Set((n.toLong + 5, Some(n.toLong)), (3L, Some(3L))))
+  }
+
+  test("API rejects non-long times, mismatched keys, and shared attribute ids") {
+    val l = Seq((1L, "x")).toDF("k", "t")
+    val r = Seq((1L, 2L)).toDF("k", "rt")
+    intercept[IllegalArgumentException] {
+      AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("k"))
+    }
+    val l2 = Seq((1L, 2L)).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      AsofJoin.joinAsOf(l2, r, "t", "rt", Seq("k"), Seq("k", "k"))
+    }
+    intercept[IllegalArgumentException] { // self-join without re-alias
+      AsofJoin.joinAsOf(l2, l2, "t", "t", Seq("k"), Seq("k"))
+    }
+  }
+
+  test("self-asof works after re-aliasing the right side") {
+    val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"))
+      .toDF("k", "t", "tag")
+    val prev = ev.select(col("k").as("k_r"), col("t").as("t_r"),
+      col("tag").as("tag_r"))
+    // strictly-before via tolerance-free shift: t_r <= t - 1
+    val shifted = ev.withColumn("t_prev", col("t") - 1)
+    val out = AsofJoin.joinAsOf(shifted, prev, "t_prev", "t_r",
+        Seq("k"), Seq("k_r"), tiebreak = Seq("t_r"))
+      .select("tag", "tag_r").as[(String, Option[String])].collect().toSet
+    assert(out === Set(("a", None), ("b", Some("a")), ("c", Some("b"))))
+  }
+}
