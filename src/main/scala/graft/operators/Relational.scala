@@ -143,6 +143,49 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Driver-gated bucketed co-located join (the BucketingSpec story
+    * inside the oracle gate): both fact sides are WRITTEN bucketed +
+    * sorted by the join key to a deterministic scratch warehouse (keyed
+    * by fixture dir; Overwrite — the one-time layout cost any
+    * bucket-maintained lakehouse table pays at ingest), re-read through
+    * the catalog, and joined with the merge hint — the bucketed scans
+    * feed SortMergeJoin with NO exchange on either side, which at
+    * 100 TB is the difference between re-shuffling both tables on every
+    * query and reading pre-placed buckets. The DuckDB oracle
+    * hash-certifies the whole bucketed write→catalog→scan→join path
+    * against a plain join every round; the no-exchange plan shape is
+    * pinned in BucketingSpec.
+    */
+  def qJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    val scratch = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir")),
+      "graft_bucketed_" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+    s.sql("DROP TABLE IF EXISTS graft_li_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$scratch/li").saveAsTable("graft_li_bkt")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$scratch/ord").saveAsTable("graft_ord_bkt")
+    s.table("graft_li_bkt")
+      .hint("SHUFFLE_MERGE")
+      .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(revDec).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qJoinBucketedSql: String =
+    s"""SELECT o_orderpriority, CAST(SUM($REV_SQL) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------- semi join
   /** Customers with at least one open order (EXISTS → left_semi). */
   def qSemiJoin(s: SparkSession, d: String): DataFrame =
@@ -2362,6 +2405,7 @@ object Relational {
     "q_topk"           -> (qTopK _, qTopKSql),
     "q_join_broadcast" -> (qJoinBroadcast _, qJoinBroadcastSql),
     "q_join_shuffle"   -> (qJoinShuffle _, qJoinShuffleSql),
+    "q_join_bucketed"  -> (qJoinBucketed _, qJoinBucketedSql),
     "q_join_salted"    -> (qJoinSalted _, qJoinSaltedSql),
     "q_histogram"      -> (qHistogram _, qHistogramSql),
     "q_semi_join"      -> (qSemiJoin _, qSemiJoinSql),

@@ -24,6 +24,21 @@ class BucketingSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
   }
 
+  test("gated q_join_bucketed: bucketed scans feed the join with no exchange") {
+    val df = graft.operators.Relational.qJoinBucketed(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan.take(800))
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning(l_orderkey") &&
+      !belowJoin.contains("Exchange hashpartitioning(o_orderkey"),
+      "gated bucketed join still shuffles:\n" + plan.take(1500))
+    assert(belowJoin.contains("SelectedBucketsCount") || belowJoin.contains("Bucketed: true"),
+      "join inputs are not bucketed scans:\n" + plan.take(1500))
+  }
+
   private def bucketedJoinBody(wh: String): Unit = {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
