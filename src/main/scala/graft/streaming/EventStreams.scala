@@ -375,6 +375,38 @@ object EventStreams {
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static AS-OF enrichment: each event picks up the LATEST
+    * order of the same user with order time <= event time — the
+    * streaming twin of the native batch as-of join (e_asof_native),
+    * pinned equivalent in StreamingSpec.
+    *
+    * Shape: the static side is pre-aggregated once per user into a
+    * TIME-SORTED array of (t, k) structs, broadcast to the stream-side
+    * tasks, and each event binary-searches nothing — `filter` + last
+    * element on the sorted array gives max-t (ties: max-k, matching the
+    * batch operator's tiebreak). Stateless per row: append mode, no
+    * state store, no watermark needed. Bounded by orders-per-user on
+    * the static side; for an unbounded/huge dimension drop the
+    * broadcast hint (shuffle stream-static join) or run the batch
+    * native operator over micro-batch snapshots via foreachBatch.
+    */
+  def asofEnrich(events: DataFrame, orders: DataFrame): DataFrame = {
+    val dim = orders
+      .select(col("o_custkey"),
+        struct((unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("t"),
+               col("o_orderkey").as("k")).as("rec"))
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .join(broadcast(dim), col("user_id") === col("o_custkey"), "left")
+      .withColumn("m",
+        element_at(filter(col("recs"), r => r("t") <= col("ts_us")), -1))
+      .select(col("event_id"), col("user_id"),
+        col("m.k").as("o_orderkey"),
+        (col("m.t") / lit(1000000L)).cast("bigint").as("order_epoch"))
+  }
+
   /** Convenience: file-stream reader over a fixture directory with the
     * events schema (ts as µs timestamp), for driving these pipelines
     * from parquet drops. maxFilesPerTrigger bounds per-batch work.

@@ -396,6 +396,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("stream-static as-of enrichment == the native batch as-of join") {
+    val orders = Tables.orders(spark, sf)
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.asofEnrich(input.toDF(), orders)
+      .writeStream.format("memory").queryName("t_asof_enrich")
+      .outputMode("append").start()
+    try {
+      batchEvents.grouped(400).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("t_asof_enrich")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val batch = graft.operators.Events.eAsofNative(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // sanity: at least one event actually enriched, at least one null
+    assert(streamed.exists(_._3.isDefined))
+  }
+
   test("checkpointed file sink resumes exactly-once after restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
     val input = MemoryStream[Ev](spark)
