@@ -388,6 +388,25 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** The BROADCAST plan of the same native as-of (same oracle as
+    * e_asof_join/e_asof_native): the orders side is broadcast whole and
+    * indexed per task; the events side pays NO shuffle and NO sort —
+    * the 100 TB fast path when the dimension fits the broadcast budget.
+    */
+  def eAsofBroadcast(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    graft.plans.AsofJoin.joinAsOf(ev, ord,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        tiebreak = Seq("o_orderkey"), broadcast = true)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
+      .orderBy("event_id")
+  }
+
   /** Native as-of with a 90-day tolerance window: the latest order at
     * most 90 days before the event — the freshness-bounded lookup every
     * feature-store join needs (a match older than the window is a
@@ -2981,6 +3000,7 @@ object Events {
     "e_json_props" -> (eJsonProps _, eJsonPropsSql),
     "e_asof_join"  -> (eAsofJoin _, eAsofJoinSql),
     "e_asof_native" -> (eAsofNative _, eAsofJoinSql),
+    "e_asof_broadcast" -> (eAsofBroadcast _, eAsofJoinSql),
     "e_asof_tolerance" -> (eAsofTolerance _, eAsofToleranceSql),
     "e_asof_forward" -> (eAsofForward _, eAsofForwardSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),

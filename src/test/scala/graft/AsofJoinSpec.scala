@@ -116,6 +116,51 @@ class AsofJoinSpec extends SparkSpec {
     assert(native.nonEmpty && native === composed)
   }
 
+  test("broadcast variant: identical rows to the shuffled exec in every mode") {
+    // fixture: gated broadcast query == gated shuffled query
+    val bcast = Events.eAsofBroadcast(spark, sf).collect().toSeq
+    val shuffled = Events.eAsofNative(spark, sf).collect().toSeq
+    assert(bcast.nonEmpty && bcast === shuffled)
+
+    // synthetic: backward/forward × tolerance parity on ties and misses
+    val l = Seq((1L, 100L), (1L, 205L), (2L, 50L), (3L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 200L, 1L), (2L, 45L, 3L))
+      .toDF("rk", "rt", "rid")
+    for (dir <- Seq("backward", "forward"); tolOpt <- Seq(None, Some(4L))) {
+      val a = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
+          tiebreak = Seq("rid"), toleranceUs = tolOpt, direction = dir)
+        .select("k", "t", "rid").as[(Long, Long, Option[Long])].collect().toSet
+      val b = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
+          tiebreak = Seq("rid"), toleranceUs = tolOpt, direction = dir,
+          broadcast = true)
+        .select("k", "t", "rid").as[(Long, Long, Option[Long])].collect().toSet
+      assert(a === b, s"divergence at direction=$dir tolerance=$tolOpt")
+    }
+  }
+
+  test("broadcast plan: no shuffle and no sort on the left side at all") {
+    val ev = Events.load(spark, sf).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    // no trailing orderBy: the raw join plan must add NOTHING to the left
+    val df = AsofJoin.joinAsOf(ev, ord, "ts_us", "o_us",
+      Seq("user_id"), Seq("o_custkey"), tiebreak = Seq("o_orderkey"),
+      broadcast = true)
+    val nodes = allNodes(executed(df))
+    assert(nodes.exists(_.isInstanceOf[graft.plans.AsofBroadcastJoinExec]),
+      s"no AsofBroadcastJoinExec:\n${nodes.head}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // the only allowed exchange is the fixture respread below the scan
+    assert(shuffles.forall(_.toString.contains("REPARTITION_BY_NUM")),
+      s"broadcast asof introduced a shuffle:\n${nodes.head}")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"broadcast asof introduced a sort:\n${nodes.head}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      s"right side was not broadcast:\n${nodes.head}")
+  }
+
   test("null times never match and never block later rows") {
     val l = Seq((1L, Some(10L)), (1L, None), (2L, Some(5L))).toDF("k", "t")
       .select(col("k"), col("t").cast("long").as("t"))
