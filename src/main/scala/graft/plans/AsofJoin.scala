@@ -414,6 +414,47 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Pushes left-side filters through [[AsofJoinPlan]] — without this,
+  * `joinAsOf(...).filter(<left predicate>)` leaves the filter above the
+  * custom node, the scan never sees it, and the 100 TB fact side is
+  * read whole (the optimizer's own PushDownPredicates knows nothing
+  * about foreign nodes). Sound because each left row's match depends
+  * only on that row and the right side: filtering left rows before the
+  * join emits exactly the surviving rows' outputs (left-outer keeps
+  * per-row null matches either way). RIGHT-side predicates must NOT
+  * push: filtering the right side before match selection changes which
+  * row is "latest" (e.g. `o_orderkey % 2 = 0` must drop matched rows,
+  * not re-match against the filtered history) — they stay above.
+  *
+  * Registration depth differs by path: via `spark.sql.extensions`
+  * (GraftExtensions.injectOptimizerRule) the rule joins the operator-
+  * optimization fixed point, so the pushed filter keeps sinking with
+  * PushDownPredicates all the way into the scan's PushedFilters
+  * (proven in the forked-JVM ExtensionsProbe). Via the public
+  * `experimental.extraOptimizations` hook (ensureRegistered) user
+  * rules run in the LAST batch, so the filter lands below the join —
+  * eliminating the filtered rows' shuffle/sort/merge cost, the bulk of
+  * the win — but cannot re-enter the earlier pushdown batch to reach
+  * the scan.
+  */
+object PushFilterThroughAsofJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsofJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** DataFrame-level API over [[AsofJoinPlan]]. */
 object AsofJoin {
 
@@ -426,6 +467,8 @@ object AsofJoin {
     val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!em.extraStrategies.contains(AsofJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+    if (!em.extraOptimizations.contains(PushFilterThroughAsofJoin))
+      em.extraOptimizations = em.extraOptimizations :+ PushFilterThroughAsofJoin
   }
 
   /** As-of join (left outer). Backward (default): for each `left` row,

@@ -210,6 +210,46 @@ class AsofJoinSpec extends SparkSpec {
     assert(out === Set((n.toLong + 5, Some(n.toLong)), (3L, Some(3L))))
   }
 
+  test("left-side filters push below the node; right-side filters stay above") {
+    val ev = Events.load(spark, sf).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    val j = AsofJoin.joinAsOf(ev, ord, "ts_us", "o_us",
+      Seq("user_id"), Seq("o_custkey"), tiebreak = Seq("o_orderkey"))
+
+    // mixed conjunction: the left conjunct sinks into the node's left
+    // child, the right-side conjunct must stay above (pushing it would
+    // re-match against a filtered history)
+    val f = j.filter(col("event_id") < 500 && col("o_orderkey") > 0)
+    val opt = f.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case a: graft.plans.AsofJoinPlan => a }.get
+    assert(node.left.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if flt.condition.references.exists(_.name == "event_id") => flt
+    }.nonEmpty, s"left filter not pushed:\n$opt")
+    assert(!node.right.exists {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        flt.condition.references.exists(_.name == "o_orderkey")
+      case _ => false
+    }, s"right-side filter was illegally pushed:\n$opt")
+    assert(opt.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if flt.child.isInstanceOf[graft.plans.AsofJoinPlan] => flt
+    }.nonEmpty, s"right-side conjunct vanished:\n$opt")
+
+    // and the rewrite preserves results exactly (vs filtering manually)
+    val got = f.select("event_id", "o_orderkey")
+      .as[(Long, Option[Long])].collect().toSet
+    val expected = AsofJoin.joinAsOf(
+        ev.filter(col("event_id") < 500), ord, "ts_us", "o_us",
+        Seq("user_id"), Seq("o_custkey"), tiebreak = Seq("o_orderkey"))
+      .filter(col("o_orderkey") > 0)
+      .select("event_id", "o_orderkey")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("API rejects non-long times, mismatched keys, and shared attribute ids") {
     val l = Seq((1L, "x")).toDF("k", "t")
     val r = Seq((1L, 2L)).toDF("k", "rt")

@@ -266,6 +266,25 @@ object ExtensionsProbe {
       .collect().head.getInt(0)
     // two distinct 2-shingles intersected with themselves
     assert(n == 2, s"expected 2, got $n")
+
+    // extensions-injected asof machinery: the strategy plans the node,
+    // and PushFilterThroughAsofJoin — sitting INSIDE the operator-
+    // optimization fixed point on this path — sinks a post-join left
+    // filter all the way into the parquet scan's PushedFilters.
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_probe").toString
+    spark.range(100).selectExpr("id AS k", "id * 10 AS t", "id AS payload")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.range(10).selectExpr("id AS rk", "id * 100 AS rt", "id AS rid")
+    val j = graft.plans.AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        tiebreak = Seq("rid"))
+      .filter(org.apache.spark.sql.functions.col("payload") < 50)
+    assert(j.count() == 50, "asof probe row count")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), "asof exec missing:\n" + plan.take(1200))
+    assert(plan.contains("PushedFilters: [IsNotNull(payload), LessThan(payload,50)]")
+        || plan.contains("PushedFilters: [LessThan(payload,50)"),
+      "filter did not reach the scan:\n" + plan.take(2000))
     println("EXTENSIONS_OK")
     spark.stop()
   }
