@@ -493,6 +493,27 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** [[eRangeJoin]]'s semantics through the NATIVE banded range-count
+    * operator (graft.plans.BandCountExec, same oracle SQL): one shuffle
+    * per side, a sliding window of at most one band's timestamps per
+    * task, and |events| output rows — no (event × in-band follower)
+    * fan-out. The self-join aliases the right side's columns (the
+    * operator requires distinct attribute ids).
+    */
+  def eRangeNative(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d)
+    val a = ev.select(col("event_id"), col("event_type"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val b = ev.select(col("user_id").as("b_user"),
+      unix_micros(col("ts")).as("b_ts_us"))
+    graft.plans.BandJoin.bandCount(a, b,
+        leftTime = "ts_us", rightTime = "b_ts_us",
+        leftBy = Seq("user_id"), rightBy = Seq("b_user"),
+        windowUs = 600000000L, countName = "n_follow")
+      .select(col("event_id"), col("event_type"), col("n_follow"))
+      .orderBy("event_id")
+  }
+
   val eRangeJoinSql: String =
     """WITH ev AS (SELECT event_id, user_id, event_type,
       |  epoch_ns(ts) // 1000 AS us FROM events)
@@ -3003,6 +3024,7 @@ object Events {
     "e_asof_broadcast" -> (eAsofBroadcast _, eAsofJoinSql),
     "e_asof_tolerance" -> (eAsofTolerance _, eAsofToleranceSql),
     "e_asof_forward" -> (eAsofForward _, eAsofForwardSql),
+    "e_range_native" -> (eRangeNative _, eRangeJoinSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),
   )
 }

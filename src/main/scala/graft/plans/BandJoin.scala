@@ -1,0 +1,222 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
+
+/** Native banded range-COUNT join: for every left row, the number of
+  * right rows with equal keys and right time in `(leftTime,
+  * leftTime + windowUs]` — the interval co-occurrence primitive behind
+  * burst detection, within-session fan-in, and "events followed by"
+  * features. Spark's own plan for this shape (equality join with the
+  * band as a residual filter, then re-group — see
+  * [[graft.operators.Events.eRangeJoin]]) materializes every
+  * (left × in-band right) pair before counting; this operator emits the
+  * count directly from a sliding window over time-sorted co-partitions,
+  * so per-task memory is ONE band's worth of timestamps and the output
+  * is |left| rows regardless of in-band density.
+  *
+  * The output schema is `left.output :+ countAttr` — the count
+  * attribute is created by the API (stable exprId across plan copies)
+  * and is never null (0 for no co-occurrences, matching the composed
+  * form's LEFT-join + COUNT(col) convention).
+  *
+  * Same distribution contract as [[AsofJoinExec]]: both children
+  * clustered on the keys and sorted (keys…, time); EnsureRequirements
+  * plants the exchanges, AQE coalescing/exchange-reuse apply unchanged.
+  */
+case class BandCountPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    windowUs: Long,
+    countAttr: AttributeReference) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output :+ countAttr
+
+  // the count attribute is GENERATED here, not consumed from a child —
+  // without this, CheckAnalysis reports it missing from the inputs
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(countAttr)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BandCountPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical sliding-band merge for [[BandCountPlan]]. */
+case class BandCountExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    windowUs: Long,
+    countAttr: AttributeReference,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ countAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(countAttr)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "maxBandBuffer" -> SQLMetrics.createSizeMetric(sparkContext,
+      "per-task max buffered band timestamps (summed over tasks)"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val win = windowUs
+    val numOutputRows = longMetric("numOutputRows")
+    val maxBandBuffer = longMetric("maxBandBuffer")
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val allOutput = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+      val resultProj = UnsafeProjection.create(allOutput, allOutput)
+      val joinedRow = new JoinedRow
+      val countRow = new GenericInternalRow(1)
+      val rBuf = rIter.buffered
+      // Sliding band state for the CURRENT key: right times t with
+      // lt < t <= lt + win, kept sorted (right stream is time-sorted).
+      // Bounded by one band's density — the operator's whole point.
+      var bandKey: UnsafeRow = null
+      val band = new java.util.ArrayDeque[Long]()
+      var localMax = 0L
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val ltAny = lTimeB.eval(l)
+        val n: Long = if (ltAny == null) 0L else {
+          val lt = ltAny.asInstanceOf[Long]
+          // key change: state from an earlier key is stale
+          if (bandKey == null || keyOrd.compare(bandKey, lk) != 0) band.clear()
+          // consume right rows usable now or later for this key
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rk, lk)
+            if (c > 0) done = true
+            else if (c < 0) rBuf.next() // key already passed
+            else {
+              val rtAny = rTimeB.eval(rBuf.head)
+              if (rtAny == null) rBuf.next() // nulls sort first; never in-band
+              else {
+                val rt = rtAny.asInstanceOf[Long]
+                if (rt <= lt + win) {
+                  rBuf.next()
+                  if (rt > lt) band.addLast(rt) // rt <= lt can't serve later rows either? it CAN: keep below
+                  else () // rt <= lt: out of band for this and all later left rows (lt non-decreasing)
+                  if (bandKey == null || keyOrd.compare(bandKey, lk) != 0)
+                    bandKey = lk.copy()
+                } else done = true // beyond this left row's band; later rows may need it
+              }
+            }
+          }
+          // evict band entries that fell behind the window start
+          while (!band.isEmpty && band.peekFirst() <= lt) band.removeFirst()
+          if (band.size() > localMax) { localMax = band.size(); maxBandBuffer.set(localMax) }
+          band.size().toLong
+        }
+        numOutputRows += 1
+        countRow.setLong(0, n)
+        resultProj(joinedRow(l, countRow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BandCountExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[BandCountPlan]] as [[BandCountExec]]. */
+object BandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BandCountPlan(l, r, lk, rk, lt, rt, win, out) =>
+      BandCountExec(lk, rk, lt, rt, win, out, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level API over [[BandCountPlan]]. */
+object BandJoin {
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!em.extraStrategies.contains(BandJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ BandJoinStrategy
+  }
+
+  /** Appends `countName` (LONG, never null) to `left`: the number of
+    * `right` rows with equal keys and time in `(leftTime, leftTime +
+    * windowUs]`. Time columns must be LONG (epoch µs by convention).
+    */
+  def bandCount(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      leftBy: Seq[String],
+      rightBy: Seq[String],
+      windowUs: Long,
+      countName: String = "n_in_band"): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"bandCount: no column '$n' on the $side side (has ${out.map(_.name).mkString(", ")})"))
+    val lt = attr(lp.output, leftTime, "left")
+    val rt = attr(rp.output, rightTime, "right")
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      s"bandCount: time columns must be LONG (epoch µs); got ${lt.dataType} / ${rt.dataType}")
+    require(leftBy.nonEmpty && leftBy.length == rightBy.length,
+      s"bandCount: bad key lists (${leftBy.length} vs ${rightBy.length})")
+    require(windowUs > 0, s"bandCount: window must be positive, got $windowUs")
+    val lk = leftBy.map(attr(lp.output, _, "left"))
+    val rk = rightBy.map(attr(rp.output, _, "right"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"bandCount: key type mismatch ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+    }
+    require(lp.outputSet.intersect(rp.outputSet).isEmpty,
+      "bandCount: inputs share attribute ids (self-join) — alias the right side's columns first")
+    val out = AttributeReference(countName, LongType, nullable = false)()
+    org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+      BandCountPlan(lp, rp, lk, rk, lt, rt, windowUs, out))
+  }
+}

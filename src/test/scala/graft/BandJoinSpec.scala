@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.plans.{BandCountExec, BandJoin}
+
+/** The native banded range-count join (BandCountPlan + BandJoinStrategy
+  * + BandCountExec): semantics pinned against the composed fan-out form
+  * on the fixtures and against hand-computed window edges; plan pinned
+  * to the merge shape (no Join, no Window); buffer boundedness
+  * exercised with a dense single-key stream.
+  */
+class BandJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  test("e_range_native equals the composed e_range_join row-for-row") {
+    val native = Events.eRangeNative(spark, sf).collect().toSeq
+    val composed = Events.eRangeJoin(spark, sf).collect().toSeq
+    assert(native.nonEmpty && native === composed)
+  }
+
+  test("window bounds: (t, t+W] — exclusive start, inclusive end; keys isolate") {
+    val l = Seq((1L, 100L, "a"), (1L, 150L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq(
+        (1L, 100L),  // == t of 'a': excluded (strict >)
+        (1L, 150L),  // in (100,200] for 'a'; == t of 'b': excluded for 'b'
+        (1L, 200L),  // == 100+W: included for 'a'; in (150,250] for 'b'
+        (1L, 201L),  // > 100+W for 'a'; in band for 'b'
+        (2L, 150L))  // other key: only 'c' sees it
+      .toDF("rk", "rt")
+    val out = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        windowUs = 100L)
+      .select("tag", "n_in_band").as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("null times count zero and do not disturb the band") {
+    val l = Seq((1L, Some(10L), "x"), (1L, None, "y"), (1L, Some(11L), "z"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), col("t").cast("long").as("t"), col("tag"))
+    val r = Seq((1L, Some(12L)), (1L, None)).toDF("rk", "rt")
+      .select(col("rk"), col("rt").cast("long").as("rt"))
+    val out = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        windowUs = 5L)
+      .select("tag", "n_in_band").as[(String, Long)].collect().toMap
+    assert(out === Map("x" -> 1L, "y" -> 0L, "z" -> 1L))
+  }
+
+  test("plan: BandCountExec merge — no Join, no Window, exchanges only on the keys") {
+    val df = Events.eRangeNative(spark, sf)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BandCountExec]), s"no BandCountExec:\n${nodes.head}")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    val s = nodes.head.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      "native band count must not plan a relational join")
+  }
+
+  test("dense single key: output stays |left| and the band buffer stays ~W") {
+    // 50k right rows one microsecond apart on ONE key; the composed form
+    // would materialize 50k x W/1 pairs. W=100 so each left row counts
+    // at most 100; the operator's buffer is one band (~100 entries).
+    val n = 50000
+    val l = (1 to n by 50).map(i => (1L, i.toLong)).toDF("k", "t")
+    val r = (1 to n).map(i => (1L, i.toLong)).toDF("rk", "rt")
+    val out = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        windowUs = 100L)
+      .select("t", "n_in_band").as[(Long, Long)].collect()
+    assert(out.length === l.count())
+    // interior rows see exactly W followers (t+1 .. t+100 all exist)
+    out.filter(_._1 <= n - 100).foreach { case (t, c) =>
+      assert(c === 100L, s"t=$t expected 100, got $c")
+    }
+  }
+
+  test("API rejects non-long times, bad window, and shared attribute ids") {
+    val l = Seq((1L, 2L)).toDF("k", "t")
+    val r = Seq((1L, 2L)).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"), windowUs = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      BandJoin.bandCount(l, l, "t", "t", Seq("k"), Seq("k"), windowUs = 5L)
+    }
+    val ls = Seq((1L, "x")).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      BandJoin.bandCount(ls, r, "t", "rt", Seq("k"), Seq("rk"), windowUs = 5L)
+    }
+  }
+}
