@@ -204,10 +204,19 @@ class AsofJoinSpec extends SparkSpec {
     val n = 20000
     val l = Seq((1L, n.toLong + 5), (1L, 3L)).toDF("k", "t")
     val r = (1 to n).map(i => (1L, i.toLong, i.toLong)).toDF("k", "rt", "rid")
-    val out = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("k"),
+    val df = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("k"),
         tiebreak = Seq("rid"))
-      .select("t", "rid").as[(Long, Option[Long])].collect().toSet
+    // collect df ITSELF so the metric assertions read the executed plan
+    val out = df.collect()
+      .map(x => (x.getLong(1), if (x.isNullAt(4)) None else Some(x.getLong(4))))
+      .toSet
     assert(out === Set((n.toLong + 5, Some(n.toLong)), (3L, Some(3L))))
+    // the exec's own metrics: every left row emitted, both matched
+    org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
+    val exec = allNodes(df.queryExecution.executedPlan)
+      .collectFirst { case e: AsofJoinExec => e }.get
+    assert(exec.metrics("numOutputRows").value === 2L)
+    assert(exec.metrics("numMatched").value === 2L)
   }
 
   test("left-side filters push below the node; right-side filters stay above") {

@@ -78,14 +78,24 @@ class BandJoinSpec extends SparkSpec {
     val n = 50000
     val l = (1 to n by 50).map(i => (1L, i.toLong)).toDF("k", "t")
     val r = (1 to n).map(i => (1L, i.toLong)).toDF("rk", "rt")
-    val out = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
+    val df = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
         windowUs = 100L)
-      .select("t", "n_in_band").as[(Long, Long)].collect()
+    // collect df ITSELF (a projection would execute a separate query and
+    // the metric assertions below would read the unexecuted plan)
+    val out = df.collect().map(x => (x.getLong(1), x.getLong(2)))
     assert(out.length === l.count())
     // interior rows see exactly W followers (t+1 .. t+100 all exist)
     out.filter(_._1 <= n - 100).foreach { case (t, c) =>
       assert(c === 100L, s"t=$t expected 100, got $c")
     }
+    // the buffer bound, MEASURED from the exec's own metric (one key →
+    // one task holds the whole stream; W in-band timestamps, never 50k)
+    org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
+    val exec = allNodes(df.queryExecution.executedPlan)
+      .collectFirst { case e: BandCountExec => e }.get
+    val buffered = exec.metrics("maxBandBuffer").value
+    assert(buffered > 0 && buffered <= 100L + 8,
+      s"band buffer not bounded by W: $buffered")
   }
 
   test("API rejects non-long times, bad window, and shared attribute ids") {
