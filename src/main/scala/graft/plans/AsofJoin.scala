@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute,
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering,
   SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
   ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning,
   UnspecifiedDistribution}
