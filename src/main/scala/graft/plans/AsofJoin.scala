@@ -345,7 +345,7 @@ case class AsofBroadcastJoinExec(
         }
         built
       }
-      val cacheKey = bc.id + "|" +
+      val cacheKey = s"${bc.id}|" +
         (rKeyExprs ++ sortExprs).map(_.semanticHash()).mkString(",")
       val index = AsofIndexCache.getOrBuild(cacheKey, () => buildIndex())
         .asInstanceOf[java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]]
