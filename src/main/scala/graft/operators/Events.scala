@@ -514,6 +514,36 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Broadcast band-count (graft.plans.BandCountBroadcastExec): orders
+    * placed by the same user within 30 days AFTER each event — the
+    * "conversion within W" outcome feature, computed with the compact
+    * orders side broadcast as per-user sorted time arrays and two
+    * binary searches per event. The event stream pays no shuffle and
+    * no sort.
+    */
+  def eBandBroadcast(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    graft.plans.BandJoin.bandCount(ev, ord,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        windowUs = 30L * 86400L * 1000000L,
+        countName = "n_orders_30d", broadcast = true)
+      .select(col("event_id"), col("n_orders_30d"))
+      .orderBy("event_id")
+  }
+
+  val eBandBroadcastSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events)
+      |SELECT e.event_id, COUNT(o.o_orderkey) AS n_orders_30d
+      |FROM ev e LEFT JOIN orders o
+      |  ON o.o_custkey = e.user_id
+      |  AND epoch(o.o_orderdate) * 1000000 > e.us
+      |  AND epoch(o.o_orderdate) * 1000000 <= e.us + 2592000000000
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
   val eRangeJoinSql: String =
     """WITH ev AS (SELECT event_id, user_id, event_type,
       |  epoch_ns(ts) // 1000 AS us FROM events)
@@ -3025,6 +3055,7 @@ object Events {
     "e_asof_tolerance" -> (eAsofTolerance _, eAsofToleranceSql),
     "e_asof_forward" -> (eAsofForward _, eAsofForwardSql),
     "e_range_native" -> (eRangeNative _, eRangeJoinSql),
+    "e_band_broadcast" -> (eBandBroadcast _, eBandBroadcastSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),
   )
 }

@@ -41,7 +41,8 @@ case class BandCountPlan(
     leftTime: Expression,
     rightTime: Expression,
     windowUs: Long,
-    countAttr: AttributeReference) extends BinaryNode {
+    countAttr: AttributeReference,
+    broadcastRight: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output :+ countAttr
 
@@ -162,11 +163,124 @@ case class BandCountExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[BandCountPlan]] as [[BandCountExec]]. */
+/** Broadcast band-count: the small-right-side fast path ("conversions
+  * within W of each event" against a compact dimension/outcome table).
+  * Count-only means the per-executor index is just `key -> sorted
+  * times` — no row payloads — and each left row is answered with two
+  * binary searches: count = ub(t+W) − ub(t), ub = first index past the
+  * bound. The left side has no distribution/ordering requirement: no
+  * shuffle, no sort, partitioning and ordering pass through. The index
+  * shares [[AsofIndexCache]] (distinct key prefix).
+  */
+case class BandCountBroadcastExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    windowUs: Long,
+    countAttr: AttributeReference,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ countAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(countAttr)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val win = windowUs
+    val numOutputRows = longMetric("numOutputRows")
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val allOutput = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    left.execute().mapPartitions({ lIter =>
+      def buildIndex(): java.util.HashMap[UnsafeRow, Array[Long]] = {
+        val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+        val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+        val grouped = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        bc.value.foreach { r =>
+          val tAny = rTimeB.eval(r)
+          if (tAny != null) {
+            val k = rKeyProj(r).copy()
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[Long]()
+              grouped.put(k, buf)
+            }
+            buf += tAny.asInstanceOf[Long]
+          }
+        }
+        val built = new java.util.HashMap[UnsafeRow, Array[Long]]()
+        grouped.forEach { (k, buf) => built.put(k, buf.toArray.sorted) }
+        built
+      }
+      val cacheKey = s"band|${bc.id}|" +
+        (rKeyExprs :+ rTimeExpr).map(_.semanticHash()).mkString(",")
+      val index = AsofIndexCache.getOrBuild(cacheKey, () => buildIndex())
+        .asInstanceOf[java.util.HashMap[UnsafeRow, Array[Long]]]
+
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val resultProj = UnsafeProjection.create(allOutput, allOutput)
+      val joinedRow = new JoinedRow
+      val countRow = new GenericInternalRow(1)
+      // first index with times(i) > x
+      def ub(times: Array[Long], x: Long): Int = {
+        var lo = 0; var hi = times.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (times(mid) > x) hi = mid else lo = mid + 1
+        }
+        lo
+      }
+      lIter.map { l =>
+        val ltAny = lTimeB.eval(l)
+        val times = if (ltAny == null) null else index.get(lKeyProj(l))
+        val n: Long = if (times == null) 0L else {
+          val lt = ltAny.asInstanceOf[Long]
+          (ub(times, lt + win) - ub(times, lt)).toLong
+        }
+        numOutputRows += 1
+        countRow.setLong(0, n)
+        resultProj(joinedRow(l, countRow))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BandCountBroadcastExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[BandCountPlan]] as [[BandCountExec]] (shuffled merge) or
+  * [[BandCountBroadcastExec]] (small right side).
+  */
 object BandJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BandCountPlan(l, r, lk, rk, lt, rt, win, out) =>
-      BandCountExec(lk, rk, lt, rt, win, out, planLater(l), planLater(r)) :: Nil
+    case BandCountPlan(l, r, lk, rk, lt, rt, win, out, bcast) =>
+      if (bcast)
+        BandCountBroadcastExec(lk, rk, lt, rt, win, out,
+          planLater(l), planLater(r)) :: Nil
+      else
+        BandCountExec(lk, rk, lt, rt, win, out,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -183,6 +297,8 @@ object BandJoin {
   /** Appends `countName` (LONG, never null) to `left`: the number of
     * `right` rows with equal keys and time in `(leftTime, leftTime +
     * windowUs]`. Time columns must be LONG (epoch µs by convention).
+    * With `broadcast = true` the right side must fit the broadcast
+    * budget; the left side then pays no shuffle and no sort.
     */
   def bandCount(
       left: DataFrame,
@@ -192,7 +308,8 @@ object BandJoin {
       leftBy: Seq[String],
       rightBy: Seq[String],
       windowUs: Long,
-      countName: String = "n_in_band"): DataFrame = {
+      countName: String = "n_in_band",
+      broadcast: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -217,6 +334,7 @@ object BandJoin {
       "bandCount: inputs share attribute ids (self-join) — alias the right side's columns first")
     val out = AttributeReference(countName, LongType, nullable = false)()
     org.apache.spark.sql.graft.GraftSql.ofRows(spark,
-      BandCountPlan(lp, rp, lk, rk, lt, rt, windowUs, out))
+      BandCountPlan(lp, rp, lk, rk, lt, rt, windowUs, out,
+        broadcastRight = broadcast))
   }
 }

@@ -98,6 +98,46 @@ class BandJoinSpec extends SparkSpec {
       s"band buffer not bounded by W: $buffered")
   }
 
+  test("broadcast band-count: identical counts to the shuffled merge; no shuffle, no sort") {
+    // synthetic parity on the window-edge fixture
+    val l = Seq((1L, 100L, "a"), (1L, 150L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L), (1L, 150L), (1L, 200L), (1L, 201L), (2L, 150L))
+      .toDF("rk", "rt")
+    val merged = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"), 100L)
+      .select("tag", "n_in_band").as[(String, Long)].collect().toMap
+    val bcast = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"), 100L,
+        broadcast = true)
+      .select("tag", "n_in_band").as[(String, Long)].collect().toMap
+    assert(merged === bcast)
+
+    // fixture: gated broadcast query == a shuffled-merge run of the same
+    val gated = Events.eBandBroadcast(spark, sf).collect().toSeq
+    val ev = Events.load(spark, sf).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(spark, sf).select(col("o_custkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    val viaMerge = BandJoin.bandCount(ev, ord, "ts_us", "o_us",
+        Seq("user_id"), Seq("o_custkey"), 30L * 86400L * 1000000L,
+        countName = "n_orders_30d")
+      .select(col("event_id"), col("n_orders_30d"))
+      .orderBy("event_id").collect().toSeq
+    assert(gated.nonEmpty && gated === viaMerge)
+
+    // plan: broadcast exec, no shuffle beyond the fixture respread, no sort
+    val df = BandJoin.bandCount(ev, ord, "ts_us", "o_us",
+      Seq("user_id"), Seq("o_custkey"), 30L * 86400L * 1000000L,
+      broadcast = true)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[graft.plans.BandCountBroadcastExec]))
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s }
+    assert(shuffles.forall(_.toString.contains("REPARTITION_BY_NUM")),
+      s"broadcast band-count introduced a shuffle:\n${nodes.head}")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]))
+  }
+
   test("API rejects non-long times, bad window, and shared attribute ids") {
     val l = Seq((1L, 2L)).toDF("k", "t")
     val r = Seq((1L, 2L)).toDF("rk", "rt")
