@@ -238,7 +238,7 @@ case class AsofJoinExec(
   * build; the LRU bound (8 indexes) caps executor memory across many
   * distinct broadcast joins in a long-lived executor.
   */
-private[plans] object AsofIndexCache {
+private[graft] object AsofIndexCache {
   private val MaxEntries = 8
   private val cache =
     new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {

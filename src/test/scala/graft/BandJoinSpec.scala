@@ -138,6 +138,21 @@ class BandJoinSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]))
   }
 
+  test("executor index cache: distinct entries per operator shape, clearable") {
+    graft.plans.AsofIndexCache.clear()
+    assert(graft.plans.AsofIndexCache.keys.isEmpty)
+    Events.eAsofBroadcast(spark, sf).collect()
+    Events.eBandBroadcast(spark, sf).collect()
+    val keys = graft.plans.AsofIndexCache.keys
+    // one as-of index (no prefix) + one band index ("band|" prefix) —
+    // differently-shaped consumers never share an entry even when AQE
+    // reuses a broadcast
+    assert(keys.size === 2, s"cache keys: $keys")
+    assert(keys.count(_.startsWith("band|")) === 1, s"cache keys: $keys")
+    graft.plans.AsofIndexCache.clear()
+    assert(graft.plans.AsofIndexCache.keys.isEmpty)
+  }
+
   test("API rejects non-long times, bad window, and shared attribute ids") {
     val l = Seq((1L, 2L)).toDF("k", "t")
     val r = Seq((1L, 2L)).toDF("rk", "rt")
