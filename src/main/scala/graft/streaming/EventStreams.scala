@@ -375,6 +375,69 @@ object EventStreams {
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"))
 
+  case class BandEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_id: Long)
+  case class BandOutcome(user_id: Long, event_id: Long, ts_us: Long,
+      n_follow: Long)
+  case class BandState(pending: List[(Long, Long)], times: List[Long])
+
+  /** Streaming twin of the native banded range-count join
+    * (e_range_native): for each event, how many same-user events follow
+    * within `windowUs`. A LOOK-AHEAD count, so emission is held back by
+    * the watermark: an event's count is final exactly when the
+    * watermark passes the end of its band (no in-band follower can
+    * still arrive), implemented with flatMapGroupsWithState + event-time
+    * timeout — the same hold-back machinery as the funnel.
+    *
+    * Bounded state, mirroring the batch exec's one-band bound: pending
+    * events span at most (window + watermark delay) of event time, and
+    * observed times evict once they fall a full window behind the
+    * watermark — every kept time x satisfies x > wm − W, which covers
+    * all pending events (t > wm − W, band ⊆ (t, t+W]) and all future
+    * arrivals (t' ≥ wm). Pinned equal to the batch operator in
+    * StreamingSpec.
+    */
+  def streamingBandCounts(events: Dataset[BandEvent],
+      windowUs: Long): Dataset[BandOutcome] = {
+    import events.sparkSession.implicits._
+    val W = windowUs
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BandState, BandOutcome](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[BandEvent], state: GroupState[BandState]) =>
+          val prev = state.getOption.getOrElse(BandState(Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val newRows = rows.toList
+          val times = prev.times ++ newRows.map(_.ts_us)
+          val pending = prev.pending ++ newRows.map(e => (e.event_id, e.ts_us))
+          // final: the whole band is below the watermark
+          val (ready, stillPending) =
+            pending.partition { case (_, t) => t + W < wmUs }
+          val out = ready.map { case (id, t) =>
+            BandOutcome(uid, id, t, times.count(x => x > t && x <= t + W).toLong)
+          }
+          val keptTimes = times.filter(_ > wmUs - W)
+          if (stillPending.isEmpty && keptTimes.isEmpty) state.remove()
+          else {
+            state.update(BandState(stillPending, keptTimes))
+            // wake when the earliest pending band closes
+            val nextMs = stillPending.map { case (_, t) => (t + W) / 1000L }
+              .minOption.getOrElse(wmUs / 1000L) + 1
+            state.setTimeoutTimestamp(math.max(nextMs, wmUs / 1000L + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Adapter: raw events frame → typed band stream. */
+  def toBandEvents(events: DataFrame): Dataset[BandEvent] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("ts"),
+      expr("unix_micros(ts)").as("ts_us"), col("event_id")).as[BandEvent]
+  }
+
   /** Stream-static AS-OF enrichment: each event picks up the LATEST
     * order of the same user with order time <= event time — the
     * streaming twin of the native batch as-of join (e_asof_native),

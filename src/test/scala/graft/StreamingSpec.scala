@@ -369,6 +369,33 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise both outcomes")
   }
 
+  test("streaming band count == the native batch band join, watermark-held") {
+    val bandEvents = EventStreams.toBandEvents(batchEvents.toDF())
+      .collect().toSeq.sortBy(_.ts_us)
+    val maxUs = bandEvents.map(_.ts_us).max
+    def sentinel(offsetUs: Long) = EventStreams.BandEvent(-1L,
+      new Timestamp((maxUs + offsetUs) / 1000L), maxUs + offsetUs, -1L)
+    val input = MemoryStream[EventStreams.BandEvent](spark)
+    val q = EventStreams.streamingBandCounts(input.toDS(), 600000000L)
+      .writeStream.format("memory").queryName("t_band").outputMode("append").start()
+    try {
+      bandEvents.grouped(math.max(1, bandEvents.size / 4)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      input.addData(Seq(sentinel(7200000000L))); q.processAllAvailable()
+      input.addData(Seq(sentinel(10800000000L))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_band").where(col("user_id") =!= -1L)
+      .select("event_id", "n_follow").as[(Long, Long)].collect().toMap
+    val batch = graft.operators.Events.eRangeNative(spark, sf)
+      .select("event_id", "n_follow").as[(Long, Long)].collect().toMap
+    assert(got.size === batch.size,
+      s"streamed ${got.size} outcomes, batch has ${batch.size}")
+    assert(got === batch)
+    assert(batch.values.exists(_ > 0) && batch.values.exists(_ == 0),
+      "fixture must exercise both zero and nonzero follower counts")
+  }
+
   test("parquet file-stream reader drives the tumbling pipeline") {
     val q = EventStreams.tumblingCounts(
         EventStreams.readEventStream(spark, sf))
