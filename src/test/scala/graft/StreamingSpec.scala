@@ -506,6 +506,31 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect()
         .map { case (d, nf, nc) => d -> ((nf, nc)) }.toMap
       assert(scGot === scWant)
+      // the watermark-held band count on the same provider: one final
+      // outcome per event, equal to the native batch exec
+      val bandEvents = EventStreams.toBandEvents(batchEvents.toDF())
+        .collect().toSeq.sortBy(_.ts_us)
+      val bMax = bandEvents.map(_.ts_us).max
+      val bIn = MemoryStream[EventStreams.BandEvent](spark)
+      val bQ = EventStreams.streamingBandCounts(bIn.toDS(), 600000000L)
+        .writeStream.format("memory").queryName("t_rocks_band")
+        .outputMode("append").start()
+      try {
+        bandEvents.grouped(math.max(1, bandEvents.size / 3)).foreach { g =>
+          bIn.addData(g); bQ.processAllAvailable()
+        }
+        bIn.addData(Seq(EventStreams.BandEvent(-1L,
+          new Timestamp((bMax + 7200000000L) / 1000L), bMax + 7200000000L, -1L)))
+        bQ.processAllAvailable()
+        bIn.addData(Seq(EventStreams.BandEvent(-1L,
+          new Timestamp((bMax + 10800000000L) / 1000L), bMax + 10800000000L, -1L)))
+        bQ.processAllAvailable()
+      } finally bQ.stop()
+      val bGot = spark.table("t_rocks_band").where(col("user_id") =!= -1L)
+        .select("event_id", "n_follow").as[(Long, Long)].collect().toMap
+      val bWant = graft.operators.Events.eRangeNative(spark, sf)
+        .select("event_id", "n_follow").as[(Long, Long)].collect().toMap
+      assert(bGot === bWant && bWant.nonEmpty)
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
