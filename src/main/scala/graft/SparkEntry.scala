@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, WordScore}
+import graft.operators.{Curation, Dedup, Events, Geo, Multimodal, Relational, Similarity, TextAnalysis, WordScore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,7 +37,8 @@ object SparkEntry {
       Similarity.queries.map { case (k, (fn, _)) => k -> fn } ++
       Events.queries.map { case (k, (fn, _)) => k -> fn } ++
       Multimodal.queries.map { case (k, (fn, _)) => k -> fn } ++
-      Curation.queries.map { case (k, (fn, _)) => k -> fn }
+      Curation.queries.map { case (k, (fn, _)) => k -> fn } ++
+      Geo.queries.map { case (k, (fn, _)) => k -> fn }
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
     Similarity.queries.map { case (k, (_, sql)) => k -> sql } ++
     Events.queries.map { case (k, (_, sql)) => k -> sql } ++
     Multimodal.queries.collect { case (k, (_, Some(sql))) => k -> sql } ++
-    Curation.queries.map { case (k, (_, sql)) => k -> sql }
+    Curation.queries.map { case (k, (_, sql)) => k -> sql } ++
+    Geo.queries.map { case (k, (_, sql)) => k -> sql }
 }

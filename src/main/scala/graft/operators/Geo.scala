@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Grid-partitioned spatial joins — the 2-D counterpart of the 1-D
+  * as-of/band joins in `graft.plans`: a radius (2-D range) predicate
+  * that Spark's equi-join machinery can't key directly, re-expressed
+  * as an EQUI-join on grid cells so the shuffle, partial aggregation,
+  * and AQE skew handling all apply unchanged.
+  *
+  * The pattern is the classic partition-based spatial merge (PBSM /
+  * SpatialHadoop / Sedona lineage): overlay a uniform grid whose cell
+  * edge equals the query radius, key each probe point to its home
+  * cell, replicate each build point to its 3x3 cell neighborhood, and
+  * equi-join on the cell id. With edge >= radius the neighborhood is a
+  * PROVEN superset of every in-radius pair (|dx| <= r implies the cell
+  * coordinate differs by at most 1), so the exact distance predicate
+  * applied after the join loses nothing — the grid only bounds the
+  * candidate set. Candidates per build point are ~9 * cell density
+  * regardless of corpus size: at 100 TB the join stays a hash
+  * shuffle on cell ids with per-task work proportional to LOCAL
+  * density, never an all-pairs product. (Composition order per the
+  * brief: these semantics compose from explode + equi-join + filter,
+  * so no custom exec is warranted — unlike the as-of merge, whose
+  * ordered-neighbor semantics an equi-join cannot bound.)
+  *
+  * The fixtures carry no coordinates, so both engines derive a
+  * deterministic synthetic point per row from the integer key
+  * (multiplicative hash, modulus, divide — every step is exact in
+  * 64-bit integer arithmetic followed by one IEEE-exact division, so
+  * Spark and DuckDB produce bit-identical doubles and the driver's
+  * hash gate stays exact; same technique as Relational.qZorder's
+  * grid8 normalization).
+  */
+object Geo {
+
+  /** Unit-square coordinates derived from integer keys. Knuth
+    * multiplicative constants; moduli are primes just above 1e5 so
+    * products stay far inside BIGINT, and the quotient is < 1.
+    */
+  private val CX = "CAST((c_custkey * 2654435761) % 100003 AS DOUBLE) / 100003.0"
+  private val CY = "CAST((c_custkey * 2246822519) % 100019 AS DOUBLE) / 100019.0"
+  private val SX = "CAST((s_suppkey * 2654435761 + 911382323) % 100003 AS DOUBLE) / 100003.0"
+  private val SY = "CAST((s_suppkey * 2246822519 + 387413921) % 100019 AS DOUBLE) / 100019.0"
+
+  /** 20x20 grid: cell edge 0.05 == the query radius, the PBSM
+    * superset condition. 0.0025 is the literal radius^2 both engines
+    * parse to the same double.
+    */
+  private val GRID = "20.0"
+  private val R2 = "0.0025"
+
+  private val DIST2 = "(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"
+
+  /** Probe points: (c_custkey, c_acctbal, cx, cy) on the unit square. */
+  private def custPoints(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        expr(CX).as("cx"), expr(CY).as("cy"))
+
+  /** Build points: (s_suppkey, sx, sy). */
+  private def suppPoints(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), expr(SX).as("sx"), expr(SY).as("sy"))
+
+  /** Core grid radius join, seam for the adversarial-skew spec:
+    * candidate pairs from the cell equi-join (probe side keyed to its
+    * home cell, build side replicated to its 3x3 neighborhood — the
+    * side that replicates should be the SMALLER input; supplier is
+    * 15x smaller than customer at every SF), exact predicate after.
+    *
+    * saltGroups > 1 splits every cell's PROBE rows into deterministic
+    * salt co-partitions and fans the replicated side across all of
+    * them (build fan-out 9*salt), so one dense cell — a city in a geo
+    * corpus — becomes `salt` bounded tasks instead of one straggler.
+    * Identical output by construction: the salt partitions each
+    * cell's probe rows, it never adds or drops a candidate pair.
+    */
+  private[graft] def gridCandidates(cust: DataFrame, supp: DataFrame,
+      saltGroups: Int = 1): DataFrame = {
+    var probe = cust
+      .withColumn("cell_x", expr(s"CAST(FLOOR(cx * $GRID) AS INT)"))
+      .withColumn("cell_y", expr(s"CAST(FLOOR(cy * $GRID) AS INT)"))
+    var build = supp
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("cell_x", expr(s"CAST(FLOOR(sx * $GRID) AS INT)") + col("dx"))
+      .withColumn("cell_y", expr(s"CAST(FLOOR(sy * $GRID) AS INT)") + col("dy"))
+      .drop("dx", "dy")
+    var keys = Seq("cell_x", "cell_y")
+    if (saltGroups > 1) {
+      probe = probe.withColumn("salt", pmod(hash(col("c_custkey")), lit(saltGroups)))
+      build = build.withColumn("salt", explode(sequence(lit(0), lit(saltGroups - 1))))
+      keys = keys :+ "salt"
+    }
+    probe.join(build, keys).where(expr(s"$DIST2 <= $R2"))
+  }
+
+  /** In-radius pairs → per-supplier aggregate (decimal sum — exact and
+    * order-independent, so the double it casts to is hash-gate safe).
+    */
+  private def radiusAgg(pairs: DataFrame): DataFrame =
+    pairs.groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_near"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+      .orderBy("s_suppkey")
+
+  // ------------------------------------------------- radius aggregate
+  /** Per-supplier radius aggregate: how many customers sit within
+    * r=0.05 of each supplier site, and their exact total balance.
+    * The oracle is the brute-force cross product; the engine never
+    * materializes it.
+    */
+  def gGridJoin(s: SparkSession, d: String): DataFrame =
+    radiusAgg(gridCandidates(custPoints(s, d), suppPoints(s, d)))
+
+  private val gGridJoinSql =
+    s"""SELECT s_suppkey,
+       |  COUNT(*) AS n_near,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+       |FROM supplier, customer
+       |WHERE ($DIST2) <= $R2
+       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+      .replace("cx", s"($CX)").replace("cy", s"($CY)")
+      .replace("sx", s"($SX)").replace("sy", s"($SY)")
+
+  // --------------------------------------------------------- salted form
+  /** [[gGridJoin]] with hot-cell salting (see [[gridCandidates]]).
+    * Same result set by construction, and the driver gate pins that
+    * with the IDENTICAL oracle as [[gGridJoin]] (wordscore_salted
+    * precedent). GeoSpec proves the per-task candidate bound under an
+    * adversarial single-cell fixture.
+    */
+  def gGridSalted(s: SparkSession, d: String): DataFrame =
+    radiusAgg(gridCandidates(custPoints(s, d), suppPoints(s, d), saltGroups = 4))
+
+  // ---------------------------------------------------- range-limited kNN
+  /** k=3 nearest customers per supplier WITHIN radius 0.05 —
+    * range-limited kNN, the semantics every production spatial index
+    * serves (an unlimited kNN cannot be grid-exact: the true 3rd
+    * neighbor may sit outside any fixed neighborhood). Ranked by
+    * (dist2, c_custkey) — a total order, so ties are deterministic.
+    * The rank window is per-supplier top-3: Spark plans a partial
+    * WindowGroupLimit before the shuffle, so per-task state is 3 rows
+    * per key (WindowRuleSpec auto-accepts plan-bounded windows).
+    */
+  def gGridKnn(s: SparkSession, d: String): DataFrame =
+    gridCandidates(custPoints(s, d), suppPoints(s, d))
+      .withColumn("dist2", expr(DIST2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_suppkey").orderBy(col("dist2"), col("c_custkey"))))
+      .where(col("rn") <= 3)
+      .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+      .orderBy("s_suppkey", "rn")
+
+  private val gGridKnnSql =
+    s"""SELECT s_suppkey, CAST(rn AS INT) AS rn, c_custkey, dist2 FROM (
+       |  SELECT s_suppkey, c_custkey, ($DIST2) AS dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+       |      ORDER BY ($DIST2), c_custkey) AS rn
+       |  FROM supplier, customer
+       |  WHERE ($DIST2) <= $R2
+       |) WHERE rn <= 3 ORDER BY s_suppkey, rn""".stripMargin
+      .replace("cx", s"($CX)").replace("cy", s"($CY)")
+      .replace("sx", s"($SX)").replace("sy", s"($SY)")
+
+  // ------------------------------------------------------ grid occupancy
+  /** Layout/skew audit for the grid itself: the occupancy histogram
+    * (how many cells hold n points) — the number a planner needs to
+    * decide whether a cell-keyed shuffle will skew. On a uniform
+    * fixture this is a tight Poisson; on production data (cities, hub
+    * airports) the tail IS the skew diagnosis, and cells in that tail
+    * are the ones AQE skew-join splits or [[gGridSalted]] salts.
+    */
+  def gCellStats(s: SparkSession, d: String): DataFrame =
+    custPoints(s, d)
+      .withColumn("cell_x", expr(s"CAST(FLOOR(cx * $GRID) AS INT)"))
+      .withColumn("cell_y", expr(s"CAST(FLOOR(cy * $GRID) AS INT)"))
+      .groupBy("cell_x", "cell_y").agg(count(lit(1)).as("n_points"))
+      .groupBy("n_points").agg(count(lit(1)).as("n_cells"))
+      .orderBy("n_points")
+
+  private val gCellStatsSql =
+    s"""SELECT n_points, COUNT(*) AS n_cells FROM (
+       |  SELECT CAST(FLOOR(($CX) * $GRID) AS INT) AS cell_x,
+       |         CAST(FLOOR(($CY) * $GRID) AS INT) AS cell_y,
+       |         COUNT(*) AS n_points
+       |  FROM customer GROUP BY 1, 2
+       |) GROUP BY n_points ORDER BY n_points""".stripMargin
+
+  val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g_grid_join"   -> (gGridJoin _, gGridJoinSql),
+    "g_grid_knn"    -> (gGridKnn _, gGridKnnSql),
+    "g_cell_stats"  -> (gCellStats _, gCellStatsSql),
+    "g_grid_salted" -> (gGridSalted _, gGridJoinSql),
+  )
+}

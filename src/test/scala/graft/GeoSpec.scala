@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Geo
+
+/** Grid spatial join family: exactness vs brute force, salted-form
+  * equivalence, kNN ordering, and the no-cartesian plan pin.
+  */
+class GeoSpec extends SparkSpec {
+
+  private def brute() = {
+    // Same synthetic coordinates the operator derives, but joined the
+    // O(n*m) way — the oracle the grid must match EXACTLY, because the
+    // 3x3 neighborhood is a superset of every in-radius pair.
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("cx", expr("CAST((c_custkey * 2654435761) % 100003 AS DOUBLE) / 100003.0"))
+      .withColumn("cy", expr("CAST((c_custkey * 2246822519) % 100019 AS DOUBLE) / 100019.0"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"))
+      .withColumn("sx", expr("CAST((s_suppkey * 2654435761 + 911382323) % 100003 AS DOUBLE) / 100003.0"))
+      .withColumn("sy", expr("CAST((s_suppkey * 2246822519 + 387413921) % 100019 AS DOUBLE) / 100019.0"))
+    cust.crossJoin(supp)
+      .where(expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 0.0025"))
+  }
+
+  test("g_grid_join equals the brute-force radius join bit-for-bit") {
+    val grid = Geo.gGridJoin(spark, sf).collect().toSeq
+    val bf = brute()
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_near"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+      .orderBy("s_suppkey").collect().toSeq
+    assert(grid.nonEmpty && grid == bf)
+  }
+
+  test("g_grid_salted returns the identical result set") {
+    assert(Geo.gGridSalted(spark, sf).collect().toSeq ==
+      Geo.gGridJoin(spark, sf).collect().toSeq)
+  }
+
+  test("g_grid_knn ranks by (dist2, custkey) within the radius, k<=3 per supplier") {
+    val rows = Geo.gGridKnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySupp = rows.groupBy(_.getLong(0))
+    bySupp.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 3)
+      // dist2 non-decreasing with rank, all within r^2
+      val d = sorted.map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+      assert(d.forall(_ <= 0.0025))
+    }
+    // rank-1 rows are each supplier's TRUE in-radius nearest (brute check)
+    val bfBest = brute()
+      .withColumn("dist2", expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_suppkey").orderBy(col("dist2"), col("c_custkey"))))
+      .where(col("rn") === 1)
+      .select("s_suppkey", "c_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gridBest = rows.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gridBest == bfBest)
+  }
+
+  test("adversarial hot cell: salting splits one dense cell into bounded co-partitions") {
+    // 10,000 probe points land in ONE cell (a "city"); one build point
+    // covers it. Unsalted, every candidate pair rides a single
+    // (cell_x, cell_y) shuffle key = one straggler task. With 8 salt
+    // groups the probe rows split by hash(c_custkey)%8, so the largest
+    // co-partition — and therefore the largest task's input, since the
+    // shuffle keys on exactly (cell, salt) — is bounded near N/8.
+    import spark.implicits._
+    val hotCust = (1L to 10000L).toDF("c_custkey")
+      .withColumn("c_acctbal", lit(1.0))
+      .withColumn("cx", lit(0.51) + col("c_custkey").cast("double") / 1e9)
+      .withColumn("cy", lit(0.51))
+    val oneSupp = Seq(7L).toDF("s_suppkey")
+      .withColumn("sx", lit(0.52)).withColumn("sy", lit(0.51))
+    val cand = Geo.gridCandidates(hotCust, oneSupp, saltGroups = 8)
+    val sizes = cand.groupBy("salt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cand.count() == 10000L)                  // nothing lost, nothing duplicated
+    assert(sizes.keySet == (0 until 8).toSet)       // all salt groups materialize
+    assert(sizes.values.max <= 2L * 10000 / 8)      // no group degenerates back to "one task"
+  }
+
+  test("grid join plans as an equi-join on cells, never a cartesian product") {
+    val plan = Geo.gGridJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
