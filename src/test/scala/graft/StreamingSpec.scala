@@ -558,4 +558,59 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed === batch && batch.nonEmpty)
   }
+
+  // ------------------------------------------------- geo stream-static
+
+  /** Events as moving probe points: unit-square coordinates derived
+    * from event_id the same integer-exact way the batch geo family
+    * derives them from table keys.
+    */
+  private def evPoints(df: DataFrame): DataFrame = df
+    .withColumn("cx", expr("CAST((event_id * 2654435761) % 100003 AS DOUBLE) / 100003.0"))
+    .withColumn("cy", expr("CAST((event_id * 2246822519) % 100019 AS DOUBLE) / 100019.0"))
+
+  private lazy val geoSites: DataFrame =
+    Tables.supplier(spark, sf).select(col("s_suppkey"),
+      expr("CAST((s_suppkey * 2654435761 + 911382323) % 100003 AS DOUBLE) / 100003.0").as("sx"),
+      expr("CAST((s_suppkey * 2246822519 + 387413921) % 100019 AS DOUBLE) / 100019.0").as("sy"))
+
+  test("stream-static grid radius join == batch grid join") {
+    val streamed = runStream("t_geo", 4,
+        df => graft.streaming.GeoStreams.geoSiteLoads(evPoints(df), geoSites))
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.streaming.GeoStreams
+      .geoSiteLoads(evPoints(batchEvents.toDF()), geoSites)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("watermarked hourly site loads == batch windowed grid join") {
+    val maxTs = batchEvents.map(_.ts.getTime).max
+    def sentinel(offsetMs: Long) = Ev(-1L, new Timestamp(maxTs + offsetMs),
+      -1L, "geo_sentinel", 0.0)
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.GeoStreams
+      .geoSiteLoadsWindowed(evPoints(input.toDF()), geoSites)
+      .writeStream.format("memory").queryName("t_geo_win")
+      .outputMode("append").start()
+    try {
+      batchEvents.grouped(math.max(1, batchEvents.size / 4)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+      // advance the watermark past every fixture window, then trigger
+      // the batch that emits them (funnel-sentinel pattern); the
+      // sentinel's own window never closes and never emits
+      input.addData(Seq(sentinel(7200000L))); q.processAllAvailable()
+      input.addData(Seq(sentinel(10800000L))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_geo_win")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val batch = graft.operators.Geo
+      .gridCandidates(evPoints(batchEvents.toDF()), geoSites)
+      .groupBy(window(col("ts"), "1 hour"), col("s_suppkey"))
+      .agg(count(lit(1)).as("n_near"))
+      .select(col("window.start").as("win_start"), col("s_suppkey"), col("n_near"))
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
 }
