@@ -3001,7 +3001,158 @@ object Events {
       |    / CAST((h1 - h0 + 1) * n_events AS DOUBLE), 6) AS fano
       |FROM a CROSS JOIN s ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ bootstrap CI
+  /** Per-type bootstrap confidence interval for mean(value) — the
+    * distributed-statistics workhorse: B=32 Poisson resamples, each
+    * row's weight in resample b drawn from a DETERMINISTIC truncated
+    * Poisson(1) (first 4 hex chars of md5("boot|b|event_id") cut at
+    * the Poisson CDF thresholds — mean 1, variance ~1, identical in
+    * both engines), so the whole thing is one explode(x B) + one
+    * partial-aggregated groupBy(type, b): embarrassingly parallel,
+    * no reshuffle of the corpus per resample, which is why Poisson
+    * bootstrap (not multinomial, which needs a global N draw) is THE
+    * resampling scheme for cluster-scale data. CI bounds are explicit
+    * order statistics (2nd / 31st of the 32 resample means, ties
+    * broken by b) — unambiguous cross-engine, no interpolation
+    * convention to disagree on. Resample sums run through
+    * DECIMAL(12,2) so every mean is an exact-sum quotient.
+    */
+  def eBootstrap(s: SparkSession, d: String): DataFrame = {
+    val B = 32
+    // truncated-Poisson(1) CDF over the first 4 md5 hex chars:
+    // 24114/65536=.3679, 48229=.7358, 60278=.9197, 64291=.9810
+    val w = expr(
+      """CASE WHEN h4 < '5e32' THEN 0 WHEN h4 < 'bc65' THEN 1
+        |     WHEN h4 < 'eb76' THEN 2 WHEN h4 < 'fb23' THEN 3
+        |     ELSE 4 END""".stripMargin)
+    val means = load(s, d)
+      .select(col("event_type"), col("event_id"), valDec.as("v"))
+      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("h4", substring(md5(concat(lit("boot|"),
+        col("b").cast("string"), lit("|"),
+        col("event_id").cast("string")).cast("binary")), 1, 4))
+      .withColumn("w", w)
+      .groupBy("event_type", "b")
+      .agg((sum(col("w") * col("v")).cast("double")
+        / sum(col("w")).cast("double")).as("mean_b"))
+    val ranked = means.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("mean_b"), col("b"))))
+      .where(col("rn") <= B - 1) // plan-bounded: WindowGroupLimit at B-1
+    val ci = ranked.groupBy("event_type").agg(
+      max(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+      max(when(col("rn") === B - 1, col("mean_b"))).as("ci_hi"))
+    load(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(valDec).cast("double") / count(lit(1)).cast("double")).as("mean"))
+      .join(ci, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
+  private val eBootstrapSql =
+    """WITH ev AS (SELECT event_type, event_id,
+      |    CAST(value AS DECIMAL(12,2)) AS v FROM events),
+      |wt AS (SELECT event_type, b, v,
+      |    CASE WHEN h4 < '5e32' THEN 0 WHEN h4 < 'bc65' THEN 1
+      |         WHEN h4 < 'eb76' THEN 2 WHEN h4 < 'fb23' THEN 3
+      |         ELSE 4 END AS w
+      |  FROM (SELECT event_type, event_id, v, b,
+      |      substr(md5('boot|' || CAST(b AS VARCHAR) || '|'
+      |        || CAST(event_id AS VARCHAR)), 1, 4) AS h4
+      |    FROM ev, range(32) t(b))),
+      |means AS (SELECT event_type, b,
+      |    CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+      |  FROM wt GROUP BY 1, 2),
+      |ranked AS (SELECT event_type, mean_b, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY mean_b, b) AS rn FROM means),
+      |ci AS (SELECT event_type,
+      |    MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+      |    MAX(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi
+      |  FROM ranked WHERE rn <= 31 GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(e.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+      |  MAX(ci.ci_lo) AS ci_lo, MAX(ci.ci_hi) AS ci_hi
+      |FROM ev e JOIN ci ON e.event_type = ci.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ permutation test
+  /** Random-relabel permutation test for the click-vs-view difference
+    * in mean(value) — the nonparametric significance companion to
+    * [[eAbtest]]/[[eBootstrap]]: under H0 the labels are exchangeable,
+    * so re-splitting the pooled rows 50/50 at random P=64 times draws
+    * the null distribution of the difference, and the p-value is the
+    * add-one-smoothed fraction of null draws at least as extreme as
+    * the observed difference. Relabels are DETERMINISTIC (md5 of
+    * "perm|p|event_id" against the midpoint hex '8000'), so both
+    * engines draw the SAME null distribution and the p-value is
+    * hash-gate exact. Same scale shape as the bootstrap: explode x P,
+    * one partial-aggregated groupBy(p, pseudo-label), null stats are
+    * P rows — the corpus shuffles once, never per permutation.
+    * (50/50 relabeling is the standard large-n approximation of exact
+    * label permutation; group sizes here are within 2% of equal.)
+    */
+  def ePermTest(s: SparkSession, d: String): DataFrame = {
+    val P = 64
+    val base = load(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("event_id"), valDec.as("v"))
+    val obs = base.groupBy()
+      .agg(
+        sum(when(col("event_type") === "click", 1L)).as("n_a"),
+        sum(when(col("event_type") === "view", 1L)).as("n_b"),
+        (sum(when(col("event_type") === "click", col("v"))).cast("double")
+          / sum(when(col("event_type") === "click", 1L)).cast("double")
+          - sum(when(col("event_type") === "view", col("v"))).cast("double")
+          / sum(when(col("event_type") === "view", 1L)).cast("double")).as("diff"))
+    val nulls = base
+      .withColumn("p", explode(sequence(lit(0), lit(P - 1))))
+      .withColumn("ga", substring(md5(concat(lit("perm|"),
+        col("p").cast("string"), lit("|"),
+        col("event_id").cast("string")).cast("binary")), 1, 4) < "8000")
+      .groupBy("p")
+      .agg((sum(when(col("ga"), col("v"))).cast("double")
+        / sum(when(col("ga"), 1L)).cast("double")
+        - sum(when(!col("ga"), col("v"))).cast("double")
+        / sum(when(!col("ga"), 1L)).cast("double")).as("diff_p"))
+    nulls.crossJoin(obs)
+      .groupBy("n_a", "n_b", "diff")
+      .agg(((sum(when(abs(col("diff_p")) >= abs(col("diff")), 1L)
+          .otherwise(0L)) + lit(1L)).cast("double")
+        / lit((P + 1).toDouble)).as("p_value"))
+      .select("n_a", "n_b", "diff", "p_value")
+  }
+
+  private val ePermTestSql =
+    """WITH base AS (SELECT event_type, event_id,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |obs AS (SELECT
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 END) AS n_b,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN v END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+      |    - CAST(SUM(CASE WHEN event_type = 'view' THEN v END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE)
+      |      AS diff
+      |  FROM base),
+      |nulls AS (SELECT p,
+      |    CAST(SUM(CASE WHEN ga THEN v END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN ga THEN 1 END) AS DOUBLE)
+      |    - CAST(SUM(CASE WHEN NOT ga THEN v END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN NOT ga THEN 1 END) AS DOUBLE) AS diff_p
+      |  FROM (SELECT p, v,
+      |      substr(md5('perm|' || CAST(p AS VARCHAR) || '|'
+      |        || CAST(event_id AS VARCHAR)), 1, 4) < '8000' AS ga
+      |    FROM base, range(64) t(p))
+      |  GROUP BY p)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, diff,
+      |  CAST(SUM(CASE WHEN abs(diff_p) >= abs(diff) THEN 1 ELSE 0 END)
+      |    + 1 AS DOUBLE) / 65.0 AS p_value
+      |FROM nulls, obs GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_perm_test"   -> (ePermTest _, ePermTestSql),
+    "e_bootstrap"   -> (eBootstrap _, eBootstrapSql),
     "e_burstiness"  -> (eBurstiness _, eBurstinessSql),
     "e_psi"         -> (ePsi _, ePsiSql),
     "e_season_strength" -> (eSeasonStrength _, eSeasonStrengthSql),

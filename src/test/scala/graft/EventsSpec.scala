@@ -655,4 +655,33 @@ class EventsSpec extends SparkSpec {
         s"($a,$b) jaccard $jac vs $want")
     }
   }
+
+  test("e_bootstrap: CI brackets the sample mean with width ~ 1/sqrt(n)") {
+    import spark.implicits._
+    val rows = Events.eBootstrap(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, n, mean, lo, hi) =>
+      assert(n > 0 && lo < hi, s"$tpe degenerate CI [$lo,$hi]")
+      // the 2nd..31st order statistics of 32 resample means must
+      // bracket the sample mean for any non-pathological sample
+      assert(lo <= mean && mean <= hi, s"$tpe mean $mean outside [$lo,$hi]")
+      // width sanity: a Poisson-bootstrap CI of a mean of n iid values
+      // in [0,100] is a few sigma/sqrt(n), nowhere near the data range
+      assert(hi - lo < 50.0 / math.sqrt(n.toDouble) * 10,
+        s"$tpe CI width ${hi - lo} implausible for n=$n")
+    }
+  }
+
+  test("e_perm_test: p-value is a valid add-one rational; groups populated") {
+    import spark.implicits._
+    val Seq((na, nb, diff, p)) = Events.ePermTest(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(na > 0 && nb > 0)
+    // add-one smoothing over 64 permutations: p in {1/65, ..., 65/65}
+    assert(p >= 1.0 / 65 - 1e-12 && p <= 1.0)
+    val steps = p * 65
+    assert(math.abs(steps - math.round(steps)) < 1e-9, s"p=$p not k/65")
+    assert(!diff.isNaN)
+  }
 }
