@@ -80,16 +80,31 @@ object Geo {
     * cell's probe rows, it never adds or drops a candidate pair.
     */
   private[graft] def gridCandidates(cust: DataFrame, supp: DataFrame,
-      saltGroups: Int = 1): DataFrame = {
-    var probe = cust
+      saltGroups: Int = 1): DataFrame =
+    cellJoin(withCells(cust), supp, saltGroups)
+
+  /** Key probe points to their home cell — the shape [[graft.sources
+    * .IndexStore.saveGrid]] persists, so a serve session skips this
+    * step and inherits the cells from the partition directories.
+    */
+  private[graft] def withCells(points: DataFrame): DataFrame =
+    points
       .withColumn("cell_x", expr(s"CAST(FLOOR(cx * $GRID) AS INT)"))
       .withColumn("cell_y", expr(s"CAST(FLOOR(cy * $GRID) AS INT)"))
-    var build = supp
+
+  /** The build side's 3x3 cell neighborhood (see [[cellJoin]]). */
+  private[graft] def siteNeighborhood(supp: DataFrame): DataFrame =
+    supp
       .withColumn("dx", explode(sequence(lit(-1), lit(1))))
       .withColumn("dy", explode(sequence(lit(-1), lit(1))))
       .withColumn("cell_x", expr(s"CAST(FLOOR(sx * $GRID) AS INT)") + col("dx"))
       .withColumn("cell_y", expr(s"CAST(FLOOR(sy * $GRID) AS INT)") + col("dy"))
       .drop("dx", "dy")
+
+  private[graft] def cellJoin(probeWithCells: DataFrame, supp: DataFrame,
+      saltGroups: Int = 1): DataFrame = {
+    var probe = probeWithCells
+    var build = siteNeighborhood(supp)
     var keys = Seq("cell_x", "cell_y")
     if (saltGroups > 1) {
       probe = probe.withColumn("salt", pmod(hash(col("c_custkey")), lit(saltGroups)))
@@ -136,6 +151,53 @@ object Geo {
     */
   def gGridSalted(s: SparkSession, d: String): DataFrame =
     radiusAgg(gridCandidates(custPoints(s, d), suppPoints(s, d), saltGroups = 4))
+
+  // ------------------------------------------------------- served form
+  /** [[gGridJoin]] served from a PERSISTED spatial grid store: the
+    * probe corpus is written `partitionBy(cell_x, cell_y)` (one
+    * directory per cell — the 2-D twin of the IVF inverted-list
+    * layout), reloaded, and joined from the RELOADED frame, so the
+    * driver's hash gate certifies the parquet round-trip end-to-end
+    * every round — not just in ScalaTest (same design point as
+    * `s_ivf_pq_served`). At serve time the scan reads only the cell
+    * directories the site neighborhoods touch (dynamic partition
+    * pruning under the broadcast cell join — metric-asserted in
+    * GeoSpec); the store's other cells are never opened.
+    */
+  def gGridServed(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir")),
+      "graft_index_grid_" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+    graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
+    val loaded = graft.sources.IndexStore.loadGrid(s, dir)
+    radiusAgg(servedCandidates(loaded, suppPoints(s, d)))
+  }
+
+  /** [[cellJoin]] against a loaded grid store, with the touched cells
+    * planted as a STATIC literal partition filter so the store prunes
+    * at file-listing time. Same design point (and same reason) as the
+    * IVF serve path: Spark's DPP degrades to a no-op here (an
+    * explode-derived build side never matches the DPP-reuse subquery
+    * check), so the 9·|sites| distinct cell ids — bounded by the SITE
+    * table, never the corpus — are collected once driver-side. A
+    * both-sides-huge join would skip this and keep the plain cell
+    * shuffle join; the literal plant is the serve-path optimization
+    * for site batches small enough to broadcast anyway.
+    */
+  private[graft] def servedCandidates(loaded: DataFrame,
+      supp: DataFrame): DataFrame = {
+    val build = siteNeighborhood(supp)
+    // pair id = cell_x * 4096 + cell_y: single-column literal isin the
+    // partition index evaluates exactly (a per-axis isin would prune
+    // only to the bounding box, |xs|*|ys| dirs instead of 9*|sites|)
+    def pid(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      x.cast("long") * 4096 + y.cast("long")
+    val pairIds = build.select(pid(col("cell_x"), col("cell_y")).as("pid"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    loaded.filter(pid(col("cell_x"), col("cell_y")).isin(pairIds: _*))
+      .join(build, Seq("cell_x", "cell_y"))
+      .where(expr(s"$DIST2 <= $R2"))
+  }
 
   // ---------------------------------------------------- range-limited kNN
   /** k=3 nearest customers per supplier WITHIN radius 0.05 —
@@ -197,5 +259,6 @@ object Geo {
     "g_grid_knn"    -> (gGridKnn _, gGridKnnSql),
     "g_cell_stats"  -> (gCellStats _, gCellStatsSql),
     "g_grid_salted" -> (gGridSalted _, gGridJoinSql),
+    "g_grid_served" -> (gGridServed _, gGridJoinSql),
   )
 }

@@ -123,4 +123,27 @@ object IndexStore {
       .select(col("vec_id"), col("m"), col("cell"), col("ivf_cell"))
     (cent, codebook, codes)
   }
+
+  /** Persist a point corpus as a SPATIAL grid store: rows land
+    * `partitionBy("cell_x", "cell_y")` — one directory per grid cell,
+    * the 2-D analog of the IVF inverted-list layout. A radius or kNN
+    * query over the store touches only the build side's 3x3 cell
+    * neighborhoods, so the scan reads 9·|sites| cell directories via
+    * partition pruning (dynamic under the broadcast cell join), never
+    * the whole corpus — spatial data skipping as a directory layout.
+    */
+  def saveGrid(dir: String, pointsWithCells: DataFrame): Unit =
+    pointsWithCells.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell_x", "cell_y").parquet(s"$dir/cells")
+
+  /** Reload the grid store for [[graft.operators.Geo]] serving; column
+    * order restored to the build-time shape (partition cols move last
+    * on disk, and their values come back through partition-directory
+    * inference as INTs — same type the build wrote).
+    */
+  def loadGrid(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/cells")
+    val dataCols = df.columns.filterNot(c => c == "cell_x" || c == "cell_y")
+    df.select((dataCols :+ "cell_x" :+ "cell_y").map(col).toSeq: _*)
+  }
 }

@@ -92,4 +92,62 @@ class GeoSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("grid store round-trip serves identically; scan reads only touched cells") {
+    import graft.sources.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_grid_store").toString
+    try {
+      // gated path: save -> reload -> serve equals the in-session join
+      assert(Geo.gGridServed(spark, sf).collect().toSeq ==
+        Geo.gGridJoin(spark, sf).collect().toSeq)
+
+      // pruning metric: with TWO sites, the reloaded scan must read at
+      // most their 3x3 neighborhoods (<= 18 cell dirs), not the whole
+      // store — asserted on the EXECUTED scan's numPartitions metric
+      import org.apache.spark.sql.functions._
+      val probe = spark.range(1, 5001).toDF("c_custkey")
+        .withColumn("c_acctbal", lit(1.0))
+        .withColumn("cx", expr("CAST((c_custkey * 2654435761) % 100003 AS DOUBLE) / 100003.0"))
+        .withColumn("cy", expr("CAST((c_custkey * 2246822519) % 100019 AS DOUBLE) / 100019.0"))
+      IndexStore.saveGrid(dir, Geo.withCells(probe))
+      val allCells = Option(new java.io.File(s"$dir/cells").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("cell_x="))
+        .flatMap(x => Option(x.listFiles()).toSeq.flatten)
+        .count(f => f.isDirectory && f.getName.startsWith("cell_y="))
+      import spark.implicits._
+      val sites = Seq((1L, 0.31, 0.47), (2L, 0.83, 0.12))
+        .toDF("s_suppkey", "sx", "sy")
+      val served = Geo.servedCandidates(IndexStore.loadGrid(spark, dir), sites)
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_near"))
+        .orderBy("s_suppkey")
+      served.collect()
+      val scans = scansUnder(served.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("/cells")))
+      assert(scans.nonEmpty, "grid store scan not found")
+      // numPartitions counts leaf cell_x=/cell_y= directories read
+      val read = scans.map(_.metrics("numPartitions").value).max
+      assert(read <= 18, s"read $read cell dirs for 2 sites (expected <= 18)")
+      assert(allCells > 18, s"store only has $allCells x-dirs; test vacuous")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  private def scansUnder(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val self = p match {
+      case f: FileSourceScanExec => Seq(f); case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(scansUnder)
+  }
 }
