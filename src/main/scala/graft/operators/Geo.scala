@@ -230,6 +230,70 @@ object Geo {
       .replace("cx", s"($CX)").replace("cy", s"($CY)")
       .replace("sx", s"($SX)").replace("sy", s"($SY)")
 
+  // ------------------------------------------------------ geofence visits
+  /** Geofence visit detection — the composition the family exists
+    * for: the event stream becomes a stream of position fixes
+    * (coordinates derived per EVENT, the moving-user model), the grid
+    * join finds every in-radius (ping, site) pair, and per-user
+    * per-site sessionization (30-minute gap rule, the e_session
+    * machinery on a (user, site) key) rolls pings into visits with
+    * dwell times. Output is one row per (user, site) ever visited:
+    * visit count, ping count, total dwell seconds (integer ns math
+    * throughout — no float time anywhere). Every window is
+    * partitioned by (user_id, s_suppkey), so frames are one user's
+    * pings at one site — never corpus-grain.
+    */
+  def gVisits(s: SparkSession, d: String): DataFrame = {
+    val gapNs = 1800000000000L // 30 min
+    val pings = gridCandidates(
+      Events.load(s, d).select(col("event_id"), col("user_id"), col("ts_ns"),
+        expr("CAST((event_id * 2654435761) % 100003 AS DOUBLE) / 100003.0").as("cx"),
+        expr("CAST((event_id * 2246822519) % 100019 AS DOUBLE) / 100019.0").as("cy")),
+      suppPoints(s, d))
+      .select("user_id", "s_suppkey", "ts_ns", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "s_suppkey").orderBy("ts_ns", "event_id")
+    val prev = lag(col("ts_ns"), 1).over(w)
+    pings
+      .withColumn("nv", when(prev.isNull || col("ts_ns") - prev > gapNs, 1L)
+        .otherwise(0L))
+      .withColumn("visit_id", sum(col("nv")).over(w))
+      .groupBy("user_id", "s_suppkey", "visit_id")
+      .agg((max(col("ts_ns")) - min(col("ts_ns"))).as("dwell_ns"),
+        count(lit(1)).as("n"))
+      .groupBy("user_id", "s_suppkey")
+      .agg(count(lit(1)).as("n_visits"),
+        sum(col("n")).as("n_pings"),
+        expr("CAST(sum(dwell_ns) div 1000000000 AS BIGINT)").as("dwell_s"))
+      .orderBy("user_id", "s_suppkey")
+  }
+
+  private val gVisitsSql =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+       |    CAST((event_id * 2654435761) % 100003 AS DOUBLE) / 100003.0 AS ex,
+       |    CAST((event_id * 2246822519) % 100019 AS DOUBLE) / 100019.0 AS ey
+       |  FROM events),
+       |pr AS (SELECT user_id, s_suppkey, ts_ns, event_id
+       |  FROM ev, supplier
+       |  WHERE (ex - ($SX)) * (ex - ($SX)) + (ey - ($SY)) * (ey - ($SY))
+       |    <= $R2),
+       |fl AS (SELECT user_id, s_suppkey, ts_ns, event_id,
+       |    CASE WHEN LAG(ts_ns) OVER w IS NULL
+       |      OR ts_ns - LAG(ts_ns) OVER w > 1800000000000 THEN 1 ELSE 0
+       |    END AS nv
+       |  FROM pr WINDOW w AS (PARTITION BY user_id, s_suppkey
+       |    ORDER BY ts_ns, event_id)),
+       |vi AS (SELECT user_id, s_suppkey, ts_ns,
+       |    SUM(nv) OVER (PARTITION BY user_id, s_suppkey
+       |      ORDER BY ts_ns, event_id) AS visit_id FROM fl),
+       |pv AS (SELECT user_id, s_suppkey, visit_id,
+       |    MAX(ts_ns) - MIN(ts_ns) AS dwell_ns, COUNT(*) AS n
+       |  FROM vi GROUP BY 1, 2, 3)
+       |SELECT user_id, s_suppkey, COUNT(*) AS n_visits,
+       |  CAST(SUM(n) AS BIGINT) AS n_pings,
+       |  CAST(SUM(dwell_ns) // 1000000000 AS BIGINT) AS dwell_s
+       |FROM pv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------ grid occupancy
   /** Layout/skew audit for the grid itself: the occupancy histogram
     * (how many cells hold n points) — the number a planner needs to
@@ -260,5 +324,6 @@ object Geo {
     "g_cell_stats"  -> (gCellStats _, gCellStatsSql),
     "g_grid_salted" -> (gGridSalted _, gGridJoinSql),
     "g_grid_served" -> (gGridServed _, gGridJoinSql),
+    "g_visits"      -> (gVisits _, gVisitsSql),
   )
 }

@@ -93,6 +93,19 @@ class GeoSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("g_visits: visit/ping/dwell invariants hold for every (user, site)") {
+    val rows = Geo.gVisits(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (visits, pings, dwell) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(visits >= 1 && pings >= visits, s"$r")
+      assert(dwell >= 0, s"$r")
+      // a single-ping visit has zero dwell; pings == visits means ALL
+      // visits are single-ping, so total dwell must be zero
+      if (pings == visits) assert(dwell == 0, s"$r")
+    }
+  }
+
   test("grid store round-trip serves identically; scan reads only touched cells") {
     import graft.sources.IndexStore
     val dir = java.nio.file.Files.createTempDirectory("graft_grid_store").toString
