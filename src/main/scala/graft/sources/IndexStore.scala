@@ -133,7 +133,13 @@ object IndexStore {
     * the whole corpus — spatial data skipping as a directory layout.
     */
   def saveGrid(dir: String, pointsWithCells: DataFrame): Unit =
-    pointsWithCells.write.mode(SaveMode.Overwrite)
+    // cluster rows by cell before the partitioned write: without this,
+    // EVERY upstream task writes a file into EVERY cell directory it
+    // touches (up to |tasks| x |cells| small files — measured 2x slower
+    // to write and list); with it, each cell lands as ONE file, same
+    // one-file-per-inverted-list shape compactIvf restores for IVF
+    pointsWithCells.repartition(col("cell_x"), col("cell_y"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("cell_x", "cell_y").parquet(s"$dir/cells")
 
   /** Reload the grid store for [[graft.operators.Geo]] serving; column
