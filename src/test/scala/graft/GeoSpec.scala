@@ -87,6 +87,38 @@ class GeoSpec extends SparkSpec {
     assert(sizes.values.max <= 2L * 10000 / 8)      // no group degenerates back to "one task"
   }
 
+  test("property: grid == brute force on random and cell-boundary points, any salt") {
+    // The PBSM superset theorem exercised where it can actually break:
+    // random placements plus points EXACTLY on cell boundaries and
+    // pairs at distance exactly r (the |delta cell| <= 1 edge). Both
+    // engines share the derivation here, so the property under test is
+    // the grid's candidate completeness, salt-invariant.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val boundary = for (i <- 0 until 40) yield
+      (1000L + i, 0.05 * (i % 20), 0.05 * ((i / 2) % 20)) // on gridlines
+    val probePts = (1 to 500).map(i =>
+      (i.toLong, rnd.nextDouble(), rnd.nextDouble())) ++ boundary
+    val buildPts = (1 to 50).map(i =>
+      (i.toLong, rnd.nextDouble(), rnd.nextDouble())) ++
+      // build sites exactly r away from two boundary probes, axis-aligned
+      Seq((900L, 0.05 * 3 + 0.05, 0.05 * 1), (901L, 0.05 * 5, 0.05 * 2 + 0.05))
+    val probe = probePts.toDF("c_custkey", "cx", "cy")
+      .withColumn("c_acctbal", lit(1.0))
+    val build = buildPts.toDF("s_suppkey", "sx", "sy")
+    val want = probe.crossJoin(build)
+      .where(expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 0.0025"))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n"))
+      .orderBy("s_suppkey").collect().toSeq
+    for (salt <- Seq(1, 5)) {
+      val got = Geo.gridCandidates(probe, build, salt)
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("s_suppkey").collect().toSeq
+      assert(got == want, s"salt=$salt")
+    }
+    assert(want.nonEmpty)
+  }
+
   test("grid join plans as an equi-join on cells, never a cartesian product") {
     val plan = Geo.gGridJoin(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
