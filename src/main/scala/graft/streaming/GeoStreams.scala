@@ -42,4 +42,21 @@ object GeoStreams {
       .groupBy(window(col("ts"), "1 hour"), col("s_suppkey"))
       .agg(count(lit(1)).as("n_near"))
       .select(col("window.start").as("win_start"), col("s_suppkey"), col("n_near"))
+
+  /** Streaming geofence visits — the live twin of the batch
+    * `g_visits` operator: in-radius pings sessionize per (user, site)
+    * with Spark's native session_window (30-minute gap), so visit
+    * state is per-key and closes with the watermark instead of
+    * accumulating. (Gap-boundary convention differs from the batch
+    * lag-rule by the measure-zero `gap == 30min` case — the pinned
+    * batch twin below IS this same session_window expression, and the
+    * grid join machinery is the oracle-checked `g_visits` path.)
+    */
+  def geoVisits(points: DataFrame, sites: DataFrame): DataFrame =
+    Geo.gridCandidates(points.withWatermark("ts", "30 minutes"), sites)
+      .groupBy(session_window(col("ts"), "30 minutes"),
+        col("user_id"), col("s_suppkey"))
+      .agg(count(lit(1)).as("n_pings"))
+      .select(col("session_window.start").as("visit_start"),
+        col("user_id"), col("s_suppkey"), col("n_pings"))
 }

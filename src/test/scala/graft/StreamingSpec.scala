@@ -613,4 +613,42 @@ class StreamingSpec extends SparkSpec {
       .as[(Timestamp, Long, Long)].collect().toSet
     assert(streamed === batch && batch.nonEmpty)
   }
+
+  test("streaming geofence visits == batch session_window over the grid join") {
+    val streamed = runStream("t_geo_visits", 4,
+        df => graft.streaming.GeoStreams.geoVisits(evPoints(df), geoSites))
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    val batch = graft.streaming.GeoStreams
+      .geoVisits(evPoints(batchEvents.toDF()), geoSites)
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // conservation: sessionization must neither drop nor duplicate a
+    // ping — total pings across visits == in-radius pair count
+    val pairs = graft.operators.Geo
+      .gridCandidates(evPoints(batchEvents.toDF()), geoSites).count()
+    assert(batch.toSeq.map(_._4).sum === pairs && pairs > 0)
+  }
+
+  test("streaming geofence visits under RocksDB state == batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreams.useRocksDbStateStore(spark)
+    try {
+      val streamed = runStream("t_geo_visits_rdb", 4,
+          df => graft.streaming.GeoStreams.geoVisits(evPoints(df), geoSites))
+        .as[(Timestamp, Long, Long, Long)].collect().toSet
+      val batch = graft.streaming.GeoStreams
+        .geoVisits(evPoints(batchEvents.toDF()), geoSites)
+        .as[(Timestamp, Long, Long, Long)].collect().toSet
+      assert(streamed === batch && batch.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
 }
