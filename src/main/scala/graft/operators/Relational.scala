@@ -2371,7 +2371,59 @@ object Relational {
   }
 
   /** All queries + oracles, for SparkEntry registration. */
+  // --------------------------------------------------- market basket
+  /** Market-basket pair mining — co-ordered part pairs with support
+    * and lift, the classic association workload: per-order DISTINCT
+    * parts self-join keyed on the ORDER (pair generation is
+    * order-size-bounded, ~C(items,2) per order, never a global
+    * product), pair counts roll up with map-side combine, and the
+    * per-part order counts join back on partkey. Lift is one double
+    * division of two exact BIGINT products, so the hash gate is
+    * bit-safe. Top-100 by (support desc, pair) is a total order →
+    * TakeOrderedAndProject, distributed cut.
+    */
+  def qBasket(s: SparkSession, d: String): DataFrame = {
+    val po = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val perPart = po.groupBy("pk").agg(count(lit(1)).as("n_p"))
+    val nOrders = po.select(countDistinct(col("ok")).as("n_orders"))
+    val pairs = po.as("a")
+      .join(po.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    pairs
+      .join(perPart.select(col("pk").as("part_a"), col("n_p").as("n_a")), "part_a")
+      .join(perPart.select(col("pk").as("part_b"), col("n_p").as("n_b")), "part_b")
+      .crossJoin(nOrders)
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        expr("CAST(n_ab * n_orders AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)")
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  private val qBasketSql =
+    """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |    FROM lineitem),
+      |np AS (SELECT pk, COUNT(*) AS n_p FROM po GROUP BY 1),
+      |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM po),
+      |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(n_ab * n_orders AS DOUBLE)
+      |    / CAST(na.n_p * nb.n_p AS DOUBLE) AS lift
+      |FROM pr
+      |JOIN np na ON na.pk = part_a
+      |JOIN np nb ON nb.pk = part_b
+      |CROSS JOIN tot
+      |ORDER BY n_ab DESC, part_a, part_b LIMIT 100""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_basket"         -> (qBasket _, qBasketSql),
     "q_zorder"         -> (qZorder _, qZorderSql),
     "q_outer_join"     -> (qOuterJoin _, qOuterJoinSql),
     "q_regression"     -> (qRegression _, qRegressionSql),

@@ -228,4 +228,28 @@ class RelationalSpec extends SparkSpec {
     // offsets never precede the cohort month
     assert(tri.forall(_._2 >= 0))
   }
+
+  test("basket pairs: lift identity recomputed from raw counts; bounded top-k plan") {
+    import spark.implicits._
+    val rows = Relational.qBasket(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // recompute one pair's lift from the raw fixture
+    val po = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val byPart = po.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nOrders = po.map(_._1).distinct.length.toDouble
+    rows.take(5).foreach { case (a, b, nab, lift) =>
+      val want = (byPart(a) & byPart(b)).size
+      assert(nab === want.toLong, s"pair ($a,$b) support")
+      val wantLift = nab * nOrders / (byPart(a).size.toDouble * byPart(b).size)
+      assert(math.abs(lift - wantLift) < 1e-9, s"pair ($a,$b) lift")
+    }
+    // the global cut is a TakeOrdered, and pair generation is an
+    // order-keyed equi-join, not a product
+    val plan = Relational.qBasket(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
