@@ -152,4 +152,33 @@ object IndexStore {
     val dataCols = df.columns.filterNot(c => c == "cell_x" || c == "cell_y")
     df.select((dataCols :+ "cell_x" :+ "cell_y").map(col).toSeq: _*)
   }
+
+  /** Incremental grid maintenance — the spatial twin of [[appendIvf]]:
+    * new points land in their cell directories, serving sessions pick
+    * them up on the next [[loadGrid]], the grid itself never rewrites.
+    * Same at-least-once delivery caveat as appendIvf under retried
+    * microbatches.
+    */
+  def appendGrid(dir: String, pointsWithCells: DataFrame): Unit =
+    pointsWithCells.write.mode(SaveMode.Append)
+      .partitionBy("cell_x", "cell_y").parquet(s"$dir/cells")
+
+  /** Compact the grid store after upsert fragmentation — one file per
+    * cell directory, same one-shuffle mechanism and same
+    * non-atomic-swap caveat as [[compactIvf]].
+    */
+  def compactGrid(s: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/cells_compacting"
+    val df = s.read.parquet(s"$dir/cells")
+    df.repartition(col("cell_x"), col("cell_y"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell_x", "cell_y")
+      .parquet(tmp)
+    val conf = s.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val fs = live.getFileSystem(conf)
+    fs.delete(live, true)
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"grid compaction swap failed for $dir")
+  }
 }

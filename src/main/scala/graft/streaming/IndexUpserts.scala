@@ -55,4 +55,25 @@ object IndexUpserts {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertIvfBatch(dir) _)
       .start()
+
+  /** Grid-store twin of [[upsertIvfBatch]]: key one microbatch of new
+    * points (cx, cy columns) to their home cells and append into the
+    * cell directories. There is no model frame to consult — the grid
+    * is a pure function of the radius — so the batch is one map-side
+    * cell derivation and one partitioned append, zero shuffles.
+    */
+  def upsertGridBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty)
+      IndexStore.appendGrid(dir, graft.operators.Geo.withCells(batch))
+
+  /** Start the spatial upsert stream: `points` carries at least
+    * (cx, cy) unit-square coordinates plus payload columns matching
+    * the store schema. Checkpointed for restart resume.
+    */
+  def startGridUpserts(points: DataFrame, dir: String,
+      checkpointDir: String): StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertGridBatch(dir) _)
+      .start()
 }

@@ -181,6 +181,64 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("grid upserts: served results after 3 microbatches == from-scratch; compaction clean") {
+    import graft.sources.IndexStore
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_grid_upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_grid_ckpt").toString
+    try {
+      def pts(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("c_acctbal", lit(1.0))
+        .withColumn("cx", expr("CAST((c_custkey * 2654435761) % 100003 AS DOUBLE) / 100003.0"))
+        .withColumn("cy", expr("CAST((c_custkey * 2246822519) % 100019 AS DOUBLE) / 100019.0"))
+      val all = pts(spark.range(1, 2001).toDF("c_custkey"))
+      IndexStore.saveGrid(dir, Geo.withCells(all.filter(col("c_custkey") % 5 =!= 0)))
+
+      // stream the late fifth in 3 microbatches through the upsert sink
+      val input = MemoryStream[Long](spark)
+      val q = graft.streaming.IndexUpserts.startGridUpserts(
+        pts(input.toDF().toDF("c_custkey")), dir, ckpt)
+      try {
+        val late = (1L to 2000L).filter(_ % 5 == 0)
+        late.grouped(late.size / 3 + 1).foreach { g =>
+          input.addData(g); q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      val sites = Seq((1L, 0.31, 0.47), (2L, 0.83, 0.12), (3L, 0.52, 0.52))
+        .toDF("s_suppkey", "sx", "sy")
+      def agg(cand: org.apache.spark.sql.DataFrame) = cand
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("s_suppkey").collect().toSeq
+      def serve() = agg(Geo.servedCandidates(IndexStore.loadGrid(spark, dir), sites))
+      val grown = serve()
+      val want = agg(Geo.gridCandidates(all, sites))
+      assert(grown == want && grown.nonEmpty)
+      assert(IndexStore.loadGrid(spark, dir).count() == 2000L)
+
+      // appends fragmented at least one cell; compaction restores one
+      // file per leaf dir and serve results are unchanged
+      def leafDirs = Option(new java.io.File(s"$dir/cells").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("cell_x="))
+        .flatMap(x => Option(x.listFiles()).toSeq.flatten)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell_y="))
+      def files(d: java.io.File) = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(leafDirs.exists(files(_).length > 1), "appends never fragmented a cell")
+      IndexStore.compactGrid(spark, dir)
+      assert(leafDirs.nonEmpty && leafDirs.forall(files(_).length == 1),
+        "compaction left a multi-file cell directory")
+      assert(!new java.io.File(s"$dir/cells_compacting").exists())
+      assert(serve() == grown, "serve drifted across compaction")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+    }
+  }
+
   private def scansUnder(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
