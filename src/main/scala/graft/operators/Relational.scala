@@ -2383,9 +2383,12 @@ object Relational {
     * TakeOrderedAndProject, distributed cut.
     */
   def qBasket(s: SparkSession, d: String): DataFrame = {
-    val po = Tables.lineitem(s, d)
+    // the (order, part) distinct projection feeds FOUR consumers
+    // (both self-join sides, per-part counts, the order total); pinned
+    // once so the corpus scan + distinct shuffle run once, not 4x
+    val po = Materialize.pin(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct())
     val perPart = po.groupBy("pk").agg(count(lit(1)).as("n_p"))
     val nOrders = po.select(countDistinct(col("ok")).as("n_orders"))
     val pairs = po.as("a")
