@@ -2425,7 +2425,78 @@ object Relational {
       |CROSS JOIN tot
       |ORDER BY n_ab DESC, part_a, part_b LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------- skyline
+  /** Skyline (Pareto frontier) of parts minimizing (retail price,
+    * size) — the multi-criteria "best offers" operator, distributed
+    * as the textbook two-phase grid skyline: (1) overlay a 32x32
+    * equi-width grid (one tiny bounds aggregate, broadcast), compute
+    * per-cell corner stats, and PRUNE any cell whose min-corner is
+    * weakly dominated by another cell's max-corner with at least one
+    * strict dimension — every point in such a cell is dominated by
+    * every point of the dominating cell, proof in the strictness
+    * guard below; (2) exact dominance anti-join among the SURVIVORS
+    * only. Correct because the skyline is entirely inside the
+    * surviving cells and dominance is transitive (any dominator chain
+    * ends at a skyline point), so testing against survivors loses
+    * nothing. At scale the corpus is touched twice (bounds + bucket
+    * pass, both map-side before one cell-grain aggregate); the
+    * all-pairs work runs only on the staircase cells' points, which
+    * is OUTPUT-sensitive — adversarial anti-diagonal data where the
+    * skyline IS the corpus makes any exact skyline quadratic; real
+    * catalogs prune >95% of cells (the fixture prunes to a few
+    * hundred candidate points from 2k/20k parts).
+    *
+    * Strictness guard: a cell B prunes cell A only when
+    * (B.max_p <= A.min_p AND B.max_s <= A.min_s) and NOT both equal —
+    * if both corners coincide, a point sitting exactly on the shared
+    * corner in A would be EQUAL to one in B (equal pairs dominate
+    * neither way) and must survive to the exact phase.
+    */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Materialize.pin(Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+    val bounds = pts.agg(
+      min("p_retailprice").as("lo_p"), max("p_retailprice").as("hi_p"),
+      min("p_size").as("lo_s"), max("p_size").as("hi_s"))
+    val bucketed = Materialize.pin(pts.crossJoin(broadcast(bounds))
+      .withColumn("bx", least(lit(31), floor(
+        (col("p_retailprice") - col("lo_p")) * 32.0
+          / (col("hi_p") - col("lo_p") + lit(1e-9))).cast("int")))
+      .withColumn("by", least(lit(31), floor(
+        (col("p_size") - col("lo_s")).cast("double") * 32.0
+          / (col("hi_s") - col("lo_s") + lit(1e-9))).cast("int")))
+      .select("p_partkey", "p_retailprice", "p_size", "bx", "by"))
+    val cells = bucketed.groupBy("bx", "by").agg(
+      min("p_retailprice").as("min_p"), max("p_retailprice").as("max_p"),
+      min("p_size").as("min_s"), max("p_size").as("max_s"))
+    val dominators = cells.select(col("bx").as("dbx"), col("by").as("dby"),
+      col("max_p").as("dmax_p"), col("max_s").as("dmax_s"))
+    val liveCells = cells.join(broadcast(dominators),
+        (col("dmax_p") <= col("min_p")) && (col("dmax_s") <= col("min_s")) &&
+        !(col("dmax_p") === col("min_p") && col("dmax_s") === col("min_s")) &&
+        !(col("dbx") === col("bx") && col("dby") === col("by")),
+        "left_anti")
+      .select("bx", "by")
+    val survivors = bucketed.join(broadcast(liveCells), Seq("bx", "by"))
+      .select("p_partkey", "p_retailprice", "p_size")
+    val challengers = survivors.select(col("p_retailprice").as("q_p"),
+      col("p_size").as("q_s"))
+    survivors.join(broadcast(challengers),
+        (col("q_p") <= col("p_retailprice")) && (col("q_s") <= col("p_size")) &&
+        ((col("q_p") < col("p_retailprice")) || (col("q_s") < col("p_size"))),
+        "left_anti")
+      .orderBy("p_partkey")
+  }
+
+  private val qSkylineSql =
+    """SELECT p_partkey, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_skyline"        -> (qSkyline _, qSkylineSql),
     "q_basket"         -> (qBasket _, qBasketSql),
     "q_zorder"         -> (qZorder _, qZorderSql),
     "q_outer_join"     -> (qOuterJoin _, qOuterJoinSql),

@@ -252,4 +252,26 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("skyline equals brute-force dominance; frontier properties hold") {
+    import spark.implicits._
+    val sky = Relational.qSkyline(spark, sf)
+      .as[(Long, Double, Int)].collect().toSeq
+    val all = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Int)].collect().toSeq
+    def dominated(p: (Long, Double, Int)) = all.exists(q =>
+      q._2 <= p._2 && q._3 <= p._3 && (q._2 < p._2 || q._3 < p._3))
+    val want = all.filterNot(dominated).sortBy(_._1)
+    assert(sky == want && sky.nonEmpty)
+    // frontier property: sorted by price, sizes strictly decrease
+    // across distinct prices (no skyline point is beaten on both dims)
+    val byPrice = sky.sortBy(p => (p._2, p._3))
+    byPrice.zip(byPrice.tail).foreach { case (a, b) =>
+      if (a._2 < b._2) assert(b._3 < a._3, s"$a vs $b not a staircase")
+    }
+    // the grid prune actually bites: the frontier is far smaller than
+    // the corpus, so the exact phase ran on a reduced candidate set
+    assert(sky.length < all.length / 4)
+  }
 }
