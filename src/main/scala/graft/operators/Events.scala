@@ -3150,7 +3150,76 @@ object Events {
       |    + 1 AS DOUBLE) / 65.0 AS p_value
       |FROM nulls, obs GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------- interval overlap join
+  /** Interval×interval overlap join — the missing sibling of the
+    * point-in-band joins: which pairs of DIFFERENT users had
+    * overlapping purchase activity windows (session padded by a
+    * 30-minute trailing active period — point sessions never overlap),
+    * counted per hour ("concurrent shoppers"). Composed as the 1-D grid join: each session explodes
+    * to the hour cells it covers, pairs meet on an hour-cell
+    * EQUI-join, and the exact overlap predicate filters after. The
+    * classic duplicate problem (a pair overlapping across k shared
+    * hours would match k times) is solved with the OWNERSHIP-CELL
+    * rule instead of a distinct shuffle: a pair is counted only in
+    * the hour of max(start_a, start_b), which overlap guarantees both
+    * sessions cover — dedup by construction, zero extra exchanges.
+    * Per-cell work is local session density squared (the same
+    * locality argument as Geo.gridCandidates); sessions are the
+    * 5-minute-gap rule on integer microseconds, the exact machinery
+    * e_session hash-certifies.
+    */
+  def eIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+    val prev = lag(col("us"), 1).over(w)
+    val sessions = Materialize.pin(load(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+      .withColumn("new_s",
+        when(prev.isNull || col("us") - prev >= 300000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("st"),
+        (max(col("us")) + lit(1800000000L)).as("en")))
+    def cells(df: DataFrame, p: String) = df.select(
+        col("user_id").as(s"${p}u"), col("st").as(s"${p}s"), col("en").as(s"${p}e"))
+      .withColumn("cell", explode(expr(
+        s"sequence(${p}s div $HourUs, ${p}e div $HourUs)")))
+    cells(sessions, "a")
+      .join(cells(sessions, "b"),
+        Seq("cell")).where(col("au") < col("bu") &&
+        col("as") <= col("be") && col("bs") <= col("ae") &&
+        col("cell") === expr(s"greatest(`as`, bs) div $HourUs"))
+      .groupBy((col("cell") * 3600).as("hour_s"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hour_s")
+  }
+
+  private val eIntervalJoinSql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+      |    WHERE event_type = 'purchase'),
+      |flag AS (SELECT user_id, us,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |      >= 300000000
+      |    OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |isl AS (SELECT user_id, us,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flag),
+      |se AS (SELECT user_id, MIN(us) AS st, MAX(us) + 1800000000 AS en
+      |  FROM isl GROUP BY user_id, sid)
+      |SELECT CAST((GREATEST(a.st, b.st) // 3600000000) * 3600 AS BIGINT)
+      |    AS hour_s,
+      |  COUNT(*) AS n_pairs
+      |FROM se a JOIN se b
+      |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_interval_join" -> (eIntervalJoin _, eIntervalJoinSql),
     "e_perm_test"   -> (ePermTest _, ePermTestSql),
     "e_bootstrap"   -> (eBootstrap _, eBootstrapSql),
     "e_burstiness"  -> (eBurstiness _, eBurstinessSql),

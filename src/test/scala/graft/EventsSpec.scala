@@ -673,6 +673,34 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("e_interval_join: ownership-cell dedup equals the brute-force overlap join") {
+    import spark.implicits._
+    val got = Events.eIntervalJoin(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // brute force: rebuild the same sessions, pair them quadratically
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+    val prev = lag(col("us"), 1).over(w)
+    val sess = Events.load(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+      .withColumn("new_s",
+        when(prev.isNull || col("us") - prev >= 300000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("st"),
+        (max(col("us")) + lit(1800000000L)).as("en"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._3 <= b._4 && b._3 <= a._4
+    } yield (math.max(a._3, b._3) / 3600000000L) * 3600)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want && got.nonEmpty)
+    // conservation: cell ownership counted every overlapping pair once
+    assert(got.values.sum == want.values.sum)
+  }
+
   test("e_perm_test: p-value is a valid add-one rational; groups populated") {
     import spark.implicits._
     val Seq((na, nb, diff, p)) = Events.ePermTest(spark, sf)
