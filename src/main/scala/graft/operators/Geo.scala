@@ -318,7 +318,38 @@ object Geo {
        |  FROM customer GROUP BY 1, 2
        |) GROUP BY n_points ORDER BY n_points""".stripMargin
 
+  /** Idempotent per-session registration of the naive-spatial-join
+    * optimizer rule (mirrors AsofJoin.ensureRegistered — query
+    * functions cannot assume `spark.sql.extensions` was set).
+    */
+  def ensureRegistered(s: SparkSession): Unit = {
+    val em = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!em.extraOptimizations.contains(graft.plans.GridJoinRewrite))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.GridJoinRewrite
+  }
+
+  // ----------------------------------------------- optimizer on-ramp
+  /** [[gGridJoin]] written the way a USER would write it — a naive
+    * crossJoin + distance filter — and left to the
+    * [[graft.plans.GridJoinRewrite]] optimizer rule to turn into the
+    * cell equi-join (GeoSpec pins the rewritten plan: no cartesian
+    * product, no nested-loop join). Same oracle as the hand-built
+    * form: the rule must be invisible in the results and structural
+    * in the plan.
+    */
+  def gGridAuto(s: SparkSession, d: String): DataFrame = {
+    ensureRegistered(s)
+    custPoints(s, d).crossJoin(suppPoints(s, d))
+      .where(expr(s"$DIST2 <= $R2"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_near"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g_grid_auto"   -> (gGridAuto _, gGridJoinSql),
     "g_grid_join"   -> (gGridJoin _, gGridJoinSql),
     "g_grid_knn"    -> (gGridKnn _, gGridKnnSql),
     "g_cell_stats"  -> (gCellStats _, gCellStatsSql),

@@ -259,6 +259,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftSql.functionDescriptions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
+    e.injectOptimizerRule(_ => graft.plans.GridJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

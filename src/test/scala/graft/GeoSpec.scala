@@ -181,6 +181,38 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("GridJoinRewrite: naive cross-join form rewrites to the cell equi-join") {
+    // results identical to the hand-built grid join (same oracle gates
+    // both), and the optimized plan is structural: the corpus-side
+    // join is a hash join; the only nested-loop left is the 9-row
+    // offsets relation
+    assert(Geo.gGridAuto(spark, sf).collect().toSeq ==
+      Geo.gGridJoin(spark, sf).collect().toSeq)
+    val planStr = Geo.gGridAuto(spark, sf).queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") || planStr.contains("SortMergeJoin"))
+    assert(!planStr.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(planStr).size
+    assert(bnlj <= 1, s"unexpected nested loops:\n$planStr")
+    if (bnlj == 1) assert(planStr.contains("LocalTableScan"),
+      "the surviving nested loop is not the offsets relation")
+
+    // negative control: with the rule removed, the same query plans
+    // the O(n*m) nested loop — proving the structure came from the rule
+    val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    val saved = em.extraOptimizations
+    try {
+      em.extraOptimizations =
+        saved.filterNot(_ == graft.plans.GridJoinRewrite)
+      val naive = Geo.gGridAuto(spark, sf) // re-registers; strip again
+      em.extraOptimizations =
+        em.extraOptimizations.filterNot(_ == graft.plans.GridJoinRewrite)
+      val naiveStr = naive.queryExecution.executedPlan.toString
+      assert(naiveStr.contains("BroadcastNestedLoopJoin") ||
+        naiveStr.contains("CartesianProduct"))
+      assert(!naiveStr.contains("_gridx_"))
+    } finally em.extraOptimizations = saved
+  }
+
   test("grid upserts: served results after 3 microbatches == from-scratch; compaction clean") {
     import graft.sources.IndexStore
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
