@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute,
-  AttributeReference, Cast, Divide, EqualTo, Expression, Floor,
-  GenericInternalRow, LessThan, LessThanOrEqual, Literal, Multiply, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And,
+  Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Floor,
+  GenericInternalRow, IntegralDivide, LessThan, LessThanOrEqual, Literal,
+  Multiply, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint,
   LocalRelation, LogicalPlan, Project}
@@ -101,41 +102,125 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     } yield (lx, ly, rx, ry)
   }
 
-  /** floor(coord / edge) as LONG — the home-cell index. */
+  /** 1-D band form: `abs(a - b) <= w` (or <) over attributes of the
+    * same numeric type on opposite sides, w a positive literal. For
+    * INTEGRAL coordinates the cell is exact truncating division —
+    * trunc-div boundaries sit at multiples of w (none at zero, so the
+    * origin cell is 2w wide), consecutive boundaries are >= w apart,
+    * and |a-b| <= w therefore crosses at most one boundary: the same
+    * +-1 neighbor bound as floor cells, with zero float rounding.
+    */
+  private def matchBand(conjunct: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Attribute, Attribute, Literal, Boolean)] = {
+    def attrs(u: Expression, v: Expression): Option[(Attribute, Attribute)] =
+      (u, v) match {
+        case (a: AttributeReference, b: AttributeReference)
+            if a.dataType == b.dataType =>
+          if (left.outputSet.contains(a) && right.outputSet.contains(b))
+            Some((a, b))
+          else if (left.outputSet.contains(b) && right.outputSet.contains(a))
+            Some((b, a))
+          else None
+        case _ => None
+      }
+    conjunct match {
+      case LessThanOrEqual(Abs(Subtract(u, v, _), _), lit: Literal) =>
+        lit match {
+          case Literal(w: Long, LongType) if w > 0 =>
+            attrs(u, v).filter(_._1.dataType == LongType)
+              .map { case (a, b) => (a, b, lit, true) }
+          case Literal(w: Int, IntegerType) if w > 0 =>
+            attrs(u, v).filter(_._1.dataType == IntegerType)
+              .map { case (a, b) => (a, b, lit, true) }
+          case Literal(w: Double, DoubleType) if w > 0 && !w.isInfinite =>
+            attrs(u, v).filter(_._1.dataType == DoubleType)
+              .map { case (a, b) => (a, b, lit, false) }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** floor(coord / edge) as LONG — the home-cell index (double axes). */
   private def cell(coord: Expression, edge: Double): Expression =
     Floor(Divide(coord, Literal(edge, DoubleType)))
 
+  /** One rewrite dimension: the left cell expr and a function from the
+    * offset attribute to the right cell expr.
+    */
+  private case class Dim(leftCell: Expression, rightCell: Expression => Expression)
+
+  private def dims(conjunct: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Seq[Dim]] =
+    matchDist(conjunct, left, right).map { case (lx, ly, rx, ry, r2) =>
+      // edge must be >= the REAL radius for the superset bound: sqrt
+      // rounds to nearest (can round DOWN by half an ulp) and the
+      // runtime coord/edge division rounds again, so widen by 1e-9
+      // relative — a few candidate rows, never a missed pair
+      val edge = math.sqrt(r2) * 1.000000001
+      Seq(Dim(cell(lx, edge), d => Add(cell(rx, edge), Cast(d, LongType))),
+        Dim(cell(ly, edge), d => Add(cell(ry, edge), Cast(d, LongType))))
+    }.orElse(matchBand(conjunct, left, right).map { case (a, b, w, integral) =>
+      if (integral) {
+        val wl = Literal(w.value match {
+          case i: Int => i.toLong; case l: Long => l
+        }, LongType)
+        Seq(Dim(IntegralDivide(Cast(a, LongType), wl),
+          d => Add(IntegralDivide(Cast(b, LongType), wl), Cast(d, LongType))))
+      } else {
+        val edge = w.value.asInstanceOf[Double] * 1.000000001
+        Seq(Dim(cell(a, edge), d => Add(cell(b, edge), Cast(d, LongType))))
+      }
+    })
+
+  /** True when the condition already carries an attribute-equality
+    * conjunct across the two sides: Spark then plans a hash join on
+    * that key and the distance/band predicate is a cheap post-filter
+    * over ALREADY key-local candidates — re-gridding would only add
+    * the x9/x3 replication. This guard is also what makes the rule
+    * idempotent: its own output (and any hand-built grid join) keys
+    * on cell-equality conjuncts and is left alone.
+    */
+  private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+          (left.outputSet.contains(b) && right.outputSet.contains(a))
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
-        if !cond.references.exists(_.name.startsWith("_gridx_")) =>
-      val conjuncts = splitConjuncts(cond)
-      conjuncts.iterator
-        .flatMap(c => matchDist(c, left, right))
+        if !cond.references.exists(_.name.startsWith("_gridx_")) &&
+          !hasEquiKey(splitConjuncts(cond), left, right) =>
+      splitConjuncts(cond).iterator
+        .flatMap(c => dims(c, left, right))
         .take(1).toSeq.headOption match {
         case None => j
-        case Some((lx, ly, rx, ry, r2)) =>
-          // edge must be >= the REAL radius for the superset bound:
-          // sqrt rounds to nearest (can round DOWN by half an ulp) and
-          // the runtime coord/edge division rounds again, so widen by
-          // 1e-9 relative — a few candidate rows, never a missed pair
-          val edge = math.sqrt(r2) * 1.000000001
-          val glx = Alias(cell(lx, edge), "_gridx_l")()
-          val gly = Alias(cell(ly, edge), "_gridy_l")()
-          val leftP = Project(left.output ++ Seq(glx, gly), left)
-          val dx = AttributeReference("_gridx_d", IntegerType, nullable = false)()
-          val dy = AttributeReference("_gridy_d", IntegerType, nullable = false)()
-          val offsets = LocalRelation(Seq(dx, dy),
-            for (i <- -1 to 1; k <- -1 to 1)
-              yield new GenericInternalRow(Array[Any](i, k)))
+        case Some(ds) =>
+          val leftAliases = ds.zipWithIndex.map { case (dim, i) =>
+            Alias(dim.leftCell, s"_gridx_l$i")()
+          }
+          val leftP = Project(left.output ++ leftAliases, left)
+          val offAttrs = ds.indices.map(i =>
+            AttributeReference(s"_gridx_d$i", IntegerType, nullable = false)())
+          val offsetRows = ds.size match {
+            case 1 => (-1 to 1).map(i => new GenericInternalRow(Array[Any](i)))
+            case _ => for (i <- -1 to 1; k <- -1 to 1)
+              yield new GenericInternalRow(Array[Any](i, k))
+          }
+          val offsets = LocalRelation(offAttrs, offsetRows)
           val rightX = Join(right, offsets, Cross, None, JoinHint.NONE)
-          val grx = Alias(Add(cell(rx, edge), Cast(dx, LongType)), "_gridx_r")()
-          val gry = Alias(Add(cell(ry, edge), Cast(dy, LongType)), "_gridy_r")()
-          val rightP = Project(right.output ++ Seq(grx, gry), rightX)
-          val newCond = And(And(
-            EqualTo(glx.toAttribute, grx.toAttribute),
-            EqualTo(gly.toAttribute, gry.toAttribute)), cond)
+          val rightAliases = ds.zipWithIndex.map { case (dim, i) =>
+            Alias(dim.rightCell(offAttrs(i)), s"_gridx_r$i")()
+          }
+          val rightP = Project(right.output ++ rightAliases, rightX)
+          val eqs = leftAliases.zip(rightAliases)
+            .map { case (l, r) => EqualTo(l.toAttribute, r.toAttribute) }
+            .reduceLeft[Expression](And(_, _))
           Project(j.output,
-            Join(leftP, rightP, Inner, Some(newCond), hint))
+            Join(leftP, rightP, Inner, Some(And(eqs, cond)), hint))
       }
   }
 

@@ -701,6 +701,26 @@ class EventsSpec extends SparkSpec {
     assert(got.values.sum == want.values.sum)
   }
 
+  test("e_band_auto: band rewrite plans a hash join; only the offsets nested loop survives") {
+    val planStr = Events.eBandAuto(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") || planStr.contains("SortMergeJoin"))
+    assert(!planStr.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(planStr).size
+    assert(bnlj <= 1, s"unexpected nested loops:\n$planStr")
+    if (bnlj == 1) assert(planStr.contains("LocalTableScan"))
+    // integral band cells are exact: conservation against a driver
+    // recompute of the pair count
+    import spark.implicits._
+    val pur = Events.load(spark, sf).where(col("event_type") === "purchase")
+      .select(expr("ts_ns div 1000")).as[Long].collect()
+    val sig = Events.load(spark, sf).where(col("event_type") === "signup")
+      .select(expr("ts_ns div 1000")).as[Long].collect()
+    val want = pur.iterator.map(p => sig.count(s => math.abs(p - s) <= 3600000000L).toLong).sum
+    val got = Events.eBandAuto(spark, sf).agg(sum("n_pairs")).collect()(0).getLong(0)
+    assert(got == want && got > 0)
+  }
+
   test("e_perm_test: p-value is a valid add-one rational; groups populated") {
     import spark.implicits._
     val Seq((na, nb, diff, p)) = Events.ePermTest(spark, sf)
