@@ -213,6 +213,35 @@ class GeoSpec extends SparkSpec {
     } finally em.extraOptimizations = saved
   }
 
+  test("GridJoinRewrite: does NOT fire where it must not") {
+    import spark.implicits._
+    Geo.ensureRegistered(spark)
+    def fired(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("_gridx_")
+    val a = Seq((1L, 0.1, 0.2, 0.3), (2L, 0.4, 0.5, 0.6))
+      .toDF("id", "x", "y", "z")
+    val b = Seq((1L, 0.1, 0.2), (2L, 0.7, 0.8)).toDF("bid", "bx", "by")
+
+    // same-side distance predicate: both points from one input
+    assert(!fired(a.crossJoin(b)
+      .where(expr("(x - y) * (x - y) + (z - y) * (z - y) <= 0.01"))))
+    // non-literal bound
+    assert(!fired(a.crossJoin(b)
+      .where(expr("(x - bx) * (x - bx) + (y - by) * (y - by) <= z"))))
+    // equi-key already present: the join is hash-planned without help
+    assert(!fired(a.join(b, col("id") === col("bid"))
+      .where(expr("abs(x - bx) <= 0.1"))))
+    // left/right/outer joins are out of scope (the rewrite is inner-only)
+    assert(!fired(a.join(b,
+      expr("(x - bx) * (x - bx) + (y - by) * (y - by) <= 0.01"), "left")))
+    // mismatched band types (double vs long) don't match the band form
+    val c = Seq((1L, 5L)).toDF("cid", "ct")
+    assert(!fired(a.crossJoin(c).where(expr("abs(x - ct) <= 2"))))
+    // ...and the positive control still fires on this tiny frame
+    assert(fired(a.crossJoin(b)
+      .where(expr("(x - bx) * (x - bx) + (y - by) * (y - by) <= 0.01"))))
+  }
+
   test("grid upserts: served results after 3 microbatches == from-scratch; compaction clean") {
     import graft.sources.IndexStore
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
