@@ -3253,7 +3253,91 @@ object Events {
       |FROM p, g WHERE abs(e_us - o_us) <= 3600000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------- bootstrap CI on the diff
+  /** Bootstrap confidence interval for the click-vs-view difference
+    * in mean(value) — the EFFECT-SIZE companion to [[ePermTest]]'s
+    * p-value: each of B=32 deterministic Poisson resamples draws both
+    * groups independently (weights keyed "bdiff|b|event_id", same
+    * truncated-Poisson(1) md5 thresholds as [[eBootstrap]]) and the
+    * CI is the 2nd/31st order statistic of the resampled differences
+    * (ties broken by b). Same one-explode/one-aggregate scale shape;
+    * the per-(b) stats table is B rows.
+    */
+  def eBootDiff(s: SparkSession, d: String): DataFrame = {
+    val B = 32
+    val w = expr(
+      """CASE WHEN h4 < '5e32' THEN 0 WHEN h4 < 'bc65' THEN 1
+        |     WHEN h4 < 'eb76' THEN 2 WHEN h4 < 'fb23' THEN 3
+        |     ELSE 4 END""".stripMargin)
+    val base = load(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("event_id"), valDec.as("v"))
+    val diffs = base
+      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("h4", substring(md5(concat(lit("bdiff|"),
+        col("b").cast("string"), lit("|"),
+        col("event_id").cast("string")).cast("binary")), 1, 4))
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg((sum(when(col("event_type") === "click", col("w") * col("v")))
+          .cast("double")
+        / sum(when(col("event_type") === "click", col("w"))).cast("double")
+        - sum(when(col("event_type") === "view", col("w") * col("v")))
+          .cast("double")
+        / sum(when(col("event_type") === "view", col("w"))).cast("double"))
+        .as("diff_b"))
+    val ranked = diffs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("diff_b"), col("b"))))
+      .where(col("rn") <= B - 1)
+    val ci = ranked.agg(
+      max(when(col("rn") === 2, col("diff_b"))).as("ci_lo"),
+      max(when(col("rn") === B - 1, col("diff_b"))).as("ci_hi"))
+    base.groupBy()
+      .agg((sum(when(col("event_type") === "click", col("v"))).cast("double")
+        / sum(when(col("event_type") === "click", 1L)).cast("double")
+        - sum(when(col("event_type") === "view", col("v"))).cast("double")
+        / sum(when(col("event_type") === "view", 1L)).cast("double"))
+        .as("diff"))
+      .crossJoin(ci)
+      .select("diff", "ci_lo", "ci_hi")
+  }
+
+  private val eBootDiffSql =
+    """WITH base AS (SELECT event_type, event_id,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |wt AS (SELECT event_type, b, v,
+      |    CASE WHEN h4 < '5e32' THEN 0 WHEN h4 < 'bc65' THEN 1
+      |         WHEN h4 < 'eb76' THEN 2 WHEN h4 < 'fb23' THEN 3
+      |         ELSE 4 END AS w
+      |  FROM (SELECT event_type, v, b,
+      |      substr(md5('bdiff|' || CAST(b AS VARCHAR) || '|'
+      |        || CAST(event_id AS VARCHAR)), 1, 4) AS h4
+      |    FROM base, range(32) t(b))),
+      |diffs AS (SELECT b,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN w * v END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN event_type = 'click' THEN w END) AS DOUBLE)
+      |    - CAST(SUM(CASE WHEN event_type = 'view' THEN w * v END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN event_type = 'view' THEN w END) AS DOUBLE)
+      |      AS diff_b
+      |  FROM wt GROUP BY b),
+      |ranked AS (SELECT diff_b, ROW_NUMBER() OVER (ORDER BY diff_b, b) AS rn
+      |  FROM diffs),
+      |ci AS (SELECT MAX(CASE WHEN rn = 2 THEN diff_b END) AS ci_lo,
+      |    MAX(CASE WHEN rn = 31 THEN diff_b END) AS ci_hi
+      |  FROM ranked WHERE rn <= 31)
+      |SELECT
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN v END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+      |  - CAST(SUM(CASE WHEN event_type = 'view' THEN v END) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE)
+      |    AS diff,
+      |  MAX(ci.ci_lo) AS ci_lo, MAX(ci.ci_hi) AS ci_hi
+      |FROM base, ci""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "e_boot_diff"   -> (eBootDiff _, eBootDiffSql),
     "e_band_auto"   -> (eBandAuto _, eBandAutoSql),
     "e_interval_join" -> (eIntervalJoin _, eIntervalJoinSql),
     "e_perm_test"   -> (ePermTest _, ePermTestSql),

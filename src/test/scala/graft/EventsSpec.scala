@@ -721,6 +721,17 @@ class EventsSpec extends SparkSpec {
     assert(got == want && got > 0)
   }
 
+  test("e_boot_diff: CI brackets the observed difference and is finite-width") {
+    import spark.implicits._
+    val Seq((diff, lo, hi)) = Events.eBootDiff(spark, sf)
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(lo < hi && lo <= diff && diff <= hi,
+      s"diff $diff outside bootstrap CI [$lo, $hi]")
+    // effect sizes on a 0-100 value scale: a CI wider than the whole
+    // range means the resampling degenerated
+    assert(hi - lo < 100.0)
+  }
+
   test("e_perm_test: p-value is a valid add-one rational; groups populated") {
     import spark.implicits._
     val Seq((na, nb, diff, p)) = Events.ePermTest(spark, sf)
