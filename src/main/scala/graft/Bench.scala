@@ -180,7 +180,12 @@ object Bench {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"n_queries":$nQueries,"qhash":"$qhash","passes":${passes.length},"failed":$failed,"sf":"$sfDir","queries":$qs,"spread":$spreads}"""
+    // ...and DUPLICATED at the very END of the line: the driver's
+    // round artifact keeps only the last 2000 chars of output, which
+    // for ten straight rounds was the tail of the spread map —
+    // `parsed: null` every time. With total2/n_queries2/qhash2 as the
+    // final keys, the tail alone carries the headline numbers.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"n_queries":$nQueries,"qhash":"$qhash","passes":${passes.length},"failed":$failed,"sf":"$sfDir","queries":$qs,"spread":$spreads,"total2":$total,"n_queries2":$nQueries,"qhash2":"$qhash"}"""
     // stdout first — it must carry the result even if the file write
     // fails (an unwritable path must not discard a finished run).
     println(json)

@@ -382,7 +382,10 @@ object Events {
     graft.plans.AsofJoin.joinAsOf(ev, ord,
         leftTime = "ts_us", rightTime = "o_us",
         leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
-        tiebreak = Seq("o_orderkey"))
+        // pin the shuffled exec: this query is the sort-merge flagship
+        // (eAsofBroadcast gates the broadcast path; with cost-based
+        // selection the small fixture dim would otherwise broadcast)
+        tiebreak = Seq("o_orderkey"), broadcast = Some(false))
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
       .orderBy("event_id")
@@ -401,7 +404,7 @@ object Events {
     graft.plans.AsofJoin.joinAsOf(ev, ord,
         leftTime = "ts_us", rightTime = "o_us",
         leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
-        tiebreak = Seq("o_orderkey"), broadcast = true)
+        tiebreak = Seq("o_orderkey"), broadcast = Some(true))
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
       .orderBy("event_id")
@@ -421,7 +424,7 @@ object Events {
     graft.plans.AsofJoin.joinAsOf(ev, ord,
         leftTime = "ts_us", rightTime = "o_us",
         leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
-        tiebreak = Seq("o_orderkey"),
+        tiebreak = Seq("o_orderkey"), broadcast = Some(false),
         toleranceUs = Some(90L * 86400L * 1000000L))
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
@@ -453,7 +456,8 @@ object Events {
     graft.plans.AsofJoin.joinAsOf(ev, ord,
         leftTime = "ts_us", rightTime = "o_us",
         leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
-        tiebreak = Seq("o_orderkey"), direction = "forward")
+        tiebreak = Seq("o_orderkey"), direction = "forward",
+        broadcast = Some(false))
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
       .orderBy("event_id")
@@ -509,7 +513,8 @@ object Events {
     graft.plans.BandJoin.bandCount(a, b,
         leftTime = "ts_us", rightTime = "b_ts_us",
         leftBy = Seq("user_id"), rightBy = Seq("b_user"),
-        windowUs = 600000000L, countName = "n_follow")
+        windowUs = 600000000L, countName = "n_follow",
+        broadcast = Some(false))
       .select(col("event_id"), col("event_type"), col("n_follow"))
       .orderBy("event_id")
   }
@@ -530,7 +535,7 @@ object Events {
         leftTime = "ts_us", rightTime = "o_us",
         leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
         windowUs = 30L * 86400L * 1000000L,
-        countName = "n_orders_30d", broadcast = true)
+        countName = "n_orders_30d", broadcast = Some(true))
       .select(col("event_id"), col("n_orders_30d"))
       .orderBy("event_id")
   }

@@ -165,9 +165,14 @@ object Geo {
     * GeoSpec); the store's other cells are never opened.
     */
   def gGridServed(s: SparkSession, d: String): DataFrame = {
+    // keyed by (dataset, applicationId): two concurrent sessions on
+    // the same dataset (e.g. Verify and Bench) each get their own
+    // store, so one session's Overwrite can never delete files out
+    // from under the other's in-flight scan
     val dir = new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir")),
-      "graft_index_grid_" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      "graft_index_grid_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + s.sparkContext.applicationId).getPath
     graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
     val loaded = graft.sources.IndexStore.loadGrid(s, dir)
     radiusAgg(servedCandidates(loaded, suppPoints(s, d)))

@@ -62,7 +62,7 @@ case class AsofJoinPlan(
     tiebreak: Seq[Expression],
     toleranceUs: Option[Long],
     forward: Boolean,
-    broadcastRight: Boolean) extends BinaryNode {
+    broadcastRight: Option[Boolean]) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -400,11 +400,25 @@ case class AsofBroadcastJoinExec(
 /** Plans [[AsofJoinPlan]] as [[AsofJoinExec]] (shuffled sort-merge) or
   * [[AsofBroadcastJoinExec]] (small right side); everything below the
   * node goes back through the normal planner (`planLater`).
+  *
+  * Broadcast selection mirrors Spark's own JoinSelection: with no
+  * caller override, the right side broadcasts when its planning-time
+  * size estimate (`stats.sizeInBytes` — file sizes at the leaves,
+  * propagated through the optimized plan, CBO-refined when ANALYZE
+  * stats exist) fits `spark.sql.autoBroadcastJoinThreshold`; `-1`
+  * disables auto-broadcast exactly as it does for built-in joins. The
+  * caller flag (`broadcast = Some(true/false)`) stays as the explicit
+  * override — e.g. force the shuffled exec when the dim is known to
+  * grow, or force broadcast below a filter the estimator can't see.
   */
 object AsofJoinStrategy extends SparkStrategy {
+  private[graft] def autoBroadcast(r: LogicalPlan): Boolean = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    thr > 0 && r.stats.sizeInBytes <= thr
+  }
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, rk, lt, rt, tb, tol, fwd, bcast) =>
-      if (bcast)
+      if (bcast.getOrElse(autoBroadcast(r)))
         AsofBroadcastJoinExec(lk, rk, lt, rt, tb, tol, fwd,
           planLater(l), planLater(r)) :: Nil
       else
@@ -478,9 +492,16 @@ object AsofJoin {
     * (`direction = "forward"`): the earliest right row with
     * `rightTimeUs >= leftTimeUs` (within tolerance); ties resolve to
     * the SMALLEST tiebreak. Time columns must be LONG (epoch µs by
-    * convention — any monotone long works). With `broadcast = true` the
-    * right side must fit the usual broadcast-join size budget; the left
-    * side then pays no shuffle and no sort at all.
+    * convention — any monotone long works).
+    *
+    * Broadcast choice: by default (`broadcast = None`) the planner
+    * decides from the right side's size estimate against
+    * `spark.sql.autoBroadcastJoinThreshold`, exactly like Spark's own
+    * JoinSelection — a small dimension gets the broadcast-index exec
+    * (no shuffle, no sort on the fact side), a large one the shuffled
+    * sort-merge exec. `Some(true)` forces broadcast (the right side
+    * must then fit the broadcast budget); `Some(false)` forces the
+    * shuffled exec.
     *
     * Self-join note: both inputs must carry distinct attribute ids; for
     * a same-source as-of join, rename the right side's columns first
@@ -496,7 +517,7 @@ object AsofJoin {
       tiebreak: Seq[String] = Nil,
       toleranceUs: Option[Long] = None,
       direction: String = "backward",
-      broadcast: Boolean = false): DataFrame = {
+      broadcast: Option[Boolean] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"joinAsOf: direction must be backward|forward, got '$direction'")
     val spark = left.sparkSession

@@ -42,7 +42,7 @@ case class BandCountPlan(
     rightTime: Expression,
     windowUs: Long,
     countAttr: AttributeReference,
-    broadcastRight: Boolean) extends BinaryNode {
+    broadcastRight: Option[Boolean]) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output :+ countAttr
 
@@ -270,12 +270,16 @@ case class BandCountBroadcastExec(
 }
 
 /** Plans [[BandCountPlan]] as [[BandCountExec]] (shuffled merge) or
-  * [[BandCountBroadcastExec]] (small right side).
+  * [[BandCountBroadcastExec]] (small right side). Broadcast selection
+  * is cost-based like Spark's JoinSelection — right-side
+  * `stats.sizeInBytes` vs `spark.sql.autoBroadcastJoinThreshold` —
+  * with the caller flag as the explicit override (see
+  * [[AsofJoinStrategy]] for the full contract).
   */
 object BandJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case BandCountPlan(l, r, lk, rk, lt, rt, win, out, bcast) =>
-      if (bcast)
+      if (bcast.getOrElse(AsofJoinStrategy.autoBroadcast(r)))
         BandCountBroadcastExec(lk, rk, lt, rt, win, out,
           planLater(l), planLater(r)) :: Nil
       else
@@ -297,8 +301,11 @@ object BandJoin {
   /** Appends `countName` (LONG, never null) to `left`: the number of
     * `right` rows with equal keys and time in `(leftTime, leftTime +
     * windowUs]`. Time columns must be LONG (epoch µs by convention).
-    * With `broadcast = true` the right side must fit the broadcast
-    * budget; the left side then pays no shuffle and no sort.
+    * `broadcast = None` (default) picks the exec from the right
+    * side's size estimate vs `spark.sql.autoBroadcastJoinThreshold`;
+    * `Some(true)` forces the broadcast exec (the right side must fit
+    * the broadcast budget — the left side then pays no shuffle and no
+    * sort), `Some(false)` forces the shuffled merge.
     */
   def bandCount(
       left: DataFrame,
@@ -309,7 +316,7 @@ object BandJoin {
       rightBy: Seq[String],
       windowUs: Long,
       countName: String = "n_in_band",
-      broadcast: Boolean = false): DataFrame = {
+      broadcast: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed

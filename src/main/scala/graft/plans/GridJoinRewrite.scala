@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And,
-  Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, Floor,
-  GenericInternalRow, IntegralDivide, LessThan, LessThanOrEqual, Literal,
-  Multiply, Subtract}
+  Attribute, AttributeReference, Cast, EqualTo, Expression, Floor,
+  GenericInternalRow, GreaterThan, IntegralDivide, LessThan,
+  LessThanOrEqual, Literal, Multiply, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint,
-  LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint,
+  LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * {{{ a.crossJoin(b).where((ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= r2) }}}
   *
   * into the PBSM grid join `operators/Geo` builds by hand: key the
-  * left side to its home cell on a grid of edge r = sqrt(r2),
+  * left side to its home cell on a grid of edge >= r = sqrt(r2),
   * replicate the right side to its 3x3 cell neighborhood (a 9-row
   * offsets relation — broadcast by size), and equi-join on the cell
   * ids with the ORIGINAL predicate kept behind the join. The user
@@ -24,8 +24,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * O(|A| + 9*|B| + candidates) one.
   *
   * SOUNDNESS — same result set, bit-for-bit:
-  *  - superset: |ax-bx| <= r implies the cell coordinates differ by
-  *    at most 1 (floor monotonicity on a grid of edge exactly r), so
+  *  - superset: |ax-bx| <= edge implies the cell coordinates differ
+  *    by at most 1 (floor monotonicity on a grid of edge >= r), so
   *    every pair passing the distance predicate meets in some cell;
   *  - no duplicates: the left row's home cell is unique and the nine
   *    replicas of a right row land in nine DISTINCT cells, so a pair
@@ -35,15 +35,62 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *    coordinates produce NULL cells which join nothing, exactly the
   *    rows the NULL-rejecting distance predicate dropped before.
   *
+  * FLOAT EXACTNESS (double axes) — the grid edge is the smallest
+  * POWER OF TWO >= the (slack-widened) radius. Dividing any double by
+  * a power of two is a pure exponent shift: the quotient is exact
+  * (same significand), so `floor(coord / edge)` carries ZERO rounding
+  * error at ANY coordinate magnitude. The previous fixed 1e-9
+  * relative margin covered sqrt rounding but not the coord/edge
+  * division, whose absolute error grows as ulp(|q|) — for quotients
+  * beyond ~4.5e6 cells (epoch-second or UTM-meter coordinates with a
+  * small radius) floor cells of two in-radius points could differ by
+  * 2 and the pair was silently dropped. With a power-of-two edge the
+  * +-1 neighbor bound is the pure-math one with no magnitude limit.
+  * (Extremes are safe too: quotients large enough to saturate the
+  * long-valued floor collapse together — exact quotients near 2^63
+  * are >= 2048 apart, so two in-radius points can never straddle the
+  * saturation boundary; subnormal quotients floor to {-1, 0} which
+  * are always within 1 of each other.) Cost: edge in [r, 2r) — up to
+  * ~2x per-axis candidate inflation, still O(local cell density).
+  *
+  * INTEGRAL WRAP PARITY (int/long band) — with ANSI off the
+  * preserved predicate's `a - b` WRAPS on overflow, so a pair can
+  * match "through" the type boundary (a near MaxValue, b near
+  * MinValue) while the wrap-free trunc-div cells put them a full
+  * type-range apart. A wrapped match `a - b = d +- 2^BITS`,
+  * `|d| <= w`, forces BOTH operands into the extreme bands:
+  * a > Max - w and b < Min + w (or mirrored). The rewrite therefore
+  * UNIONs the grid join with two "sliver" joins — the (top-band x
+  * bottom-band) and (bottom-band x top-band) cross products under
+  * the verbatim original predicate — which are empty for any data
+  * not touching the outer w of the type range, and whose band
+  * filters push to the scans. Disjointness (no duplicate rows):
+  * cross-band pairs sit >= range - 2w apart, which is > 1 cell for
+  * the guarded w (<= 2^29 int, <= 2^61 long), so the grid never
+  * emits a sliver pair; same-band and interior pairs never wrap, so
+  * the slivers never emit a grid pair. Long cells themselves could
+  * wrap in `cell + offset` only when w == 1 (cell == coordinate), so
+  * long bands require w >= 2; int cells are computed on long-cast
+  * operands and can never wrap. Under ANSI mode (Spark 4's default)
+  * a wrapping subtract THROWS instead of matching, so no sliver is
+  * needed or added; the one accepted divergence is that the rewrite
+  * can SUCCEED where the naive plan would raise ARITHMETIC_OVERFLOW
+  * on a far-apart pair the grid never evaluates.
+  *
   * Fires only on Inner/Cross joins whose condition carries the
   * squared-euclidean conjunct over DOUBLE attributes with one point
-  * per side and a positive finite DOUBLE literal bound (<= or <).
-  * Idempotence inside the fixed-point batch: the rewritten join's
-  * own condition references the generated `_gridx_/_gridy_` cell
-  * attributes, which the matcher rejects.
+  * per side and a positive finite DOUBLE literal bound (<= or <), or
+  * the 1-D band form `abs(a - b) <= w` / `< w` over same-type
+  * int/long/double attributes on opposite sides. Idempotence inside
+  * the fixed-point batch: the rewritten grid join's condition
+  * references the generated `_gridx_` cell attributes and the sliver
+  * joins key on a generated `_gridx_s` marker (non-foldable `a * 0`,
+  * so constant folding in the shared operator-optimization batch
+  * cannot erase the guard), both of which the matcher rejects.
   *
-  * Installed by [[org.apache.spark.sql.graft.GraftExtensions]] or
-  * per-session via `spark.experimental.extraOptimizations`
+  * Installed by [[org.apache.spark.sql.graft.GraftSql.install]] via
+  * `SparkSessionExtensions.injectOptimizerRule` or per-session via
+  * `spark.experimental.extraOptimizations`
   * ([[graft.operators.Geo.ensureRegistered]]).
   */
 object GridJoinRewrite extends Rule[LogicalPlan] {
@@ -102,13 +149,15 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     } yield (lx, ly, rx, ry)
   }
 
-  /** 1-D band form: `abs(a - b) <= w` (or <) over attributes of the
-    * same numeric type on opposite sides, w a positive literal. For
-    * INTEGRAL coordinates the cell is exact truncating division —
-    * trunc-div boundaries sit at multiples of w (none at zero, so the
-    * origin cell is 2w wide), consecutive boundaries are >= w apart,
-    * and |a-b| <= w therefore crosses at most one boundary: the same
-    * +-1 neighbor bound as floor cells, with zero float rounding.
+  /** 1-D band form: `abs(a - b) <= w` or `abs(a - b) < w` over
+    * attributes of the same numeric type on opposite sides, w a
+    * positive literal. For INTEGRAL coordinates the cell is exact
+    * truncating division — trunc-div boundaries sit at multiples of w
+    * (none at zero, so the origin cell is 2w wide), consecutive
+    * boundaries are >= w apart, and |a-b| <= w therefore crosses at
+    * most one boundary: the same +-1 neighbor bound as floor cells,
+    * with zero float rounding. (Strict `< w` is a subset of `<= w`,
+    * so the same cells are a superset of its matches too.)
     */
   private def matchBand(conjunct: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[(Attribute, Attribute, Literal, Boolean)] = {
@@ -123,53 +172,104 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
           else None
         case _ => None
       }
+    def bandOf(u: Expression, v: Expression, lit: Literal)
+        : Option[(Attribute, Attribute, Literal, Boolean)] = lit match {
+      // long bands: w == 1 makes the cell the coordinate itself, so
+      // `cell + offset` could wrap at Long.MaxValue and collide with a
+      // real home cell, double-reporting a sliver pair — require w >= 2
+      case Literal(w: Long, LongType) if w >= 2 && w <= MaxLongW =>
+        attrs(u, v).filter(_._1.dataType == LongType)
+          .map { case (a, b) => (a, b, lit, true) }
+      case Literal(w: Int, IntegerType) if w > 0 && w <= MaxIntW =>
+        attrs(u, v).filter(_._1.dataType == IntegerType)
+          .map { case (a, b) => (a, b, lit, true) }
+      case Literal(w: Double, DoubleType) if w > 0 && !w.isInfinite =>
+        attrs(u, v).filter(_._1.dataType == DoubleType)
+          .map { case (a, b) => (a, b, lit, false) }
+      case _ => None
+    }
     conjunct match {
       case LessThanOrEqual(Abs(Subtract(u, v, _), _), lit: Literal) =>
-        lit match {
-          case Literal(w: Long, LongType) if w > 0 =>
-            attrs(u, v).filter(_._1.dataType == LongType)
-              .map { case (a, b) => (a, b, lit, true) }
-          case Literal(w: Int, IntegerType) if w > 0 =>
-            attrs(u, v).filter(_._1.dataType == IntegerType)
-              .map { case (a, b) => (a, b, lit, true) }
-          case Literal(w: Double, DoubleType) if w > 0 && !w.isInfinite =>
-            attrs(u, v).filter(_._1.dataType == DoubleType)
-              .map { case (a, b) => (a, b, lit, false) }
-          case _ => None
-        }
+        bandOf(u, v, lit)
+      case LessThan(Abs(Subtract(u, v, _), _), lit: Literal) =>
+        bandOf(u, v, lit)
       case _ => None
     }
   }
 
+  // band-width guards: beyond these the predicate accepts >= ~1/5 of
+  // the difference space (gridding gains nothing) AND the grid/sliver
+  // disjointness argument (cross-band cell separation > 1) would fail
+  private val MaxIntW: Int = 1 << 29
+  private val MaxLongW: Long = 1L << 61
+
   /** floor(coord / edge) as LONG — the home-cell index (double axes). */
   private def cell(coord: Expression, edge: Double): Expression =
-    Floor(Divide(coord, Literal(edge, DoubleType)))
+    Floor(org.apache.spark.sql.catalyst.expressions.Divide(
+      coord, Literal(edge, DoubleType)))
+
+  /** Smallest power of two >= s0 widened by 1e-12 relative. The
+    * widening covers (a) sqrt's half-ulp-down rounding and (b) the
+    * few-ulp slack in the RUNTIME predicate (fl(dx*dx)+fl(dy*dy) can
+    * pass pairs marginally beyond the true radius); the power-of-two
+    * choice makes the runtime division exact — see the scaladoc.
+    */
+  private def pow2Edge(s0: Double): Double = {
+    val s = s0 * (1 + 1e-12)
+    val e = java.lang.Math.getExponent(s)
+    if (e < java.lang.Double.MIN_EXPONENT)
+      java.lang.Math.scalb(1.0, java.lang.Double.MIN_EXPONENT)
+    else if (java.lang.Math.scalb(1.0, e) >= s) java.lang.Math.scalb(1.0, e)
+    else java.lang.Math.scalb(1.0, e + 1)
+  }
 
   /** One rewrite dimension: the left cell expr and a function from the
     * offset attribute to the right cell expr.
     */
   private case class Dim(leftCell: Expression, rightCell: Expression => Expression)
 
+  /** The integral wrap-parity sliver: band attrs plus the typed
+    * `> hi` / `< lo` extreme-band bounds (Max - w and Min + w).
+    */
+  private case class Sliver(a: Attribute, b: Attribute, hi: Literal, lo: Literal)
+
   private def dims(conjunct: Expression, left: LogicalPlan,
-      right: LogicalPlan): Option[Seq[Dim]] =
+      right: LogicalPlan): Option[(Seq[Dim], Option[Sliver])] =
     matchDist(conjunct, left, right).map { case (lx, ly, rx, ry, r2) =>
-      // edge must be >= the REAL radius for the superset bound: sqrt
-      // rounds to nearest (can round DOWN by half an ulp) and the
-      // runtime coord/edge division rounds again, so widen by 1e-9
-      // relative — a few candidate rows, never a missed pair
-      val edge = math.sqrt(r2) * 1.000000001
-      Seq(Dim(cell(lx, edge), d => Add(cell(rx, edge), Cast(d, LongType))),
-        Dim(cell(ly, edge), d => Add(cell(ry, edge), Cast(d, LongType))))
-    }.orElse(matchBand(conjunct, left, right).map { case (a, b, w, integral) =>
+      val edge = pow2Edge(math.sqrt(r2))
+      (Seq(Dim(cell(lx, edge), d => Add(cell(rx, edge), Cast(d, LongType))),
+        Dim(cell(ly, edge), d => Add(cell(ry, edge), Cast(d, LongType)))),
+        None)
+    }.orElse(matchBand(conjunct, left, right).flatMap { case (a, b, w, integral) =>
       if (integral) {
-        val wl = Literal(w.value match {
-          case i: Int => i.toLong; case l: Long => l
-        }, LongType)
-        Seq(Dim(IntegralDivide(Cast(a, LongType), wl),
-          d => Add(IntegralDivide(Cast(b, LongType), wl), Cast(d, LongType))))
+        val (wl, hi, lo) = w.value match {
+          case i: Int => (i.toLong,
+            Literal(Int.MaxValue - i, IntegerType),
+            Literal(Int.MinValue + i, IntegerType))
+          case l: Long => (l,
+            Literal(Long.MaxValue - l, LongType),
+            Literal(Long.MinValue + l, LongType))
+        }
+        val wLit = Literal(wl, LongType)
+        // wrap-parity slivers are needed only when `a - b` WRAPS —
+        // i.e. ANSI off. Under ANSI (Spark 4's default) a wrapping
+        // pair makes the naive subtract THROW instead of match, so
+        // there is nothing for the slivers to recover; the grid's
+        // own arithmetic (w >= 2 guard keeps |cell| <= 2^62, int
+        // cells are long-cast) never overflows. Accepted divergence,
+        // per the rule's contract: under ANSI the rewrite can
+        // SUCCEED where the naive plan would raise
+        // ARITHMETIC_OVERFLOW on some far-apart pair it no longer
+        // evaluates.
+        val sliver =
+          if (conf.ansiEnabled) None else Some(Sliver(a, b, hi, lo))
+        Some((Seq(Dim(IntegralDivide(Cast(a, LongType), wLit),
+          d => Add(IntegralDivide(Cast(b, LongType), wLit), Cast(d, LongType)))),
+          sliver))
       } else {
-        val edge = w.value.asInstanceOf[Double] * 1.000000001
-        Seq(Dim(cell(a, edge), d => Add(cell(b, edge), Cast(d, LongType))))
+        val edge = pow2Edge(w.value.asInstanceOf[Double])
+        Some((Seq(Dim(cell(a, edge), d => Add(cell(b, edge), Cast(d, LongType)))),
+          None))
       }
     })
 
@@ -190,6 +290,30 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** The two wrap-parity sliver joins (top x bottom, bottom x top),
+    * each projected to the original join's output. The marker key
+    * `_gridx_s` is `a * 0` — NOT foldable (references an attribute,
+    * and Spark has no multiply-by-zero rule because of NULL
+    * semantics), so the idempotence guard survives constant folding
+    * in the shared fixed-point batch; it also gives the planner an
+    * equi-key so the slivers hash-join instead of nested-looping.
+    * NULL operands get a NULL key and join nothing — exactly the
+    * rows the NULL-rejecting band predicate dropped in the naive
+    * plan.
+    */
+  private def sliverJoins(j: Join, cond: Expression, s: Sliver): Seq[LogicalPlan] = {
+    def one(leftPred: Expression, rightPred: Expression): LogicalPlan = {
+      val ml = Alias(Multiply(Cast(s.a, LongType), Literal(0L, LongType)), "_gridx_s")()
+      val mr = Alias(Multiply(Cast(s.b, LongType), Literal(0L, LongType)), "_gridx_s")()
+      val lp = Project(j.left.output :+ ml, Filter(leftPred, j.left))
+      val rp = Project(j.right.output :+ mr, Filter(rightPred, j.right))
+      Project(j.output, Join(lp, rp, Inner,
+        Some(And(EqualTo(ml.toAttribute, mr.toAttribute), cond)), JoinHint.NONE))
+    }
+    Seq(one(GreaterThan(s.a, s.hi), LessThan(s.b, s.lo)),
+      one(LessThan(s.a, s.lo), GreaterThan(s.b, s.hi)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
         if !cond.references.exists(_.name.startsWith("_gridx_")) &&
@@ -198,7 +322,7 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
         .flatMap(c => dims(c, left, right))
         .take(1).toSeq.headOption match {
         case None => j
-        case Some(ds) =>
+        case Some((ds, sliver)) =>
           val leftAliases = ds.zipWithIndex.map { case (dim, i) =>
             Alias(dim.leftCell, s"_gridx_l$i")()
           }
@@ -219,8 +343,12 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
           val eqs = leftAliases.zip(rightAliases)
             .map { case (l, r) => EqualTo(l.toAttribute, r.toAttribute) }
             .reduceLeft[Expression](And(_, _))
-          Project(j.output,
+          val grid = Project(j.output,
             Join(leftP, rightP, Inner, Some(And(eqs, cond)), hint))
+          sliver match {
+            case None => grid
+            case Some(s) => Union(grid +: sliverJoins(j, cond, s))
+          }
       }
   }
 

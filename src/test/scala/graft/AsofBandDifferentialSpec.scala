@@ -44,7 +44,7 @@ class AsofBandDifferentialSpec extends SparkSpec {
       } {
         val got = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
             tiebreak = Seq("rid"), toleranceUs = tol, direction = dir,
-            broadcast = bcast)
+            broadcast = Some(bcast))
           .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
         val want: Map[Long, Option[Long]] = lRows.map { lr =>
           lr.id -> lr.t.flatMap { t =>
@@ -79,7 +79,7 @@ class AsofBandDifferentialSpec extends SparkSpec {
         .select(col("rk"), col("rt").cast("long").as("rt"), col("rid"))
       for (bcast <- Seq(false, true)) {
         val got = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
-            windowUs = W, broadcast = bcast)
+            windowUs = W, broadcast = Some(bcast))
           .select("lid", "n_in_band").as[(Long, Long)].collect().toMap
         val want: Map[Long, Long] = lRows.map { lr =>
           lr.id -> lr.t.map { t =>

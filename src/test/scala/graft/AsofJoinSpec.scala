@@ -132,10 +132,46 @@ class AsofJoinSpec extends SparkSpec {
         .select("k", "t", "rid").as[(Long, Long, Option[Long])].collect().toSet
       val b = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"),
           tiebreak = Seq("rid"), toleranceUs = tolOpt, direction = dir,
-          broadcast = true)
+          broadcast = Some(true))
         .select("k", "t", "rid").as[(Long, Long, Option[Long])].collect().toSet
       assert(a === b, s"divergence at direction=$dir tolerance=$tolOpt")
     }
+  }
+
+  test("cost-based exec selection: right-side size picks the exec; the flag overrides") {
+    // mirrors Spark's JoinSelection: with no flag, the strategy
+    // compares the right side's stats.sizeInBytes against
+    // spark.sql.autoBroadcastJoinThreshold
+    val l = Seq((1L, 100L), (1L, 205L), (2L, 50L)).toDF("k", "t")
+    val r = Seq((1L, 90L, 7L), (1L, 200L, 1L), (2L, 45L, 3L)).toDF("rk", "rt", "rid")
+    def nodes(bcast: Option[Boolean]) = allNodes(executed(
+      AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("rk"), broadcast = bcast)))
+    def bandNodes(bcast: Option[Boolean]) = allNodes(executed(
+      graft.plans.BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
+        windowUs = 100L, broadcast = bcast)))
+    def withThreshold[T](v: String)(body: => T): T = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v); body }
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // small dim, NO flag: auto-plans the broadcast exec (both joins)
+    assert(nodes(None).exists(_.isInstanceOf[graft.plans.AsofBroadcastJoinExec]))
+    assert(!nodes(None).exists(_.isInstanceOf[AsofJoinExec]))
+    assert(bandNodes(None).exists(_.isInstanceOf[graft.plans.BandCountBroadcastExec]))
+    // dim LARGER than the threshold: auto-plans the shuffled exec
+    withThreshold("1") {
+      assert(nodes(None).exists(_.isInstanceOf[AsofJoinExec]))
+      assert(!nodes(None).exists(_.isInstanceOf[graft.plans.AsofBroadcastJoinExec]))
+      assert(bandNodes(None).exists(_.isInstanceOf[graft.plans.BandCountExec]))
+    }
+    // -1 disables auto-broadcast (as for built-in joins)…
+    withThreshold("-1") {
+      assert(nodes(None).exists(_.isInstanceOf[AsofJoinExec]))
+      // …but the explicit flag still overrides in both directions
+      assert(nodes(Some(true)).exists(_.isInstanceOf[graft.plans.AsofBroadcastJoinExec]))
+    }
+    assert(nodes(Some(false)).exists(_.isInstanceOf[AsofJoinExec]),
+      "Some(false) must force the shuffled exec even for a tiny dim")
   }
 
   test("broadcast plan: no shuffle and no sort on the left side at all") {
@@ -146,7 +182,7 @@ class AsofJoinSpec extends SparkSpec {
     // no trailing orderBy: the raw join plan must add NOTHING to the left
     val df = AsofJoin.joinAsOf(ev, ord, "ts_us", "o_us",
       Seq("user_id"), Seq("o_custkey"), tiebreak = Seq("o_orderkey"),
-      broadcast = true)
+      broadcast = Some(true))
     val nodes = allNodes(executed(df))
     assert(nodes.exists(_.isInstanceOf[graft.plans.AsofBroadcastJoinExec]),
       s"no AsofBroadcastJoinExec:\n${nodes.head}")
@@ -205,7 +241,7 @@ class AsofJoinSpec extends SparkSpec {
     val l = Seq((1L, n.toLong + 5), (1L, 3L)).toDF("k", "t")
     val r = (1 to n).map(i => (1L, i.toLong, i.toLong)).toDF("k", "rt", "rid")
     val df = AsofJoin.joinAsOf(l, r, "t", "rt", Seq("k"), Seq("k"),
-        tiebreak = Seq("rid"))
+        tiebreak = Seq("rid"), broadcast = Some(false))
     // collect df ITSELF so the metric assertions read the executed plan
     val out = df.collect()
       .map(x => (x.getLong(1), if (x.isNullAt(4)) None else Some(x.getLong(4))))

@@ -79,7 +79,7 @@ class BandJoinSpec extends SparkSpec {
     val l = (1 to n by 50).map(i => (1L, i.toLong)).toDF("k", "t")
     val r = (1 to n).map(i => (1L, i.toLong)).toDF("rk", "rt")
     val df = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"),
-        windowUs = 100L)
+        windowUs = 100L, broadcast = Some(false))
     // collect df ITSELF (a projection would execute a separate query and
     // the metric assertions below would read the unexecuted plan)
     val out = df.collect().map(x => (x.getLong(1), x.getLong(2)))
@@ -104,10 +104,11 @@ class BandJoinSpec extends SparkSpec {
       .toDF("k", "t", "tag")
     val r = Seq((1L, 100L), (1L, 150L), (1L, 200L), (1L, 201L), (2L, 150L))
       .toDF("rk", "rt")
-    val merged = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"), 100L)
+    val merged = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"), 100L,
+        broadcast = Some(false))
       .select("tag", "n_in_band").as[(String, Long)].collect().toMap
     val bcast = BandJoin.bandCount(l, r, "t", "rt", Seq("k"), Seq("rk"), 100L,
-        broadcast = true)
+        broadcast = Some(true))
       .select("tag", "n_in_band").as[(String, Long)].collect().toMap
     assert(merged === bcast)
 
@@ -119,7 +120,7 @@ class BandJoinSpec extends SparkSpec {
       (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
     val viaMerge = BandJoin.bandCount(ev, ord, "ts_us", "o_us",
         Seq("user_id"), Seq("o_custkey"), 30L * 86400L * 1000000L,
-        countName = "n_orders_30d")
+        countName = "n_orders_30d", broadcast = Some(false))
       .select(col("event_id"), col("n_orders_30d"))
       .orderBy("event_id").collect().toSeq
     assert(gated.nonEmpty && gated === viaMerge)
@@ -127,7 +128,7 @@ class BandJoinSpec extends SparkSpec {
     // plan: broadcast exec, no shuffle beyond the fixture respread, no sort
     val df = BandJoin.bandCount(ev, ord, "ts_us", "o_us",
       Seq("user_id"), Seq("o_custkey"), 30L * 86400L * 1000000L,
-      broadcast = true)
+      broadcast = Some(true))
     df.collect()
     val nodes = allNodes(df.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[graft.plans.BandCountBroadcastExec]))

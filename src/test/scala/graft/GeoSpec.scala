@@ -328,6 +328,137 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  // run `body` with GridJoinRewrite stripped from the session, so a
+  // comparison can be rewrite-vs-really-naive, not rewrite-vs-itself
+  private def withoutRule[T](body: => T): T = {
+    val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    val saved = em.extraOptimizations
+    try {
+      em.extraOptimizations = saved.filterNot(_ == graft.plans.GridJoinRewrite)
+      body
+    } finally em.extraOptimizations = saved
+  }
+
+  // run `body` with ANSI arithmetic off (wrap semantics), restoring after
+  private def withAnsiOff[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    try { spark.conf.set("spark.sql.ansi.enabled", "false"); body }
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("GridJoinRewrite: int band wrap parity at the type extremes") {
+    // With ANSI off the naive predicate's `lv - rv` WRAPS, so pairs
+    // near opposite ends of the int range match "through" the
+    // boundary. The rewrite's sliver unions must reproduce them, and
+    // the union must not double-report the ordinary near-extreme
+    // matches the grid already finds. Compared as sorted multisets.
+    import spark.implicits._
+    Geo.ensureRegistered(spark)
+    withAnsiOff {
+    val l = Seq((1L, Int.MaxValue), (2L, Int.MaxValue - 3), (3L, 100),
+      (4L, Int.MinValue + 1), (5L, Int.MaxValue - 2)).toDF("lid", "lv")
+    val r = Seq((10L, Int.MinValue), (11L, Int.MinValue + 2), (12L, 103),
+      (13L, Int.MaxValue - 1), (14L, Int.MinValue + 4)).toDF("rid", "rv")
+    def q() = l.crossJoin(r).where(expr("abs(lv - rv) <= 5")).select("lid", "rid")
+    assert(q().queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    val got = q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+    val want = withoutRule {
+      q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+    }
+    assert(got == want)
+    // vacuity guards: the answer really contains wrapped matches
+    // (Max vs Min: wrapped diff -1) AND ordinary extreme-band matches
+    assert(want.contains((1L, 10L)), "wrapped pair missing from oracle")
+    assert(want.contains((1L, 13L)), "ordinary top-band pair missing")
+    assert(want.contains((3L, 12L)), "interior pair missing")
+    }
+  }
+
+  test("GridJoinRewrite: long band wrap parity at the type extremes") {
+    import spark.implicits._
+    Geo.ensureRegistered(spark)
+    withAnsiOff {
+    val l = Seq((1L, Long.MaxValue), (2L, Long.MaxValue - 7), (3L, 4200L),
+      (4L, Long.MinValue + 2)).toDF("lid", "lv")
+    val r = Seq((10L, Long.MinValue), (11L, Long.MinValue + 3), (12L, 4204L),
+      (13L, Long.MaxValue - 1)).toDF("rid", "rv")
+    def q() = l.crossJoin(r).where(expr("abs(lv - rv) <= 5")).select("lid", "rid")
+    assert(q().queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    val got = q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+    val want = withoutRule {
+      q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+    }
+    assert(got == want)
+    assert(want.contains((1L, 10L)), "wrapped pair missing from oracle")
+    assert(want.contains((3L, 12L)), "interior pair missing")
+    }
+  }
+
+  test("GridJoinRewrite: exact at epoch-scale double coordinates") {
+    // regression for the pre-round-11 fixed 1e-9 relative edge margin,
+    // which under-covered the coord/edge division's ulp error once the
+    // quotient exceeded ~4.5e6 cells. Coordinates ~1.7e9 (epoch
+    // seconds) with a sub-second radius put the quotient at ~3.4e9;
+    // the power-of-two edge divides exactly, so the rewrite must match
+    // the naive plan bit-for-bit even with every point near a cell
+    // boundary.
+    import spark.implicits._
+    Geo.ensureRegistered(spark)
+    val base = 1.7e9
+    val l = (0 until 400).map(i => (i.toLong, base + i * 0.26))
+      .toDF("lid", "lx")
+    val r = (0 until 400).map(i => (i.toLong, base + 0.25 + i * 0.26))
+      .toDF("rid", "rx")
+    def q() = l.crossJoin(r).where(expr("abs(lx - rx) <= 0.25"))
+      .select("lid", "rid")
+    assert(q().queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    val got = q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+    val want = withoutRule {
+      q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("GridJoinRewrite: strict < bands fire; guarded shapes do not") {
+    import spark.implicits._
+    Geo.ensureRegistered(spark)
+    def fired(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("_gridx_")
+    val a = Seq((1L, 0.1, 7L, 3)).toDF("id", "x", "t", "iv")
+    val b = Seq((2L, 0.15, 9L, 5)).toDF("bid", "bx", "bt", "biv")
+    // strict < now rewrites for all three band types (was <= only)
+    assert(fired(a.crossJoin(b).where(expr("abs(x - bx) < 0.1"))))
+    assert(fired(a.crossJoin(b).where(expr("abs(t - bt) < 5"))))
+    assert(fired(a.crossJoin(b).where(expr("abs(iv - biv) < 3"))))
+    // long w == 1: cell == coordinate, `cell + offset` could wrap at
+    // Long.MaxValue onto a real home cell — guarded out
+    assert(!fired(a.crossJoin(b).where(expr("abs(t - bt) <= 1"))))
+    // degenerate widths (>= ~1/5 of the difference space) keep the
+    // naive plan: gridding gains nothing and sliver disjointness fails
+    assert(!fired(a.crossJoin(b).where(
+      expr(s"abs(iv - biv) <= ${(1 << 29) + 1}"))))
+    // wrap-parity slivers (`_gridx_s` marker) appear ONLY under
+    // non-ANSI wrap semantics; under ANSI (where a wrapping subtract
+    // throws instead of matching) the integral rewrite is sliver-free
+    def sliver(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("_gridx_s")
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val ansiQ = a.crossJoin(b).where(expr("abs(t - bt) <= 5"))
+      assert(fired(ansiQ) && !sliver(ansiQ))
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val wrapQ = a.crossJoin(b).where(expr("abs(t - bt) <= 5"))
+      assert(fired(wrapQ) && sliver(wrapQ))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
   private def scansUnder(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
