@@ -470,6 +470,65 @@ object EventStreams {
         (col("m.t") / lit(1000000L)).cast("bigint").as("order_epoch"))
   }
 
+  /** Enrich ONE microbatch through the NATIVE as-of operator
+    * ([[graft.plans.AsofJoin.joinAsOf]] forced onto
+    * `AsofBroadcastJoinExec`) and append the result to a parquet sink.
+    * Public so batch backfills replay the exact streaming code path.
+    *
+    * The `orders` frame is re-evaluated per batch — the "refresh"
+    * semantics of a slowly-changing dimension: a dim row that appeared
+    * between triggers is visible to the next batch, exactly like
+    * Spark's own stream-static joins (which also re-execute the static
+    * side each microbatch). Each batch's plan carries a fresh
+    * BroadcastExchange, so the per-executor [[graft.plans.AsofIndexCache]]
+    * entry is keyed to the new broadcast and REBUILT from the refreshed
+    * dim — stale indexes can't serve, and the LRU bound retires the
+    * previous batch's entry. For a truly static dim, `persist()` the
+    * frame caller-side to make the per-batch re-collect a cache read.
+    */
+  def asofEnrichNativeBatch(orders: DataFrame, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val dim = orders.select(col("o_custkey"), col("o_orderkey"),
+        (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+      graft.plans.AsofJoin.joinAsOf(batch, dim,
+          leftTime = "ts_us", rightTime = "o_us",
+          leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+          tiebreak = Seq("o_orderkey"), broadcast = Some(true))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
+        .write.mode("append").parquet(outDir)
+    }
+
+  /** Stream-static as-of enrichment through the NATIVE operator — the
+    * streaming twin of `e_asof_native`, on the broadcast-index seam:
+    * every microbatch is joined by [[graft.plans.AsofBroadcastJoinExec]]
+    * (per-executor per-key time-sorted index over the dimension, one
+    * binary search per event), so the stream side pays NO shuffle and
+    * NO sort per trigger, and hot keys are a non-event. Contrast with
+    * [[asofEnrich]], which composes the same semantics from
+    * sort_array/filter HOFs over a broadcast hash join — that form
+    * re-scans a user's whole order array per event; this one is
+    * O(log |user's orders|) per event and shares the executor-level
+    * index across the batch's tasks.
+    *
+    * Stateless (no state store, no watermark): each event's match
+    * depends only on the event and the dim snapshot, so append mode is
+    * exact. Checkpointed for restart resume; the parquet append in
+    * [[asofEnrichNativeBatch]] is at-least-once on a mid-batch crash
+    * (the standard foreachBatch file-sink caveat — dedup downstream on
+    * event_id, or point outDir at a transactional table format).
+    * `events` must carry (event_id, user_id, ts).
+    */
+  def startAsofEnrichNative(events: DataFrame, orders: DataFrame,
+      outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(asofEnrichNativeBatch(orders, outDir) _)
+      .start()
+
   /** Convenience: file-stream reader over a fixture directory with the
     * events schema (ts as µs timestamp), for driving these pipelines
     * from parquet drops. maxFilesPerTrigger bounds per-batch work.

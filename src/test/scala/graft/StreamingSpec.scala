@@ -441,6 +441,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._3.isDefined))
   }
 
+  test("native stream-static as-of enrichment == the native batch as-of join") {
+    // the foreachBatch twin on the broadcast-index seam: each
+    // microbatch runs AsofBroadcastJoinExec against the (re-read)
+    // static dim. Run under the RocksDB provider conf like the other
+    // streaming ops — the op is stateless, so this pins that it is
+    // provider-agnostic rather than provider-dependent.
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_native").toFile.getAbsolutePath
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    EventStreams.useRocksDbStateStore(spark)
+    try {
+      graft.plans.AsofIndexCache.clear()
+      val orders = Tables.orders(spark, sf)
+      val input = MemoryStream[Ev](spark)
+      val q = EventStreams.startAsofEnrichNative(
+        input.toDF(), orders, s"$dir/out", s"$dir/ckpt")
+      val nBatches = 3
+      try {
+        batchEvents.grouped(
+            math.max(1, batchEvents.size / nBatches)).foreach { g =>
+          input.addData(g); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$dir/out")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      val batch = graft.operators.Events.eAsofNative(spark, sf)
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(streamed === batch && batch.nonEmpty)
+      assert(streamed.exists(_._3.isDefined))
+      // evidence the native broadcast exec served every batch: only
+      // AsofBroadcastJoinExec populates the executor index cache, and
+      // each microbatch's fresh BroadcastExchange keys a NEW entry
+      // (the per-batch dim refresh the scaladoc promises)
+      val asofEntries = graft.plans.AsofIndexCache.keys
+        .count(!_.startsWith("band|"))
+      assert(asofEntries >= nBatches,
+        s"expected >= $nBatches per-batch index builds, saw $asofEntries")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("checkpointed file sink resumes exactly-once after restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
     val input = MemoryStream[Ev](spark)
