@@ -27,10 +27,117 @@ import org.apache.spark.sql.functions.col
   */
 object IndexStore {
 
+  // ------- versioned data dirs + pointer manifest (atomic compaction)
+  //
+  // A compacted component lives in `{name}_v{N}` with a tiny
+  // `CURRENT_{name}` pointer file naming the live version; an
+  // uncompacted store keeps the plain `{name}` directory (the layout
+  // `save*` writes), so existing stores read unchanged. Resolution
+  // order: pointer -> highest complete `{name}_v*` -> plain `{name}`.
+  // The compaction swap is crash-safe at every step (see
+  // [[compactComponent]]); the pre-round-11 delete-then-rename swap
+  // could lose the listing entirely if killed between its two steps.
+
+  private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String): Seq[Int] =
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/${name}_v*")) match {
+      case null => Nil
+      case sts => sts.toSeq.filter(_.isDirectory)
+        .flatMap(st => st.getPath.getName.stripPrefix(s"${name}_v").toIntOption)
+    }
+
+  /** The LIVE data directory for store component `name` (e.g.
+    * "postings", "cells"): the version the `CURRENT_{name}` pointer
+    * names; if the pointer is absent (legacy store, or a crash in the
+    * one delete-to-rename instant of the pointer swap), the highest
+    * `{name}_v*` directory — which is always COMPLETE, because data
+    * only reaches a version name by renaming a fully-written staging
+    * directory; if neither exists, the plain `{name}` directory the
+    * unversioned save wrote.
+    */
+  def resolvePath(s: SparkSession, dir: String, name: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")
+    val fs = fsOf(s, cur)
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s"$dir/${name}_$v"
+    } else {
+      val versions = listVersions(fs, dir, name)
+      if (versions.nonEmpty) s"$dir/${name}_v${versions.max}"
+      else s"$dir/$name"
+    }
+  }
+
+  /** Rewrite component `name` as one file per partition directory and
+    * swap it live without any window in which the store is unreadable:
+    *
+    *  1. write the compacted copy to `{name}_staging` (crash here:
+    *     pointer and live data untouched — old version serves);
+    *  2. rename the COMPLETE staging dir to `{name}_v{N+1}` (a single
+    *     metadata op; crash before the pointer moves: a pointered
+    *     store keeps serving the pointed old version with v{N+1}
+    *     dormant until the next compaction reaps it, while a legacy
+    *     pointer-less store's resolution falls forward to v{N+1} —
+    *     safe either way, because a version name only ever holds a
+    *     fully-written, content-identical copy);
+    *  3. publish the pointer: write `CURRENT_{name}.tmp`, delete the
+    *     old pointer, rename tmp into place (crash in the sub-instant
+    *     between delete and rename: resolution falls back to the
+    *     highest version dir — v{N+1}, complete by step 2);
+    *  4. delete stale version dirs and the legacy plain dir (crash
+    *     here: extra garbage, reaped by the next compaction).
+    *
+    * Readers that resolved the OLD path before step 4 can lose their
+    * scan mid-flight — same contract as the previous swap; production
+    * deployments defer step 4 by a read-grace period. Concurrent
+    * APPENDS are out of contract during compaction (rows appended to
+    * the old version after step 0's read would vanish at step 4) —
+    * stop the upsert stream first, as IndexStoreSpec's flow does.
+    *
+    * `onStep` is the crash-test seam: invoked with "staged",
+    * "versioned", "pointer", "cleaned" as each phase commits, so a
+    * spec can kill the swap at a named point and assert what serves.
+    */
+  private[graft] def compactComponent(s: SparkSession, dir: String,
+      name: String, partCols: Seq[String],
+      project: DataFrame => DataFrame,
+      onStep: String => Unit): Unit = {
+    val livePath = resolvePath(s, dir, name)
+    val anyPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(s, anyPath)
+    val next = (listVersions(fs, dir, name) :+ 0).max + 1
+    val staging = s"$dir/${name}_staging"
+    project(s.read.parquet(livePath))
+      .repartition(partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(staging)
+    onStep("staged")
+    val versioned = new org.apache.hadoop.fs.Path(s"$dir/${name}_v$next")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), versioned))
+      throw new java.io.IOException(s"compaction: staging rename failed for $dir/$name")
+    onStep("versioned")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"compaction: pointer swap failed for $dir/$name")
+    onStep("pointer")
+    listVersions(fs, dir, name).filter(_ != next).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${name}_v$v"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+    onStep("cleaned")
+  }
+
   def saveIvf(dir: String, cent: DataFrame, assign: DataFrame): Unit = {
     cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     assign.write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$dir/postings")
+      .partitionBy("cell").parquet(resolvePath(cent.sparkSession, dir, "postings"))
   }
 
   /** Incremental maintenance: append an already-assigned batch of new
@@ -51,7 +158,7 @@ object IndexStore {
   def appendIvf(dir: String, assigned: DataFrame): Unit =
     assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell")
-      .parquet(s"$dir/postings")
+      .parquet(resolvePath(assigned.sparkSession, dir, "postings"))
 
   /** Compact the postings store: every [[appendIvf]] microbatch lands
     * one new file per touched cell directory, so a long-running upsert
@@ -63,26 +170,19 @@ object IndexStore {
     * (IndexStoreSpec pins byte-identical serve results and the
     * one-file-per-cell invariant).
     *
-    * The delete+rename swap is not atomic across the two steps — a
-    * crash between them loses the listing until re-run. Production
-    * compaction lands in a transactional table format (manifest swap);
-    * this is the filesystem-level equivalent, same caveat class as
-    * [[appendIvf]]'s at-least-once note.
+    * The swap is the versioned-dir + pointer-manifest protocol of
+    * [[compactComponent]] — crash-safe at every step, the
+    * filesystem-level equivalent of a transactional table format's
+    * manifest swap.
     */
-  def compactIvf(s: SparkSession, dir: String): Unit = {
-    val tmp = s"$dir/postings_compacting"
-    s.read.parquet(s"$dir/postings")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
-    val conf = s.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val staged = new org.apache.hadoop.fs.Path(tmp)
-    val fs = live.getFileSystem(conf)
-    fs.delete(live, true)
-    if (!fs.rename(staged, live))
-      throw new java.io.IOException(s"compaction swap failed for $dir")
-  }
+  def compactIvf(s: SparkSession, dir: String): Unit =
+    compactIvf(s, dir, _ => ())
+
+  private[graft] def compactIvf(s: SparkSession, dir: String,
+      onStep: String => Unit): Unit =
+    compactComponent(s, dir, "postings", Seq("cell"),
+      _.select(col("vec_id"), col("embedding"), col("nrm"), col("cell")),
+      onStep)
 
   /** Reload (centroids, postings) for [[graft.operators.Similarity
     * .annIvfServe]]. Column order is restored to the build-time shape
@@ -91,7 +191,7 @@ object IndexStore {
   def loadIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cent = s.read.parquet(s"$dir/centroids")
       .select(col("c_id"), col("c_emb"), col("c_nrm"))
-    val assign = s.read.parquet(s"$dir/postings")
+    val assign = s.read.parquet(resolvePath(s, dir, "postings"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     (cent, assign)
   }
@@ -140,7 +240,8 @@ object IndexStore {
     // one-file-per-inverted-list shape compactIvf restores for IVF
     pointsWithCells.repartition(col("cell_x"), col("cell_y"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell_x", "cell_y").parquet(s"$dir/cells")
+      .partitionBy("cell_x", "cell_y")
+      .parquet(resolvePath(pointsWithCells.sparkSession, dir, "cells"))
 
   /** Reload the grid store for [[graft.operators.Geo]] serving; column
     * order restored to the build-time shape (partition cols move last
@@ -148,7 +249,7 @@ object IndexStore {
     * inference as INTs — same type the build wrote).
     */
   def loadGrid(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/cells")
+    val df = s.read.parquet(resolvePath(s, dir, "cells"))
     val dataCols = df.columns.filterNot(c => c == "cell_x" || c == "cell_y")
     df.select((dataCols :+ "cell_x" :+ "cell_y").map(col).toSeq: _*)
   }
@@ -161,24 +262,18 @@ object IndexStore {
     */
   def appendGrid(dir: String, pointsWithCells: DataFrame): Unit =
     pointsWithCells.write.mode(SaveMode.Append)
-      .partitionBy("cell_x", "cell_y").parquet(s"$dir/cells")
+      .partitionBy("cell_x", "cell_y")
+      .parquet(resolvePath(pointsWithCells.sparkSession, dir, "cells"))
 
   /** Compact the grid store after upsert fragmentation — one file per
-    * cell directory, same one-shuffle mechanism and same
-    * non-atomic-swap caveat as [[compactIvf]].
+    * cell directory, same one-shuffle mechanism and same crash-safe
+    * versioned swap as [[compactIvf]].
     */
-  def compactGrid(s: SparkSession, dir: String): Unit = {
-    val tmp = s"$dir/cells_compacting"
-    val df = s.read.parquet(s"$dir/cells")
-    df.repartition(col("cell_x"), col("cell_y"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell_x", "cell_y")
-      .parquet(tmp)
-    val conf = s.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val staged = new org.apache.hadoop.fs.Path(tmp)
-    val fs = live.getFileSystem(conf)
-    fs.delete(live, true)
-    if (!fs.rename(staged, live))
-      throw new java.io.IOException(s"grid compaction swap failed for $dir")
-  }
+  def compactGrid(s: SparkSession, dir: String): Unit =
+    compactGrid(s, dir, _ => ())
+
+  private[graft] def compactGrid(s: SparkSession, dir: String,
+      onStep: String => Unit): Unit =
+    compactComponent(s, dir, "cells", Seq("cell_x", "cell_y"),
+      identity, onStep)
 }

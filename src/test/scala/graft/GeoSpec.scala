@@ -309,7 +309,8 @@ class GeoSpec extends SparkSpec {
 
       // appends fragmented at least one cell; compaction restores one
       // file per leaf dir and serve results are unchanged
-      def leafDirs = Option(new java.io.File(s"$dir/cells").listFiles()).toSeq.flatten
+      def leafDirs = Option(new java.io.File(
+          IndexStore.resolvePath(spark, dir, "cells")).listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("cell_x="))
         .flatMap(x => Option(x.listFiles()).toSeq.flatten)
         .filter(f => f.isDirectory && f.getName.startsWith("cell_y="))
@@ -318,7 +319,9 @@ class GeoSpec extends SparkSpec {
       IndexStore.compactGrid(spark, dir)
       assert(leafDirs.nonEmpty && leafDirs.forall(files(_).length == 1),
         "compaction left a multi-file cell directory")
-      assert(!new java.io.File(s"$dir/cells_compacting").exists())
+      assert(!new java.io.File(s"$dir/cells_staging").exists())
+      assert(new java.io.File(s"$dir/CURRENT_cells").exists(),
+        "pointer manifest missing after grid compaction")
       assert(serve() == grown, "serve drifted across compaction")
     } finally {
       def rm(f: java.io.File): Unit = {

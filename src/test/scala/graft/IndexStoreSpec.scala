@@ -242,7 +242,8 @@ class IndexStoreSpec extends SparkSpec {
         IndexStore.appendIvf(dir, Similarity.assignVectors(
           all.filter(col("vec_id") % 4 === r), centFit))
       }
-      def cellDirs = new java.io.File(s"$dir/postings").listFiles()
+      def livePostings = IndexStore.resolvePath(spark, dir, "postings")
+      def cellDirs = new java.io.File(livePostings).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       def parquetFiles(d: java.io.File) =
         d.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -259,15 +260,92 @@ class IndexStoreSpec extends SparkSpec {
           .as[(Long, Long, Int, Double)].collect().toSeq
       }
       val before = serve()
-      val rowsBefore = spark.read.parquet(s"$dir/postings").count()
+      val rowsBefore = spark.read.parquet(livePostings).count()
       IndexStore.compactIvf(spark, dir)
       assert(cellDirs.nonEmpty &&
         cellDirs.forall(parquetFiles(_).length === 1),
         "compaction left a multi-file cell directory")
-      assert(!new java.io.File(s"$dir/postings_compacting").exists(),
+      assert(!new java.io.File(s"$dir/postings_staging").exists(),
         "staging directory survived the swap")
-      assert(spark.read.parquet(s"$dir/postings").count() === rowsBefore)
+      assert(new java.io.File(s"$dir/CURRENT_postings").exists(),
+        "pointer manifest missing after compaction")
+      assert(!new java.io.File(s"$dir/postings").exists(),
+        "legacy plain dir survived cleanup")
+      assert(spark.read.parquet(livePostings).count() === rowsBefore)
       assert(serve() === before, "serve results drifted across compaction")
+
+      // SECOND compaction over the already-versioned store: the version
+      // counter advances, exactly one version dir remains, serve stable
+      IndexStore.compactIvf(spark, dir)
+      assert(livePostings.endsWith("postings_v2"), s"unexpected live dir $livePostings")
+      assert(serve() === before)
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir)
+    }
+  }
+
+  test("compaction killed mid-swap: old version serves; re-run completes to the new") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash")
+      .toString
+    try {
+      val all = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val (centFit, _) = Similarity.buildIvfIndex(spark, sf)
+      IndexStore.saveIvf(dir, centFit,
+        Similarity.assignVectors(all.filter(col("vec_id") % 2 === 0), centFit))
+      IndexStore.appendIvf(dir, Similarity.assignVectors(
+        all.filter(col("vec_id") % 2 === 1), centFit))
+      val queries = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          Vectors.norm(col("embedding")).as("q_nrm"))
+        .filter(col("q_id") < Similarity.NumQueries)
+      def serve(): Seq[(Long, Long, Int, Double)] = {
+        val (c, a) = IndexStore.loadIvf(spark, dir)
+        Similarity.annIvfServe(queries, c, a)
+          .as[(Long, Long, Int, Double)].collect().toSeq
+      }
+      val before = serve()
+
+      // kill after the staging write, BEFORE the version rename: the
+      // pointer/live data are untouched — the store must serve the old
+      // content unchanged
+      class Killed extends RuntimeException("injected crash")
+      intercept[Killed] {
+        IndexStore.compactIvf(spark, dir,
+          step => if (step == "staged") throw new Killed)
+      }
+      assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings",
+        "crash before the version rename must leave the plain dir live")
+      assert(serve() === before, "mid-swap crash changed what serves")
+
+      // kill after the version rename, BEFORE the pointer swap: on
+      // this legacy (pointer-less) store resolution falls forward to
+      // the COMPLETE v1 — content-identical by construction, so what
+      // serves must not change; on an already-versioned store the
+      // untouched pointer would keep the old version live instead
+      // (the second-compaction case in the previous test)
+      intercept[Killed] {
+        IndexStore.compactIvf(spark, dir,
+          step => if (step == "versioned") throw new Killed)
+      }
+      assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings_v1",
+        "pointer-less fallback must pick the complete version dir")
+      assert(serve() === before, "pre-pointer crash changed what serves")
+
+      // re-run to completion: the new version serves, byte-identical
+      // content, dormant crash debris reaped, one file per cell
+      IndexStore.compactIvf(spark, dir)
+      val live = IndexStore.resolvePath(spark, dir, "postings")
+      assert(live != s"$dir/postings" && new java.io.File(live).exists())
+      assert(serve() === before, "completed compaction drifted serve results")
+      val versionDirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("postings_v"))
+      assert(versionDirs.length === 1, s"stale versions left: ${versionDirs.map(_.getName)}")
+      assert(new java.io.File(live).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .forall(_.listFiles().count(_.getName.endsWith(".parquet")) === 1))
     } finally {
       Materialize.releaseAll(spark)
       rmTree(dir)
