@@ -154,14 +154,16 @@ object Geo {
 
   // ------------------------------------------------------- served form
   /** [[gGridJoin]] served from a PERSISTED spatial grid store: the
-    * probe corpus is written `partitionBy(cell_x, cell_y)` (one
-    * directory per cell — the 2-D twin of the IVF inverted-list
-    * layout), reloaded, and joined from the RELOADED frame, so the
-    * driver's hash gate certifies the parquet round-trip end-to-end
-    * every round — not just in ScalaTest (same design point as
-    * `s_ivf_pq_served`). At serve time the scan reads only the cell
-    * directories the site neighborhoods touch (dynamic partition
-    * pruning under the broadcast cell join — metric-asserted in
+    * probe corpus is written `partitionBy(cell_z)` — one directory per
+    * cell keyed by the Morton interleave of the cell coordinates
+    * ([[graft.sources.IndexStore.CellZ]]), the 2-D twin of the IVF
+    * inverted-list layout with single-level listing and 1-D
+    * range-prunable box queries — reloaded, and joined from the
+    * RELOADED frame, so the driver's hash gate certifies the parquet
+    * round-trip end-to-end every round — not just in ScalaTest (same
+    * design point as `s_ivf_pq_served`). At serve time the scan reads
+    * only the cell directories the site neighborhoods touch (literal
+    * z-code plant on the partition column — metric-asserted in
     * GeoSpec); the store's other cells are never opened.
     */
   def gGridServed(s: SparkSession, d: String): DataFrame = {
@@ -191,16 +193,18 @@ object Geo {
     */
   private[graft] def servedCandidates(loaded: DataFrame,
       supp: DataFrame): DataFrame = {
+    // the store's own Morton key ([[graft.sources.IndexStore.CellZ]])
+    // IS the single-column pruning id now: the touched cells' z codes
+    // are planted as a literal isin directly on the PARTITION column,
+    // so the store prunes at file-listing time (exact — one z per
+    // cell, never a bounding box), and the cell equi-join keys on the
+    // same single int (the interleave is bijective on the grid)
     val build = siteNeighborhood(supp)
-    // pair id = cell_x * 4096 + cell_y: single-column literal isin the
-    // partition index evaluates exactly (a per-axis isin would prune
-    // only to the bounding box, |xs|*|ys| dirs instead of 9*|sites|)
-    def pid(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      x.cast("long") * 4096 + y.cast("long")
-    val pairIds = build.select(pid(col("cell_x"), col("cell_y")).as("pid"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    loaded.filter(pid(col("cell_x"), col("cell_y")).isin(pairIds: _*))
-      .join(build, Seq("cell_x", "cell_y"))
+      .withColumn("cell_z", expr(graft.sources.IndexStore.CellZ))
+    val zIds = build.select(col("cell_z")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    loaded.filter(col("cell_z").isin(zIds: _*))
+      .join(build.drop("cell_x", "cell_y"), Seq("cell_z"))
       .where(expr(s"$DIST2 <= $R2"))
   }
 

@@ -2260,14 +2260,19 @@ object Relational {
   // --------------------------------------------- Z-order layout audit
   /** Morton/Z-order bit interleave of (l_partkey, l_suppkey), emitted
     * once as a Spark-SQL string and once as DuckDB SQL from the same
-    * loop — the single source of truth for both engines.
+    * loop — the single source of truth for both engines. `bits` is the
+    * per-axis width (8 for the q_zorder layout audit; the spatial grid
+    * store interleaves its 5-bit cell coordinates with the same loop —
+    * [[graft.sources.IndexStore.saveGrid]]). Inputs must be
+    * non-negative and < 2^bits for the interleave to be bijective.
     */
-  private def zkeyExpr(p: String, s: String, duck: Boolean): String = {
+  private[graft] def zkeyExpr(p: String, s: String, duck: Boolean,
+      bits: Int = 8): String = {
     def shr(x: String, n: Int) =
       if (n == 0) x else if (duck) s"($x >> $n)" else s"shiftright($x, $n)"
     def shl(x: String, n: Int) =
       if (n == 0) x else if (duck) s"($x << $n)" else s"shiftleft($x, $n)"
-    (0 until 8).map { i =>
+    (0 until bits).map { i =>
       s"(${shl(s"(${shr(p, i)} & 1)", 2 * i + 1)} | " +
         s"${shl(s"(${shr(s, i)} & 1)", 2 * i)})"
     }.mkString("(", " | ", ")")

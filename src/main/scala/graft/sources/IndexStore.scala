@@ -224,13 +224,39 @@ object IndexStore {
     (cent, codebook, codes)
   }
 
+  /** The grid store's single partition key: the Morton/Z-order
+    * interleave of the two 5-bit cell coordinates (shifted +1 because
+    * a build neighborhood reaches cell −1), emitted by the SAME
+    * bit-interleave loop as the q_zorder layout audit
+    * ([[graft.operators.Relational.zkeyExpr]]). One `cell_z=`
+    * directory level instead of nested `cell_x=/cell_y=`: a 20×20
+    * grid lists ~400 leaf dirs either way, but at one level the
+    * listing depth halves, the directory count grows with CELLS
+    * rather than with x-resolution × y-resolution nesting overhead,
+    * and — because Morton order preserves 2-D locality — a spatial
+    * BOX maps to a few contiguous `cell_z` RANGES, so range predicates
+    * prune the 1-D partition index directly (the lakehouse
+    * OPTIMIZE ZORDER rationale, applied to directory layout).
+    * The interleave is bijective on cells in [−1, 30]², so the cell
+    * equi-join can key on `cell_z` alone.
+    */
+  private[graft] val CellZ: String =
+    graft.operators.Relational.zkeyExpr(
+      "(cell_x + 1)", "(cell_y + 1)", duck = false, bits = 5)
+
+  private def withCellZ(df: DataFrame): DataFrame =
+    df.withColumn("cell_z", org.apache.spark.sql.functions.expr(CellZ))
+
   /** Persist a point corpus as a SPATIAL grid store: rows land
-    * `partitionBy("cell_x", "cell_y")` — one directory per grid cell,
-    * the 2-D analog of the IVF inverted-list layout. A radius or kNN
-    * query over the store touches only the build side's 3x3 cell
-    * neighborhoods, so the scan reads 9·|sites| cell directories via
-    * partition pruning (dynamic under the broadcast cell join), never
-    * the whole corpus — spatial data skipping as a directory layout.
+    * `partitionBy("cell_z")` — one directory per grid cell keyed by
+    * the Morton code ([[CellZ]]), the 2-D analog of the IVF
+    * inverted-list layout. A radius or kNN query over the store
+    * touches only the build side's 3x3 cell neighborhoods, so the
+    * scan reads 9·|sites| cell directories via partition pruning,
+    * never the whole corpus — spatial data skipping as a directory
+    * layout. `cell_x`/`cell_y` remain ordinary data columns inside
+    * the files, so serve-time joins and exactness predicates read
+    * them without de-interleaving.
     */
   def saveGrid(dir: String, pointsWithCells: DataFrame): Unit =
     // cluster rows by cell before the partitioned write: without this,
@@ -238,20 +264,22 @@ object IndexStore {
     // touches (up to |tasks| x |cells| small files — measured 2x slower
     // to write and list); with it, each cell lands as ONE file, same
     // one-file-per-inverted-list shape compactIvf restores for IVF
-    pointsWithCells.repartition(col("cell_x"), col("cell_y"))
+    withCellZ(pointsWithCells).repartition(col("cell_z"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell_x", "cell_y")
+      .partitionBy("cell_z")
       .parquet(resolvePath(pointsWithCells.sparkSession, dir, "cells"))
 
   /** Reload the grid store for [[graft.operators.Geo]] serving; column
-    * order restored to the build-time shape (partition cols move last
-    * on disk, and their values come back through partition-directory
-    * inference as INTs — same type the build wrote).
+    * order restored to the build-time shape (the `cell_z` partition
+    * col moves last on disk and its values come back through
+    * partition-directory inference as INTs — same type the build
+    * wrote).
     */
   def loadGrid(s: SparkSession, dir: String): DataFrame = {
     val df = s.read.parquet(resolvePath(s, dir, "cells"))
-    val dataCols = df.columns.filterNot(c => c == "cell_x" || c == "cell_y")
-    df.select((dataCols :+ "cell_x" :+ "cell_y").map(col).toSeq: _*)
+    val dataCols = df.columns
+      .filterNot(c => c == "cell_x" || c == "cell_y" || c == "cell_z")
+    df.select((dataCols :+ "cell_x" :+ "cell_y" :+ "cell_z").map(col).toSeq: _*)
   }
 
   /** Incremental grid maintenance — the spatial twin of [[appendIvf]]:
@@ -261,8 +289,8 @@ object IndexStore {
     * microbatches.
     */
   def appendGrid(dir: String, pointsWithCells: DataFrame): Unit =
-    pointsWithCells.write.mode(SaveMode.Append)
-      .partitionBy("cell_x", "cell_y")
+    withCellZ(pointsWithCells).write.mode(SaveMode.Append)
+      .partitionBy("cell_z")
       .parquet(resolvePath(pointsWithCells.sparkSession, dir, "cells"))
 
   /** Compact the grid store after upsert fragmentation — one file per
@@ -274,6 +302,5 @@ object IndexStore {
 
   private[graft] def compactGrid(s: SparkSession, dir: String,
       onStep: String => Unit): Unit =
-    compactComponent(s, dir, "cells", Seq("cell_x", "cell_y"),
-      identity, onStep)
+    compactComponent(s, dir, "cells", Seq("cell_z"), identity, onStep)
 }

@@ -155,10 +155,9 @@ class GeoSpec extends SparkSpec {
         .withColumn("cx", expr("CAST((c_custkey * 2654435761) % 100003 AS DOUBLE) / 100003.0"))
         .withColumn("cy", expr("CAST((c_custkey * 2246822519) % 100019 AS DOUBLE) / 100019.0"))
       IndexStore.saveGrid(dir, Geo.withCells(probe))
+      // single-level Morton layout: one cell_z= dir per occupied cell
       val allCells = Option(new java.io.File(s"$dir/cells").listFiles())
-        .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("cell_x="))
-        .flatMap(x => Option(x.listFiles()).toSeq.flatten)
-        .count(f => f.isDirectory && f.getName.startsWith("cell_y="))
+        .toSeq.flatten.count(f => f.isDirectory && f.getName.startsWith("cell_z="))
       import spark.implicits._
       val sites = Seq((1L, 0.31, 0.47), (2L, 0.83, 0.12))
         .toDF("s_suppkey", "sx", "sy")
@@ -169,10 +168,10 @@ class GeoSpec extends SparkSpec {
       val scans = scansUnder(served.queryExecution.executedPlan)
         .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("/cells")))
       assert(scans.nonEmpty, "grid store scan not found")
-      // numPartitions counts leaf cell_x=/cell_y= directories read
+      // numPartitions counts leaf cell_z= directories read
       val read = scans.map(_.metrics("numPartitions").value).max
       assert(read <= 18, s"read $read cell dirs for 2 sites (expected <= 18)")
-      assert(allCells > 18, s"store only has $allCells x-dirs; test vacuous")
+      assert(allCells > 18, s"store only has $allCells cell dirs; test vacuous")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
@@ -311,9 +310,7 @@ class GeoSpec extends SparkSpec {
       // file per leaf dir and serve results are unchanged
       def leafDirs = Option(new java.io.File(
           IndexStore.resolvePath(spark, dir, "cells")).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("cell_x="))
-        .flatMap(x => Option(x.listFiles()).toSeq.flatten)
-        .filter(f => f.isDirectory && f.getName.startsWith("cell_y="))
+        .filter(f => f.isDirectory && f.getName.startsWith("cell_z="))
       def files(d: java.io.File) = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(leafDirs.exists(files(_).length > 1), "appends never fragmented a cell")
       IndexStore.compactGrid(spark, dir)
