@@ -357,7 +357,120 @@ object Geo {
       .orderBy("s_suppkey")
   }
 
+  // ------------------------------------- unbounded exact kNN (rings)
+
+  /** Per-site top-k within the (2r+1)x(2r+1) cell ring around each
+    * site. The rank window is per-site, so Spark plans a partial
+    * WindowGroupLimit: each task forwards at most k rows per site
+    * before the shuffle. Escalation stages pass `broadcastSites =
+    * true` — the unresolved-site set is small by construction, so the
+    * corpus side is re-scanned map-only (broadcast join, no shuffle
+    * of the corpus).
+    */
+  private def ringTopK(cust: DataFrame, sites: DataFrame, r: Int, k: Int,
+      broadcastSites: Boolean): DataFrame = {
+    val nb0 = sites
+      .withColumn("dx", explode(sequence(lit(-r), lit(r))))
+      .withColumn("dy", explode(sequence(lit(-r), lit(r))))
+      .withColumn("cell_x", expr(s"CAST(FLOOR(sx * $GRID) AS INT)") + col("dx"))
+      .withColumn("cell_y", expr(s"CAST(FLOOR(sy * $GRID) AS INT)") + col("dy"))
+      .drop("dx", "dy")
+    val nb = if (broadcastSites) broadcast(nb0) else nb0
+    withCells(cust).join(nb, Seq("cell_x", "cell_y"))
+      .withColumn("dist2", expr(DIST2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_suppkey").orderBy(col("dist2"), col("c_custkey"))))
+      .where(col("rn") <= k)
+      .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+  }
+
+  /** The ring's guaranteed coverage radius: the minimum distance from
+    * the site to the boundary of its (2r+1)-cell box — every point
+    * within this radius is INSIDE the ring, so a k-th candidate
+    * strictly closer than it can never be displaced by an unseen
+    * point. Shrunk 1e-9 relative so float slop in the box arithmetic
+    * (~1e-16) can only ESCALATE a borderline site, never wrongly
+    * finalize one.
+    */
+  private def ringGuarantee(r: Int): org.apache.spark.sql.Column = expr(
+    s"LEAST(sx - (FLOOR(sx * $GRID) - $r) * 0.05, " +
+      s"(FLOOR(sx * $GRID) + $r + 1) * 0.05 - sx, " +
+      s"sy - (FLOOR(sy * $GRID) - $r) * 0.05, " +
+      s"(FLOOR(sy * $GRID) + $r + 1) * 0.05 - sy) * 0.999999999")
+
+  /** Expanding-ring exact kNN (radius-UNLIMITED — contrast
+    * [[gGridKnn]]'s range-limited contract): probe the 3x3 ring,
+    * finalize every site whose k-th candidate distance is strictly
+    * inside the ring's guarantee, widen to 5x5 ONLY for the rest, and
+    * send whatever survives both rings to a brute per-site scan (the
+    * IVF nProbe-escalation pattern — s_probe_curve precedent — applied
+    * to the spatial grid; the final stage is exact on ANY data, e.g. a
+    * site alone in an empty region). Stage economics at scale: ring 1
+    * is the ordinary shuffled cell join; rings 2+ broadcast only the
+    * unresolved sites so the corpus is re-read map-only with partial
+    * top-k before any shuffle; the fallback pays brute force for
+    * exactly the sites that need it. Returns (rows, ring-2 site ids,
+    * fallback site ids) — the stage ledger GeoSpec pins.
+    */
+  private[graft] def knnFullStaged(cust: DataFrame, sites: DataFrame,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
+    def finality(topk: DataFrame, ss: DataFrame, r: Int): DataFrame = {
+      val summary = topk.groupBy("s_suppkey")
+        .agg(max(col("rn")).as("n"), max(col("dist2")).as("dk2"))
+      ss.withColumn("g", ringGuarantee(r))
+        .join(summary, Seq("s_suppkey"), "left")
+        .withColumn("fin",
+          col("n").isNotNull && col("n") === lit(k) &&
+            col("dk2") < col("g") * col("g"))
+    }
+    val t1 = ringTopK(cust, sites, 1, k, broadcastSites = false)
+    val f1 = finality(t1, sites, 1)
+    val done1 = t1.join(broadcast(
+      f1.where(col("fin")).select("s_suppkey")), Seq("s_suppkey"))
+    val esc1 = f1.where(!col("fin")).select("s_suppkey", "sx", "sy")
+
+    val t2 = ringTopK(cust, esc1, 2, k, broadcastSites = true)
+    val f2 = finality(t2, esc1, 2)
+    val done2 = t2.join(broadcast(
+      f2.where(col("fin")).select("s_suppkey")), Seq("s_suppkey"))
+    val esc2 = f2.where(!col("fin")).select("s_suppkey", "sx", "sy")
+
+    val t3 = cust.crossJoin(broadcast(esc2))
+      .withColumn("dist2", expr(DIST2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_suppkey").orderBy(col("dist2"), col("c_custkey"))))
+      .where(col("rn") <= k)
+      .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+
+    (done1.unionAll(done2).unionAll(t3),
+      esc1.select("s_suppkey"), esc2.select("s_suppkey"))
+  }
+
+  /** Gated query: true top-3 nearest customers per supplier, no radius
+    * cap, against the plain brute-force oracle. Stage membership is
+    * invisible in the results by the ring-guarantee proof — every
+    * stage emits the exact global top-k for the sites it finalizes.
+    */
+  def gKnnFull(s: SparkSession, d: String): DataFrame = {
+    val (rows, _, _) =
+      knnFullStaged(custPoints(s, d), suppPoints(s, d), k = 3)
+    rows.orderBy("s_suppkey", "rn")
+  }
+
+  private val gKnnFullSql =
+    s"""SELECT s_suppkey, CAST(rn AS INT) AS rn, c_custkey, dist2 FROM (
+       |  SELECT s_suppkey, c_custkey, ($DIST2) AS dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+       |      ORDER BY ($DIST2), c_custkey) AS rn
+       |  FROM supplier, customer
+       |) WHERE rn <= 3 ORDER BY s_suppkey, rn""".stripMargin
+      .replace("cx", s"($CX)").replace("cy", s"($CY)")
+      .replace("sx", s"($SX)").replace("sy", s"($SY)")
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g_knn_full"    -> (gKnnFull _, gKnnFullSql),
     "g_grid_auto"   -> (gGridAuto _, gGridJoinSql),
     "g_grid_join"   -> (gGridJoin _, gGridJoinSql),
     "g_grid_knn"    -> (gGridKnn _, gGridKnnSql),

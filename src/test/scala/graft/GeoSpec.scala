@@ -328,6 +328,50 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g_knn_full: ring 2 entered only for unresolved sites; exact vs brute force") {
+    import spark.implicits._
+    // site 100: 3 in-cell neighbors -> final at ring 1.
+    // site 200: 2 close neighbors + a 3rd two cells away -> ring 1
+    //   can't prove top-3 (only 2 candidates), ring 2 finds and
+    //   PROVES it (0.09 < the 5x5 guarantee 0.125).
+    // site 300: 2 close neighbors, every other point beyond the 5x5
+    //   ring -> brute fallback.
+    val cust = Seq(
+      (1L, 0.526, 0.526), (2L, 0.524, 0.526), (3L, 0.526, 0.524),
+      (4L, 0.226, 0.226), (5L, 0.224, 0.226),
+      (6L, 0.315, 0.225),
+      (7L, 0.726, 0.726), (8L, 0.724, 0.726)
+    ).toDF("c_custkey", "cx", "cy")
+    val sites = Seq((100L, 0.525, 0.525), (200L, 0.225, 0.225),
+      (300L, 0.725, 0.725)).toDF("s_suppkey", "sx", "sy")
+    val (rows, esc1, esc2) = Geo.knnFullStaged(cust, sites, 3)
+    assert(esc1.as[Long].collect().toSet === Set(200L, 300L),
+      "ring 2 must be entered exactly by the sites ring 1 could not prove")
+    assert(esc2.as[Long].collect().toSet === Set(300L),
+      "the brute fallback must be entered exactly by the sites ring 2 could not prove")
+    val got = rows.orderBy("s_suppkey", "rn").collect().toSeq
+    val brute = cust.crossJoin(sites)
+      .withColumn("dist2", expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_suppkey").orderBy(col("dist2"), col("c_custkey"))))
+      .where(col("rn") <= 3)
+      .select("s_suppkey", "rn", "c_custkey", "dist2")
+      .orderBy("s_suppkey", "rn").collect().toSeq
+    assert(got === brute && got.nonEmpty)
+
+    // fixture sanity: unbounded kNN fills k for EVERY supplier (the
+    // range-limited g_grid_knn cannot promise that), ranks contiguous
+    val full = Geo.gKnnFull(spark, sf).collect()
+    val bySupp = full.groupBy(_.getLong(0))
+    assert(bySupp.nonEmpty)
+    bySupp.foreach { case (sid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"site $sid ranks")
+      val d = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   // run `body` with GridJoinRewrite stripped from the session, so a
   // comparison can be rewrite-vs-really-naive, not rewrite-vs-itself
   private def withoutRule[T](body: => T): T = {
