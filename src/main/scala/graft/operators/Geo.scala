@@ -357,6 +357,42 @@ object Geo {
       .orderBy("s_suppkey")
   }
 
+  /** The VARIABLE-geofence twin of [[gGridAuto]]: each supplier has
+    * its own radius (a per-row `r2` column), written the naive
+    * crossJoin way with a planted max-radius conjunct `r2 <= 0.0025`
+    * — the shape [[graft.plans.GridJoinRewrite]]'s static-upper-bound
+    * matcher exists for. The rule keys the grid on the MAX radius and
+    * keeps the exact per-row predicate, so a supplier with a small
+    * geofence still only matches its own radius. Gated on the
+    * brute-force DuckDB oracle; GeoSpec pins that the plan rewrote.
+    */
+  def gGridAutoVar(s: SparkSession, d: String): DataFrame = {
+    ensureRegistered(s)
+    val supp = suppPoints(s, d)
+      .withColumn("r2", expr(VarR2))
+    custPoints(s, d).crossJoin(supp)
+      .where(expr(s"$DIST2 <= r2 AND r2 <= $R2"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_near"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Per-supplier squared radius in (0, R2]: five distinct geofence
+    * sizes, every arithmetic step exact-identical in both engines.
+    */
+  private val VarR2 = "0.0005 + CAST(s_suppkey % 5 AS DOUBLE) * 0.0005"
+
+  private val gGridAutoVarSql =
+    s"""SELECT s_suppkey,
+       |  COUNT(*) AS n_near,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+       |FROM supplier, customer
+       |WHERE ($DIST2) <= ($VarR2) AND ($VarR2) <= $R2
+       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+      .replace("cx", s"($CX)").replace("cy", s"($CY)")
+      .replace("sx", s"($SX)").replace("sy", s"($SY)")
+
   // ------------------------------------- unbounded exact kNN (rings)
 
   /** Per-site top-k within the (2r+1)x(2r+1) cell ring around each
@@ -471,6 +507,7 @@ object Geo {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g_knn_full"    -> (gKnnFull _, gKnnFullSql),
+    "g_grid_auto_var" -> (gGridAutoVar _, gGridAutoVarSql),
     "g_grid_auto"   -> (gGridAuto _, gGridJoinSql),
     "g_grid_join"   -> (gGridJoin _, gGridJoinSql),
     "g_grid_knn"    -> (gGridKnn _, gGridKnnSql),

@@ -79,9 +79,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *
   * Fires only on Inner/Cross joins whose condition carries the
   * squared-euclidean conjunct over DOUBLE attributes with one point
-  * per side and a positive finite DOUBLE literal bound (<= or <), or
-  * the 1-D band form `abs(a - b) <= w` / `< w` over same-type
-  * int/long/double attributes on opposite sides. Idempotence inside
+  * per side and a positive finite DOUBLE bound (<= or <), or the 1-D
+  * band form `abs(a - b) <= w` / `< w` over same-type int/long/double
+  * attributes on opposite sides. The bound may be a literal, or a
+  * PER-ROW attribute (variable geofence radius) when a dominating
+  * literal is statically provable from a sibling conjunct or pushed
+  * child filter `r <= lit` — the grid then keys on the MAX radius
+  * and the exact per-row predicate still decides each pair. Idempotence inside
   * the fixed-point batch: the rewritten grid join's condition
   * references the generated `_gridx_` cell attributes and the sliver
   * joins key on a generated `_gridx_s` marker (non-foldable `a * 0`,
@@ -95,10 +99,50 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object GridJoinRewrite extends Rule[LogicalPlan] {
 
-  /** (ax, ay, bx, by, r2) with (ax, ay) from one side, (bx, by) from
-    * the other, or None when the conjunct is not the distance shape.
+  /** A static upper bound LITERAL for the RHS of a distance/band
+    * comparison: the literal itself, or — for an attribute-valued RHS
+    * (the per-row-radius / variable-geofence shape) — a literal the
+    * plan PROVES dominates it: a sibling conjunct or an
+    * already-pushed-down child Filter of the form `attr <= lit` /
+    * `attr < lit`. Pushdown may have rewritten such a filter through
+    * the Project that defines the attribute, so the attr is also
+    * matched via its alias-child expression (one aliasing level).
+    * With a dominating bound the grid keys on the MAX radius and the
+    * exact per-row predicate stays behind the join: every surviving
+    * naive pair has `dist <= r_row <= bound`, so the superset proof
+    * is unchanged with edge taken from the bound.
     */
-  private def matchDist(conjunct: Expression, left: LogicalPlan,
+  private def staticUpper(e: Expression, siblings: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[Literal] = e match {
+    case l: Literal => Some(l)
+    case a: AttributeReference =>
+      def aliasChildren(p: LogicalPlan): Seq[Expression] = p.collect {
+        case proj: Project => proj.projectList.collect {
+          case al: Alias if al.exprId == a.exprId => al.child
+        }
+      }.flatten
+      def childFilterConjuncts(p: LogicalPlan): Seq[Expression] = p.collect {
+        case f: Filter => splitConjuncts(f.condition)
+      }.flatten
+      val forms: Seq[Expression] =
+        a +: (aliasChildren(left) ++ aliasChildren(right))
+      (siblings ++ childFilterConjuncts(left) ++ childFilterConjuncts(right))
+        .collectFirst {
+          case LessThanOrEqual(x, l: Literal)
+              if l.dataType == a.dataType && forms.exists(x.semanticEquals) => l
+          case LessThan(x, l: Literal)
+              if l.dataType == a.dataType && forms.exists(x.semanticEquals) => l
+        }
+    case _ => None
+  }
+
+  /** (ax, ay, bx, by, r2max) with (ax, ay) from one side, (bx, by)
+    * from the other, or None when the conjunct is not the distance
+    * shape. The bound may be a literal or a [[staticUpper]]-provable
+    * per-row attribute.
+    */
+  private def matchDist(conjunct: Expression, siblings: Seq[Expression],
+      left: LogicalPlan,
       right: LogicalPlan): Option[(Attribute, Attribute, Attribute, Attribute, Double)] = {
     def attr(e: Expression): Option[Attribute] = e match {
       case a: AttributeReference if a.dataType == DoubleType => Some(a)
@@ -110,9 +154,13 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
         for (u <- attr(u1); v <- attr(v1)) yield (u, v)
       case _ => None
     }
+    def upper(rhs: Expression): Option[Double] =
+      staticUpper(rhs, siblings, left, right).collect {
+        case Literal(r2: Double, DoubleType) => r2
+      }
     val bound = conjunct match {
-      case LessThanOrEqual(l, Literal(r2: Double, DoubleType)) => Some((l, r2))
-      case LessThan(l, Literal(r2: Double, DoubleType)) => Some((l, r2))
+      case LessThanOrEqual(l, rhs) => upper(rhs).map((l, _))
+      case LessThan(l, rhs) => upper(rhs).map((l, _))
       case _ => None
     }
     bound.flatMap { case (lhs, r2) =>
@@ -159,7 +207,8 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     * with zero float rounding. (Strict `< w` is a subset of `<= w`,
     * so the same cells are a superset of its matches too.)
     */
-  private def matchBand(conjunct: Expression, left: LogicalPlan,
+  private def matchBand(conjunct: Expression, siblings: Seq[Expression],
+      left: LogicalPlan,
       right: LogicalPlan): Option[(Attribute, Attribute, Literal, Boolean)] = {
     def attrs(u: Expression, v: Expression): Option[(Attribute, Attribute)] =
       (u, v) match {
@@ -189,10 +238,10 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     conjunct match {
-      case LessThanOrEqual(Abs(Subtract(u, v, _), _), lit: Literal) =>
-        bandOf(u, v, lit)
-      case LessThan(Abs(Subtract(u, v, _), _), lit: Literal) =>
-        bandOf(u, v, lit)
+      case LessThanOrEqual(Abs(Subtract(u, v, _), _), rhs) =>
+        staticUpper(rhs, siblings, left, right).flatMap(bandOf(u, v, _))
+      case LessThan(Abs(Subtract(u, v, _), _), rhs) =>
+        staticUpper(rhs, siblings, left, right).flatMap(bandOf(u, v, _))
       case _ => None
     }
   }
@@ -233,14 +282,15 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     */
   private case class Sliver(a: Attribute, b: Attribute, hi: Literal, lo: Literal)
 
-  private def dims(conjunct: Expression, left: LogicalPlan,
+  private def dims(conjunct: Expression, siblings: Seq[Expression],
+      left: LogicalPlan,
       right: LogicalPlan): Option[(Seq[Dim], Option[Sliver])] =
-    matchDist(conjunct, left, right).map { case (lx, ly, rx, ry, r2) =>
+    matchDist(conjunct, siblings, left, right).map { case (lx, ly, rx, ry, r2) =>
       val edge = pow2Edge(math.sqrt(r2))
       (Seq(Dim(cell(lx, edge), d => Add(cell(rx, edge), Cast(d, LongType))),
         Dim(cell(ly, edge), d => Add(cell(ry, edge), Cast(d, LongType)))),
         None)
-    }.orElse(matchBand(conjunct, left, right).flatMap { case (a, b, w, integral) =>
+    }.orElse(matchBand(conjunct, siblings, left, right).flatMap { case (a, b, w, integral) =>
       if (integral) {
         val (wl, hi, lo) = w.value match {
           case i: Int => (i.toLong,
@@ -319,7 +369,7 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
         if !cond.references.exists(_.name.startsWith("_gridx_")) &&
           !hasEquiKey(splitConjuncts(cond), left, right) =>
       splitConjuncts(cond).iterator
-        .flatMap(c => dims(c, left, right))
+        .flatMap(c => dims(c, splitConjuncts(cond).filterNot(_ eq c), left, right))
         .take(1).toSeq.headOption match {
         case None => j
         case Some((ds, sliver)) =>

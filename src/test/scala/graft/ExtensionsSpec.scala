@@ -281,7 +281,11 @@ object ExtensionsProbe {
       .filter(org.apache.spark.sql.functions.col("payload") < 50)
     assert(j.count() == 50, "asof probe row count")
     val plan = j.queryExecution.executedPlan.toString
-    assert(plan.contains("AsofJoin"), "asof exec missing:\n" + plan.take(1200))
+    // cost-based selection in a conf-driven fresh JVM: the 10-row dim
+    // sits under autoBroadcastJoinThreshold, so with no caller flag
+    // the strategy must auto-plan the BROADCAST exec
+    assert(plan.contains("AsofBroadcastJoin"),
+      "auto-broadcast asof exec missing:\n" + plan.take(1200))
     assert(plan.contains("PushedFilters: [IsNotNull(payload), LessThan(payload,50)]")
         || plan.contains("PushedFilters: [LessThan(payload,50)"),
       "filter did not reach the scan:\n" + plan.take(2000))

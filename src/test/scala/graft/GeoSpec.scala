@@ -393,6 +393,57 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("GridJoinRewrite: per-row radius with a provable max bound rewrites") {
+    import spark.implicits._
+    // gated query: variable geofence radius + planted max conjunct —
+    // plan must rewrite, results must equal the rule-stripped run
+    val q = Geo.gGridAutoVar(spark, sf)
+    assert(q.queryExecution.optimizedPlan.toString.contains("_gridx_"),
+      "variable-radius form with a provable bound did not rewrite")
+    val got = q.collect().toSeq
+    val want = {
+      val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+      val saved = em.extraOptimizations
+      try {
+        em.extraOptimizations = saved.filterNot(_ == graft.plans.GridJoinRewrite)
+        val naive = Geo.gGridAutoVar(spark, sf) // re-registers; strip again
+        em.extraOptimizations =
+          em.extraOptimizations.filterNot(_ == graft.plans.GridJoinRewrite)
+        naive.collect().toSeq
+      } finally em.extraOptimizations = saved
+    }
+    assert(got == want && got.nonEmpty)
+
+    // an UNBOUNDED per-row radius must keep the naive plan. (The
+    // frames must be parquet-backed: on LocalRelation fixtures the
+    // optimizer EVALUATES pushed single-side filters into the
+    // relation, so the bound conjunct the matcher needs disappears —
+    // on real sources it survives as a Filter above the scan.)
+    Geo.ensureRegistered(spark)
+    val a = Tables.customer(spark, sf).select(
+      expr("CAST((c_custkey * 3) % 97 AS DOUBLE) / 97").as("x"),
+      expr("CAST((c_custkey * 5) % 89 AS DOUBLE) / 89").as("y"))
+    val b = Tables.supplier(spark, sf).select(
+      expr("CAST((s_suppkey * 7) % 83 AS DOUBLE) / 83").as("bx"),
+      expr("CAST((s_suppkey * 11) % 79 AS DOUBLE) / 79").as("by"),
+      expr("0.001 + CAST(s_suppkey % 3 AS DOUBLE) * 0.001").as("br2"))
+    assert(!a.crossJoin(b)
+      .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2"))
+      .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    // …and the same predicate WITH a dominating conjunct fires, for
+    // the band family too (variable time window + max bound)
+    assert(a.crossJoin(b)
+      .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2 AND br2 <= 0.02"))
+      .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    val c = Tables.orders(spark, sf).select(col("o_orderkey").as("ct"),
+      (col("o_orderkey") % 10 + 1).as("cw"))
+    val e = Tables.customer(spark, sf).select(col("c_custkey").cast("long").as("et"))
+    assert(!c.crossJoin(e).where(expr("abs(ct - et) <= cw"))
+      .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    assert(c.crossJoin(e).where(expr("abs(ct - et) <= cw AND cw <= 10"))
+      .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+  }
+
   test("GridJoinRewrite: int band wrap parity at the type extremes") {
     // With ANSI off the naive predicate's `lv - rv` WRAPS, so pairs
     // near opposite ends of the int range match "through" the
