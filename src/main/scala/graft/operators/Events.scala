@@ -474,6 +474,71 @@ object Events {
       |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------- nearest direction
+  /** NEAREST-in-time as-of: for every event, the same-user order with
+    * the minimal |order time − event time|, whichever side of the
+    * event it falls on — the "closest dimension row" enrichment
+    * (sensor reading nearest a fault, order nearest a complaint).
+    * Composed from the two NATIVE as-of joins chained left-to-right:
+    * the backward join's output (partitioning and ordering intact)
+    * feeds the forward join directly, then one projection picks the
+    * closer candidate per row — no extra shuffle beyond the two
+    * operators' own, and under cost-based selection a small
+    * dimension makes BOTH hops broadcast (the fact side is never
+    * shuffled at all).
+    *
+    * Tie semantics, pinned by the oracle: equal distances prefer the
+    * BACKWARD side (earlier order time); within one side, ties on
+    * time follow each native's convention (backward → largest key,
+    * forward → smallest), which the oracle encodes as
+    * `CASE WHEN o_us <= ts THEN -key ELSE key END` in its sort.
+    */
+  def eAsofNearest(s: SparkSession, d: String): DataFrame = {
+    // ts_ns div 1000, not unix_micros(ts): diff_s is second-grain and
+    // a 1-µs engine disagreement at an exact-second boundary would
+    // flip it — integer ns math matches the oracle's epoch_ns // 1000
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      expr("ts_ns div 1000").as("ts_us"))
+    val ordB = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    val b = graft.plans.AsofJoin.joinAsOf(ev, ordB,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_orderkey").as("b_key"), col("o_us").as("b_us"))
+    // fresh read: the second native join needs right-side attribute
+    // ids distinct from the first's (the operators' self-join rule)
+    val ordF = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    val f = graft.plans.AsofJoin.joinAsOf(b, ordF,
+      leftTime = "ts_us", rightTime = "o_us",
+      leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+      tiebreak = Seq("o_orderkey"), direction = "forward")
+    val pickB = col("b_us").isNotNull &&
+      (col("o_us").isNull ||
+        (col("ts_us") - col("b_us")) <= (col("o_us") - col("ts_us")))
+    f.select(col("event_id"), col("user_id"),
+        when(pickB, col("b_key")).otherwise(col("o_orderkey")).as("o_orderkey"),
+        expr("CAST((CASE WHEN b_us IS NOT NULL AND (o_us IS NULL OR ts_us - b_us <= o_us - ts_us) THEN ts_us - b_us ELSE o_us - ts_us END) div 1000000 AS BIGINT)").as("diff_s"))
+      .orderBy("event_id")
+  }
+
+  val eAsofNearestSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |j AS (SELECT e.event_id, e.user_id, e.us, o.o_orderkey,
+      |    CAST(epoch(o.o_orderdate) AS BIGINT) * 1000000 AS o_us
+      |  FROM ev e LEFT JOIN orders o ON o.o_custkey = e.user_id),
+      |r AS (SELECT *, ABS(us - o_us) AS ad,
+      |    row_number() OVER (PARTITION BY event_id
+      |      ORDER BY ABS(us - o_us) ASC NULLS LAST, o_us ASC NULLS LAST,
+      |        (CASE WHEN o_us <= us THEN -o_orderkey ELSE o_orderkey END)
+      |          ASC NULLS LAST) AS rn
+      |  FROM j)
+      |SELECT event_id, user_id, o_orderkey,
+      |  CAST(ad // 1000000 AS BIGINT) AS diff_s
+      |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------- range join
   /** Interval/range self-join: for every event, how many same-user
     * events follow within 10 minutes (burst/co-occurrence detection).
@@ -3399,6 +3464,7 @@ object Events {
     "e_asof_broadcast" -> (eAsofBroadcast _, eAsofJoinSql),
     "e_asof_tolerance" -> (eAsofTolerance _, eAsofToleranceSql),
     "e_asof_forward" -> (eAsofForward _, eAsofForwardSql),
+    "e_asof_nearest" -> (eAsofNearest _, eAsofNearestSql),
     "e_range_native" -> (eRangeNative _, eRangeJoinSql),
     "e_band_broadcast" -> (eBandBroadcast _, eBandBroadcastSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),

@@ -393,6 +393,68 @@ object Geo {
       .replace("cx", s"($CX)").replace("cy", s"($CY)")
       .replace("sx", s"($SX)").replace("sy", s"($SY)")
 
+  // ------------------------------------------------- Morton box serve
+  /** The Scala twin of the store's `cell_z` SQL expression
+    * ([[graft.sources.IndexStore.CellZ]], same bit positions): used
+    * driver-side to turn box corners into the two z bounds of a
+    * BETWEEN — no cell enumeration needed.
+    */
+  private[graft] def mortonZ(cellX: Int, cellY: Int): Int = {
+    val x = cellX + 1; val y = cellY + 1
+    (0 until 5).map(i =>
+      (((x >> i) & 1) << (2 * i + 1)) | (((y >> i) & 1) << (2 * i))).reduce(_ | _)
+  }
+
+  /** Box aggregate served from the PERSISTED Morton grid store via
+    * 1-D RANGE pruning — the payoff of the `cell_z` layout: z is
+    * `f(cell_x) + g(cell_y)` with f, g monotone on disjoint bit
+    * positions, so every cell of the box [cx0..cx1]×[cy0..cy1] has
+    * `z ∈ [z(cx0,cy0), z(cx1,cy1)]` and ONE BETWEEN on the partition
+    * column prunes the scan at file-listing time (the lakehouse
+    * OPTIMIZE ZORDER file-skipping argument as a directory layout).
+    * The exact per-point box predicate behind it discards the
+    * z-range's out-of-box cells, so results are exact for ANY box;
+    * quadrant-aligned boxes (this query's) give a TIGHT range —
+    * GeoSpec asserts the executed scan reads only the box's 16 cell
+    * dirs of the ~400-dir store — while an arbitrary box's single
+    * range is a coarser superset (production engines decompose it
+    * into a few ranges via BIGMIN; the correctness story is
+    * identical).
+    */
+  def gBoxServed(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir")),
+      "graft_index_gridbox_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + s.sparkContext.applicationId).getPath
+    graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
+    val loaded = graft.sources.IndexStore.loadGrid(s, dir)
+    boxAgg(loaded)
+  }
+
+  // box corners chosen so the cell range [3..6]² shifts to [4..7]² —
+  // one Morton quadrant, z in [48, 63]
+  private val BOX = (0.15, 0.3499, 0.15, 0.3499)
+
+  private[graft] def boxAgg(loaded: DataFrame): DataFrame = {
+    val (x0, x1, y0, y1) = BOX
+    val zLo = mortonZ(math.floor(x0 * 20).toInt, math.floor(y0 * 20).toInt)
+    val zHi = mortonZ(math.floor(x1 * 20).toInt, math.floor(y1 * 20).toInt)
+    loaded
+      .filter(col("cell_z").between(zLo, zHi))
+      .where(expr(s"cx >= $x0 AND cx <= $x1 AND cy >= $y0 AND cy <= $y1"))
+      .agg(count(lit(1)).as("n_box"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+  }
+
+  private val gBoxServedSql = {
+    val (x0, x1, y0, y1) = BOX
+    s"""SELECT COUNT(*) AS n_box,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+       |FROM customer
+       |WHERE ($CX) >= $x0 AND ($CX) <= $x1
+       |  AND ($CY) >= $y0 AND ($CY) <= $y1""".stripMargin
+  }
+
   // ------------------------------------- unbounded exact kNN (rings)
 
   /** Per-site top-k within the (2r+1)x(2r+1) cell ring around each
@@ -508,6 +570,7 @@ object Geo {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g_knn_full"    -> (gKnnFull _, gKnnFullSql),
     "g_grid_auto_var" -> (gGridAutoVar _, gGridAutoVarSql),
+    "g_box_served"  -> (gBoxServed _, gBoxServedSql),
     "g_grid_auto"   -> (gGridAuto _, gGridJoinSql),
     "g_grid_join"   -> (gGridJoin _, gGridJoinSql),
     "g_grid_knn"    -> (gGridKnn _, gGridKnnSql),

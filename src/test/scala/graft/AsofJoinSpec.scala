@@ -138,6 +138,36 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("e_asof_nearest equals the closer of the two directional natives, ties backward") {
+    val ns = Events.load(spark, sf).select(col("event_id"),
+      expr("ts_ns div 1000").as("ts_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def diffs(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map { r =>
+        val eid = r.getLong(0)
+        val d = if (r.isNullAt(3)) None
+          else Some(math.abs(ns(eid) / 1000000L - r.getLong(3)))
+        eid -> d
+      }.toMap
+    val back = diffs(Events.eAsofNative(spark, sf))
+    val fwd = diffs(Events.eAsofForward(spark, sf))
+    val near = Events.eAsofNearest(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(near.nonEmpty && near.keySet == back.keySet)
+    near.foreach { case (eid, d) =>
+      // order_epoch is second-grain, ts is not: directional diffs
+      // computed here can undershoot nearest's exact-µs floor by <= 1
+      val best = (back(eid) ++ fwd(eid)).reduceOption(_ min _)
+      (d, best) match {
+        case (Some(dv), Some(bv)) =>
+          assert(math.abs(dv - bv) <= 1, s"event $eid: nearest $dv vs best-directional $bv")
+        case (None, None) =>
+        case other => fail(s"event $eid: null mismatch $other")
+      }
+    }
+  }
+
   test("cost-based exec selection: right-side size picks the exec; the flag overrides") {
     // mirrors Spark's JoinSelection: with no flag, the strategy
     // compares the right side's stats.sizeInBytes against

@@ -328,6 +328,43 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g_box_served: Morton z-range prunes the store scan to the box quadrant") {
+    import graft.sources.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_grid_box").toString
+    try {
+      val probe = spark.range(1, 5001).toDF("c_custkey")
+        .withColumn("c_acctbal", lit(1.0))
+        .withColumn("cx", expr("CAST((c_custkey * 2654435761) % 100003 AS DOUBLE) / 100003.0"))
+        .withColumn("cy", expr("CAST((c_custkey * 2246822519) % 100019 AS DOUBLE) / 100019.0"))
+      IndexStore.saveGrid(dir, Geo.withCells(probe))
+      val allCells = Option(new java.io.File(s"$dir/cells").listFiles())
+        .toSeq.flatten.count(f => f.isDirectory && f.getName.startsWith("cell_z="))
+      val agg = Geo.boxAgg(IndexStore.loadGrid(spark, dir))
+      val got = agg.collect().toSeq
+      // exact: equals the direct filter over the unpartitioned probe
+      val want = probe
+        .where(expr("cx >= 0.15 AND cx <= 0.3499 AND cy >= 0.15 AND cy <= 0.3499"))
+        .agg(count(lit(1)).as("n_box"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+        .collect().toSeq
+      assert(got == want && got.head.getLong(0) > 0)
+      // pruned: the quadrant-aligned box covers z in [48, 63] — the
+      // executed scan must read at most those 16 cell dirs, never the
+      // ~400-dir store
+      val scans = scansUnder(agg.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("/cells")))
+      assert(scans.nonEmpty, "grid store scan not found")
+      val read = scans.map(_.metrics("numPartitions").value).max
+      assert(read <= 16, s"read $read cell dirs for the box (expected <= 16)")
+      assert(allCells > 100, s"store only has $allCells cell dirs; test vacuous")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("g_knn_full: ring 2 entered only for unresolved sites; exact vs brute force") {
     import spark.implicits._
     // site 100: 3 in-cell neighbors -> final at ring 1.
