@@ -289,6 +289,35 @@ object BandJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Pushes left-side filters through [[BandCountPlan]] — the band twin
+  * of [[PushFilterThroughAsofJoin]], and sound for the same reason:
+  * each left row's count depends only on that row and the right side,
+  * so pre-filtering left rows emits exactly the surviving rows'
+  * outputs. Without it, `bandCount(...).filter(<left predicate>)`
+  * scans the 100 TB fact side whole. Predicates referencing the
+  * GENERATED count column obviously cannot push (they need the
+  * operator's output) and stay above; right-side predicates would
+  * change the counts and there is no right output to reference, so
+  * only left-subset conjuncts move.
+  */
+object PushFilterThroughBandCount
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, b: BandCountPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(b.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = b.copy(left = Filter(push.reduce(And), b.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** DataFrame-level API over [[BandCountPlan]]. */
 object BandJoin {
 
@@ -296,6 +325,8 @@ object BandJoin {
     val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!em.extraStrategies.contains(BandJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ BandJoinStrategy
+    if (!em.extraOptimizations.contains(PushFilterThroughBandCount))
+      em.extraOptimizations = em.extraOptimizations :+ PushFilterThroughBandCount
   }
 
   /** Appends `countName` (LONG, never null) to `left`: the number of

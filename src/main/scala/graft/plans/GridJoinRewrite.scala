@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And,
   Attribute, AttributeReference, Cast, EqualTo, Expression, Floor,
-  GenericInternalRow, GreaterThan, IntegralDivide, LessThan,
-  LessThanOrEqual, Literal, Multiply, Subtract}
+  GenericInternalRow, GreaterThan, GreaterThanOrEqual, IntegralDivide,
+  LessThan, LessThanOrEqual, Literal, Multiply, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint,
   LocalRelation, LogicalPlan, Project, Union}
@@ -64,7 +64,10 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * bottom-band) and (bottom-band x top-band) cross products under
   * the verbatim original predicate — which are empty for any data
   * not touching the outer w of the type range, and whose band
-  * filters push to the scans. Disjointness (no duplicate rows):
+  * filters push to the scans. A third supplement covers the ABS
+  * wrap: `abs(MinValue)` is MinValue (negative), so pairs whose
+  * wrapped difference is exactly MinValue match ANY width — they
+  * form an exact equi-join on `a + MinValue` (see [[absWrapJoins]]). Disjointness (no duplicate rows):
   * cross-band pairs sit >= range - 2w apart, which is > 1 cell for
   * the guarded w (<= 2^29 int, <= 2^61 long), so the grid never
   * emits a sliver pair; same-band and interior pairs never wrap, so
@@ -361,7 +364,47 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
         Some(And(EqualTo(ml.toAttribute, mr.toAttribute), cond)), JoinHint.NONE))
     }
     Seq(one(GreaterThan(s.a, s.hi), LessThan(s.b, s.lo)),
-      one(LessThan(s.a, s.lo), GreaterThan(s.b, s.hi)))
+      one(LessThan(s.a, s.lo), GreaterThan(s.b, s.hi))) ++ absWrapJoins(j, cond, s)
+  }
+
+  /** The abs-wrap supplement (found by the randomized differential
+    * suite, not the hand proof): when the wrapped difference is
+    * EXACTLY MinValue, non-ANSI `abs` wraps to MinValue — negative,
+    * hence `<=`/`<` ANY positive width — so the naive plan matches
+    * every pair with `b == a + 2^(BITS-1) (mod 2^BITS)` regardless of
+    * w, and those pairs are NOT confined to the extreme bands the
+    * slivers cover (e.g. Long.MinValue+3 vs 3). They are, however, an
+    * exact EQUI-join on the computed key `a + MinValue` (adding or
+    * subtracting 2^(BITS-1) is the same thing mod 2^BITS, so one key
+    * covers both signs), and at least one operand of every such pair
+    * has magnitude >= 2^(BITS-2) — so the two magnitude-split
+    * branches below keep one join side empty for typical
+    * (timestamp-scale) data, where parquet min/max stats skip the
+    * filtered scans entirely. Disjoint from the grid (candidates are
+    * cell-adjacent, |diff| < 3w) and from the slivers (their wrapped
+    * diffs are in [-2w, 0) ∪ (0, 2w], never -2^(BITS-1), given the
+    * width guards).
+    */
+  private def absWrapJoins(j: Join, cond: Expression, s: Sliver): Seq[LogicalPlan] = {
+    val (minLit, thLo, thHi) = s.a.dataType match {
+      case IntegerType => (Literal(Int.MinValue, IntegerType),
+        Literal(-(1 << 30), IntegerType), Literal(1 << 30, IntegerType))
+      case _ => (Literal(Long.MinValue, LongType),
+        Literal(-(1L << 62), LongType), Literal(1L << 62, LongType))
+    }
+    def big(v: Attribute): Expression =
+      org.apache.spark.sql.catalyst.expressions.Or(
+        LessThanOrEqual(v, thLo), GreaterThanOrEqual(v, thHi))
+    def small(v: Attribute): Expression =
+      And(GreaterThan(v, thLo), LessThan(v, thHi))
+    def one(leftPred: Expression, rightPred: Option[Expression]): LogicalPlan = {
+      val mk = Alias(Add(s.a, minLit), "_gridx_w")()
+      val lp = Project(j.left.output :+ mk, Filter(leftPred, j.left))
+      val rp = rightPred.map(p => Filter(p, j.right)).getOrElse(j.right)
+      Project(j.output, Join(lp, rp, Inner,
+        Some(And(EqualTo(mk.toAttribute, s.b), cond)), JoinHint.NONE))
+    }
+    Seq(one(big(s.a), None), one(small(s.a), Some(big(s.b))))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -154,6 +154,36 @@ class BandJoinSpec extends SparkSpec {
     assert(graft.plans.AsofIndexCache.keys.isEmpty)
   }
 
+  test("left-side filters push below the band node; count predicates stay above") {
+    val ev = Events.load(spark, sf)
+    val a0 = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val b0 = ev.select(col("user_id").as("b_user"),
+      unix_micros(col("ts")).as("b_ts_us"))
+    val j = BandJoin.bandCount(a0, b0, "ts_us", "b_ts_us",
+      Seq("user_id"), Seq("b_user"), 600000000L, countName = "n_follow")
+    // mixed conjunction: the left conjunct sinks into the node's left
+    // child; the conjunct on the GENERATED count column cannot (it
+    // needs the operator's output) and must stay above
+    val f = j.filter(col("event_id") < 500 && col("n_follow") > 0)
+    val opt = f.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case b: graft.plans.BandCountPlan => b }.get
+    assert(node.left.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if flt.condition.references.exists(_.name == "event_id") => flt
+    }.nonEmpty, s"left filter not pushed:\n$opt")
+    assert(opt.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if flt.condition.references.exists(_.name == "n_follow") &&
+          flt.child.isInstanceOf[graft.plans.BandCountPlan] => flt
+    }.nonEmpty, s"count predicate did not stay above the node:\n$opt")
+    // behavior: filtered-then-join == join-then-filter row sets
+    val got = f.select("event_id", "n_follow").collect().toSeq.sortBy(_.getLong(0))
+    val want = j.where(col("event_id") < 500).where(col("n_follow") > 0)
+      .select("event_id", "n_follow").collect().toSeq.sortBy(_.getLong(0))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("API rejects non-long times, bad window, and shared attribute ids") {
     val l = Seq((1L, 2L)).toDF("k", "t")
     val r = Seq((1L, 2L)).toDF("rk", "rt")

@@ -514,9 +514,9 @@ class GeoSpec extends SparkSpec {
     Geo.ensureRegistered(spark)
     withAnsiOff {
     val l = Seq((1L, Long.MaxValue), (2L, Long.MaxValue - 7), (3L, 4200L),
-      (4L, Long.MinValue + 2)).toDF("lid", "lv")
+      (4L, Long.MinValue + 2), (5L, Long.MinValue + 9)).toDF("lid", "lv")
     val r = Seq((10L, Long.MinValue), (11L, Long.MinValue + 3), (12L, 4204L),
-      (13L, Long.MaxValue - 1)).toDF("rid", "rv")
+      (13L, Long.MaxValue - 1), (14L, 9L)).toDF("rid", "rv")
     def q() = l.crossJoin(r).where(expr("abs(lv - rv) <= 5")).select("lid", "rid")
     assert(q().queryExecution.optimizedPlan.toString.contains("_gridx_"))
     val got = q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
@@ -526,7 +526,67 @@ class GeoSpec extends SparkSpec {
     assert(got == want)
     assert(want.contains((1L, 10L)), "wrapped pair missing from oracle")
     assert(want.contains((3L, 12L)), "interior pair missing")
+    // (Min+9) - 9 = MinValue exactly: non-ANSI abs WRAPS negative and
+    // passes any band — the abs-wrap equi-join supplement's case
+    assert(want.contains((5L, 14L)), "abs-wrap pair missing from oracle")
     }
+  }
+
+  test("GridJoinRewrite property: integral bands == naive across the type extremes (3 seeds)") {
+    // randomized differential: values drawn from interior AND the
+    // outer dozen of the type range, so non-ANSI wrap matches occur
+    // organically; rewrite vs rule-stripped compared as sorted
+    // multisets for <= and < bands, Long and Int
+    import spark.implicits._
+    Geo.ensureRegistered(spark)
+    var wrapMatches = 0L
+    withAnsiOff {
+      for (seed <- 1 to 3) {
+        val rnd = new scala.util.Random(seed)
+        def drawL(): Long = rnd.nextInt(6) match {
+          case 0 => Long.MaxValue - rnd.nextInt(12)
+          case 1 => Long.MinValue + rnd.nextInt(12)
+          case _ => rnd.nextInt(2000).toLong - 1000
+        }
+        def drawI(): Int = rnd.nextInt(6) match {
+          case 0 => Int.MaxValue - rnd.nextInt(12)
+          case 1 => Int.MinValue + rnd.nextInt(12)
+          case _ => rnd.nextInt(2000) - 1000
+        }
+        val lL = (1 to 150).map(i => (i.toLong, drawL())).toDF("lid", "lv")
+        val rL = (1 to 150).map(i => (i.toLong, drawL())).toDF("rid", "rv")
+        val lI = (1 to 150).map(i => (i.toLong, drawI())).toDF("lid", "lv")
+        val rI = (1 to 150).map(i => (i.toLong, drawI())).toDF("rid", "rv")
+        for {
+          (l, r, ty) <- Seq((lL, rL, "long"), (lI, rI, "int"))
+          (op, w) <- Seq(("<=", 7), ("<", 9))
+        } {
+          def q() = l.crossJoin(r).where(expr(s"abs(lv - rv) $op $w"))
+            .select("lid", "rid")
+          assert(q().queryExecution.optimizedPlan.toString.contains("_gridx_"),
+            s"no rewrite: seed=$seed ty=$ty op=$op")
+          val got = q().collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+          val want = withoutRule {
+            q().collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+          }
+          assert(got == want, s"divergence: seed=$seed ty=$ty op=$op " +
+            s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+          // wrap-match census (vacuity guard for the whole test): a
+          // matched pair with operands at OPPOSITE extremes can only
+          // have matched through the wrapping subtract
+          def vals(df: org.apache.spark.sql.DataFrame) =
+            df.collect().map(x => x.getLong(0) ->
+              (x.get(1) match { case i: Int => i.toLong; case l: Long => l })).toMap
+          val lv = vals(l); val rv = vals(r)
+          val quarter = if (ty == "long") Long.MaxValue / 2 else Int.MaxValue / 2L
+          wrapMatches += want.count { case (a, b) =>
+            (lv(a) > quarter && rv(b) < -quarter) ||
+              (lv(a) < -quarter && rv(b) > quarter)
+          }
+        }
+      }
+    }
+    assert(wrapMatches > 0, "no wrapped match ever occurred — fixture vacuous")
   }
 
   test("GridJoinRewrite: exact at epoch-scale double coordinates") {
