@@ -589,6 +589,37 @@ class GeoSpec extends SparkSpec {
     assert(wrapMatches > 0, "no wrapped match ever occurred — fixture vacuous")
   }
 
+  test("GridJoinRewrite property: 2-D distance == naive at unit, epoch, and 1e15 magnitudes") {
+    // the power-of-two edge claims exactness at ANY coordinate
+    // magnitude: randomized points around three bases spanning 15
+    // orders of magnitude, random radius per base, rewrite vs
+    // rule-stripped compared as sorted multisets
+    import spark.implicits._
+    Geo.ensureRegistered(spark)
+    for ((base, spread, r2, seed) <- Seq(
+        (0.0, 1.0, 0.0025, 11),
+        (1.7e9, 40.0, 25.0, 12),       // epoch seconds, r = 5 s
+        (1.0e15, 2.0e7, 1.0e12, 13))) { // quotient ~1e9 cells
+      val rnd = new scala.util.Random(seed)
+      def pts(n: Int) = (1 to n).map(i =>
+        (i.toLong, base + rnd.nextDouble() * spread, base + rnd.nextDouble() * spread))
+      val l = pts(220).toDF("lid", "x", "y")
+      val r = pts(220).toDF("rid", "bx", "by")
+      def q() = l.crossJoin(r)
+        .where(expr(s"(x - bx) * (x - bx) + (y - by) * (y - by) <= $r2"))
+        .select("lid", "rid")
+      assert(q().queryExecution.optimizedPlan.toString.contains("_gridx_"),
+        s"no rewrite at base=$base")
+      val got = q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+      val want = withoutRule {
+        q().collect().map(w => (w.getLong(0), w.getLong(1))).toSeq.sorted
+      }
+      assert(got == want, s"divergence at base=$base: " +
+        s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      assert(want.nonEmpty, s"no matches at base=$base — fixture vacuous")
+    }
+  }
+
   test("GridJoinRewrite: exact at epoch-scale double coordinates") {
     // regression for the pre-round-11 fixed 1e-9 relative edge margin,
     // which under-covered the coord/edge division's ulp error once the
