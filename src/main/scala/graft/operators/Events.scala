@@ -474,6 +474,43 @@ object Events {
       |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------- global (keyless)
+  /** GLOBAL as-of — the market-data shape: every event picks up the
+    * latest GLOBAL reference tick at or before its time, no equality
+    * key at all. The tick series is a sparse self-derived sample of
+    * the event stream (every 97th event id — ~1% of events, the
+    * "index price" proxy the fixtures lack); the keyless native join
+    * auto-broadcasts it (cost-based selection), so the fact side is
+    * never shuffled and never sorted — the plan a market-data join at
+    * 100 TB needs. A keyless join forced onto the shuffled exec
+    * degrades to a single-partition merge by declared AllTuples
+    * distribution — honest, and pinned in AsofJoinSpec.
+    */
+  def eAsofGlobal(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+    // fresh load: distinct attribute ids for the right side
+    val ticks = load(s, d).where(col("event_id") % 97 === 0)
+      .select(expr("ts_ns div 1000").as("tick_us"), col("event_id").as("tick_id"))
+    graft.plans.AsofJoin.joinAsOf(ev, ticks,
+        leftTime = "ts_us", rightTime = "tick_us",
+        leftBy = Nil, rightBy = Nil, tiebreak = Seq("tick_id"))
+      .select(col("event_id"), col("tick_id"),
+        expr("CAST(tick_us div 1000000 AS BIGINT)").as("tick_epoch"))
+      .orderBy("event_id")
+  }
+
+  val eAsofGlobalSql: String =
+    """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |tk AS (SELECT event_id AS tick_id, epoch_ns(ts) // 1000 AS tick_us
+      |  FROM events WHERE event_id % 97 = 0),
+      |j AS (SELECT e.event_id, t.tick_id, t.tick_us,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY t.tick_us DESC NULLS LAST, t.tick_id DESC NULLS LAST) AS rn
+      |  FROM ev e LEFT JOIN tk t ON t.tick_us <= e.us)
+      |SELECT event_id, tick_id,
+      |  CAST(tick_us // 1000000 AS BIGINT) AS tick_epoch
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------- nearest direction
   /** NEAREST-in-time as-of: for every event, the same-user order with
     * the minimal |order time − event time|, whichever side of the
@@ -3465,6 +3502,7 @@ object Events {
     "e_asof_tolerance" -> (eAsofTolerance _, eAsofToleranceSql),
     "e_asof_forward" -> (eAsofForward _, eAsofForwardSql),
     "e_asof_nearest" -> (eAsofNearest _, eAsofNearestSql),
+    "e_asof_global" -> (eAsofGlobal _, eAsofGlobalSql),
     "e_range_native" -> (eRangeNative _, eRangeJoinSql),
     "e_band_broadcast" -> (eBandBroadcast _, eBandBroadcastSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),

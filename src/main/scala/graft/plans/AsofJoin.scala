@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering,
   SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
-  ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning,
-  UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples,
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
@@ -97,10 +97,17 @@ case class AsofJoinExec(
   /** Same contract as a shuffled equi-join: both children clustered on
     * the equality keys; EnsureRequirements co-partitions them (and AQE
     * may later coalesce/split — the merge only assumes same-key
-    * co-location, not a partition count).
+    * co-location, not a partition count). KEYLESS (global as-of, the
+    * market-data shape): every row is "the same key", so the only
+    * sound shuffled plan is a single-partition merge — AllTuples on
+    * both sides. That is the honest fallback for a huge global
+    * dimension; the broadcast exec (which a keyless join gets by
+    * default whenever the dim fits the threshold) keeps the fact
+    * side fully parallel and is the intended keyless path.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
+    else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   /** (keys…, time) ascending both sides; the right side additionally
     * orders by the tiebreak columns so "hold the LAST usable row" picks
@@ -531,8 +538,11 @@ object AsofJoin {
     val rt = attr(rp.output, rightTime, "right")
     require(lt.dataType == LongType && rt.dataType == LongType,
       s"joinAsOf: time columns must be LONG (epoch µs); got ${lt.dataType} / ${rt.dataType}")
-    require(leftBy.nonEmpty,
-      "joinAsOf: at least one equality key is required (for a global as-of, add a constant key column to both sides)")
+    // empty key lists = GLOBAL as-of (market-data shape): every left
+    // row matches against the whole right series. Broadcast (the
+    // default for a threshold-sized dim) keeps the fact side fully
+    // parallel; the shuffled form degrades to a single-partition
+    // merge (AllTuples) — see AsofJoinExec.requiredChildDistribution.
     require(leftBy.length == rightBy.length,
       s"joinAsOf: key lists differ in length (${leftBy.length} vs ${rightBy.length})")
     val lk = leftBy.map(attr(lp.output, _, "left"))

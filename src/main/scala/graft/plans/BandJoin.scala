@@ -77,8 +77,15 @@ case class BandCountExec(
     "maxBandBuffer" -> SQLMetrics.createSizeMetric(sparkContext,
       "per-task max buffered band timestamps (summed over tasks)"))
 
+  /** Keyless (global band count): single-partition merge — the honest
+    * shuffled fallback; the broadcast exec is the parallel keyless
+    * path (see [[AsofJoinExec.requiredChildDistribution]]).
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (leftKeys.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.AllTuples ::
+        org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
+    else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
@@ -359,7 +366,8 @@ object BandJoin {
     val rt = attr(rp.output, rightTime, "right")
     require(lt.dataType == LongType && rt.dataType == LongType,
       s"bandCount: time columns must be LONG (epoch µs); got ${lt.dataType} / ${rt.dataType}")
-    require(leftBy.nonEmpty && leftBy.length == rightBy.length,
+    // empty key lists = GLOBAL band count (see joinAsOf's keyless note)
+    require(leftBy.length == rightBy.length,
       s"bandCount: bad key lists (${leftBy.length} vs ${rightBy.length})")
     require(windowUs > 0, s"bandCount: window must be positive, got $windowUs")
     val lk = leftBy.map(attr(lp.output, _, "left"))

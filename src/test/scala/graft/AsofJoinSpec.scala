@@ -325,6 +325,52 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("keyless (global) as-of and band count: both execs equal the reference") {
+    import graft.plans.BandJoin
+    val l = Seq((1L, 100L), (2L, 205L), (3L, 50L), (4L, 10L)).toDF("lid", "t")
+    val r = Seq((7L, 100L), (9L, 100L), (1L, 200L), (3L, 45L)).toDF("rid", "rt")
+    // global backward: latest ANY-source tick <= t, ties -> max rid
+    val want = Set(
+      (1L, Some(9L)),   // t=100: tie at 100 -> rid 9
+      (2L, Some(1L)),   // latest <= 205 is 200
+      (3L, Some(3L)),   // latest <= 50 is 45
+      (4L, None))       // nothing at or before 10
+    for (bcast <- Seq(true, false)) {
+      val out = AsofJoin.joinAsOf(l, r, "t", "rt", Nil, Nil,
+          tiebreak = Seq("rid"), broadcast = Some(bcast))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+      assert(out === want, s"keyless asof divergence at broadcast=$bcast")
+    }
+    // the shuffled keyless plan declares AllTuples: ONE merge task
+    val shuffled = executed(AsofJoin.joinAsOf(l, r, "t", "rt", Nil, Nil,
+      tiebreak = Seq("rid"), broadcast = Some(false)))
+    val exec = allNodes(shuffled).collectFirst { case e: AsofJoinExec => e }.get
+    assert(exec.left.outputPartitioning.numPartitions === 1,
+      s"keyless shuffled merge must be single-partition:\n$shuffled")
+    // keyless band count: followers of ANY source in (t, t+50]
+    for (bcast <- Seq(true, false)) {
+      val out = BandJoin.bandCount(l, r, "t", "rt", Nil, Nil, windowUs = 50L,
+          broadcast = Some(bcast))
+        .select("lid", "n_in_band").as[(Long, Long)].collect().toMap
+      assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 1L),
+        s"keyless band divergence at broadcast=$bcast")
+    }
+    // fixture: the gated global query matches its composed window form
+    val native = Events.eAsofGlobal(spark, sf).collect().toSeq
+    val ev = Events.load(spark, sf).select(col("event_id"),
+      expr("ts_ns div 1000").as("ts_us"))
+    val ticks = Events.load(spark, sf).where(col("event_id") % 97 === 0)
+      .select(expr("ts_ns div 1000").as("tick_us"), col("event_id").as("tick_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+      .orderBy(col("tick_us").desc_nulls_last, col("tick_id").desc_nulls_last)
+    val composed = ev.join(ticks, col("tick_us") <= col("ts_us"), "left")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("event_id"), col("tick_id"),
+        expr("CAST(tick_us div 1000000 AS BIGINT)").as("tick_epoch"))
+      .orderBy("event_id").collect().toSeq
+    assert(native.nonEmpty && native === composed)
+  }
+
   test("API rejects non-long times, mismatched keys, and shared attribute ids") {
     val l = Seq((1L, "x")).toDF("k", "t")
     val r = Seq((1L, 2L)).toDF("k", "rt")
