@@ -166,18 +166,36 @@ object Geo {
     * z-code plant on the partition column — metric-asserted in
     * GeoSpec); the store's other cells are never opened.
     */
-  def gGridServed(s: SparkSession, d: String): DataFrame = {
-    // keyed by (dataset, applicationId): two concurrent sessions on
-    // the same dataset (e.g. Verify and Bench) each get their own
-    // store, so one session's Overwrite can never delete files out
-    // from under the other's in-flight scan
-    val dir = new java.io.File(
+  // keyed by (dataset, applicationId): two concurrent sessions on
+  // the same dataset (e.g. Verify and Bench) each get their own
+  // store, so one session's Overwrite can never delete files out
+  // from under the other's in-flight scan
+  private def servedStoreDir(s: SparkSession, d: String): String =
+    new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir")),
       "graft_index_grid_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_" + s.sparkContext.applicationId).getPath
+
+  def gGridServed(s: SparkSession, d: String): DataFrame = {
+    val dir = servedStoreDir(s, d)
     graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
     val loaded = graft.sources.IndexStore.loadGrid(s, dir)
     radiusAgg(servedCandidates(loaded, suppPoints(s, d)))
+  }
+
+  /** The session's grid store, written only if this session hasn't
+    * yet: `g_zbox_served` shares `g_grid_served`'s store (identical
+    * content) and certifies the READ/pruning path — the write
+    * certification stays with g_grid_served, which rebuilds every
+    * invocation. Store content is deterministic per dataset, so
+    * whichever query runs first produces the same bytes.
+    */
+  private def ensureGridStore(s: SparkSession, d: String): String = {
+    val dir = servedStoreDir(s, d)
+    val have = new java.io.File(dir, "cells").exists() ||
+      new java.io.File(dir, "CURRENT_cells").exists()
+    if (!have) graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
+    dir
   }
 
   /** [[cellJoin]] against a loaded grid store, with the touched cells
@@ -421,14 +439,9 @@ object Geo {
     * into a few ranges via BIGMIN; the correctness story is
     * identical).
     */
-  def gBoxServed(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(
-      new java.io.File(System.getProperty("java.io.tmpdir")),
-      "graft_index_gridbox_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + s.sparkContext.applicationId).getPath
-    graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
-    val loaded = graft.sources.IndexStore.loadGrid(s, dir)
-    boxAgg(loaded)
+  def gZboxServed(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureGridStore(s, d)
+    boxAgg(graft.sources.IndexStore.loadGrid(s, dir))
   }
 
   // box corners chosen so the cell range [3..6]² shifts to [4..7]² —
@@ -446,7 +459,7 @@ object Geo {
         sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
   }
 
-  private val gBoxServedSql = {
+  private val gZboxServedSql = {
     val (x0, x1, y0, y1) = BOX
     s"""SELECT COUNT(*) AS n_box,
        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
@@ -570,7 +583,7 @@ object Geo {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g_knn_full"    -> (gKnnFull _, gKnnFullSql),
     "g_grid_auto_var" -> (gGridAutoVar _, gGridAutoVarSql),
-    "g_box_served"  -> (gBoxServed _, gBoxServedSql),
+    "g_zbox_served" -> (gZboxServed _, gZboxServedSql),
     "g_grid_auto"   -> (gGridAuto _, gGridJoinSql),
     "g_grid_join"   -> (gGridJoin _, gGridJoinSql),
     "g_grid_knn"    -> (gGridKnn _, gGridKnnSql),

@@ -328,7 +328,7 @@ class GeoSpec extends SparkSpec {
     }
   }
 
-  test("g_box_served: Morton z-range prunes the store scan to the box quadrant") {
+  test("g_zbox_served: Morton z-range prunes the store scan to the box quadrant") {
     import graft.sources.IndexStore
     val dir = java.nio.file.Files.createTempDirectory("graft_grid_box").toString
     try {
