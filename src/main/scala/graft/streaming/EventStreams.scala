@@ -529,6 +529,34 @@ object EventStreams {
       .foreachBatch(asofEnrichNativeBatch(orders, outDir) _)
       .start()
 
+  /** KEYLESS streaming as-of enrichment — the streaming market-data
+    * shape: each microbatch of events picks up the latest GLOBAL tick
+    * at or before its time through the native keyless as-of
+    * ([[graft.plans.AsofJoin.joinAsOf]] with empty key lists, forced
+    * broadcast — one per-executor time-sorted series, the event side
+    * untouched). Same refresh/delivery contract as
+    * [[startAsofEnrichNative]]: the tick frame re-reads per batch (a
+    * late tick is visible to the next trigger), parquet append is
+    * at-least-once on a mid-batch crash. `events` must carry
+    * (event_id, ts); `ticks` must carry (tick_id, tick_us).
+    */
+  def startGlobalAsofEnrich(events: DataFrame, ticks: DataFrame,
+      outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.plans.AsofJoin.joinAsOf(batch, ticks,
+              leftTime = "ts_us", rightTime = "tick_us",
+              leftBy = Nil, rightBy = Nil, tiebreak = Seq("tick_id"),
+              broadcast = Some(true))
+            .select(col("event_id"), col("tick_id"))
+            .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Convenience: file-stream reader over a fixture directory with the
     * events schema (ts as µs timestamp), for driving these pipelines
     * from parquet drops. maxFilesPerTrigger bounds per-batch work.

@@ -490,6 +490,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("keyless global streaming as-of enrichment == batch e_asof_global") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_global").toFile.getAbsolutePath
+    try {
+      val ticks = Events.load(spark, sf).where(col("event_id") % 97 === 0)
+        .select(expr("ts_ns div 1000").as("tick_us"), col("event_id").as("tick_id"))
+      val input = MemoryStream[Ev](spark)
+      val q = EventStreams.startGlobalAsofEnrich(
+        input.toDF(), ticks, s"$dir/out", s"$dir/ckpt")
+      try {
+        batchEvents.grouped(math.max(1, batchEvents.size / 3)).foreach { g =>
+          input.addData(g); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$dir/out")
+        .as[(Long, Option[Long])].collect().toSet
+      val batch = graft.operators.Events.eAsofGlobal(spark, sf)
+        .select("event_id", "tick_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(streamed === batch && batch.nonEmpty)
+      assert(streamed.exists(_._2.isDefined))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("checkpointed file sink resumes exactly-once after restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
     val input = MemoryStream[Ev](spark)
