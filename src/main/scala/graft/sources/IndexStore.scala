@@ -106,14 +106,27 @@ object IndexStore {
   private[graft] def compactComponent(s: SparkSession, dir: String,
       name: String, partCols: Seq[String],
       project: DataFrame => DataFrame,
+      onStep: String => Unit): Unit =
+    publishComponent(s, dir, name, partCols,
+      project(s.read.parquet(resolvePath(s, dir, name))), onStep)
+
+  /** Publish `df` as the new live content of component `name` via the
+    * staging → version → pointer protocol (steps and crash matrix in
+    * the scaladoc above). Compaction publishes a re-clustered read of
+    * the live version; a full SAVE publishes a fresh frame — both get
+    * the same crash-safety: a killed save leaves the previous version
+    * serving, where the old Overwrite-in-place save deleted the live
+    * directory before writing a byte (and paid that delete-first pass
+    * even on success).
+    */
+  private[graft] def publishComponent(s: SparkSession, dir: String,
+      name: String, partCols: Seq[String], df: DataFrame,
       onStep: String => Unit): Unit = {
-    val livePath = resolvePath(s, dir, name)
     val anyPath = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(s, anyPath)
     val next = (listVersions(fs, dir, name) :+ 0).max + 1
     val staging = s"$dir/${name}_staging"
-    project(s.read.parquet(livePath))
-      .repartition(partCols.map(col): _*)
+    df.repartition(partCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(staging)
     onStep("staged")
     val versioned = new org.apache.hadoop.fs.Path(s"$dir/${name}_v$next")
@@ -134,10 +147,17 @@ object IndexStore {
     onStep("cleaned")
   }
 
+  /** Multi-component caveat: centroids and postings are two separate
+    * writes — a crash between them leaves a new model over old lists
+    * until re-run. Single-component crash-safety (the postings
+    * rebuild never unlists the store) comes from [[saveOrPublish]];
+    * cross-component atomicity would need a store-level manifest, the
+    * transactional-format territory the compaction scaladoc names.
+    */
   def saveIvf(dir: String, cent: DataFrame, assign: DataFrame): Unit = {
     cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    assign.write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(resolvePath(cent.sparkSession, dir, "postings"))
+    saveOrPublish(cent.sparkSession, dir, "postings", Seq("cell"),
+      assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
   }
 
   /** Incremental maintenance: append an already-assigned batch of new
@@ -258,16 +278,33 @@ object IndexStore {
     * the files, so serve-time joins and exactness predicates read
     * them without de-interleaving.
     */
+  /** First save of a component writes the plain `{name}` directory
+    * (nothing exists to preserve — a killed first save heals on
+    * re-run); a REBUILD over an existing store goes through the
+    * versioned publish instead, so the live version keeps serving
+    * until the new one is complete — the old Overwrite-in-place
+    * rebuild deleted the live directory before writing a byte, and
+    * paid that delete-first pass even on success. Either path
+    * clusters rows by the partition columns first, so each partition
+    * directory lands as ONE file (without that, EVERY upstream task
+    * writes a file into every directory it touches — up to |tasks| ×
+    * |cells| small files, measured 2× slower to write and list).
+    */
+  private def saveOrPublish(s: SparkSession, dir: String, name: String,
+      partCols: Seq[String], df: DataFrame): Unit = {
+    val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name")) ||
+      listVersions(fs, dir, name).nonEmpty
+    if (exists) publishComponent(s, dir, name, partCols, df, _ => ())
+    else df.repartition(partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(s"$dir/$name")
+  }
+
   def saveGrid(dir: String, pointsWithCells: DataFrame): Unit =
-    // cluster rows by cell before the partitioned write: without this,
-    // EVERY upstream task writes a file into EVERY cell directory it
-    // touches (up to |tasks| x |cells| small files — measured 2x slower
-    // to write and list); with it, each cell lands as ONE file, same
-    // one-file-per-inverted-list shape compactIvf restores for IVF
-    withCellZ(pointsWithCells).repartition(col("cell_z"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell_z")
-      .parquet(resolvePath(pointsWithCells.sparkSession, dir, "cells"))
+    saveOrPublish(pointsWithCells.sparkSession, dir, "cells",
+      Seq("cell_z"), withCellZ(pointsWithCells))
 
   /** Reload the grid store for [[graft.operators.Geo]] serving; column
     * order restored to the build-time shape (the `cell_z` partition

@@ -346,6 +346,17 @@ class IndexStoreSpec extends SparkSpec {
       assert(new java.io.File(live).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cell="))
         .forall(_.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+
+      // a full REBUILD over the live versioned store also goes through
+      // the publish protocol: the version advances (no unlisted window,
+      // no delete-first pass over the live dir) and serve is unchanged
+      // (same inputs -> same content)
+      val vBefore = live.split("_v").last.toInt
+      IndexStore.saveIvf(dir, centFit, Similarity.assignVectors(all, centFit))
+      assert(IndexStore.resolvePath(spark, dir, "postings")
+          .endsWith(s"postings_v${vBefore + 1}"),
+        "rebuild over a live store must publish a new version")
+      assert(serve() === before, "rebuild drifted serve results")
     } finally {
       Materialize.releaseAll(spark)
       rmTree(dir)
