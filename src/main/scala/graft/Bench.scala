@@ -189,6 +189,16 @@ object Bench {
     // stdout first — it must carry the result even if the file write
     // fails (an unwritable path must not discard a finished run).
     println(json)
+    // The driver's round artifact keeps only the LAST 2000 chars of
+    // output and parses the tail as one JSON document. The trailing
+    // total2/… keys (round-10 fix) put the numbers in the window, but
+    // the window still starts mid-map so the parse fails. Emit a
+    // SECOND, short, self-contained summary line after the full one:
+    // the tail now ends with one complete object the driver can parse
+    // on its own. (Full line first, so bench_out.json and stdout both
+    // still carry the complete per-query map.)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"n_queries":$nQueries,"qhash":"$qhash","passes":${passes.length},"failed":$failed,"sf":"$sfDir"}"""
+    println(summary)
     // stdout can also be mangled by a build tool's logger ("[info] "
     // prefixes broke the round-1 parse) — so best-effort persist to a
     // known file the driver (or a human) can read back unambiguously.

@@ -169,12 +169,14 @@ object Geo {
   // keyed by (dataset, applicationId): two concurrent sessions on
   // the same dataset (e.g. Verify and Bench) each get their own
   // store, so one session's Overwrite can never delete files out
-  // from under the other's in-flight scan
+  // from under the other's in-flight scan. Registered with
+  // [[graft.sources.TmpStores]] — a JVM shutdown hook removes the
+  // app-scoped copy on exit instead of leaking one per run.
   private def servedStoreDir(s: SparkSession, d: String): String =
-    new java.io.File(
+    graft.sources.TmpStores.register(new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir")),
       "graft_index_grid_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + s.sparkContext.applicationId).getPath
+        "_" + s.sparkContext.applicationId).getPath)
 
   def gGridServed(s: SparkSession, d: String): DataFrame = {
     val dir = servedStoreDir(s, d)
@@ -192,9 +194,13 @@ object Geo {
     */
   private def ensureGridStore(s: SparkSession, d: String): String = {
     val dir = servedStoreDir(s, d)
-    val have = new java.io.File(dir, "cells").exists() ||
-      new java.io.File(dir, "CURRENT_cells").exists()
-    if (!have) graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
+    // IndexStore's own resolution (manifest -> pointer -> version ->
+    // plain) through the Hadoop FileSystem API: a store left in the
+    // versions-only crash state, or on a non-local filesystem, is
+    // correctly detected — a java.io.File check on the plain dir saw
+    // neither and triggered a spurious rebuild
+    if (!graft.sources.IndexStore.componentExists(s, dir, "cells"))
+      graft.sources.IndexStore.saveGrid(dir, withCells(custPoints(s, d)))
     dir
   }
 
@@ -468,6 +474,101 @@ object Geo {
        |  AND ($CY) >= $y0 AND ($CY) <= $y1""".stripMargin
   }
 
+  // ------------------------------------ multi-range z-box (BIGMIN-style)
+  /** Decompose the CELL box [cx0..cx1]×[cy0..cy1] into maximal
+    * contiguous Morton z ranges — recursive quadrant splitting, the
+    * standard BIGMIN/LITMAX decomposition expressed top-down: a
+    * quadrant fully inside the box contributes its whole (contiguous
+    * by construction) z range, a disjoint quadrant is skipped, a
+    * straddling one recurses into its four Morton-ordered children;
+    * adjacent ranges merge afterwards. The union of the ranges is
+    * EXACTLY the box's cell set (no out-of-box z values — tighter
+    * than any single BETWEEN can be for a non-quadrant-aligned box),
+    * and the range count is O(perimeter), logarithmic per edge cell
+    * in the grid size. Coordinates are raw cell indices; the +1 shift
+    * into the store's z domain ([[mortonZ]]) happens here.
+    */
+  private[graft] def zRangesForCells(cx0: Int, cx1: Int,
+      cy0: Int, cy1: Int): Seq[(Int, Int)] = {
+    val (sx0, sx1, sy0, sy1) = (cx0 + 1, cx1 + 1, cy0 + 1, cy1 + 1)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    // quadrant at (x0, y0), edge 2^bits, z values [zBase, zBase + 4^bits)
+    def rec(x0: Int, y0: Int, bits: Int, zBase: Int): Unit = {
+      val size = 1 << bits
+      val x1 = x0 + size - 1; val y1 = y0 + size - 1
+      if (x1 < sx0 || x0 > sx1 || y1 < sy0 || y0 > sy1) ()
+      else if (x0 >= sx0 && x1 <= sx1 && y0 >= sy0 && y1 <= sy1)
+        out += ((zBase, zBase + size * size - 1))
+      else {
+        val h = size / 2; val q = h * h
+        // child order mirrors the store's interleave (x bits at odd
+        // positions): z quadrant index = (xbit << 1) | ybit
+        rec(x0, y0, bits - 1, zBase)
+        rec(x0, y0 + h, bits - 1, zBase + q)
+        rec(x0 + h, y0, bits - 1, zBase + 2 * q)
+        rec(x0 + h, y0 + h, bits - 1, zBase + 3 * q)
+      }
+    }
+    rec(0, 0, 5, 0) // recursion runs in SHIFTED coords: cell -1 -> 0
+    val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    out.sortBy(_._1).foreach { r =>
+      merged.lastOption match {
+        case Some((lo, hi)) if r._1 == hi + 1 =>
+          merged(merged.length - 1) = (lo, r._2)
+        case _ => merged += r
+      }
+    }
+    merged.toSeq
+  }
+
+  /** Box aggregate over the Morton store for an ARBITRARY
+    * (non-quadrant-aligned) box: the cell box decomposes into a few
+    * maximal z ranges ([[zRangesForCells]]) OR-ed as BETWEENs on the
+    * partition column, so file-listing prunes to exactly the box's
+    * cell directories — where [[boxAgg]]'s single BETWEEN over a
+    * non-aligned box would scan the whole z interval between the
+    * corners. The exact per-point predicate behind it keeps results
+    * exact for any box, as before.
+    */
+  private[graft] def boxAggMulti(loaded: DataFrame,
+      box: (Double, Double, Double, Double)): DataFrame = {
+    val (x0, x1, y0, y1) = box
+    val ranges = zRangesForCells(
+      math.floor(x0 * 20).toInt, math.floor(x1 * 20).toInt,
+      math.floor(y0 * 20).toInt, math.floor(y1 * 20).toInt)
+    val zPred = ranges.map { case (lo, hi) => col("cell_z").between(lo, hi) }
+      .reduce(_ || _)
+    loaded
+      .filter(zPred)
+      .where(expr(s"cx >= $x0 AND cx <= $x1 AND cy >= $y0 AND cy <= $y1"))
+      .agg(count(lit(1)).as("n_box"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+  }
+
+  // non-aligned box: cells [2..8]×[4..6] — straddles quadrants on both
+  // axes, so the single-BETWEEN form would span most of the grid while
+  // the decomposition prunes to exactly 21 cell dirs
+  private val BOX_MULTI = (0.10, 0.4499, 0.20, 0.3499)
+
+  /** Gated query: the multi-range pruned box aggregate served from the
+    * shared Morton grid store, on the brute DuckDB oracle. GeoSpec
+    * pins the executed scan's partition count to exactly the box's
+    * cell directories — strictly below the full listing.
+    */
+  def gZboxMulti(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureGridStore(s, d)
+    boxAggMulti(graft.sources.IndexStore.loadGrid(s, dir), BOX_MULTI)
+  }
+
+  private val gZboxMultiSql = {
+    val (x0, x1, y0, y1) = BOX_MULTI
+    s"""SELECT COUNT(*) AS n_box,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+       |FROM customer
+       |WHERE ($CX) >= $x0 AND ($CX) <= $x1
+       |  AND ($CY) >= $y0 AND ($CY) <= $y1""".stripMargin
+  }
+
   // ------------------------------------- unbounded exact kNN (rings)
 
   /** Per-site top-k within the (2r+1)x(2r+1) cell ring around each
@@ -581,6 +682,7 @@ object Geo {
       .replace("sx", s"($SX)").replace("sy", s"($SY)")
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g_zbox_multi"  -> (gZboxMulti _, gZboxMultiSql),
     "g_knn_full"    -> (gKnnFull _, gKnnFullSql),
     "g_grid_auto_var" -> (gGridAutoVar _, gGridAutoVarSql),
     "g_zbox_served" -> (gZboxServed _, gZboxServedSql),

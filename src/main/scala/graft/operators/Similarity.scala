@@ -1195,11 +1195,13 @@ object Similarity {
   def sIvfPqServed(s: SparkSession, d: String): DataFrame = {
     val (cent, codebook, codes) = buildIvfPqIndex(s, d)
     // keyed by (dataset, applicationId) so concurrent sessions on the
-    // same dataset can't race a reader against the Overwrite's delete
-    val dir = new java.io.File(
+    // same dataset can't race a reader against the Overwrite's delete;
+    // registered with TmpStores so the app-scoped copy is removed on
+    // JVM exit instead of leaking one per run
+    val dir = graft.sources.TmpStores.register(new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir")),
       "graft_index_ivfpq_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + s.sparkContext.applicationId).getPath
+        "_" + s.sparkContext.applicationId).getPath)
     IndexStore.saveIvfPq(dir, cent, codebook, codes)
     val (lCent, lCodebook, lCodes) = IndexStore.loadIvfPq(s, dir)
     val queries = withNorm(s, d).filter(col("vec_id") < NumQueries)

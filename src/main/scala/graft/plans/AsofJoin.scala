@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
-  BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection, UnsafeRow}
+  BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples,
   BroadcastDistribution, ClusteredDistribution, Distribution,
@@ -144,8 +144,10 @@ case class AsofJoinExec(
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
-      val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+      // primitive time reads — see [[LongCol]]: boxed eval allocates
+      // per row in this loop
+      val lTimeC = LongCol.bind(lTimeExpr, leftOutput)
+      val rTimeC = LongCol.bind(rTimeExpr, rightOutput)
       // Output must be UnsafeRow for downstream exchanges/sorts — same
       // result projection every join exec applies.
       val resultProj = UnsafeProjection.create(allOutput, allOutput)
@@ -163,13 +165,12 @@ case class AsofJoinExec(
       var heldTime = 0L
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val ltAny = lTimeB.eval(l)
-        val matched = if (ltAny == null) {
+        val matched = if (lTimeC.isNull(l)) {
           // null left time sorts first within its key: nothing can match
           // and no right rows of this key are consumable yet.
           null
         } else if (fwd) {
-          val lt = ltAny.asInstanceOf[Long]
+          val lt = lTimeC.get(l)
           var done = false
           while (!done && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
@@ -177,22 +178,21 @@ case class AsofJoinExec(
             if (c > 0) done = true // head stays for later keys
             else if (c < 0) rBuf.next() // left cursor moved past this key
             else {
-              val rtAny = rTimeB.eval(rBuf.head)
               // null right times sort first and can never match; rows
               // strictly before lt can't match this or any later left
               // row of this key (left times are non-decreasing).
-              if (rtAny == null || rtAny.asInstanceOf[Long] < lt) rBuf.next()
+              if (rTimeC.isNull(rBuf.head) || rTimeC.get(rBuf.head) < lt)
+                rBuf.next()
               else done = true
             }
           }
           if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
-            val rtAny = rTimeB.eval(rBuf.head)
-            if (rtAny != null &&
-                tol.forall(t => rtAny.asInstanceOf[Long] - lt <= t)) rBuf.head
+            if (!rTimeC.isNull(rBuf.head) &&
+                tol.forall(t => rTimeC.get(rBuf.head) - lt <= t)) rBuf.head
             else null
           } else null
         } else {
-          val lt = ltAny.asInstanceOf[Long]
+          val lt = lTimeC.get(l)
           var done = false
           while (!done && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
@@ -201,15 +201,15 @@ case class AsofJoinExec(
               done = true // right cursor is ahead; head stays for later keys
             } else if (c < 0) {
               rBuf.next() // left cursor moved past this key: discard
+            } else if (rTimeC.isNull(rBuf.head)) {
+              rBuf.next() // null right times sort first; never usable
             } else {
-              val rtAny = rTimeB.eval(rBuf.head)
-              if (rtAny == null) {
-                rBuf.next() // null right times sort first; never usable
-              } else if (rtAny.asInstanceOf[Long] <= lt) {
+              val rt = rTimeC.get(rBuf.head)
+              if (rt <= lt) {
                 val r = rBuf.next()
                 held = r.copy()
                 heldKey = rKeyProj(r).copy()
-                heldTime = rtAny.asInstanceOf[Long]
+                heldTime = rt
               } else {
                 done = true // future right rows of this key stay buffered
               }
@@ -232,6 +232,40 @@ case class AsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Primitive LONG column accessor for the native execs' per-row hot
+  * loops. `Expression.eval` returns a boxed `Any`, and epoch-µs values
+  * sit far outside the `Long` box cache — at 10⁹ rows/task that is one
+  * allocation per time read. The API admits only LONG time columns
+  * (attributes), so the bound form is a [[BoundReference]] and the
+  * merge can read `row.getLong(ordinal)` directly — zero allocation;
+  * the eval fallback keeps any non-attribute expression correct. An
+  * abstract class (not a lambda) so the Long return stays primitive:
+  * `Function1[InternalRow, Long]` is unspecialized on an AnyRef
+  * argument and would box at the call boundary. Both call sites are
+  * monomorphic, so the JIT devirtualizes.
+  */
+private[graft] abstract class LongCol {
+  def isNull(r: InternalRow): Boolean
+  def get(r: InternalRow): Long
+}
+
+private[graft] object LongCol {
+  def bind(e: Expression, schema: Seq[Attribute]): LongCol =
+    BindReferences.bindReference(e, schema) match {
+      case b: BoundReference if b.dataType == LongType =>
+        new LongCol {
+          private[this] val ord = b.ordinal
+          def isNull(r: InternalRow): Boolean = r.isNullAt(ord)
+          def get(r: InternalRow): Long = r.getLong(ord)
+        }
+      case bound =>
+        new LongCol {
+          def isNull(r: InternalRow): Boolean = bound.eval(r) == null
+          def get(r: InternalRow): Long = bound.eval(r).asInstanceOf[Long]
+        }
+    }
 }
 
 /** Per-executor cache of built as-of indexes, keyed by broadcast id —
@@ -328,21 +362,20 @@ case class AsofBroadcastJoinExec(
       // UnsafeRows — safe to reference directly.
       def buildIndex(): java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])] = {
         val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
-        val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+        val rTimeC = LongCol.bind(rTimeExpr, rightOutput)
         val sortProj = UnsafeProjection.create(sortExprs, rightOutput)
         val sortOrd = RowOrdering.createNaturalAscendingOrdering(sortExprs.map(_.dataType))
         val grouped = new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long, InternalRow)]]()
         bc.value.foreach { r =>
-          val tAny = rTimeB.eval(r)
-          if (tAny != null) { // null right times can never match
+          if (!rTimeC.isNull(r)) { // null right times can never match
             val k = rKeyProj(r).copy()
             var buf = grouped.get(k)
             if (buf == null) {
               buf = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long, InternalRow)]()
               grouped.put(k, buf)
             }
-            buf += ((sortProj(r).copy(), tAny.asInstanceOf[Long], r))
+            buf += ((sortProj(r).copy(), rTimeC.get(r), r))
           }
         }
         val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]()
@@ -358,15 +391,14 @@ case class AsofBroadcastJoinExec(
         .asInstanceOf[java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]]
 
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
-      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val lTimeC = LongCol.bind(lTimeExpr, leftOutput)
       val resultProj = UnsafeProjection.create(allOutput, allOutput)
       val joinedRow = new JoinedRow
       val nullRight = new GenericInternalRow(rightOutput.length)
       lIter.map { l =>
-        val ltAny = lTimeB.eval(l)
-        val entry = if (ltAny == null) null else index.get(lKeyProj(l))
+        val entry = if (lTimeC.isNull(l)) null else index.get(lKeyProj(l))
         val matched = if (entry == null) null else {
-          val lt = ltAny.asInstanceOf[Long]
+          val lt = lTimeC.get(l)
           val (times, rows) = entry
           if (fwd) {
             // lower bound: first index with times(i) >= lt
@@ -558,5 +590,105 @@ object AsofJoin {
     org.apache.spark.sql.graft.GraftSql.ofRows(spark,
       AsofJoinPlan(lp, rp, lk, rk, lt, rt, tb, toleranceUs,
         forward = direction == "forward", broadcastRight = broadcast))
+  }
+
+  /** [[joinAsOf]] with TIME-BUCKETED KEY SALTING — the skew bound for
+    * the shuffled exec. AQE's OptimizeSkewedJoin targets only the
+    * built-in join execs, so one pathologically hot key (one user with
+    * 10⁹ events, or the KEYLESS global join) lands both sides of that
+    * key in ONE task: linear and O(1)-state, but unbalanced. Salting
+    * appends `floorDiv(time, bucketUs)` to the join keys, so a hot
+    * key's rows spread across its time buckets and the largest task is
+    * bounded by per-bucket traffic, not per-key history.
+    *
+    * Boundary carry-over keeps the semantics EXACTLY [[joinAsOf]]'s: a
+    * left row near a bucket's start may match a right row from an
+    * earlier bucket, so each left bucket is supplemented with ONE
+    * carry row — the best (latest time, then largest tiebreak; mirror
+    * for forward) right row of the NEAREST non-empty earlier (forward:
+    * later) bucket, which by time-monotonicity across buckets IS the
+    * global best outside the bucket. The carry is computed at BUCKET
+    * grain (a per-(key, bucket) aggregate with map-side partial
+    * combine — a hot key spreads across buckets here too — then a
+    * bucket-index as-of join between two bucket-grain frames), so no
+    * stage reassembles a key's full history in one task. Proof of
+    * equivalence: a left row's global match is either in its own
+    * bucket (present on the salted right) or strictly before it, in
+    * which case it is the latest row of the nearest non-empty earlier
+    * bucket — the carry row; the merge then picks the max over
+    * {own-bucket candidates, carry}, and the output stays one row per
+    * left row (left-outer), so no duplicates are possible by
+    * construction. NULL times behave as in joinAsOf: NULL-salt left
+    * rows match nothing and emit null-extended; NULL-time right rows
+    * never match and are dropped from the salted input.
+    *
+    * `bucketUs` trades balance against carry overhead: buckets at
+    * ~(hot-key rows per task target × median inter-event gap). Times
+    * must stay within ±(Long.MaxValue − bucketUs) — epoch-µs data is
+    * 13 orders of magnitude inside that.
+    */
+  def joinAsOfSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      leftBy: Seq[String],
+      rightBy: Seq[String],
+      bucketUs: Long,
+      tiebreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max_by, min_by, pmod, struct}
+    require(bucketUs > 0, s"joinAsOfSalted: bucketUs must be positive, got $bucketUs")
+    require(direction == "backward" || direction == "forward",
+      s"joinAsOfSalted: direction must be backward|forward, got '$direction'")
+    val fwd = direction == "forward"
+    val gs = org.apache.spark.sql.graft.GraftSql
+    val Salt = "_asof_salt"
+    val SaltR = "_asof_salt_r"
+    val Bidx = "_asof_bidx"
+    val BidxR = "_asof_bidx_r"
+    require(!(left.columns ++ right.columns).exists(_.startsWith("_asof_")),
+      "joinAsOfSalted: column names starting with _asof_ are reserved")
+    // exact integer floorDiv: t - pmod(t, W) is an exact multiple of W
+    // (pmod >= 0 for positive W), so the integral divide is exact for
+    // negative times too — a double-division floor would round above
+    // 2^53
+    def saltOf(t: org.apache.spark.sql.Column) =
+      gs.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        gs.expression(t - pmod(t, lit(bucketUs))),
+        gs.expression(lit(bucketUs))))
+
+    val leftS = left.withColumn(Salt, saltOf(col(leftTime)))
+    val rightOwn = right.filter(col(rightTime).isNotNull)
+      .withColumn(Salt, saltOf(col(rightTime)))
+    // best right row per (key, bucket): latest (time, tiebreak) for
+    // backward, earliest for forward — a partial-aggregating groupBy,
+    // so the hot key fans across buckets before any shuffle
+    val ordStruct = struct((col(rightTime) +: tiebreak.map(col)): _*)
+    val recStruct = struct(right.columns.map(col): _*)
+    val best = rightOwn.groupBy((rightBy.map(col) :+ col(Salt)): _*)
+      .agg((if (fwd) min_by(recStruct, ordStruct)
+            else max_by(recStruct, ordStruct)).as("_asof_rec"))
+      .withColumnRenamed(Salt, SaltR)
+    // carry row per LEFT bucket: bucket-grain as-of join — for bucket
+    // b, the nearest non-empty bucket strictly before (after, when
+    // forward) it; both frames are bucket-grain small, and per-key
+    // work is O(#buckets), never O(#rows)
+    val bounds = leftS.filter(col(Salt).isNotNull)
+      .select((leftBy.map(col) :+ col(Salt)): _*).distinct()
+      .withColumn(Bidx, col(Salt) + lit(if (fwd) 1L else -1L))
+    val bestIdx = best.withColumn(BidxR, col(SaltR))
+    val carry = joinAsOf(bounds, bestIdx, Bidx, BidxR,
+        leftBy, rightBy, direction = direction)
+      .filter(col(BidxR).isNotNull)
+      .select((right.columns.map(c => col(s"_asof_rec.$c")) :+ col(Salt)): _*)
+    val rightSalted = rightOwn
+      .select((right.columns.map(col) :+ col(Salt)): _*)
+      .unionByName(carry)
+    joinAsOf(leftS, rightSalted, leftTime, rightTime,
+        leftBy :+ Salt, rightBy :+ Salt, tiebreak, toleranceUs,
+        direction, broadcast = Some(false))
+      .drop(Salt)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
-  AttributeReference, BindReferences, Expression, GenericInternalRow,
+  AttributeReference, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -112,8 +112,10 @@ case class BandCountExec(
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
-      val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+      // primitive time reads — see [[LongCol]]: boxed eval allocates
+      // per row in this loop
+      val lTimeC = LongCol.bind(lTimeExpr, leftOutput)
+      val rTimeC = LongCol.bind(rTimeExpr, rightOutput)
       val resultProj = UnsafeProjection.create(allOutput, allOutput)
       val joinedRow = new JoinedRow
       val countRow = new GenericInternalRow(1)
@@ -126,9 +128,8 @@ case class BandCountExec(
       var localMax = 0L
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val ltAny = lTimeB.eval(l)
-        val n: Long = if (ltAny == null) 0L else {
-          val lt = ltAny.asInstanceOf[Long]
+        val n: Long = if (lTimeC.isNull(l)) 0L else {
+          val lt = lTimeC.get(l)
           // key change: state from an earlier key is stale
           if (bandKey == null || keyOrd.compare(bandKey, lk) != 0) band.clear()
           // consume right rows usable now or later for this key
@@ -139,10 +140,9 @@ case class BandCountExec(
             if (c > 0) done = true
             else if (c < 0) rBuf.next() // key already passed
             else {
-              val rtAny = rTimeB.eval(rBuf.head)
-              if (rtAny == null) rBuf.next() // nulls sort first; never in-band
+              if (rTimeC.isNull(rBuf.head)) rBuf.next() // nulls sort first; never in-band
               else {
-                val rt = rtAny.asInstanceOf[Long]
+                val rt = rTimeC.get(rBuf.head)
                 if (rt <= lt + win) {
                   rBuf.next()
                   if (rt > lt) band.addLast(rt) // rt <= lt can't serve later rows either? it CAN: keep below
@@ -219,19 +219,18 @@ case class BandCountBroadcastExec(
     left.execute().mapPartitions({ lIter =>
       def buildIndex(): java.util.HashMap[UnsafeRow, Array[Long]] = {
         val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
-        val rTimeB = BindReferences.bindReference(rTimeExpr, rightOutput)
+        val rTimeC = LongCol.bind(rTimeExpr, rightOutput)
         val grouped = new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.ArrayBuffer[Long]]()
         bc.value.foreach { r =>
-          val tAny = rTimeB.eval(r)
-          if (tAny != null) {
+          if (!rTimeC.isNull(r)) {
             val k = rKeyProj(r).copy()
             var buf = grouped.get(k)
             if (buf == null) {
               buf = new scala.collection.mutable.ArrayBuffer[Long]()
               grouped.put(k, buf)
             }
-            buf += tAny.asInstanceOf[Long]
+            buf += rTimeC.get(r)
           }
         }
         val built = new java.util.HashMap[UnsafeRow, Array[Long]]()
@@ -244,7 +243,7 @@ case class BandCountBroadcastExec(
         .asInstanceOf[java.util.HashMap[UnsafeRow, Array[Long]]]
 
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
-      val lTimeB = BindReferences.bindReference(lTimeExpr, leftOutput)
+      val lTimeC = LongCol.bind(lTimeExpr, leftOutput)
       val resultProj = UnsafeProjection.create(allOutput, allOutput)
       val joinedRow = new JoinedRow
       val countRow = new GenericInternalRow(1)
@@ -258,10 +257,9 @@ case class BandCountBroadcastExec(
         lo
       }
       lIter.map { l =>
-        val ltAny = lTimeB.eval(l)
-        val times = if (ltAny == null) null else index.get(lKeyProj(l))
+        val times = if (lTimeC.isNull(l)) null else index.get(lKeyProj(l))
         val n: Long = if (times == null) 0L else {
-          val lt = ltAny.asInstanceOf[Long]
+          val lt = lTimeC.get(l)
           (ub(times, lt + win) - ub(times, lt)).toLong
         }
         numOutputRows += 1

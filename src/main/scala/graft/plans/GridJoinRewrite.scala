@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And,
   LessThan, LessThanOrEqual, Literal, Multiply, Subtract}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint,
-  LocalRelation, LogicalPlan, Project, Union}
+  LocalRelation, LogicalPlan, Project, RepartitionOperation, Sort,
+  SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -102,41 +103,132 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object GridJoinRewrite extends Rule[LogicalPlan] {
 
-  /** A static upper bound LITERAL for the RHS of a distance/band
-    * comparison: the literal itself, or — for an attribute-valued RHS
-    * (the per-row-radius / variable-geofence shape) — a literal the
-    * plan PROVES dominates it: a sibling conjunct or an
-    * already-pushed-down child Filter of the form `attr <= lit` /
-    * `attr < lit`. Pushdown may have rewritten such a filter through
-    * the Project that defines the attribute, so the attr is also
-    * matched via its alias-child expression (one aliasing level).
-    * With a dominating bound the grid keys on the MAX radius and the
-    * exact per-row predicate stays behind the join: every surviving
-    * naive pair has `dist <= r_row <= bound`, so the superset proof
-    * is unchanged with edge taken from the bound.
+  /** A non-literal RHS bounded only by the SESSION HINT, not a proof:
+    * `rhs` is the per-row (or row-independent, e.g. scalar-subquery)
+    * bound expression, `onLeft` names the join side its references
+    * live on (left when reference-free), and the rewrite must keep a
+    * RESIDUAL naive arm for rows with `rhs > hint` — the hint is a
+    * planning aid, never a correctness assumption.
+    */
+  private[graft] case class HintResidual(rhs: Expression, onLeft: Boolean)
+
+  /** The outcome of bounding a comparison RHS: the dominating literal
+    * plus, for hint-derived bounds, the residual-arm recipe.
+    */
+  private[graft] case class Bound(lit: Literal, residual: Option[HintResidual])
+
+  /** Filter conjuncts reachable from `p` along a ROW-PRESERVING
+    * single-child chain — nodes where every output row is one input
+    * row with its attribute ids intact (Filter/Project/Sort/
+    * SubqueryAlias/repartition). Collecting at ANY depth (the previous
+    * shape) was unsound under Union: a Union reuses its FIRST child's
+    * exprIds, so a filter present in only one branch looked plan-wide
+    * and the grid keyed on a too-small max radius, silently dropping
+    * matches from the unfiltered branches. Traversal stops at Union,
+    * Expand, aggregates, joins — anything multi-child or exprId-
+    * reusing — so an accepted bound provably holds for EVERY row
+    * reaching the join input.
+    */
+  private def chainFilterConjuncts(p: LogicalPlan): Seq[Expression] = p match {
+    case f: Filter => splitConjuncts(f.condition) ++ chainFilterConjuncts(f.child)
+    case pr: Project => chainFilterConjuncts(pr.child)
+    case sa: SubqueryAlias => chainFilterConjuncts(sa.child)
+    case so: Sort => chainFilterConjuncts(so.child)
+    case r: RepartitionOperation => chainFilterConjuncts(r.child)
+    case _ => Nil
+  }
+
+  /** Alias-definition expressions for `id` along the same
+    * row-preserving chain (same Union-reuse rationale as
+    * [[chainFilterConjuncts]] — an alias defined in one Union branch
+    * must not stand in for the attribute plan-wide).
+    */
+  private def chainAliases(p: LogicalPlan,
+      id: org.apache.spark.sql.catalyst.expressions.ExprId): Seq[Expression] =
+    p match {
+      case pr: Project =>
+        pr.projectList.collect {
+          case al: Alias if al.exprId == id => al.child
+        } ++ chainAliases(pr.child, id)
+      case f: Filter => chainAliases(f.child, id)
+      case sa: SubqueryAlias => chainAliases(sa.child, id)
+      case so: Sort => chainAliases(so.child, id)
+      case r: RepartitionOperation => chainAliases(r.child, id)
+      case _ => Nil
+    }
+
+  /** Session hint `spark.graft.grid.maxBoundHint`: an assumed upper
+    * bound for the RHS VALUE of the distance/band comparison (r² for
+    * the squared-distance form, the width for the band form), parsed
+    * to the comparison's type. The hint unlocks the grid plan when no
+    * dominating bound is PROVABLE from the plan (per-row radius with
+    * no pushed filter, scalar-subquery bound) — and stays exact
+    * regardless of the data, because the rewrite pairs the hinted grid
+    * arm (`rhs <= hint` rows) with a residual naive arm (`rhs > hint`
+    * rows); an honest hint leaves the residual scan empty and parquet
+    * min/max stats skip it.
+    */
+  private def hintLiteral(dt: org.apache.spark.sql.types.DataType): Option[Literal] = {
+    val raw = conf.getConfString("spark.graft.grid.maxBoundHint", "")
+    if (raw.isEmpty) None
+    else dt match {
+      case DoubleType => raw.toDoubleOption
+        .filter(v => v > 0 && !v.isInfinite).map(Literal(_, DoubleType))
+      case IntegerType => raw.toIntOption.map(Literal(_, IntegerType))
+      case LongType => raw.toLongOption.map(Literal(_, LongType))
+      case _ => None
+    }
+  }
+
+  /** A static upper bound for the RHS of a distance/band comparison:
+    * the literal itself; or — for an attribute-valued RHS (the
+    * per-row-radius / variable-geofence shape) — a literal the plan
+    * PROVES dominates it: a sibling conjunct or a row-preserving-chain
+    * child Filter of the form `attr <= lit` / `attr < lit` (the attr
+    * also matched via its chain alias-child expression, one aliasing
+    * level); or — for any deterministic single-side RHS with no proof
+    * — the session hint, which carries a residual-arm obligation (see
+    * [[hintLiteral]]). With a dominating bound the grid keys on the
+    * MAX radius and the exact per-row predicate stays behind the
+    * join: every surviving pair in the grid arm has
+    * `dist <= r_row <= bound`, so the superset proof is unchanged
+    * with edge taken from the bound.
     */
   private def staticUpper(e: Expression, siblings: Seq[Expression],
-      left: LogicalPlan, right: LogicalPlan): Option[Literal] = e match {
-    case l: Literal => Some(l)
+      left: LogicalPlan, right: LogicalPlan): Option[Bound] = e match {
+    case l: Literal => Some(Bound(l, None))
     case a: AttributeReference =>
-      def aliasChildren(p: LogicalPlan): Seq[Expression] = p.collect {
-        case proj: Project => proj.projectList.collect {
-          case al: Alias if al.exprId == a.exprId => al.child
-        }
-      }.flatten
-      def childFilterConjuncts(p: LogicalPlan): Seq[Expression] = p.collect {
-        case f: Filter => splitConjuncts(f.condition)
-      }.flatten
       val forms: Seq[Expression] =
-        a +: (aliasChildren(left) ++ aliasChildren(right))
-      (siblings ++ childFilterConjuncts(left) ++ childFilterConjuncts(right))
+        a +: (chainAliases(left, a.exprId) ++ chainAliases(right, a.exprId))
+      (siblings ++ chainFilterConjuncts(left) ++ chainFilterConjuncts(right))
         .collectFirst {
           case LessThanOrEqual(x, l: Literal)
               if l.dataType == a.dataType && forms.exists(x.semanticEquals) => l
           case LessThan(x, l: Literal)
               if l.dataType == a.dataType && forms.exists(x.semanticEquals) => l
-        }
-    case _ => None
+        }.map(Bound(_, None))
+        .orElse(hinted(a, left, right))
+    case other => hinted(other, left, right)
+  }
+
+  /** Hint fallback for an unproven RHS: deterministic, references
+    * confined to ONE join side (or none — scalar subquery / session
+    * constant), hint set and parseable to the comparison type.
+    */
+  private def hinted(rhs: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Bound] = {
+    if (!rhs.deterministic) None
+    else {
+      val refs = rhs.references
+      val side =
+        if (refs.subsetOf(left.outputSet)) Some(true)
+        else if (refs.subsetOf(right.outputSet)) Some(false)
+        else None
+      for {
+        onLeft <- side
+        lit <- hintLiteral(rhs.dataType)
+      } yield Bound(lit, Some(HintResidual(rhs, onLeft)))
+    }
   }
 
   /** (ax, ay, bx, by, r2max) with (ax, ay) from one side, (bx, by)
@@ -145,8 +237,8 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     * per-row attribute.
     */
   private def matchDist(conjunct: Expression, siblings: Seq[Expression],
-      left: LogicalPlan,
-      right: LogicalPlan): Option[(Attribute, Attribute, Attribute, Attribute, Double)] = {
+      left: LogicalPlan, right: LogicalPlan)
+      : Option[(Attribute, Attribute, Attribute, Attribute, Double, Option[HintResidual])] = {
     def attr(e: Expression): Option[Attribute] = e match {
       case a: AttributeReference if a.dataType == DoubleType => Some(a)
       case _ => None
@@ -157,24 +249,24 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
         for (u <- attr(u1); v <- attr(v1)) yield (u, v)
       case _ => None
     }
-    def upper(rhs: Expression): Option[Double] =
+    def upper(rhs: Expression): Option[(Double, Option[HintResidual])] =
       staticUpper(rhs, siblings, left, right).collect {
-        case Literal(r2: Double, DoubleType) => r2
+        case Bound(Literal(r2: Double, DoubleType), res) => (r2, res)
       }
     val bound = conjunct match {
       case LessThanOrEqual(l, rhs) => upper(rhs).map((l, _))
       case LessThan(l, rhs) => upper(rhs).map((l, _))
       case _ => None
     }
-    bound.flatMap { case (lhs, r2) =>
+    bound.flatMap { case (lhs, (r2, res)) =>
       if (!(r2 > 0.0) || r2.isInfinite) None
       else lhs match {
         case Add(t1, t2, _) =>
           for {
             (x1, x2) <- sq(t1)
             (y1, y2) <- sq(t2)
-            res <- orient(x1, x2, y1, y2, left, right)
-          } yield (res._1, res._2, res._3, res._4, r2)
+            o <- orient(x1, x2, y1, y2, left, right)
+          } yield (o._1, o._2, o._3, o._4, r2, res)
         case _ => None
       }
     }
@@ -211,8 +303,8 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     * so the same cells are a superset of its matches too.)
     */
   private def matchBand(conjunct: Expression, siblings: Seq[Expression],
-      left: LogicalPlan,
-      right: LogicalPlan): Option[(Attribute, Attribute, Literal, Boolean)] = {
+      left: LogicalPlan, right: LogicalPlan)
+      : Option[(Attribute, Attribute, Literal, Boolean, Option[HintResidual])] = {
     def attrs(u: Expression, v: Expression): Option[(Attribute, Attribute)] =
       (u, v) match {
         case (a: AttributeReference, b: AttributeReference)
@@ -240,11 +332,16 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
           .map { case (a, b) => (a, b, lit, false) }
       case _ => None
     }
+    def withRes(u: Expression, v: Expression, rhs: Expression)
+        : Option[(Attribute, Attribute, Literal, Boolean, Option[HintResidual])] =
+      staticUpper(rhs, siblings, left, right).flatMap { b =>
+        bandOf(u, v, b.lit).map { case (a, bb, w, integral) =>
+          (a, bb, w, integral, b.residual)
+        }
+      }
     conjunct match {
-      case LessThanOrEqual(Abs(Subtract(u, v, _), _), rhs) =>
-        staticUpper(rhs, siblings, left, right).flatMap(bandOf(u, v, _))
-      case LessThan(Abs(Subtract(u, v, _), _), rhs) =>
-        staticUpper(rhs, siblings, left, right).flatMap(bandOf(u, v, _))
+      case LessThanOrEqual(Abs(Subtract(u, v, _), _), rhs) => withRes(u, v, rhs)
+      case LessThan(Abs(Subtract(u, v, _), _), rhs) => withRes(u, v, rhs)
       case _ => None
     }
   }
@@ -285,15 +382,22 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     */
   private case class Sliver(a: Attribute, b: Attribute, hi: Literal, lo: Literal)
 
+  /** Hint-derived bound obligation, threaded to [[apply]]: split the
+    * join on `rhs <= lit` (grid arm) vs `rhs > lit` (residual naive
+    * arm) on side `onLeft`.
+    */
+  private case class Residual(rhs: Expression, onLeft: Boolean, lit: Literal)
+
   private def dims(conjunct: Expression, siblings: Seq[Expression],
       left: LogicalPlan,
-      right: LogicalPlan): Option[(Seq[Dim], Option[Sliver])] =
-    matchDist(conjunct, siblings, left, right).map { case (lx, ly, rx, ry, r2) =>
+      right: LogicalPlan): Option[(Seq[Dim], Option[Sliver], Option[Residual])] =
+    matchDist(conjunct, siblings, left, right).map { case (lx, ly, rx, ry, r2, res) =>
       val edge = pow2Edge(math.sqrt(r2))
       (Seq(Dim(cell(lx, edge), d => Add(cell(rx, edge), Cast(d, LongType))),
         Dim(cell(ly, edge), d => Add(cell(ry, edge), Cast(d, LongType)))),
-        None)
-    }.orElse(matchBand(conjunct, siblings, left, right).flatMap { case (a, b, w, integral) =>
+        None,
+        res.map(h => Residual(h.rhs, h.onLeft, Literal(r2, DoubleType))))
+    }.orElse(matchBand(conjunct, siblings, left, right).flatMap { case (a, b, w, integral, res) =>
       if (integral) {
         val (wl, hi, lo) = w.value match {
           case i: Int => (i.toLong,
@@ -318,11 +422,13 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
           if (conf.ansiEnabled) None else Some(Sliver(a, b, hi, lo))
         Some((Seq(Dim(IntegralDivide(Cast(a, LongType), wLit),
           d => Add(IntegralDivide(Cast(b, LongType), wLit), Cast(d, LongType)))),
-          sliver))
+          sliver,
+          res.map(h => Residual(h.rhs, h.onLeft, w))))
       } else {
         val edge = pow2Edge(w.value.asInstanceOf[Double])
         Some((Seq(Dim(cell(a, edge), d => Add(cell(b, edge), Cast(d, LongType)))),
-          None))
+          None,
+          res.map(h => Residual(h.rhs, h.onLeft, w))))
       }
     })
 
@@ -408,41 +514,87 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner | Cross, Some(cond), hint)
+    case j @ Join(left, right, Inner | Cross, Some(cond), _)
         if !cond.references.exists(_.name.startsWith("_gridx_")) &&
           !hasEquiKey(splitConjuncts(cond), left, right) =>
       splitConjuncts(cond).iterator
         .flatMap(c => dims(c, splitConjuncts(cond).filterNot(_ eq c), left, right))
         .take(1).toSeq.headOption match {
         case None => j
-        case Some((ds, sliver)) =>
-          val leftAliases = ds.zipWithIndex.map { case (dim, i) =>
-            Alias(dim.leftCell, s"_gridx_l$i")()
-          }
-          val leftP = Project(left.output ++ leftAliases, left)
-          val offAttrs = ds.indices.map(i =>
-            AttributeReference(s"_gridx_d$i", IntegerType, nullable = false)())
-          val offsetRows = ds.size match {
-            case 1 => (-1 to 1).map(i => new GenericInternalRow(Array[Any](i)))
-            case _ => for (i <- -1 to 1; k <- -1 to 1)
-              yield new GenericInternalRow(Array[Any](i, k))
-          }
-          val offsets = LocalRelation(offAttrs, offsetRows)
-          val rightX = Join(right, offsets, Cross, None, JoinHint.NONE)
-          val rightAliases = ds.zipWithIndex.map { case (dim, i) =>
-            Alias(dim.rightCell(offAttrs(i)), s"_gridx_r$i")()
-          }
-          val rightP = Project(right.output ++ rightAliases, rightX)
-          val eqs = leftAliases.zip(rightAliases)
-            .map { case (l, r) => EqualTo(l.toAttribute, r.toAttribute) }
-            .reduceLeft[Expression](And(_, _))
-          val grid = Project(j.output,
-            Join(leftP, rightP, Inner, Some(And(eqs, cond)), hint))
-          sliver match {
-            case None => grid
-            case Some(s) => Union(grid +: sliverJoins(j, cond, s))
-          }
+        case Some((ds, sliver, None)) => buildGrid(j, ds, sliver)
+        case Some((ds, sliver, Some(r))) =>
+          // HINT-derived bound: exactness does not rest on the hint.
+          // Partition every candidate pair by the bound value —
+          //   rhs <= hint  -> grid arm (superset proof holds: every
+          //                   surviving pair has dist <= rhs <= hint)
+          //   rhs >  hint  -> residual NAIVE arm, predicate verbatim
+          // NULL rhs rows match in neither arm, exactly as the
+          // NULL-rejecting comparison dropped them in the naive plan.
+          // An honest hint keeps the residual side's filtered scan
+          // empty via parquet min/max skipping.
+          val guard = LessThanOrEqual(r.rhs, r.lit)
+          val gj =
+            if (r.onLeft) j.copy(left = Filter(guard, j.left))
+            else j.copy(right = Filter(guard, j.right))
+          Union(Seq(buildGrid(gj, ds, sliver), residualArm(j, r)))
       }
+  }
+
+  /** The PBSM grid plan (plus integral wrap-parity slivers) for join
+    * `j` — the rewrite body, extracted so the hint path can build it
+    * over bound-guarded inputs.
+    */
+  private def buildGrid(j: Join, ds: Seq[Dim],
+      sliver: Option[Sliver]): LogicalPlan = {
+    val cond = j.condition.get
+    val leftAliases = ds.zipWithIndex.map { case (dim, i) =>
+      Alias(dim.leftCell, s"_gridx_l$i")()
+    }
+    val leftP = Project(j.left.output ++ leftAliases, j.left)
+    val offAttrs = ds.indices.map(i =>
+      AttributeReference(s"_gridx_d$i", IntegerType, nullable = false)())
+    val offsetRows = ds.size match {
+      case 1 => (-1 to 1).map(i => new GenericInternalRow(Array[Any](i)))
+      case _ => for (i <- -1 to 1; k <- -1 to 1)
+        yield new GenericInternalRow(Array[Any](i, k))
+    }
+    val offsets = LocalRelation(offAttrs, offsetRows)
+    val rightX = Join(j.right, offsets, Cross, None, JoinHint.NONE)
+    val rightAliases = ds.zipWithIndex.map { case (dim, i) =>
+      Alias(dim.rightCell(offAttrs(i)), s"_gridx_r$i")()
+    }
+    val rightP = Project(j.right.output ++ rightAliases, rightX)
+    val eqs = leftAliases.zip(rightAliases)
+      .map { case (l, r) => EqualTo(l.toAttribute, r.toAttribute) }
+      .reduceLeft[Expression](And(_, _))
+    val grid = Project(j.output,
+      Join(leftP, rightP, Inner, Some(And(eqs, cond)), j.hint))
+    sliver match {
+      case None => grid
+      case Some(s) => Union(grid +: sliverJoins(j, cond, s))
+    }
+  }
+
+  /** The residual naive arm of a hint-split rewrite: the ORIGINAL join
+    * shape over `rhs > hint` rows. The `_gridx_h` marker (rhs * 0 —
+    * non-foldable, same survival argument as the sliver marker) is
+    * referenced in the join condition so the matcher's `_gridx_` guard
+    * rejects this arm on the next fixed-point pass — without it the
+    * rule would re-split the residual forever. The marker is planted
+    * AFTER the `rhs > hint` filter, which already dropped NULL-rhs
+    * rows, so the self-equality conjunct is true for every surviving
+    * row.
+    */
+  private def residualArm(j: Join, r: Residual): LogicalPlan = {
+    val mk = Alias(Multiply(
+      Cast(r.rhs, DoubleType), Literal(0.0, DoubleType)), "_gridx_h")()
+    val guard = GreaterThan(r.rhs, r.lit)
+    val (lp, rp) =
+      if (r.onLeft) (Project(j.left.output :+ mk, Filter(guard, j.left)), j.right)
+      else (j.left, Project(j.right.output :+ mk, Filter(guard, j.right)))
+    Project(j.output, Join(lp, rp, Inner,
+      Some(And(EqualTo(mk.toAttribute, mk.toAttribute), j.condition.get)),
+      JoinHint.NONE))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

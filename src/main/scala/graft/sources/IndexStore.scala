@@ -49,28 +49,88 @@ object IndexStore {
         .flatMap(st => st.getPath.getName.stripPrefix(s"${name}_v").toIntOption)
     }
 
+  // ---- store-level manifest: one file naming the live version of
+  // EVERY component, written last — the cross-component atomicity the
+  // per-component pointer cannot give. A multi-component publish
+  // ([[publishStore]]) stages and versions all components, then swaps
+  // ONE manifest: readers see either the old consistent tuple or the
+  // new one, never a new model over old lists. Format: one
+  // `name=vN` line per component, tmp-write + rename like the pointer.
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Map[String, String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST")
+    if (!fs.exists(p)) None
+    else Some(readSmallFile(fs, p).linesIterator
+      .map(_.trim).filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+      .toMap)
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      entries: Map[String, String]): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"manifest swap failed for $dir")
+  }
+
   /** The LIVE data directory for store component `name` (e.g.
-    * "postings", "cells"): the version the `CURRENT_{name}` pointer
-    * names; if the pointer is absent (legacy store, or a crash in the
-    * one delete-to-rename instant of the pointer swap), the highest
-    * `{name}_v*` directory — which is always COMPLETE, because data
+    * "postings", "cells"): the version the store MANIFEST names (the
+    * multi-component protocol's single source of truth); else the
+    * version the `CURRENT_{name}` pointer names; if the pointer is
+    * absent (legacy store, or a crash in the one delete-to-rename
+    * instant of the pointer swap) — or either named directory is
+    * MISSING (stale pointer after external cleanup) — the highest
+    * `{name}_v*` directory, which is always COMPLETE, because data
     * only reaches a version name by renaming a fully-written staging
-    * directory; if neither exists, the plain `{name}` directory the
-    * unversioned save wrote.
+    * directory; if none exists, the plain `{name}` directory the
+    * legacy unversioned save wrote.
     */
   def resolvePath(s: SparkSession, dir: String, name: String): String = {
     val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")
     val fs = fsOf(s, cur)
-    if (fs.exists(cur)) {
-      val in = fs.open(cur)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      s"$dir/${name}_$v"
-    } else {
+    def existingVersion(v: String): Option[String] = {
+      val p = s"$dir/${name}_$v"
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(p) else None
+    }
+    def fallback: String = {
       val versions = listVersions(fs, dir, name)
       if (versions.nonEmpty) s"$dir/${name}_v${versions.max}"
       else s"$dir/$name"
     }
+    readManifest(fs, dir).flatMap(_.get(name)).flatMap(existingVersion)
+      .orElse {
+        if (fs.exists(cur)) existingVersion(readSmallFile(fs, cur).trim)
+        else None
+      }
+      .getOrElse(fallback)
+  }
+
+  /** Whether store component `name` exists in ANY resolvable state —
+    * manifest entry, pointer, version dir, or legacy plain dir —
+    * through the Hadoop FileSystem API (so non-local stores and the
+    * versions-only crash state are detected; a java.io.File check on
+    * the plain dir misses both).
+    */
+  def componentExists(s: SparkSession, dir: String, name: String): Boolean = {
+    val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    readManifest(fs, dir).exists(_.contains(name)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")) ||
+      listVersions(fs, dir, name).nonEmpty ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
   }
 
   /** Rewrite component `name` as one file per partition directory and
@@ -122,43 +182,112 @@ object IndexStore {
   private[graft] def publishComponent(s: SparkSession, dir: String,
       name: String, partCols: Seq[String], df: DataFrame,
       onStep: String => Unit): Unit = {
-    val anyPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsOf(s, anyPath)
-    val next = (listVersions(fs, dir, name) :+ 0).max + 1
-    val staging = s"$dir/${name}_staging"
-    df.repartition(partCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(staging)
-    onStep("staged")
-    val versioned = new org.apache.hadoop.fs.Path(s"$dir/${name}_v$next")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), versioned))
-      throw new java.io.IOException(s"compaction: staging rename failed for $dir/$name")
-    onStep("versioned")
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
-    fs.delete(cur, false)
-    if (!fs.rename(tmp, cur))
-      throw new java.io.IOException(s"compaction: pointer swap failed for $dir/$name")
+    val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    val next = stageAndVersion(s, fs, dir, name, partCols, df, onStep)
+    // a MANIFESTED store's single source of truth is the manifest —
+    // update its entry (one atomic swap, same crash matrix as the
+    // pointer); a pointer-protocol store keeps the per-component
+    // pointer. Either way, a crash before this step leaves the old
+    // version serving and v{next} dormant.
+    readManifest(fs, dir) match {
+      case Some(m) if m.contains(name) =>
+        writeManifest(fs, dir, m + (name -> s"v$next"))
+      case _ =>
+        val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
+        fs.delete(cur, false)
+        if (!fs.rename(tmp, cur))
+          throw new java.io.IOException(s"compaction: pointer swap failed for $dir/$name")
+    }
     onStep("pointer")
-    listVersions(fs, dir, name).filter(_ != next).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${name}_v$v"), true))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+    cleanupComponent(fs, dir, name, next)
     onStep("cleaned")
   }
 
-  /** Multi-component caveat: centroids and postings are two separate
-    * writes — a crash between them leaves a new model over old lists
-    * until re-run. Single-component crash-safety (the postings
-    * rebuild never unlists the store) comes from [[saveOrPublish]];
-    * cross-component atomicity would need a store-level manifest, the
-    * transactional-format territory the compaction scaladoc names.
+  /** Steps 1–2 of the publish protocol for one component: write the
+    * complete staging copy, rename it to `{name}_v{next}`. Returns the
+    * version number. Crash anywhere here: the live data (pointer,
+    * manifest, old versions, plain dir) is untouched.
     */
-  def saveIvf(dir: String, cent: DataFrame, assign: DataFrame): Unit = {
-    cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    saveOrPublish(cent.sparkSession, dir, "postings", Seq("cell"),
-      assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
+  private def stageAndVersion(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, name: String,
+      partCols: Seq[String], df: DataFrame, onStep: String => Unit): Int = {
+    val next = (listVersions(fs, dir, name) :+ 0).max + 1
+    val staging = s"$dir/${name}_staging"
+    val clustered =
+      if (partCols.isEmpty) df else df.repartition(partCols.map(col): _*)
+    val writer = clustered.write.mode(SaveMode.Overwrite)
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(staging)
+    onStep(s"staged:$name")
+    val versioned = new org.apache.hadoop.fs.Path(s"$dir/${name}_v$next")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), versioned))
+      throw new java.io.IOException(s"publish: staging rename failed for $dir/$name")
+    onStep(s"versioned:$name")
+    next
   }
+
+  /** Step 4: reap stale version dirs, the legacy plain dir, and (for
+    * manifested stores) the superseded per-component pointer. Crash
+    * here: extra garbage, reaped by the next publish.
+    */
+  private def cleanupComponent(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String, keep: Int): Unit = {
+    listVersions(fs, dir, name).filter(_ != keep).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${name}_v$v"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+    if (readManifest(fs, dir).exists(_.contains(name)))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name"), false)
+  }
+
+  /** Publish a MULTI-COMPONENT store atomically: stage and version
+    * every component (crash: old tuple serves untouched), then swap
+    * ONE store-level manifest naming the new consistent
+    * component-version tuple (crash in the delete-to-rename
+    * sub-instant: per-component resolution falls back to the highest
+    * complete version of each — all just-published, still a
+    * consistent tuple), then clean up. At no point can a reader see a
+    * new model over old lists or a store with postings but no
+    * centroids — the failure mode of the old per-component Overwrite
+    * saves. `onStep` names each phase (`staged:{name}`,
+    * `versioned:{name}`, `manifest`, `cleaned`) for the
+    * kill-at-every-step spec.
+    */
+  private[graft] def publishStore(s: SparkSession, dir: String,
+      components: Seq[(String, Seq[String], DataFrame)],
+      onStep: String => Unit): Unit = {
+    val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    val versions = components.map { case (name, partCols, df) =>
+      name -> stageAndVersion(s, fs, dir, name, partCols, df, onStep)
+    }
+    val merged = readManifest(fs, dir).getOrElse(Map.empty) ++
+      versions.map { case (n, v) => n -> s"v$v" }
+    writeManifest(fs, dir, merged)
+    onStep("manifest")
+    versions.foreach { case (n, v) => cleanupComponent(fs, dir, n, v) }
+    onStep("cleaned")
+  }
+
+  /** Both components (centroids + postings) go through ONE
+    * [[publishStore]] call: every save — first or rebuild — stages and
+    * versions both frames, then swaps the store-level manifest last,
+    * so a kill at ANY step leaves the store serving one consistent
+    * (centroids, postings) tuple (or, on a killed FIRST save, nothing
+    * — never a store with postings but no centroids, the failure mode
+    * of the old per-component Overwrite writes).
+    */
+  def saveIvf(dir: String, cent: DataFrame, assign: DataFrame): Unit =
+    saveIvf(dir, cent, assign, _ => ())
+
+  private[graft] def saveIvf(dir: String, cent: DataFrame,
+      assign: DataFrame, onStep: String => Unit): Unit =
+    publishStore(cent.sparkSession, dir, Seq(
+      ("centroids", Nil, cent),
+      ("postings", Seq("cell"),
+        assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))),
+      onStep)
 
   /** Incremental maintenance: append an already-assigned batch of new
     * vectors into the postings store's cell partitions — the
@@ -209,7 +338,7 @@ object IndexStore {
     * (partitionBy moves `cell` last on disk).
     */
   def loadIvf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cent = s.read.parquet(s"$dir/centroids")
+    val cent = s.read.parquet(resolvePath(s, dir, "centroids"))
       .select(col("c_id"), col("c_emb"), col("c_nrm"))
     val assign = s.read.parquet(resolvePath(s, dir, "postings"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
@@ -226,20 +355,28 @@ object IndexStore {
     * frames.
     */
   def saveIvfPq(dir: String, cent: DataFrame, codebook: DataFrame,
-      codes: DataFrame): Unit = {
-    cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    codebook.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
-    codes.write.mode(SaveMode.Overwrite)
-      .partitionBy("ivf_cell").parquet(s"$dir/codes")
-  }
+      codes: DataFrame): Unit = saveIvfPq(dir, cent, codebook, codes, _ => ())
+
+  /** All three components through one [[publishStore]] — a kill at any
+    * step serves one consistent (centroids, codebook, codes) tuple;
+    * the codes land `partitionBy(ivf_cell)` clustered one file per
+    * inverted list, as before.
+    */
+  private[graft] def saveIvfPq(dir: String, cent: DataFrame,
+      codebook: DataFrame, codes: DataFrame,
+      onStep: String => Unit): Unit =
+    publishStore(cent.sparkSession, dir, Seq(
+      ("centroids", Nil, cent),
+      ("codebook", Nil, codebook),
+      ("codes", Seq("ivf_cell"), codes)), onStep)
 
   def loadIvfPq(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val cent = s.read.parquet(s"$dir/centroids")
+    val cent = s.read.parquet(resolvePath(s, dir, "centroids"))
       .select(col("c_id"), col("c_emb"), col("c_nrm"))
-    val codebook = s.read.parquet(s"$dir/codebook")
+    val codebook = s.read.parquet(resolvePath(s, dir, "codebook"))
       .select(col("m"), col("cell"), col("c_emb"))
-    val codes = s.read.parquet(s"$dir/codes")
+    val codes = s.read.parquet(resolvePath(s, dir, "codes"))
       .select(col("vec_id"), col("m"), col("cell"), col("ivf_cell"))
     (cent, codebook, codes)
   }

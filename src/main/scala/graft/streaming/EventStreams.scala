@@ -557,6 +557,103 @@ object EventStreams {
       }
       .start()
 
+  case class AsofFeed(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      id: Long, side: Int) // side: 0 = left (probe), 1 = right (dimension)
+  case class AsofSSState(pending: List[(Long, Long)], // (event_id, ts_us)
+      rights: List[(Long, Long)]) // (ts_us, right id)
+  case class AsofSSOut(user_id: Long, event_id: Long, ts_us: Long,
+      matched_id: Option[Long], matched_us: Option[Long])
+
+  /** STREAM-STREAM as-of join (backward, left outer) — the production
+    * market-data shape where the dimension ITSELF streams: for every
+    * left event, the latest right row of the same key with time at or
+    * before the event's (ties: largest right id; optional tolerance),
+    * with BOTH sides arriving live and out of order. The stream-static
+    * twins ([[startAsofEnrichNative]]) re-read a static dim per
+    * microbatch; here right rows are buffered in keyed state and
+    * expired by the watermark.
+    *
+    * Mechanics (the [[clickFunnelOutcomes]] hold-back machinery): both
+    * streams are tagged and unioned, so ONE event-time watermark
+    * governs both sides; a left event is emitted exactly when the
+    * watermark passes its time — from then on any arriving right row
+    * is strictly newer than the event, so the match is final
+    * (late-data-safe by construction), and the emission is the match
+    * over the full buffered candidate set, so out-of-order arrival on
+    * either side within the watermark cannot change the answer. A left
+    * event with no admissible right row emits null-matched — the
+    * left-outer contract, which a raw stream-stream join cannot give
+    * without the same timeout machinery.
+    *
+    * BOUNDED STATE, the part that scales: of the right rows older than
+    * the watermark only the BEST (latest time, then largest id) can
+    * ever match a future left event (future events are at or after the
+    * watermark, so every old row is admissible and the best dominates)
+    * — all others are dropped each invocation, so per-key state is one
+    * carry row plus the traffic inside the watermark delay, regardless
+    * of stream length; with a tolerance even the carry row expires
+    * once `watermark − rightTime > tolerance`. This is the streaming
+    * analog of [[graft.plans.AsofJoinExec]]'s O(1) held-row merge
+    * state, and of the salted batch wrapper's bucket carry-over.
+    *
+    * Inputs must carry (user_id, ts, id); `left` rows are probe
+    * events, `right` rows the streamed dimension.
+    */
+  def streamStreamAsof(left: DataFrame, right: DataFrame,
+      delay: String = "10 minutes",
+      toleranceUs: Option[Long] = None): Dataset[AsofSSOut] = {
+    import left.sparkSession.implicits._
+    def feed(df: DataFrame, side: Int): Dataset[AsofFeed] =
+      df.select(col("user_id"), col("ts"),
+        expr("unix_micros(ts)").as("ts_us"), col("id"),
+        lit(side).as("side")).as[AsofFeed]
+    feed(left, 0).unionByName(feed(right, 1))
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofSSState, AsofSSOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AsofFeed], state: GroupState[AsofSSState]) =>
+          val prev = state.getOption.getOrElse(AsofSSState(Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val newRows = rows.toList
+          val rights = prev.rights ++
+            newRows.filter(_.side == 1).map(r => (r.ts_us, r.id))
+          val pending = prev.pending ++
+            newRows.filter(_.side == 0).map(e => (e.id, e.ts_us))
+          // final: the watermark passed the event — any future right
+          // row is strictly newer and cannot change the match
+          val (ready, still) = pending.partition { case (_, t) => t < wmUs }
+          val out = ready.map { case (eid, t) =>
+            val cand = rights.filter { case (rt, _) =>
+              rt <= t && toleranceUs.forall(tol => t - rt <= tol) }
+            if (cand.isEmpty) AsofSSOut(uid, eid, t, None, None)
+            else {
+              val (bt, bid) = cand.max // max (time, id): batch tiebreak
+              AsofSSOut(uid, eid, t, Some(bid), Some(bt))
+            }
+          }
+          // right expiry: keep everything at/after the watermark plus
+          // the single dominating older row (tolerance kills even that
+          // once out of reach of any future event)
+          val (fresh, old) = rights.partition { case (rt, _) => rt >= wmUs }
+          val keptOld = old.maxOption.toList.filter { case (rt, _) =>
+            toleranceUs.forall(tol => wmUs - rt <= tol) }
+          val keptRights = keptOld ++ fresh
+          if (still.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsofSSState(still, keptRights))
+            // wake when the earliest pending event becomes final, or —
+            // tolerance set — when buffered rights next expire
+            val wake = (still.map { case (_, t) => t / 1000L + 1 } ++
+              toleranceUs.toList.flatMap(tol =>
+                keptRights.map { case (rt, _) => (rt + tol) / 1000L + 1 }))
+              .minOption.getOrElse(wmUs / 1000L)
+            state.setTimeoutTimestamp(math.max(wake, wmUs / 1000L + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Convenience: file-stream reader over a fixture directory with the
     * events schema (ts as µs timestamp), for driving these pipelines
     * from parquet drops. maxFilesPerTrigger bounds per-batch work.

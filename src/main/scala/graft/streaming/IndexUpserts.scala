@@ -39,7 +39,8 @@ object IndexUpserts {
     */
   def upsertIvfBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val cent = batch.sparkSession.read.parquet(s"$dir/centroids")
+      val cent = batch.sparkSession.read
+        .parquet(IndexStore.resolvePath(batch.sparkSession, dir, "centroids"))
         .select(col("c_id"), col("c_emb"), col("c_nrm"))
       IndexStore.appendIvf(dir, Similarity.assignVectors(batch, cent))
     }

@@ -38,7 +38,9 @@ class IndexStoreSpec extends SparkSpec {
       assert(got.nonEmpty && got.map(_._1).distinct.size.toLong ===
         Similarity.NumQueries)
       // the inverted-list layout is real: one directory per cell
-      val cells = Option(new java.io.File(s"$dir/postings").listFiles())
+      // (resolvePath: saves publish versioned dirs under a manifest)
+      val cells = Option(new java.io.File(
+          IndexStore.resolvePath(spark, dir, "postings")).listFiles())
         .toSeq.flatten.filter(f => f.isDirectory &&
           f.getName.startsWith("cell="))
       assert(cells.nonEmpty && cells.size <= Similarity.IvfK,
@@ -74,12 +76,13 @@ class IndexStoreSpec extends SparkSpec {
       // not the plan string (round 9 pinned the string "dynamicpruning",
       // which also matches the degraded dynamicpruningexpression(true)
       // no-op Spark actually planned — a metric can't lie)
+      val codesLive = IndexStore.resolvePath(spark, dir, "codes")
       val codesScans = scansUnder(served.queryExecution.executedPlan)
         .filter(_.relation.location.rootPaths
-          .exists(_.toString.endsWith("/codes")))
+          .exists(_.toString.endsWith(codesLive.split('/').last)))
       assert(codesScans.nonEmpty, "codes scan not found")
       val readCells = codesScans.map(_.metrics("numPartitions").value).max
-      val allCells = Option(new java.io.File(s"$dir/codes").listFiles())
+      val allCells = Option(new java.io.File(codesLive).listFiles())
         .toSeq.flatten
         .count(f => f.isDirectory && f.getName.startsWith("ivf_cell="))
       assert(readCells < allCells,
@@ -93,11 +96,11 @@ class IndexStoreSpec extends SparkSpec {
       assert(got.nonEmpty)
       // the compressed-index property: the persisted codes carry NO
       // raw vector column (storage = M small ints + a list id)
-      val codesSchema = spark.read.parquet(s"$dir/codes").schema
+      val codesSchema = spark.read.parquet(codesLive).schema
       assert(!codesSchema.exists(_.dataType.typeName == "array"),
         s"raw vectors leaked into the codes store: $codesSchema")
       // inverted-list layout on disk
-      val cells = Option(new java.io.File(s"$dir/codes").listFiles())
+      val cells = Option(new java.io.File(codesLive).listFiles())
         .toSeq.flatten.filter(f => f.isDirectory &&
           f.getName.startsWith("ivf_cell="))
       assert(cells.nonEmpty && cells.size <= Similarity.IvfK,
@@ -143,14 +146,15 @@ class IndexStoreSpec extends SparkSpec {
         .withColumn("prn", row_number().over(wP))
         .filter(col("prn") <= Similarity.NumProbes)
         .select("c_id").distinct().count()
-      val cellsOnDisk = Option(new java.io.File(s"$dir/postings")
+      val postingsLive = IndexStore.resolvePath(spark, dir, "postings")
+      val cellsOnDisk = Option(new java.io.File(postingsLive)
         .listFiles()).toSeq.flatten
         .count(f => f.isDirectory && f.getName.startsWith("cell="))
 
       // the executed postings scan, dug out of the adaptive plan
       val postingsScan = scansUnder(served.queryExecution.executedPlan)
         .filter(_.relation.location.rootPaths
-          .exists(_.toString.endsWith("/postings")))
+          .exists(_.toString.endsWith(postingsLive.split('/').last)))
       assert(postingsScan.nonEmpty, "postings scan not found in plan")
       val readPartitions = postingsScan
         .map(_.metrics("numPartitions").value).max
@@ -219,7 +223,8 @@ class IndexStoreSpec extends SparkSpec {
       assert(got === want)
       assert(got.nonEmpty)
       // every appended vector actually landed in a cell partition
-      val totalPostings = spark.read.parquet(s"$dir/postings").count()
+      val totalPostings = spark.read
+        .parquet(IndexStore.resolvePath(spark, dir, "postings")).count()
       assert(totalPostings === all.count())
     } finally {
       Materialize.releaseAll(spark)
@@ -267,8 +272,15 @@ class IndexStoreSpec extends SparkSpec {
         "compaction left a multi-file cell directory")
       assert(!new java.io.File(s"$dir/postings_staging").exists(),
         "staging directory survived the swap")
-      assert(new java.io.File(s"$dir/CURRENT_postings").exists(),
-        "pointer manifest missing after compaction")
+      // the store is manifest-protocol (multi-component save): the
+      // MANIFEST names the compacted version, no per-component pointer
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(IndexStore.readManifest(fs, dir)
+          .exists(_.get("postings").contains("v2")),
+        "store manifest missing/stale after compaction")
+      assert(!new java.io.File(s"$dir/CURRENT_postings").exists(),
+        "superseded per-component pointer survived on a manifested store")
       assert(!new java.io.File(s"$dir/postings").exists(),
         "legacy plain dir survived cleanup")
       assert(spark.read.parquet(livePostings).count() === rowsBefore)
@@ -277,7 +289,7 @@ class IndexStoreSpec extends SparkSpec {
       // SECOND compaction over the already-versioned store: the version
       // counter advances, exactly one version dir remains, serve stable
       IndexStore.compactIvf(spark, dir)
-      assert(livePostings.endsWith("postings_v2"), s"unexpected live dir $livePostings")
+      assert(livePostings.endsWith("postings_v3"), s"unexpected live dir $livePostings")
       assert(serve() === before)
     } finally {
       Materialize.releaseAll(spark)
@@ -309,30 +321,31 @@ class IndexStoreSpec extends SparkSpec {
       val before = serve()
 
       // kill after the staging write, BEFORE the version rename: the
-      // pointer/live data are untouched — the store must serve the old
-      // content unchanged
+      // manifest/live data are untouched — the store must serve the
+      // old content unchanged (saveIvf published postings_v1 under the
+      // store manifest)
       class Killed extends RuntimeException("injected crash")
       intercept[Killed] {
         IndexStore.compactIvf(spark, dir,
-          step => if (step == "staged") throw new Killed)
-      }
-      assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings",
-        "crash before the version rename must leave the plain dir live")
-      assert(serve() === before, "mid-swap crash changed what serves")
-
-      // kill after the version rename, BEFORE the pointer swap: on
-      // this legacy (pointer-less) store resolution falls forward to
-      // the COMPLETE v1 — content-identical by construction, so what
-      // serves must not change; on an already-versioned store the
-      // untouched pointer would keep the old version live instead
-      // (the second-compaction case in the previous test)
-      intercept[Killed] {
-        IndexStore.compactIvf(spark, dir,
-          step => if (step == "versioned") throw new Killed)
+          step => if (step == "staged:postings") throw new Killed)
       }
       assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings_v1",
-        "pointer-less fallback must pick the complete version dir")
-      assert(serve() === before, "pre-pointer crash changed what serves")
+        "crash before the version rename must leave the manifested v1 live")
+      assert(serve() === before, "mid-swap crash changed what serves")
+
+      // kill after the version rename, BEFORE the manifest update: the
+      // complete v2 sits dormant, the manifest still names v1 — the
+      // store keeps serving the old version (content-identical here,
+      // compaction never changes rows)
+      intercept[Killed] {
+        IndexStore.compactIvf(spark, dir,
+          step => if (step == "versioned:postings") throw new Killed)
+      }
+      assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings_v1",
+        "pre-manifest crash must keep the manifested old version live")
+      assert(new java.io.File(s"$dir/postings_v2").exists(),
+        "the complete new version should sit dormant after the crash")
+      assert(serve() === before, "pre-manifest crash changed what serves")
 
       // re-run to completion: the new version serves, byte-identical
       // content, dormant crash debris reaped, one file per cell
@@ -361,6 +374,80 @@ class IndexStoreSpec extends SparkSpec {
       Materialize.releaseAll(spark)
       rmTree(dir)
     }
+  }
+
+  test("multi-component publish killed at EVERY step serves one consistent tuple") {
+    // The store-level manifest contract: a rebuild over a live
+    // (centroids, postings) store, killed at each named phase of the
+    // publish protocol, must leave the store serving EITHER the old
+    // tuple or the new tuple — never a new model over old lists, never
+    // postings without centroids. Content markers: build A has 2
+    // centroids + 4 postings, build B has 3 centroids + 6 postings.
+    import spark.implicits._
+    def cents(k: Int) = (0 until k)
+      .map(i => (i.toLong, Array(i.toFloat, 1f), 1.0))
+      .toDF("c_id", "c_emb", "c_nrm")
+    def posts(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array(i.toFloat, 1f), 1.0, i % 2))
+      .toDF("vec_id", "embedding", "nrm", "cell")
+    val tuples = Map("A" -> (2L, 4L), "B" -> (3L, 6L))
+    def servedTuple(dir: String): (Long, Long) = {
+      val (c, a) = IndexStore.loadIvf(spark, dir)
+      (c.count(), a.count())
+    }
+    class Killed extends RuntimeException("injected crash")
+    val steps = Seq("staged:centroids", "versioned:centroids",
+      "staged:postings", "versioned:postings", "manifest", "cleaned")
+    for (killAt <- steps) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_manifest_kill").toString
+      try {
+        IndexStore.saveIvf(dir, cents(2), posts(4)) // complete build A
+        assert(servedTuple(dir) === tuples("A"))
+        intercept[Killed] { // build B, killed at `killAt`
+          IndexStore.saveIvf(dir, cents(3), posts(6),
+            step => if (step == killAt) throw new Killed)
+        }
+        val got = servedTuple(dir)
+        assert(tuples.values.toSet.contains(got),
+          s"kill at '$killAt' left a MIXED tuple serving: $got")
+        // the manifest is the atomicity point: before it, A serves;
+        // from it on, B serves
+        val wantKey =
+          if (killAt == "manifest" || killAt == "cleaned") "B" else "A"
+        assert(got === tuples(wantKey),
+          s"kill at '$killAt' should leave build $wantKey serving, got $got")
+        // and a re-run always completes to B
+        IndexStore.saveIvf(dir, cents(3), posts(6))
+        assert(servedTuple(dir) === tuples("B"),
+          s"re-run after kill at '$killAt' failed to converge")
+      } finally rmTree(dir)
+    }
+  }
+
+  test("resolution: stale pointer falls back; legacy plain store still reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resolve").toString
+    try {
+      val df = Seq((1L, "x")).toDF("vec_id", "v")
+      // legacy PLAIN store (the pre-versioning save layout)
+      df.write.parquet(s"$dir/postings")
+      assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings")
+      // a pointer naming a MISSING version dir (external cleanup /
+      // tampering) must not strand readers on a nonexistent path:
+      // resolution falls back to the highest complete version, then
+      // the plain dir
+      df.write.parquet(s"$dir/postings_v7")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/CURRENT_postings"), "v99")
+      assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings_v7",
+        "stale pointer must fall back to the highest complete version")
+      // a manifest naming a missing version falls back the same way
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/MANIFEST"), "postings=v42\n")
+      assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings_v7",
+        "stale manifest entry must fall back to the highest complete version")
+    } finally rmTree(dir)
   }
 
   /** Every FileSourceScanExec in an executed plan, descending through
