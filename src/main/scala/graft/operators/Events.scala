@@ -391,6 +391,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** The SALTED shuffled plan of the same native as-of (same oracle as
+    * e_asof_join/e_asof_native — the salt must be invisible in the
+    * results, the wordscore_salted design point): the join keys gain a
+    * 30-day time bucket with bucket-grain carry-over, so one
+    * pathologically hot user bounds the largest merge task by
+    * per-bucket traffic instead of per-user history — the documented
+    * skew escape AQE's skew-join split (built-in execs only) cannot
+    * give a custom exec. AsofJoinSpec pins the measured task bound
+    * under an adversarial single-key fixture.
+    */
+  def eAsofSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    graft.plans.AsofJoin.joinAsOfSalted(ev, ord,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        bucketUs = 30L * 86400L * 1000000L, tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
+      .orderBy("event_id")
+  }
+
   /** The BROADCAST plan of the same native as-of (same oracle as
     * e_asof_join/e_asof_native): the orders side is broadcast whole and
     * indexed per task; the events side pays NO shuffle and NO sort —
@@ -3503,6 +3527,7 @@ object Events {
     "e_asof_forward" -> (eAsofForward _, eAsofForwardSql),
     "e_asof_nearest" -> (eAsofNearest _, eAsofNearestSql),
     "e_asof_global" -> (eAsofGlobal _, eAsofGlobalSql),
+    "e_asof_salted" -> (eAsofSalted _, eAsofJoinSql),
     "e_range_native" -> (eRangeNative _, eRangeJoinSql),
     "e_band_broadcast" -> (eBandBroadcast _, eBandBroadcastSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),

@@ -407,6 +407,40 @@ object Geo {
     */
   private val VarR2 = "0.0005 + CAST(s_suppkey % 5 AS DOUBLE) * 0.0005"
 
+  /** The HINT-split twin of [[gGridAutoVar]]: the per-row radius has NO
+    * provable bound anywhere in the plan (no planted max conjunct), so
+    * without help the rewrite must keep the O(|A|·|B|) naive join. The
+    * session hint `spark.graft.grid.maxBoundHint` unlocks the grid —
+    * and it is set DELIBERATELY DISHONEST here (0.001, while radii
+    * reach 0.0025): the rewrite's residual naive arm picks up every
+    * row the hint under-covers, so the driver's brute-force oracle
+    * certifies each round that exactness never rests on the hint.
+    * (The conf is left set on the session: the hint is only consulted
+    * for bounds nothing else can prove, and the split is exact for any
+    * data, so it cannot perturb another query's results.)
+    */
+  def gGridHint(s: SparkSession, d: String): DataFrame = {
+    ensureRegistered(s)
+    s.conf.set("spark.graft.grid.maxBoundHint", "0.001")
+    val supp = suppPoints(s, d).withColumn("r2", expr(VarR2))
+    custPoints(s, d).crossJoin(supp)
+      .where(expr(s"$DIST2 <= r2"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_near"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+      .orderBy("s_suppkey")
+  }
+
+  private val gGridHintSql =
+    s"""SELECT s_suppkey,
+       |  COUNT(*) AS n_near,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+       |FROM supplier, customer
+       |WHERE ($DIST2) <= ($VarR2)
+       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+      .replace("cx", s"($CX)").replace("cy", s"($CY)")
+      .replace("sx", s"($SX)").replace("sy", s"($SY)")
+
   private val gGridAutoVarSql =
     s"""SELECT s_suppkey,
        |  COUNT(*) AS n_near,
@@ -683,6 +717,7 @@ object Geo {
 
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g_zbox_multi"  -> (gZboxMulti _, gZboxMultiSql),
+    "g_grid_hint"   -> (gGridHint _, gGridHintSql),
     "g_knn_full"    -> (gKnnFull _, gKnnFullSql),
     "g_grid_auto_var" -> (gGridAutoVar _, gGridAutoVarSql),
     "g_zbox_served" -> (gZboxServed _, gZboxServedSql),

@@ -117,44 +117,89 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     */
   private[graft] case class Bound(lit: Literal, residual: Option[HintResidual])
 
-  /** Filter conjuncts reachable from `p` along a ROW-PRESERVING
-    * single-child chain — nodes where every output row is one input
-    * row with its attribute ids intact (Filter/Project/Sort/
-    * SubqueryAlias/repartition). Collecting at ANY depth (the previous
-    * shape) was unsound under Union: a Union reuses its FIRST child's
-    * exprIds, so a filter present in only one branch looked plan-wide
-    * and the grid keyed on a too-small max radius, silently dropping
-    * matches from the unfiltered branches. Traversal stops at Union,
-    * Expand, aggregates, joins — anything multi-child or exprId-
-    * reusing — so an accepted bound provably holds for EVERY row
-    * reaching the join input.
+  /** A literal PROVEN to dominate `target` for every row of `p`,
+    * searched along a row-preserving descent. The previous
+    * implementation collected Filter conjuncts and alias definitions
+    * at ANY depth, which was unsound under Union: a Union reuses its
+    * FIRST child's exprIds, so a filter present in only one branch
+    * looked plan-wide and the grid keyed on a too-small max radius,
+    * silently dropping matches from the unfiltered branches. This
+    * walk is target-aware instead:
+    *  - Filter: a conjunct `target <= lit` / `< lit` proves the bound
+    *    (every row below the join input passed it);
+    *  - Project: if the target attribute is DEFINED here, continue
+    *    with its definition expression (pushdown rewrites bound
+    *    filters through defining Projects); a Project that drops a
+    *    still-attribute target ends the search;
+    *  - Union: recurse into EVERY child with the target mapped
+    *    POSITIONALLY (Union semantics — output attr i is child attr
+    *    i), and accept only if every branch proves a bound, taking
+    *    the largest so it dominates all rows. A one-branch bound is
+    *    rejected — the round-12 soundness fix — while a filter pushed
+    *    through the Union into all branches (how Spark leaves an
+    *    above-Union user filter by the time this rule runs) still
+    *    proves.
+    *  - Sort/SubqueryAlias/repartition pass through; anything else
+    *    (aggregates, joins, Expand — exprId-reusing or row-changing)
+    *    ends the search.
     */
-  private def chainFilterConjuncts(p: LogicalPlan): Seq[Expression] = p match {
-    case f: Filter => splitConjuncts(f.condition) ++ chainFilterConjuncts(f.child)
-    case pr: Project => chainFilterConjuncts(pr.child)
-    case sa: SubqueryAlias => chainFilterConjuncts(sa.child)
-    case so: Sort => chainFilterConjuncts(so.child)
-    case r: RepartitionOperation => chainFilterConjuncts(r.child)
-    case _ => Nil
+  private def upperFor(target: Expression, p: LogicalPlan): Option[Literal] = {
+    def boundIn(conjs: Seq[Expression]): Option[Literal] = conjs.collectFirst {
+      case LessThanOrEqual(x, l: Literal)
+          if l.dataType == target.dataType && x.semanticEquals(target) => l
+      case LessThan(x, l: Literal)
+          if l.dataType == target.dataType && x.semanticEquals(target) => l
+    }
+    p match {
+      case f: Filter =>
+        boundIn(splitConjuncts(f.condition)).orElse(upperFor(target, f.child))
+      case pr: Project =>
+        target match {
+          case a: AttributeReference =>
+            pr.projectList.collectFirst {
+              case al: Alias if al.exprId == a.exprId => al.child
+            } match {
+              case Some(defn) => upperFor(defn, pr.child)
+              case None =>
+                if (pr.outputSet.contains(a)) upperFor(target, pr.child)
+                else None
+            }
+          case _ => upperFor(target, pr.child)
+        }
+      case u: Union =>
+        target match {
+          case a: AttributeReference =>
+            val idx = u.output.indexWhere(_.exprId == a.exprId)
+            if (idx < 0) None
+            else {
+              val branchBounds = u.children.map(c => upperFor(c.output(idx), c))
+              if (branchBounds.exists(_.isEmpty)) None
+              else maxLiteral(branchBounds.flatten)
+            }
+          case _ => None
+        }
+      case sa: SubqueryAlias => upperFor(target, sa.child)
+      case so: Sort => upperFor(target, so.child)
+      case r: RepartitionOperation => upperFor(target, r.child)
+      case _ => None
+    }
   }
 
-  /** Alias-definition expressions for `id` along the same
-    * row-preserving chain (same Union-reuse rationale as
-    * [[chainFilterConjuncts]] — an alias defined in one Union branch
-    * must not stand in for the attribute plan-wide).
+  /** The dominating literal among same-typed numeric literals — exact
+    * per-type comparison (a Double round-trip would collapse close
+    * longs above 2^53 and could pick a non-dominating bound).
     */
-  private def chainAliases(p: LogicalPlan,
-      id: org.apache.spark.sql.catalyst.expressions.ExprId): Seq[Expression] =
-    p match {
-      case pr: Project =>
-        pr.projectList.collect {
-          case al: Alias if al.exprId == id => al.child
-        } ++ chainAliases(pr.child, id)
-      case f: Filter => chainAliases(f.child, id)
-      case sa: SubqueryAlias => chainAliases(sa.child, id)
-      case so: Sort => chainAliases(so.child, id)
-      case r: RepartitionOperation => chainAliases(r.child, id)
-      case _ => Nil
+  private def maxLiteral(ls: Seq[Literal]): Option[Literal] =
+    if (ls.map(_.dataType).distinct.length != 1) None
+    else ls.head.value match {
+      case _: Double =>
+        val vs = ls.map(_.value.asInstanceOf[Double])
+        if (vs.exists(_.isNaN)) None else Some(ls(vs.indexOf(vs.max)))
+      case _: Int =>
+        val vs = ls.map(_.value.asInstanceOf[Int]); Some(ls(vs.indexOf(vs.max)))
+      case _: Long =>
+        val vs = ls.map(_.value.asInstanceOf[Long]); Some(ls(vs.indexOf(vs.max)))
+      case _ => None
     }
 
   /** Session hint `spark.graft.grid.maxBoundHint`: an assumed upper
@@ -198,15 +243,14 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
       left: LogicalPlan, right: LogicalPlan): Option[Bound] = e match {
     case l: Literal => Some(Bound(l, None))
     case a: AttributeReference =>
-      val forms: Seq[Expression] =
-        a +: (chainAliases(left, a.exprId) ++ chainAliases(right, a.exprId))
-      (siblings ++ chainFilterConjuncts(left) ++ chainFilterConjuncts(right))
-        .collectFirst {
-          case LessThanOrEqual(x, l: Literal)
-              if l.dataType == a.dataType && forms.exists(x.semanticEquals) => l
-          case LessThan(x, l: Literal)
-              if l.dataType == a.dataType && forms.exists(x.semanticEquals) => l
-        }.map(Bound(_, None))
+      val sibling = siblings.collectFirst {
+        case LessThanOrEqual(x, l: Literal)
+            if l.dataType == a.dataType && x.semanticEquals(a) => l
+        case LessThan(x, l: Literal)
+            if l.dataType == a.dataType && x.semanticEquals(a) => l
+      }
+      sibling.orElse(upperFor(a, left)).orElse(upperFor(a, right))
+        .map(Bound(_, None))
         .orElse(hinted(a, left, right))
     case other => hinted(other, left, right)
   }

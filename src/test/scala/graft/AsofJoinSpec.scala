@@ -398,4 +398,136 @@ class AsofJoinSpec extends SparkSpec {
       .select("tag", "tag_r").as[(String, Option[String])].collect().toSet
     assert(out === Set(("a", None), ("b", Some("a")), ("c", Some("b"))))
   }
+
+  /** Deterministic adversarial frames for the salted wrapper: one key
+    * carries `hot` rows while nine cold keys carry a handful each —
+    * times scrambled by a multiplicative hash so insertion order is
+    * not time order, right times offset so matches cross bucket
+    * boundaries (carry rows do real work), plus ties and null times.
+    */
+  private def saltedFixture(hot: Int): (DataFrame, DataFrame) = {
+    def scramble(i: Int, m: Int): Long = ((i * 2654435761L) % m + m) % m
+    val left = ((0 until hot).map { i =>
+      (1L, scramble(i, hot) * 1000L, i.toLong)
+    } ++ (0 until 45).map { i =>
+      (2L + i % 9, scramble(i, 45) * 7000L, (100000 + i).toLong)
+    } ++ Seq((1L, -5000L, 900001L), (3L, -1L, 900002L))) // negative times
+      .toDF("k", "t", "lid")
+      .unionByName(Seq((1L, 900003L)).toDF("k", "lid")
+        .select(col("k"), lit(null).cast("long").as("t"), col("lid"))
+        .select("k", "t", "lid"))
+    val right = ((0 until hot).map { i =>
+      (1L, scramble(i, hot) * 1000L + 500L, (i * 2).toLong)
+    } ++ (0 until hot / 10).map { i => // ties on time, distinct tiebreak
+      (1L, scramble(i, hot / 10) * 10000L + 500L, (1000000 + i).toLong)
+    } ++ (0 until 30).map { i =>
+      (2L + i % 9, scramble(i, 30) * 9000L, (2000000 + i).toLong)
+    } ++ Seq((1L, -7000L, 3000001L))) // negative-time right row
+      .toDF("k_r", "t_r", "rid")
+      .unionByName(Seq((2L, 3000002L)).toDF("k_r", "rid")
+        .select(col("k_r"), lit(null).cast("long").as("t_r"), col("rid"))
+        .select("k_r", "t_r", "rid"))
+    (left, right)
+  }
+
+  test("salted as-of == unsalted across directions, tolerance, bucket sizes, keyless") {
+    val (left, right) = saltedFixture(hot = 400)
+    def rows(df: DataFrame): Set[(Long, Long, Option[Long], Option[Long])] =
+      df.select(col("lid"), col("k"), col("rid"), col("t_r"))
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    for {
+      dir <- Seq("backward", "forward")
+      tol <- Seq(None, Some(1500L))
+      bucketUs <- Seq(1L, 777L, 100000L, 1000000000L) // 1 µs .. one-bucket
+    } {
+      val want = rows(AsofJoin.joinAsOf(left, right, "t", "t_r",
+        Seq("k"), Seq("k_r"), tiebreak = Seq("rid"), toleranceUs = tol,
+        direction = dir, broadcast = Some(false)))
+      val got = rows(AsofJoin.joinAsOfSalted(left, right, "t", "t_r",
+        Seq("k"), Seq("k_r"), bucketUs = bucketUs, tiebreak = Seq("rid"),
+        toleranceUs = tol, direction = dir))
+      assert(got === want,
+        s"dir=$dir tol=$tol bucket=$bucketUs: " +
+          s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    }
+    // keyless (global) salted == keyless unsalted
+    val wantG = AsofJoin.joinAsOf(left.select("t", "lid"),
+        right.select("t_r", "rid"), "t", "t_r", Nil, Nil,
+        tiebreak = Seq("rid"), broadcast = Some(false))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    val gotG = AsofJoin.joinAsOfSalted(left.select("t", "lid"),
+        right.select("t_r", "rid"), "t", "t_r", Nil, Nil, bucketUs = 997L,
+        tiebreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    assert(gotG === wantG)
+  }
+
+  test("salted as-of: hot key spreads the merge stage (measured task bound)") {
+    // One key holds the ENTIRE workload. Unsalted, the key-clustered
+    // distribution puts both sides of it in one task (linear, O(1)
+    // state, but unbalanced — the documented AQE gap for custom
+    // execs); salted on 1-second buckets, the merge stage's shuffle
+    // reads must spread: max task <= 2.5x even share, the DedupSpec
+    // hot-block bound. Results pinned identical either way.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val m = 20000
+    val left = (0 until m).map(i => (1L, i * 1000L, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (0 until m).map(i => (1L, i * 1000L + 500L, i.toLong))
+      .toDF("k_r", "t_r", "rid")
+
+    def measure(df: => DataFrame): (Set[(Long, Option[Long])], Map[Int, Seq[Long]]) = {
+      val perStage = new java.util.concurrent.ConcurrentHashMap[
+        Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) perStage.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(tm.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val out = try {
+        val r = df.select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+        org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      (out, perStage.asScala.map { case (s, q) => s -> q.asScala.toSeq }.toMap)
+    }
+
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      // control: the unsalted shuffled exec concentrates the hot key
+      val (wantRows, ctl) = measure(AsofJoin.joinAsOf(left, right,
+        "t", "t_r", Seq("k"), Seq("k_r"), tiebreak = Seq("rid"),
+        broadcast = Some(false)))
+      val worstCtl = ctl.values
+        .filter(ts => ts.sum >= m && ts.size > 1)
+        .map(ts => ts.max.toDouble / ts.sum).max
+      assert(worstCtl >= 0.99,
+        s"control lost its hot task (max share $worstCtl) — " +
+          "salting is being tested against nothing")
+
+      // salted: the heaviest shuffle stage (the salted merge — it
+      // reads both sides' 2m rows plus carries) must be balanced
+      val (gotRows, salted) = measure(AsofJoin.joinAsOfSalted(left, right,
+        "t", "t_r", Seq("k"), Seq("k_r"), bucketUs = 1000000L,
+        tiebreak = Seq("rid")))
+      assert(gotRows === wantRows, "salted rows drifted from unsalted")
+      val (heavyStage, reads) = salted.maxBy(_._2.sum)
+      val total = reads.sum
+      assert(total >= 2L * m, s"stage $heavyStage read only $total records")
+      val evenShare = total.toDouble / reads.size
+      assert(reads.max <= 2.5 * evenShare,
+        s"stage $heavyStage skewed: max task ${reads.max} vs even " +
+          s"share $evenShare over ${reads.size} tasks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
 }

@@ -252,9 +252,12 @@ class GeoSpec extends SparkSpec {
     // same-side distance predicate: both points from one input
     assert(!fired(a.crossJoin(b)
       .where(expr("(x - y) * (x - y) + (z - y) * (z - y) <= 0.01"))))
-    // non-literal bound
-    assert(!fired(a.crossJoin(b)
-      .where(expr("(x - bx) * (x - bx) + (y - by) * (y - by) <= z"))))
+    // non-literal bound (hint cleared: with the session hint set this
+    // shape legitimately fires via the residual-arm split)
+    withoutHint {
+      assert(!fired(a.crossJoin(b)
+        .where(expr("(x - bx) * (x - bx) + (y - by) * (y - by) <= z"))))
+    }
     // equi-key already present: the join is hash-planned without help
     assert(!fired(a.join(b, col("id") === col("bid"))
       .where(expr("abs(x - bx) <= 0.1"))))
@@ -420,6 +423,16 @@ class GeoSpec extends SparkSpec {
     } finally em.extraOptimizations = saved
   }
 
+  // clear the session bound hint (set session-wide by g_grid_hint) for
+  // negative-fire assertions — the hint legitimately flips the
+  // unproven-bound shapes those tests pin as non-firing
+  private def withoutHint[T](body: => T): T = {
+    val key = "spark.graft.grid.maxBoundHint"
+    val prev = spark.conf.getOption(key)
+    spark.conf.unset(key)
+    try body finally prev.foreach(spark.conf.set(key, _))
+  }
+
   // run `body` with ANSI arithmetic off (wrap semantics), restoring after
   private def withAnsiOff[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.ansi.enabled")
@@ -428,6 +441,144 @@ class GeoSpec extends SparkSpec {
       case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
       case None => spark.conf.unset("spark.sql.ansi.enabled")
     }
+  }
+
+  test("GridJoinRewrite: a Union-branch filter must NOT prove a plan-wide bound") {
+    // Union reuses its FIRST child's exprIds, so a bound filter present
+    // in only one branch used to look plan-wide: the grid keyed on the
+    // branch's (too small) max radius and silently dropped matching
+    // pairs from the unfiltered branch. The fixed matcher stops its
+    // filter/alias collection at Union — the unprovable shape keeps
+    // the naive plan, and the differential pins the RESULTS either way.
+    Geo.ensureRegistered(spark)
+    withoutHint {
+      val probe = Tables.customer(spark, sf).limit(200).select(
+        expr("CAST((c_custkey * 3) % 97 AS DOUBLE) / 97").as("x"),
+        expr("CAST((c_custkey * 5) % 89 AS DOUBLE) / 89").as("y"))
+      def sites = Tables.supplier(spark, sf).select(
+        expr("CAST((s_suppkey * 7) % 83 AS DOUBLE) / 83").as("bx"),
+        expr("CAST((s_suppkey * 11) % 79 AS DOUBLE) / 79").as("by"),
+        expr("0.002 + CAST(s_suppkey % 3 AS DOUBLE) * 0.002").as("br2"))
+      // branch 1 carries the small bound; branch 2 (same exprIds after
+      // Union) has radii up to 0.006 the unsound proof would drop
+      val dim = sites.filter(expr("br2 <= 0.002")).union(sites)
+      def q = probe.crossJoin(dim)
+        .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2"))
+        .groupBy("bx").agg(count(lit(1)).as("n")).orderBy("bx")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("_gridx_"),
+        "a one-branch Union filter was accepted as a plan-wide bound")
+      val got = q.collect().toSeq
+      val want = withoutRule(q.collect().toSeq)
+      assert(got === want && got.map(_.getLong(1)).sum > 0)
+      // control: the SAME filter applied ABOVE the union holds for
+      // every row (row-preserving chain) — the rewrite must fire
+      val bounded = sites.union(sites).filter(expr("br2 <= 0.006"))
+      def qb = probe.crossJoin(bounded)
+        .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2"))
+        .groupBy("bx").agg(count(lit(1)).as("n")).orderBy("bx")
+      assert(qb.queryExecution.optimizedPlan.toString.contains("_gridx_"),
+        "an above-Union filter is a sound bound and must fire")
+      assert(qb.collect().toSeq === withoutRule(qb.collect().toSeq))
+    }
+  }
+
+  test("GridJoinRewrite: session hint unlocks unproven bounds; residual arm keeps it exact") {
+    Geo.ensureRegistered(spark)
+    val probe = Tables.customer(spark, sf).limit(300).select(
+      expr("CAST((c_custkey * 3) % 97 AS DOUBLE) / 97").as("x"),
+      expr("CAST((c_custkey * 5) % 89 AS DOUBLE) / 89").as("y"))
+    val sites = Tables.supplier(spark, sf).select(
+      expr("CAST((s_suppkey * 7) % 83 AS DOUBLE) / 83").as("bx"),
+      expr("CAST((s_suppkey * 11) % 79 AS DOUBLE) / 79").as("by"),
+      expr("0.001 + CAST(s_suppkey % 3 AS DOUBLE) * 0.001").as("br2"))
+    def q = probe.crossJoin(sites)
+      .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2"))
+      .groupBy("bx").agg(count(lit(1)).as("n")).orderBy("bx")
+    val want = withoutHint(withoutRule(q.collect().toSeq))
+    val key = "spark.graft.grid.maxBoundHint"
+    val prev = spark.conf.getOption(key)
+    try {
+      // honest hint (covers every radius): grid arm only does the work,
+      // residual arm present but empty; results exact
+      spark.conf.set(key, "0.004")
+      val honest = q.queryExecution.optimizedPlan.toString
+      assert(honest.contains("_gridx_l") && honest.contains("_gridx_h"),
+        "hinted plan must carry the grid arm AND the residual marker")
+      assert(q.collect().toSeq === want)
+      // DISHONEST hint (radii reach 0.003 > 0.0015): the residual arm
+      // must recover every under-covered pair — exactness never rests
+      // on the hint
+      spark.conf.set(key, "0.0015")
+      assert(q.collect().toSeq === want)
+      // scalar-subquery bound: `dist <= (SELECT max(...))` — unprovable
+      // at plan time, hinted; exact against the rule-stripped run
+      sites.select(org.apache.spark.sql.functions.max("br2").as("mr"))
+        .createOrReplaceTempView("radii_max")
+      probe.createOrReplaceTempView("hint_probe")
+      sites.createOrReplaceTempView("hint_sites")
+      def sq = spark.sql(
+        """SELECT bx, COUNT(*) AS n FROM hint_probe CROSS JOIN hint_sites
+          |WHERE (x-bx)*(x-bx) + (y-by)*(y-by) <=
+          |  (SELECT mr FROM radii_max)
+          |GROUP BY bx ORDER BY bx""".stripMargin)
+      spark.conf.set(key, "0.004")
+      assert(sq.queryExecution.optimizedPlan.toString.contains("_gridx_"),
+        "scalar-subquery bound with a hint must rewrite")
+      assert(sq.collect().toSeq === withoutHint(withoutRule(sq.collect().toSeq)))
+      // the gated dishonest-hint query rewrites with both arms
+      val gated = Geo.gGridHint(spark, sf).queryExecution.optimizedPlan.toString
+      assert(gated.contains("_gridx_l") && gated.contains("_gridx_h"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("zRangesForCells: exact cover, maximal ranges, pruned multi-box scan") {
+    // property: for arbitrary cell boxes the decomposition's union is
+    // EXACTLY the box's Morton codes — no out-of-box z (tight pruning),
+    // no missing cell (soundness) — and adjacent ranges are merged
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      for (_ <- 1 to 25) {
+        val cx0 = rnd.nextInt(22) - 1; val cx1 = cx0 + rnd.nextInt(22 - cx0)
+        val cy0 = rnd.nextInt(22) - 1; val cy1 = cy0 + rnd.nextInt(22 - cy0)
+        val ranges = Geo.zRangesForCells(cx0, cx1, cy0, cy1)
+        val covered = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+        val wantZ = (for (cx <- cx0 to cx1; cy <- cy0 to cy1)
+          yield Geo.mortonZ(cx, cy)).toSet
+        assert(covered === wantZ,
+          s"box [$cx0..$cx1]x[$cy0..$cy1]: ranges $ranges")
+        // maximal: no two ranges adjacent or overlapping
+        val s = ranges.sortBy(_._1)
+        assert(s.zip(s.drop(1)).forall { case ((_, h), (l, _)) => l > h + 1 })
+      }
+    }
+    // the served multi-range query reads EXACTLY the box's cell dirs —
+    // strictly below the full store listing (same metric harness as
+    // the aligned-box test)
+    val res = Geo.gZboxMulti(spark, sf)
+    val row = res.collect().head
+    assert(row.getLong(0) > 0)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_index_grid_" + sf.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + spark.sparkContext.applicationId).getPath
+    val live = graft.sources.IndexStore.resolvePath(spark, dir, "cells")
+    val onDisk = Option(new java.io.File(live).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_z="))
+      .map(_.getName.stripPrefix("cell_z=").toInt)
+    val boxRanges = Geo.zRangesForCells(2, 8, 4, 6) // BOX_MULTI's cells
+    val wantDirs = onDisk.count(z => boxRanges.exists {
+      case (lo, hi) => z >= lo && z <= hi })
+    val scan = scansUnder(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft_index_grid_")))
+    assert(scan.nonEmpty, "grid store scan not found")
+    val read = scan.map(_.metrics("numPartitions").value).max
+    assert(read === wantDirs.toLong,
+      s"multi-range pruning read $read dirs, box covers $wantDirs")
+    assert(read < onDisk.size,
+      s"no pruning: read $read of ${onDisk.size} cells")
   }
 
   test("GridJoinRewrite: per-row radius with a provable max bound rewrites") {
@@ -455,7 +606,8 @@ class GeoSpec extends SparkSpec {
     // frames must be parquet-backed: on LocalRelation fixtures the
     // optimizer EVALUATES pushed single-side filters into the
     // relation, so the bound conjunct the matcher needs disappears —
-    // on real sources it survives as a Filter above the scan.)
+    // on real sources it survives as a Filter above the scan. Hint
+    // cleared: the session hint legitimately flips these.)
     Geo.ensureRegistered(spark)
     val a = Tables.customer(spark, sf).select(
       expr("CAST((c_custkey * 3) % 97 AS DOUBLE) / 97").as("x"),
@@ -464,9 +616,11 @@ class GeoSpec extends SparkSpec {
       expr("CAST((s_suppkey * 7) % 83 AS DOUBLE) / 83").as("bx"),
       expr("CAST((s_suppkey * 11) % 79 AS DOUBLE) / 79").as("by"),
       expr("0.001 + CAST(s_suppkey % 3 AS DOUBLE) * 0.001").as("br2"))
-    assert(!a.crossJoin(b)
-      .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2"))
-      .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    withoutHint {
+      assert(!a.crossJoin(b)
+        .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2"))
+        .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    }
     // …and the same predicate WITH a dominating conjunct fires, for
     // the band family too (variable time window + max bound)
     assert(a.crossJoin(b)
@@ -475,8 +629,10 @@ class GeoSpec extends SparkSpec {
     val c = Tables.orders(spark, sf).select(col("o_orderkey").as("ct"),
       (col("o_orderkey") % 10 + 1).as("cw"))
     val e = Tables.customer(spark, sf).select(col("c_custkey").cast("long").as("et"))
-    assert(!c.crossJoin(e).where(expr("abs(ct - et) <= cw"))
-      .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    withoutHint {
+      assert(!c.crossJoin(e).where(expr("abs(ct - et) <= cw"))
+        .queryExecution.optimizedPlan.toString.contains("_gridx_"))
+    }
     assert(c.crossJoin(e).where(expr("abs(ct - et) <= cw AND cw <= 10"))
       .queryExecution.optimizedPlan.toString.contains("_gridx_"))
   }

@@ -16,6 +16,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 case class DirtyEv(event_id: Long, ts: Timestamp, user_id: java.lang.Long,
     event_type: String, value: java.lang.Double, props: String)
 
+/** One side's row for the stream-stream as-of fixtures. */
+case class SSRow(user_id: Long, ts: Timestamp, id: Long)
+
 /** Streaming ≡ batch equivalence: feed the events fixture through
   * MemoryStream in multiple chunks and assert the streaming results
   * equal running the SAME transformation over the batch frame.
@@ -515,6 +518,144 @@ class StreamingSpec extends SparkSpec {
         Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
       }
       rm(new java.io.File(dir))
+    }
+  }
+
+  // ------------- stream-stream as-of: BOTH sides live --------------
+
+  private def tsUs(us: Long) = new Timestamp(us / 1000L) // ms-grain fixture times
+
+  /** Adversarial two-sided fixture: interleaved users, scrambled times
+    * (delivery order != event order on both sides), a tie on (user,
+    * time) with distinct ids, a left-only user (null matches), and a
+    * right-only user (ignored) — all inside the 10-minute watermark
+    * delay so nothing is dropped as late.
+    */
+  private def ssFixture: (Seq[SSRow], Seq[SSRow]) = {
+    def scr(i: Int, m: Int) = ((i * 2654435761L) % m + m) % m
+    // +1 s base: a row AT the epoch sits on the initial watermark (0)
+    // and is filtered as late before any state sees it
+    val lefts = (0 until 48).map { i =>
+      SSRow(1 + i % 4, tsUs(scr(i, 280) * 1000000L + 1000000L), 100 + i)
+    }
+    val rights = (0 until 30).map { i =>
+      SSRow(1 + i % 3, tsUs(scr(i, 280) * 1000000L + 1500000L), 500 + i)
+    } ++ Seq(
+      SSRow(2, tsUs(77000000L), 900), SSRow(2, tsUs(77000000L), 901),
+      SSRow(9, tsUs(50000000L), 950))
+    (lefts, rights)
+  }
+
+  private def runSSAsof(name: String, lRows: Seq[SSRow], rRows: Seq[SSRow],
+      chunks: Int, tol: Option[Long]): Set[(Long, Long, Option[Long])] = {
+    val lIn = MemoryStream[SSRow](spark)
+    val rIn = MemoryStream[SSRow](spark)
+    val q = EventStreams.streamStreamAsof(lIn.toDF(), rIn.toDF(),
+        toleranceUs = tol)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val maxUs = (lRows ++ rRows).map(_.ts.getTime * 1000L).max
+    def sentinel(off: Long) = SSRow(-1L, tsUs(maxUs + off), -1L)
+    try {
+      val lg = lRows.grouped(math.max(1, lRows.size / chunks)).toSeq
+      val rg = rRows.grouped(math.max(1, rRows.size / chunks)).toSeq
+      (0 until math.max(lg.size, rg.size)).foreach { i =>
+        if (i < lg.size) lIn.addData(lg(i))
+        if (i < rg.size) rIn.addData(rg(i))
+        q.processAllAvailable()
+      }
+      // two far-future sentinels: the first advances the watermark
+      // past every pending event, the second fires the timeouts
+      rIn.addData(Seq(sentinel(7200000000L))); q.processAllAvailable()
+      rIn.addData(Seq(sentinel(10800000000L))); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).where(col("user_id") =!= -1L)
+      .select("user_id", "event_id", "matched_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+  }
+
+  private def ssAsofBatchRef(lRows: Seq[SSRow], rRows: Seq[SSRow],
+      tol: Option[Long]): Set[(Long, Long, Option[Long])] = {
+    val l = lRows.toDF().select(col("user_id"),
+      expr("unix_micros(ts)").as("ts_us"), col("id"))
+    val r = rRows.toDF().select(col("user_id").as("u_r"),
+      expr("unix_micros(ts)").as("t_r"), col("id").as("rid"))
+    graft.plans.AsofJoin.joinAsOf(l, r, "ts_us", "t_r",
+        Seq("user_id"), Seq("u_r"), tiebreak = Seq("rid"),
+        toleranceUs = tol)
+      .select("user_id", "id", "rid")
+      .as[(Long, Long, Option[Long])].collect().toSet
+  }
+
+  test("stream-stream as-of == native batch as-of, out of order on BOTH sides") {
+    val (lRows, rRows) = ssFixture
+    for ((tol, name) <- Seq((None, "t_ssasof"),
+        (Some(30000000L), "t_ssasof_tol"))) {
+      val got = runSSAsof(name, lRows, rRows, chunks = 4, tol = tol)
+      val want = ssAsofBatchRef(lRows, rRows, tol)
+      assert(got === want, s"tol=$tol: " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(want.exists(_._3.isEmpty) && want.exists(_._3.nonEmpty),
+        "fixture must exercise both matched and null outcomes")
+    }
+  }
+
+  test("stream-stream as-of: late right rows expire; the carry row still serves") {
+    // A right row delivered after the watermark passed its time is
+    // dropped by the engine — already-final events keep their match,
+    // and later events match the retained dominating carry row, not
+    // the ghost. The batch reference over ALL rows (late one included)
+    // must DIFFER, proving the expiry actually bit.
+    val lIn = MemoryStream[SSRow](spark)
+    val rIn = MemoryStream[SSRow](spark)
+    val q = EventStreams.streamStreamAsof(lIn.toDF(), rIn.toDF())
+      .writeStream.format("memory").queryName("t_ssasof_late")
+      .outputMode("append").start()
+    try {
+      lIn.addData(Seq(SSRow(1, tsUs(100000000L), 1))) // L1 @ 100 s
+      rIn.addData(Seq(SSRow(1, tsUs(50000000L), 10))) // R1 @ 50 s
+      q.processAllAvailable()
+      // advance the watermark to 200 s (800 s − 10 min delay), then
+      // fire the timeout batch: L1 finalizes against R1
+      rIn.addData(Seq(SSRow(-1, tsUs(800000000L), -2))); q.processAllAvailable()
+      rIn.addData(Seq(SSRow(-1, tsUs(900000000L), -3))); q.processAllAvailable()
+      // LATE right @ 90 s — behind the 200 s watermark: dropped
+      rIn.addData(Seq(SSRow(1, tsUs(90000000L), 20))); q.processAllAvailable()
+      // L2 @ 350 s (clear of the 300 s watermark) must match the carry
+      // row R1, not the ghost
+      lIn.addData(Seq(SSRow(1, tsUs(350000000L), 2)))
+      rIn.addData(Seq(SSRow(-1, tsUs(1200000000L), -4))); q.processAllAvailable()
+      rIn.addData(Seq(SSRow(-1, tsUs(1300000000L), -5))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ssasof_late").where(col("user_id") =!= -1L)
+      .select("user_id", "event_id", "matched_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, 1L, Some(10L)), (1L, 2L, Some(10L))))
+    // the batch answer with the ghost row present disagrees on L2 —
+    // the streaming difference is exactly the documented late-drop
+    val allRows = Seq(SSRow(1, tsUs(50000000L), 10),
+      SSRow(1, tsUs(90000000L), 20))
+    val batchAll = ssAsofBatchRef(
+      Seq(SSRow(1, tsUs(100000000L), 1), SSRow(1, tsUs(350000000L), 2)),
+      allRows, None)
+    assert(batchAll === Set((1L, 1L, Some(20L)), (1L, 2L, Some(20L))))
+  }
+
+  test("stream-stream as-of == batch under the RocksDB state store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    EventStreams.useRocksDbStateStore(spark)
+    try {
+      val (lRows, rRows) = ssFixture
+      val got = runSSAsof("t_ssasof_rocks", lRows, rRows, 3, None)
+      assert(got === ssAsofBatchRef(lRows, rRows, None))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     }
   }
 
