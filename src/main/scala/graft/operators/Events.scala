@@ -645,6 +645,29 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** The SALTED shuffled band count (same oracle as e_range_join /
+    * e_range_native — the salt must be invisible): join keys gain a
+    * 20-minute time bucket, right rows replicate to their own and the
+    * previous bucket (bounded 2x, exact for bucket >= window), so one
+    * hot user's merge task is bounded by per-bucket traffic.
+    * BandJoinSpec pins the measured task bound under an adversarial
+    * single-key fixture.
+    */
+  def eBandSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d)
+    val a = ev.select(col("event_id"), col("event_type"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val b = ev.select(col("user_id").as("b_user"),
+      unix_micros(col("ts")).as("b_ts_us"))
+    graft.plans.BandJoin.bandCountSalted(a, b,
+        leftTime = "ts_us", rightTime = "b_ts_us",
+        leftBy = Seq("user_id"), rightBy = Seq("b_user"),
+        windowUs = 600000000L, bucketUs = 1200000000L,
+        countName = "n_follow")
+      .select(col("event_id"), col("event_type"), col("n_follow"))
+      .orderBy("event_id")
+  }
+
   /** Broadcast band-count (graft.plans.BandCountBroadcastExec): orders
     * placed by the same user within 30 days AFTER each event — the
     * "conversion within W" outcome feature, computed with the compact
@@ -3529,6 +3552,7 @@ object Events {
     "e_asof_global" -> (eAsofGlobal _, eAsofGlobalSql),
     "e_asof_salted" -> (eAsofSalted _, eAsofJoinSql),
     "e_range_native" -> (eRangeNative _, eRangeJoinSql),
+    "e_band_salted" -> (eBandSalted _, eRangeJoinSql),
     "e_band_broadcast" -> (eBandBroadcast _, eBandBroadcastSql),
     "e_range_join" -> (eRangeJoin _, eRangeJoinSql),
   )

@@ -381,4 +381,53 @@ object BandJoin {
       BandCountPlan(lp, rp, lk, rk, lt, rt, windowUs, out,
         broadcastRight = broadcast))
   }
+
+  /** [[bandCount]] with TIME-BUCKETED KEY SALTING — the band twin of
+    * [[AsofJoin.joinAsOfSalted]], and simpler: the band is FINITE, so
+    * no carry machinery is needed. With `bucketUs >= windowUs`, a left
+    * row's band `(t, t + W]` spans at most its own bucket and the
+    * next, so replicating every right row to ITS bucket and the
+    * PREVIOUS one (bounded 2x fan-out, no data-dependent blowup) makes
+    * the (keys, bucket) equi-keyed merge see every in-band right row
+    * exactly once: a right row lands in bucket b once as its own copy
+    * and once as b−1's copy, and a left row in bucket b only counts
+    * rights from its own co-partition. A hot key's largest task is
+    * then bounded by per-bucket traffic, not per-key history — the
+    * skew AQE's built-in-exec-only split cannot reach. NULL times
+    * behave as in bandCount (NULL left time counts 0; NULL right times
+    * never count). Times must stay within ±(Long.MaxValue − bucketUs).
+    */
+  def bandCountSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      leftBy: Seq[String],
+      rightBy: Seq[String],
+      windowUs: Long,
+      bucketUs: Long,
+      countName: String = "n_in_band"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    require(windowUs > 0, s"bandCountSalted: window must be positive, got $windowUs")
+    require(bucketUs >= windowUs,
+      s"bandCountSalted: bucketUs ($bucketUs) must be >= windowUs ($windowUs) " +
+        "or a band could span more than two buckets")
+    val gs = org.apache.spark.sql.graft.GraftSql
+    val Salt = "_band_salt"
+    require(!(left.columns ++ right.columns).exists(_.startsWith("_band_")),
+      "bandCountSalted: column names starting with _band_ are reserved")
+    def saltOf(t: org.apache.spark.sql.Column) =
+      gs.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        gs.expression(t - pmod(t, lit(bucketUs))),
+        gs.expression(lit(bucketUs))))
+    val leftS = left.withColumn(Salt, saltOf(col(leftTime)))
+    val rOwn = right.filter(col(rightTime).isNotNull)
+      .withColumn(Salt, saltOf(col(rightTime)))
+    val rightSalted = rOwn.unionByName(
+      rOwn.withColumn(Salt, col(Salt) - lit(1L)))
+    bandCount(leftS, rightSalted, leftTime, rightTime,
+        leftBy :+ Salt, rightBy :+ Salt, windowUs, countName,
+        broadcast = Some(false))
+      .drop(Salt)
+  }
 }

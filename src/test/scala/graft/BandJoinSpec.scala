@@ -198,4 +198,97 @@ class BandJoinSpec extends SparkSpec {
       BandJoin.bandCount(ls, r, "t", "rt", Seq("k"), Seq("rk"), windowUs = 5L)
     }
   }
+
+  test("salted band count == unsalted across bucket sizes; bucket boundaries exact") {
+    import spark.implicits._
+    // scrambled times so bands straddle bucket boundaries both ways,
+    // plus exact-boundary rows (rt == lt, rt == lt + W), null times,
+    // and a key missing from the right side
+    def scr(i: Int, m: Int): Long = ((i * 2654435761L) % m + m) % m
+    val left = ((0 until 300).map(i => (1L + i % 3, scr(i, 500) * 10L, i.toLong))
+      ++ Seq((9L, 40L, 9000L), (1L, -300L, 9001L)))
+      .toDF("k", "t", "lid")
+      .unionByName(Seq((1L, 9002L)).toDF("k", "lid")
+        .select(col("k"), lit(null).cast("long").as("t"), col("lid"))
+        .select("k", "t", "lid"))
+    val right = ((0 until 400).map(i => (1L + i % 3, scr(i, 500) * 10L + 5L))
+      ++ Seq((1L, 40L), (1L, 140L), (2L, -250L))) // lt, lt+W boundary hits
+      .toDF("rk", "rt")
+      .unionByName(Seq((1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("rk", "rt").select(col("rk"), col("rt").cast("long")))
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("lid", "n").as[(Long, Long)].collect().toMap
+    val want = counts(BandJoin.bandCount(left, right, "t", "rt",
+      Seq("k"), Seq("rk"), windowUs = 100L, countName = "n",
+      broadcast = Some(false)))
+    for (bucket <- Seq(100L, 137L, 1000L, 1000000L)) {
+      val got = counts(BandJoin.bandCountSalted(left, right, "t", "rt",
+        Seq("k"), Seq("rk"), windowUs = 100L, bucketUs = bucket,
+        countName = "n"))
+      assert(got === want, s"bucket=$bucket")
+    }
+    assert(want.values.exists(_ > 0) && want.values.exists(_ == 0))
+    intercept[IllegalArgumentException] { // bucket < window is unsound
+      BandJoin.bandCountSalted(left, right, "t", "rt",
+        Seq("k"), Seq("rk"), windowUs = 100L, bucketUs = 50L)
+    }
+  }
+
+  test("salted band count: hot key spreads the merge stage (measured task bound)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    val m = 20000
+    val left = (0 until m).map(i => (1L, i * 1000L, i.toLong)).toDF("k", "t", "lid")
+    val right = (0 until m).map(i => (1L, i * 1000L + 500L)).toDF("rk", "rt")
+
+    def measure(df: => org.apache.spark.sql.DataFrame)
+        : (Map[Long, Long], Map[Int, Seq[Long]]) = {
+      val perStage = new java.util.concurrent.ConcurrentHashMap[
+        Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) perStage.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(tm.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val out = try {
+        val r = df.select("lid", "n").as[(Long, Long)].collect().toMap
+        org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      (out, perStage.asScala.map { case (s, q) => s -> q.asScala.toSeq }.toMap)
+    }
+
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val (wantRows, ctl) = measure(BandJoin.bandCount(left, right,
+        "t", "rt", Seq("k"), Seq("rk"), windowUs = 10000L,
+        countName = "n", broadcast = Some(false)))
+      val worstCtl = ctl.values
+        .filter(ts => ts.sum >= m && ts.size > 1)
+        .map(ts => ts.max.toDouble / ts.sum).max
+      assert(worstCtl >= 0.99,
+        s"control lost its hot task (max share $worstCtl)")
+      val (gotRows, salted) = measure(BandJoin.bandCountSalted(left, right,
+        "t", "rt", Seq("k"), Seq("rk"), windowUs = 10000L,
+        bucketUs = 1000000L, countName = "n"))
+      assert(gotRows === wantRows, "salted counts drifted from unsalted")
+      val (heavyStage, reads) = salted.maxBy(_._2.sum)
+      val total = reads.sum
+      assert(total >= 2L * m, s"stage $heavyStage read only $total records")
+      val evenShare = total.toDouble / reads.size
+      assert(reads.max <= 2.5 * evenShare,
+        s"stage $heavyStage skewed: max task ${reads.max} vs even " +
+          s"share $evenShare over ${reads.size} tasks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
 }
