@@ -596,13 +596,31 @@ object EventStreams {
     * analog of [[graft.plans.AsofJoinExec]]'s O(1) held-row merge
     * state, and of the salted batch wrapper's bucket carry-over.
     *
+    * FORWARD direction (`direction = "forward"`): the EARLIEST right
+    * row at or after the event, ties to the SMALLEST id — the batch
+    * operator's forward contract. Forward REQUIRES a tolerance: a
+    * forward match is final when the watermark passes the current
+    * best candidate's time (no admissible future row can be earlier),
+    * and an UNMATCHED event is final only when the watermark passes
+    * `event + tolerance` — with no bound it could wait forever.
+    * Forward state is simpler than backward's dominating-carry: a
+    * right row matches only events within `tolerance` before it, so
+    * everything older than `watermark − tolerance` drops.
+    *
     * Inputs must carry (user_id, ts, id); `left` rows are probe
     * events, `right` rows the streamed dimension.
     */
   def streamStreamAsof(left: DataFrame, right: DataFrame,
       delay: String = "10 minutes",
-      toleranceUs: Option[Long] = None): Dataset[AsofSSOut] = {
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): Dataset[AsofSSOut] = {
     import left.sparkSession.implicits._
+    require(direction == "backward" || direction == "forward",
+      s"streamStreamAsof: direction must be backward|forward, got '$direction'")
+    val fwd = direction == "forward"
+    require(!fwd || toleranceUs.isDefined,
+      "streamStreamAsof: forward direction requires toleranceUs — " +
+        "an unmatched event can never finalize without a bound")
     def feed(df: DataFrame, side: Int): Dataset[AsofFeed] =
       df.select(col("user_id"), col("ts"),
         expr("unix_micros(ts)").as("ts_us"), col("id"),
@@ -620,34 +638,66 @@ object EventStreams {
             newRows.filter(_.side == 1).map(r => (r.ts_us, r.id))
           val pending = prev.pending ++
             newRows.filter(_.side == 0).map(e => (e.id, e.ts_us))
-          // final: the watermark passed the event — any future right
-          // row is strictly newer and cannot change the match
-          val (ready, still) = pending.partition { case (_, t) => t < wmUs }
-          val out = ready.map { case (eid, t) =>
-            val cand = rights.filter { case (rt, _) =>
-              rt <= t && toleranceUs.forall(tol => t - rt <= tol) }
-            if (cand.isEmpty) AsofSSOut(uid, eid, t, None, None)
-            else {
-              val (bt, bid) = cand.max // max (time, id): batch tiebreak
-              AsofSSOut(uid, eid, t, Some(bid), Some(bt))
+          val (out, stillPend, keptRights) = if (!fwd) {
+            // BACKWARD — final when the watermark passed the event:
+            // any future right row is strictly newer than the event
+            val (ready, still) = pending.partition { case (_, t) => t < wmUs }
+            val o = ready.map { case (eid, t) =>
+              val cand = rights.filter { case (rt, _) =>
+                rt <= t && toleranceUs.forall(tol => t - rt <= tol) }
+              if (cand.isEmpty) AsofSSOut(uid, eid, t, None, None)
+              else {
+                val (bt, bid) = cand.max // max (time, id): batch tiebreak
+                AsofSSOut(uid, eid, t, Some(bid), Some(bt))
+              }
             }
+            // right expiry: keep everything at/after the watermark plus
+            // the single dominating older row (tolerance kills even that
+            // once out of reach of any future event)
+            val (fresh, old) = rights.partition { case (rt, _) => rt >= wmUs }
+            val keptOld = old.maxOption.toList.filter { case (rt, _) =>
+              toleranceUs.forall(tol => wmUs - rt <= tol) }
+            (o, still, keptOld ++ fresh)
+          } else {
+            // FORWARD — a left's candidate is the min (time, id) right
+            // in [t, t + tol]; final when the watermark passed the
+            // candidate (future rows arrive at/after the watermark, so
+            // none can be earlier or tie) or passed t + tol unmatched
+            val tol = toleranceUs.get
+            def bestFor(t: Long): Option[(Long, Long)] =
+              rights.filter { case (rt, _) => rt >= t && rt - t <= tol }
+                .minOption
+            val evaluated = pending.map { case (eid, t) => (eid, t, bestFor(t)) }
+            val (ready, still) = evaluated.partition { case (_, t, b) =>
+              b.exists(_._1 < wmUs) || t + tol < wmUs }
+            val o = ready.map {
+              case (eid, t, Some((bt, bid))) =>
+                AsofSSOut(uid, eid, t, Some(bid), Some(bt))
+              case (eid, t, None) => AsofSSOut(uid, eid, t, None, None)
+            }
+            // a right can only match events within tol before it, and
+            // every pending/future event is at/after watermark − tol
+            (o, still.map { case (eid, t, _) => (eid, t) },
+              rights.filter { case (rt, _) => rt >= wmUs - tol })
           }
-          // right expiry: keep everything at/after the watermark plus
-          // the single dominating older row (tolerance kills even that
-          // once out of reach of any future event)
-          val (fresh, old) = rights.partition { case (rt, _) => rt >= wmUs }
-          val keptOld = old.maxOption.toList.filter { case (rt, _) =>
-            toleranceUs.forall(tol => wmUs - rt <= tol) }
-          val keptRights = keptOld ++ fresh
-          if (still.isEmpty && keptRights.isEmpty) state.remove()
+          if (stillPend.isEmpty && keptRights.isEmpty) state.remove()
           else {
-            state.update(AsofSSState(still, keptRights))
-            // wake when the earliest pending event becomes final, or —
-            // tolerance set — when buffered rights next expire
-            val wake = (still.map { case (_, t) => t / 1000L + 1 } ++
-              toleranceUs.toList.flatMap(tol =>
-                keptRights.map { case (rt, _) => (rt + tol) / 1000L + 1 }))
-              .minOption.getOrElse(wmUs / 1000L)
+            state.update(AsofSSState(stillPend, keptRights))
+            // wake when the earliest pending event can finalize, or
+            // when buffered rights next expire (state cleanup)
+            val pendWake =
+              if (!fwd) stillPend.map { case (_, t) => t / 1000L + 1 }
+              else stillPend.map { case (_, t) =>
+                val bound = toleranceUs.map(t + _).getOrElse(t)
+                val best = keptRights.collect {
+                  case (rt, _) if rt >= t && rt <= bound => rt }
+                math.min(best.minOption.getOrElse(Long.MaxValue - 1000L),
+                  bound) / 1000L + 1
+              }
+            val expiryWake = toleranceUs.toList.flatMap(tol =>
+              keptRights.map { case (rt, _) => (rt + tol) / 1000L + 1 })
+            val wake = (pendWake ++ expiryWake).minOption
+              .getOrElse(wmUs / 1000L)
             state.setTimeoutTimestamp(math.max(wake, wmUs / 1000L + 1))
           }
           out.iterator

@@ -547,11 +547,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   private def runSSAsof(name: String, lRows: Seq[SSRow], rRows: Seq[SSRow],
-      chunks: Int, tol: Option[Long]): Set[(Long, Long, Option[Long])] = {
+      chunks: Int, tol: Option[Long],
+      direction: String = "backward"): Set[(Long, Long, Option[Long])] = {
     val lIn = MemoryStream[SSRow](spark)
     val rIn = MemoryStream[SSRow](spark)
     val q = EventStreams.streamStreamAsof(lIn.toDF(), rIn.toDF(),
-        toleranceUs = tol)
+        toleranceUs = tol, direction = direction)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     val maxUs = (lRows ++ rRows).map(_.ts.getTime * 1000L).max
@@ -575,16 +576,33 @@ class StreamingSpec extends SparkSpec {
   }
 
   private def ssAsofBatchRef(lRows: Seq[SSRow], rRows: Seq[SSRow],
-      tol: Option[Long]): Set[(Long, Long, Option[Long])] = {
+      tol: Option[Long],
+      direction: String = "backward"): Set[(Long, Long, Option[Long])] = {
     val l = lRows.toDF().select(col("user_id"),
       expr("unix_micros(ts)").as("ts_us"), col("id"))
     val r = rRows.toDF().select(col("user_id").as("u_r"),
       expr("unix_micros(ts)").as("t_r"), col("id").as("rid"))
     graft.plans.AsofJoin.joinAsOf(l, r, "ts_us", "t_r",
         Seq("user_id"), Seq("u_r"), tiebreak = Seq("rid"),
-        toleranceUs = tol)
+        toleranceUs = tol, direction = direction)
       .select("user_id", "id", "rid")
       .as[(Long, Long, Option[Long])].collect().toSet
+  }
+
+  test("stream-stream as-of FORWARD == batch; tolerance required") {
+    val (lRows, rRows) = ssFixture
+    val tol = Some(40000000L) // 40 s: exercises both matched and expired
+    val got = runSSAsof("t_ssasof_fwd", lRows, rRows, chunks = 4,
+      tol = tol, direction = "forward")
+    val want = ssAsofBatchRef(lRows, rRows, tol, direction = "forward")
+    assert(got === want,
+      s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(want.exists(_._3.isEmpty) && want.exists(_._3.nonEmpty),
+      "fixture must exercise both matched and expired-unmatched outcomes")
+    intercept[IllegalArgumentException] { // no bound -> can never finalize
+      EventStreams.streamStreamAsof(
+        lRows.toDF(), rRows.toDF(), direction = "forward")
+    }
   }
 
   test("stream-stream as-of == native batch as-of, out of order on BOTH sides") {
