@@ -660,7 +660,32 @@ object Geo {
     * fallback site ids) — the stage ledger GeoSpec pins.
     */
   private[graft] def knnFullStaged(cust: DataFrame, sites: DataFrame,
-      k: Int): (DataFrame, DataFrame, DataFrame) = {
+      k: Int): (DataFrame, DataFrame, DataFrame) =
+    knnStaged(sites, k,
+      (ss, r) => ringTopK(cust, ss, r, k, broadcastSites = r > 1),
+      esc => bruteTopK(cust, esc, k))
+
+  /** Per-site brute top-k: the exact final stage over whatever corpus
+    * frame the caller supplies, map-only via the broadcast site set.
+    */
+  private def bruteTopK(cust: DataFrame, esc: DataFrame, k: Int): DataFrame =
+    cust.crossJoin(broadcast(esc))
+      .withColumn("dist2", expr(DIST2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("s_suppkey").orderBy(col("dist2"), col("c_custkey"))))
+      .where(col("rn") <= k)
+      .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+
+  /** The expanding-ring escalation SKELETON, corpus-agnostic: `ring`
+    * produces the per-site top-k within the (2r+1)² neighborhood for
+    * a given site set, `brute` the exact per-site scan for the final
+    * survivors. Used with the raw corpus ([[knnFullStaged]]) and with
+    * the persisted Morton store ([[gKnnServed]]).
+    */
+  private[graft] def knnStaged(sites: DataFrame, k: Int,
+      ring: (DataFrame, Int) => DataFrame,
+      brute: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     def finality(topk: DataFrame, ss: DataFrame, r: Int): DataFrame = {
       val summary = topk.groupBy("s_suppkey")
         .agg(max(col("rn")).as("n"), max(col("dist2")).as("dk2"))
@@ -670,28 +695,72 @@ object Geo {
           col("n").isNotNull && col("n") === lit(k) &&
             col("dk2") < col("g") * col("g"))
     }
-    val t1 = ringTopK(cust, sites, 1, k, broadcastSites = false)
+    val t1 = ring(sites, 1)
     val f1 = finality(t1, sites, 1)
     val done1 = t1.join(broadcast(
       f1.where(col("fin")).select("s_suppkey")), Seq("s_suppkey"))
     val esc1 = f1.where(!col("fin")).select("s_suppkey", "sx", "sy")
 
-    val t2 = ringTopK(cust, esc1, 2, k, broadcastSites = true)
+    val t2 = ring(esc1, 2)
     val f2 = finality(t2, esc1, 2)
     val done2 = t2.join(broadcast(
       f2.where(col("fin")).select("s_suppkey")), Seq("s_suppkey"))
     val esc2 = f2.where(!col("fin")).select("s_suppkey", "sx", "sy")
 
-    val t3 = cust.crossJoin(broadcast(esc2))
+    val t3 = brute(esc2)
+
+    (done1.unionAll(done2).unionAll(t3),
+      esc1.select("s_suppkey"), esc2.select("s_suppkey"))
+  }
+
+  /** Ring top-k against the LOADED grid store: the site neighborhood's
+    * Morton codes are planted as a literal isin on the `cell_z`
+    * partition column (the servedCandidates design point — DPP
+    * degrades on explode-derived build sides), so each ring reads only
+    * its (2r+1)²·|sites| cell DIRECTORIES of the store. Out-of-domain
+    * neighborhood cells (beyond the interleave's [-1, 30]² support)
+    * are dropped before encoding — their codes would be garbage bits
+    * that could collide with real cells.
+    */
+  private def ringTopKServed(loaded: DataFrame, sites: DataFrame,
+      r: Int, k: Int): DataFrame = {
+    val nb = sites
+      .withColumn("dx", explode(sequence(lit(-r), lit(r))))
+      .withColumn("dy", explode(sequence(lit(-r), lit(r))))
+      .withColumn("cell_x", expr(s"CAST(FLOOR(sx * $GRID) AS INT)") + col("dx"))
+      .withColumn("cell_y", expr(s"CAST(FLOOR(sy * $GRID) AS INT)") + col("dy"))
+      .where(col("cell_x").between(-1, 30) && col("cell_y").between(-1, 30))
+      .withColumn("cell_z", expr(graft.sources.IndexStore.CellZ))
+      .drop("dx", "dy", "cell_x", "cell_y")
+    val zIds = nb.select(col("cell_z")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    loaded.select(col("c_custkey"), col("cx"), col("cy"), col("cell_z"))
+      .filter(col("cell_z").isin(zIds: _*))
+      .join(broadcast(nb), Seq("cell_z"))
       .withColumn("dist2", expr(DIST2))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("s_suppkey").orderBy(col("dist2"), col("c_custkey"))))
       .where(col("rn") <= k)
       .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+  }
 
-    (done1.unionAll(done2).unionAll(t3),
-      esc1.select("s_suppkey"), esc2.select("s_suppkey"))
+  /** Gated query: unbounded EXACT kNN served from the PERSISTED Morton
+    * grid store — the two flagship geo features composed: the
+    * expanding-ring escalation ([[knnStaged]]) with every ring's scan
+    * partition-pruned to its neighborhood's cell directories
+    * ([[ringTopKServed]]), and the brute fallback reading the store
+    * map-only. Same brute-force oracle as g_knn_full: the store
+    * round-trip and the ring pruning must be invisible in the results.
+    */
+  def gKnnServed(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureGridStore(s, d)
+    val loaded = graft.sources.IndexStore.loadGrid(s, dir)
+    val (rows, _, _) = knnStaged(suppPoints(s, d), 3,
+      (ss, r) => ringTopKServed(loaded, ss, r, 3),
+      esc => bruteTopK(loaded.select(col("c_custkey"), col("cx"), col("cy")),
+        esc, 3))
+    rows.orderBy("s_suppkey", "rn")
   }
 
   /** Gated query: true top-3 nearest customers per supplier, no radius
@@ -718,6 +787,7 @@ object Geo {
   val queries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g_zbox_multi"  -> (gZboxMulti _, gZboxMultiSql),
     "g_grid_hint"   -> (gGridHint _, gGridHintSql),
+    "g_knn_served"  -> (gKnnServed _, gKnnFullSql),
     "g_knn_full"    -> (gKnnFull _, gKnnFullSql),
     "g_grid_auto_var" -> (gGridAutoVar _, gGridAutoVarSql),
     "g_zbox_served" -> (gZboxServed _, gZboxServedSql),

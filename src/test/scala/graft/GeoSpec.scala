@@ -443,6 +443,38 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("g_knn_served == g_knn_full; ring scans prune the store's cell dirs") {
+    import spark.implicits._
+    val want = graft.operators.Geo.gKnnFull(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val res = graft.operators.Geo.gKnnServed(spark, sf)
+    // collect the DataFrame itself: .as[...] would wrap a NEW
+    // QueryExecution and leave res's plan (whose metrics we read) unrun
+    val got = res.collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got === want && got.nonEmpty,
+      "served kNN drifted from the raw-corpus staged kNN")
+    // pruning is real: among the store scans in the executed plan, the
+    // ring stages carry the literal cell_z plant — at least one scan
+    // must have read strictly fewer partitions than the store holds
+    // (the brute-fallback arm legitimately scans everything, but its
+    // site set is empty at fixture scale)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_index_grid_" + sf.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + spark.sparkContext.applicationId).getPath
+    val live = graft.sources.IndexStore.resolvePath(spark, dir, "cells")
+    val allCells = Option(new java.io.File(live).listFiles()).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith("cell_z="))
+    org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
+    val storeScans = scansUnder(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft_index_grid_")))
+    assert(storeScans.nonEmpty, "store scans not found")
+    val reads = storeScans.map(_.metrics("numPartitions").value)
+    assert(reads.exists(r => r > 0 && r < allCells),
+      s"no pruned ring scan: reads=$reads of $allCells cells")
+  }
+
   test("GridJoinRewrite: a Union-branch filter must NOT prove a plan-wide bound") {
     // Union reuses its FIRST child's exprIds, so a bound filter present
     // in only one branch used to look plan-wide: the grid keyed on the
