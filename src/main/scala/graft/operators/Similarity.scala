@@ -228,6 +228,30 @@ object Similarity {
         Vectors.norm(col("embedding")).as("nrm")),
       cent)
 
+  /** Encode raw (vec_id, embedding) vectors against a FROZEN IVF-PQ
+    * model — the compressed-index twin of [[assignVectors]], the seam
+    * incremental maintenance needs: nearest frozen centroid gives the
+    * inverted list, per-subspace nearest frozen codebook entry gives
+    * the code (ties to the smallest cell id, the fit's own rule). Two
+    * broadcast model joins + one broadcast batch join, map-side
+    * argmin, zero shuffles of vector data. Output matches the codes
+    * store layout: (vec_id, m, cell, ivf_cell).
+    */
+  def encodeVectors(vectors: DataFrame, cent: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val ivf = assignVectors(vectors, cent)
+      .select(col("vec_id"), col("cell").as("ivf_cell"))
+    val sub = pqSubOf(vectors.select(col("vec_id"), col("embedding")))
+    val wF = Window.partitionBy("m", "vec_id").orderBy(col("d").asc, col("cell"))
+    sub.join(broadcast(codebook), "m")
+      .select(col("m"), col("vec_id"), col("cell"),
+        pqDist(col("sub"), col("c_emb")).as("d"))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cell"))
+      .join(broadcast(ivf), "vec_id")
+  }
+
   def annIvf(s: SparkSession, d: String, iters: Int,
       nProbe: Int = NumProbes): DataFrame = {
     val base = withNorm(s, d)

@@ -370,6 +370,32 @@ object IndexStore {
       ("codebook", Nil, codebook),
       ("codes", Seq("ivf_cell"), codes)), onStep)
 
+  /** Incremental IVF-PQ maintenance — the compressed-index twin of
+    * [[appendIvf]]: a batch of already-encoded codes
+    * ([[graft.operators.Similarity.encodeVectors]] against the store's
+    * frozen centroids + codebook) lands in its inverted-list
+    * directories; the model frames never rewrite. Same at-least-once
+    * caveat under retried microbatches.
+    */
+  def appendIvfPq(dir: String, codes: DataFrame): Unit =
+    codes.select(col("vec_id"), col("m"), col("cell"), col("ivf_cell"))
+      .write.mode(SaveMode.Append).partitionBy("ivf_cell")
+      .parquet(resolvePath(codes.sparkSession, dir, "codes"))
+
+  /** Compact the codes store after upsert fragmentation — one file per
+    * inverted-list directory, same crash-safe publish as
+    * [[compactIvf]]; on this (manifested) store the swap updates the
+    * store MANIFEST entry atomically.
+    */
+  def compactIvfPq(s: SparkSession, dir: String): Unit =
+    compactIvfPq(s, dir, _ => ())
+
+  private[graft] def compactIvfPq(s: SparkSession, dir: String,
+      onStep: String => Unit): Unit =
+    compactComponent(s, dir, "codes", Seq("ivf_cell"),
+      _.select(col("vec_id"), col("m"), col("cell"), col("ivf_cell")),
+      onStep)
+
   def loadIvfPq(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val cent = s.read.parquet(resolvePath(s, dir, "centroids"))

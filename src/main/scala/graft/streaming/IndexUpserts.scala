@@ -57,6 +57,38 @@ object IndexUpserts {
       .foreachBatch(upsertIvfBatch(dir) _)
       .start()
 
+  /** IVF-PQ twin of [[upsertIvfBatch]]: encode one microbatch of raw
+    * vectors against the store's FROZEN centroids + codebook
+    * ([[graft.operators.Similarity.encodeVectors]] — two broadcast
+    * model joins, map-side argmin) and append the codes into the
+    * inverted-list directories. The corpus grows as codes only — no
+    * raw vector ever lands in the store, preserving the compressed
+    * layout's storage contract under streaming growth.
+    */
+  def upsertIvfPqBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val cent = s.read
+        .parquet(IndexStore.resolvePath(s, dir, "centroids"))
+        .select(col("c_id"), col("c_emb"), col("c_nrm"))
+      val codebook = s.read
+        .parquet(IndexStore.resolvePath(s, dir, "codebook"))
+        .select(col("m"), col("cell"), col("c_emb"))
+      IndexStore.appendIvfPq(dir,
+        Similarity.encodeVectors(batch, cent, codebook))
+    }
+  }
+
+  /** Start the compressed-index upsert stream: `vectors` carries
+    * (vec_id, embedding). Checkpointed for restart resume.
+    */
+  def startIvfPqUpserts(vectors: DataFrame, dir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(upsertIvfPqBatch(dir) _)
+      .start()
+
   /** Grid-store twin of [[upsertIvfBatch]]: key one microbatch of new
     * points (cx, cy columns) to their home cells and append into the
     * cell directories. There is no model frame to consult — the grid

@@ -232,6 +232,82 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq streaming upserts + codes compaction: served == from-scratch encode") {
+    // the compressed-index growth contract: fit + save on a base
+    // slice, stream held-out RAW vectors through the PQ upsert sink
+    // (encode against the FROZEN centroids + codebook, append codes
+    // only), then prove the reloaded store serves exactly what a
+    // from-scratch encode of the full union against the same frozen
+    // model serves — and that compaction restores one file per
+    // inverted list while updating the store MANIFEST atomically.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_upsert")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_ckpt")
+      .toString
+    try {
+      val all = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val (cent, codebook, codesAll) = Similarity.buildIvfPqIndex(spark, sf)
+      IndexStore.saveIvfPq(dir, cent, codebook,
+        codesAll.filter(col("vec_id") % 5 =!= 0))
+      Materialize.releaseAll(spark)
+      val (centF, cbF, _) = IndexStore.loadIvfPq(spark, dir)
+
+      val late = all.filter(col("vec_id") % 5 === 0)
+        .as[(Long, Array[Float])].collect().toSeq
+      val input = MemoryStream[(Long, Array[Float])](spark)
+      val q = graft.streaming.IndexUpserts.startIvfPqUpserts(
+        input.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+      try {
+        late.grouped(math.max(1, late.size / 3)).foreach { g =>
+          input.addData(g); q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      val queries = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          graft.functions.Vectors.norm(col("embedding")).as("q_nrm"))
+        .filter(col("q_id") < Similarity.NumQueries)
+      def serve(): Seq[(Long, Long, Int, Double)] = {
+        val (c, cb, codes) = IndexStore.loadIvfPq(spark, dir)
+        Similarity.annIvfPqServe(queries, c, cb, codes)
+          .as[(Long, Long, Int, Double)].collect().toSeq
+      }
+      val got = serve()
+      val want = Similarity.annIvfPqServe(queries, centF, cbF,
+          Similarity.encodeVectors(all, centF, cbF))
+        .as[(Long, Long, Int, Double)].collect().toSeq
+      assert(got === want && got.nonEmpty,
+        "grown store drifted from the from-scratch encode")
+      // no raw vectors leaked into the grown codes
+      def codesLive = IndexStore.resolvePath(spark, dir, "codes")
+      assert(!spark.read.parquet(codesLive).schema
+        .exists(_.dataType.typeName == "array"))
+      val rowsBefore = spark.read.parquet(codesLive).count()
+      assert(rowsBefore === all.count() * Similarity.PqM)
+
+      // compaction: one file per inverted-list dir, manifest advanced,
+      // serve byte-identical
+      IndexStore.compactIvfPq(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(IndexStore.readManifest(fs, dir)
+        .exists(_.get("codes").contains("v2")), "manifest not advanced")
+      val cellDirs = new java.io.File(codesLive).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ivf_cell="))
+      assert(cellDirs.nonEmpty && cellDirs.forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+        "compaction left a multi-file inverted list")
+      assert(spark.read.parquet(codesLive).count() === rowsBefore)
+      assert(serve() === got, "compaction drifted serve results")
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir); rmTree(ckpt)
+    }
+  }
+
   test("compaction: one file per cell, serve results byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_compact")
