@@ -524,6 +524,13 @@ object Geo {
     */
   private[graft] def zRangesForCells(cx0: Int, cx1: Int,
       cy0: Int, cy1: Int): Seq[(Int, Int)] = {
+    // the 5-bit interleave covers shifted [0, 31]² only — cells beyond
+    // it would be silently EXCLUDED from the ranges and boxAggMulti's
+    // partition filter would then undercount instead of failing
+    require(cx0 >= -1 && cx1 <= 30 && cy0 >= -1 && cy1 <= 30 &&
+      cx0 <= cx1 && cy0 <= cy1,
+      s"zRangesForCells: cell box [$cx0..$cx1]x[$cy0..$cy1] outside the " +
+        "interleave domain [-1, 30]^2")
     val (sx0, sx1, sy0, sy1) = (cx0 + 1, cx1 + 1, cy0 + 1, cy1 + 1)
     val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     // quadrant at (x0, y0), edge 2^bits, z values [zBase, zBase + 4^bits)

@@ -242,13 +242,17 @@ object Similarity {
     val ivf = assignVectors(vectors, cent)
       .select(col("vec_id"), col("cell").as("ivf_cell"))
     val sub = pqSubOf(vectors.select(col("vec_id"), col("embedding")))
-    val wF = Window.partitionBy("m", "vec_id").orderBy(col("d").asc, col("cell"))
+    // argmin as a partial-aggregating min(struct(d, cell)) — identical
+    // tie rule to the fit's rank window (smallest d, then smallest
+    // cell), but map-side combinable: the |batch|·M·K candidate rows
+    // reduce before any exchange, where a rank window would shuffle
+    // and sort them all — this is the streaming-upsert hot path
     sub.join(broadcast(codebook), "m")
-      .select(col("m"), col("vec_id"), col("cell"),
-        pqDist(col("sub"), col("c_emb")).as("d"))
-      .withColumn("rn", row_number().over(wF))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cell"))
+      .select(col("m"), col("vec_id"),
+        struct(pqDist(col("sub"), col("c_emb")).as("d"), col("cell")).as("dc"))
+      .groupBy("m", "vec_id")
+      .agg(min(col("dc")).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cell").as("cell"))
       .join(broadcast(ivf), "vec_id")
   }
 

@@ -245,6 +245,11 @@ case class AsofJoinExec(
   * `Function1[InternalRow, Long]` is unspecialized on an AnyRef
   * argument and would box at the call boundary. Both call sites are
   * monomorphic, so the JIT devirtualizes.
+  *
+  * CONTRACT: `get` must follow `isNull` on the SAME row (how every
+  * merge-loop site reads) — the eval fallback caches the boxed result
+  * from `isNull` so the expression is evaluated ONCE per row either
+  * way (instances are per-partition, single-threaded).
   */
 private[graft] abstract class LongCol {
   def isNull(r: InternalRow): Boolean
@@ -271,8 +276,11 @@ private[graft] object LongCol {
         }
       case bound =>
         new LongCol {
-          def isNull(r: InternalRow): Boolean = bound.eval(r) == null
-          def get(r: InternalRow): Long = bound.eval(r).asInstanceOf[Long]
+          private[this] var last: Any = null
+          def isNull(r: InternalRow): Boolean = {
+            last = bound.eval(r); last == null
+          }
+          def get(r: InternalRow): Long = last.asInstanceOf[Long]
         }
     }
 }

@@ -217,10 +217,16 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     val raw = conf.getConfString("spark.graft.grid.maxBoundHint", "")
     if (raw.isEmpty) None
     else dt match {
+      // positivity is load-bearing for ALL types: an integral hint of
+      // 0 would key the grid on IntegralDivide by zero — null cells in
+      // non-ANSI mode silently dropping the rhs == 0 self-matches the
+      // residual arm (rhs > 0) doesn't cover, a runtime throw under
+      // ANSI. (bandOf's width guards would ALSO reject 0, but only
+      // after dims is partially matched — reject at the source.)
       case DoubleType => raw.toDoubleOption
         .filter(v => v > 0 && !v.isInfinite).map(Literal(_, DoubleType))
-      case IntegerType => raw.toIntOption.map(Literal(_, IntegerType))
-      case LongType => raw.toLongOption.map(Literal(_, LongType))
+      case IntegerType => raw.toIntOption.filter(_ > 0).map(Literal(_, IntegerType))
+      case LongType => raw.toLongOption.filter(_ > 0).map(Literal(_, LongType))
       case _ => None
     }
   }
@@ -428,9 +434,13 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
 
   /** Hint-derived bound obligation, threaded to [[apply]]: split the
     * join on `rhs <= lit` (grid arm) vs `rhs > lit` (residual naive
-    * arm) on side `onLeft`.
+    * arm) on side `onLeft`. `leftAttr`/`rightAttr` are the matched
+    * comparison's coordinate attributes — one per side, both
+    * NULL-REJECTED by the preserved predicate — used to build the
+    * residual arm's idempotence markers.
     */
-  private case class Residual(rhs: Expression, onLeft: Boolean, lit: Literal)
+  private case class Residual(rhs: Expression, onLeft: Boolean, lit: Literal,
+      leftAttr: Attribute, rightAttr: Attribute)
 
   private def dims(conjunct: Expression, siblings: Seq[Expression],
       left: LogicalPlan,
@@ -440,7 +450,7 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
       (Seq(Dim(cell(lx, edge), d => Add(cell(rx, edge), Cast(d, LongType))),
         Dim(cell(ly, edge), d => Add(cell(ry, edge), Cast(d, LongType)))),
         None,
-        res.map(h => Residual(h.rhs, h.onLeft, Literal(r2, DoubleType))))
+        res.map(h => Residual(h.rhs, h.onLeft, Literal(r2, DoubleType), lx, rx)))
     }.orElse(matchBand(conjunct, siblings, left, right).flatMap { case (a, b, w, integral, res) =>
       if (integral) {
         val (wl, hi, lo) = w.value match {
@@ -467,12 +477,12 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
         Some((Seq(Dim(IntegralDivide(Cast(a, LongType), wLit),
           d => Add(IntegralDivide(Cast(b, LongType), wLit), Cast(d, LongType)))),
           sliver,
-          res.map(h => Residual(h.rhs, h.onLeft, w))))
+          res.map(h => Residual(h.rhs, h.onLeft, w, a, b))))
       } else {
         val edge = pow2Edge(w.value.asInstanceOf[Double])
         Some((Seq(Dim(cell(a, edge), d => Add(cell(b, edge), Cast(d, LongType)))),
           None,
-          res.map(h => Residual(h.rhs, h.onLeft, w))))
+          res.map(h => Residual(h.rhs, h.onLeft, w, a, b))))
       }
     })
 
@@ -620,24 +630,29 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
   }
 
   /** The residual naive arm of a hint-split rewrite: the ORIGINAL join
-    * shape over `rhs > hint` rows. The `_gridx_h` marker (rhs * 0 —
-    * non-foldable, same survival argument as the sliver marker) is
-    * referenced in the join condition so the matcher's `_gridx_` guard
-    * rejects this arm on the next fixed-point pass — without it the
-    * rule would re-split the residual forever. The marker is planted
-    * AFTER the `rhs > hint` filter, which already dropped NULL-rhs
-    * rows, so the self-equality conjunct is true for every surviving
-    * row.
+    * shape over `rhs > hint` rows, guarded against re-splitting by a
+    * `_gridx_h` marker pair — one per side, built from the matched
+    * comparison's own coordinate attributes exactly like the sliver
+    * markers (`attr * 0`: non-foldable, and a SELF-equality of one
+    * marker would not survive — SimplifyBinaryComparison rewrites
+    * `a = a` to TRUE for a non-nullable `a`, erasing the guard and
+    * re-splitting the residual on every fixed-point pass; two DISTINCT
+    * attributes cannot be folded). NULL coordinates make a NULL marker
+    * and the pair drops — the same rows the NULL-rejecting preserved
+    * predicate dropped in the naive plan.
     */
   private def residualArm(j: Join, r: Residual): LogicalPlan = {
-    val mk = Alias(Multiply(
-      Cast(r.rhs, DoubleType), Literal(0.0, DoubleType)), "_gridx_h")()
+    val ml = Alias(Multiply(
+      Cast(r.leftAttr, DoubleType), Literal(0.0, DoubleType)), "_gridx_h")()
+    val mr = Alias(Multiply(
+      Cast(r.rightAttr, DoubleType), Literal(0.0, DoubleType)), "_gridx_h")()
     val guard = GreaterThan(r.rhs, r.lit)
-    val (lp, rp) =
-      if (r.onLeft) (Project(j.left.output :+ mk, Filter(guard, j.left)), j.right)
-      else (j.left, Project(j.right.output :+ mk, Filter(guard, j.right)))
+    val lp0 = if (r.onLeft) Filter(guard, j.left) else j.left
+    val rp0 = if (r.onLeft) j.right else Filter(guard, j.right)
+    val lp = Project(j.left.output :+ ml, lp0)
+    val rp = Project(j.right.output :+ mr, rp0)
     Project(j.output, Join(lp, rp, Inner,
-      Some(And(EqualTo(mk.toAttribute, mk.toAttribute), j.condition.get)),
+      Some(And(EqualTo(ml.toAttribute, mr.toAttribute), j.condition.get)),
       JoinHint.NONE))
   }
 

@@ -119,18 +119,18 @@ object IndexStore {
       .getOrElse(fallback)
   }
 
-  /** Whether store component `name` exists in ANY resolvable state —
-    * manifest entry, pointer, version dir, or legacy plain dir —
-    * through the Hadoop FileSystem API (so non-local stores and the
-    * versions-only crash state are detected; a java.io.File check on
-    * the plain dir misses both).
+  /** Whether store component `name` exists in a READABLE state —
+    * resolution (manifest → pointer → version → plain) must land on a
+    * directory that actually exists, through the Hadoop FileSystem API
+    * (so non-local stores and the versions-only crash state are
+    * detected; a java.io.File check on the plain dir misses both).
+    * A name-only check (manifest entry or pointer file with no
+    * surviving data dir — external cleanup) must NOT count: the caller
+    * would skip the rebuild and then crash on the read.
     */
   def componentExists(s: SparkSession, dir: String, name: String): Boolean = {
     val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
-    readManifest(fs, dir).exists(_.contains(name)) ||
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name")) ||
-      listVersions(fs, dir, name).nonEmpty ||
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    fs.exists(new org.apache.hadoop.fs.Path(resolvePath(s, dir, name)))
   }
 
   /** Rewrite component `name` as one file per partition directory and

@@ -684,7 +684,12 @@ object EventStreams {
           else {
             state.update(AsofSSState(stillPend, keptRights))
             // wake when the earliest pending event can finalize, or
-            // when buffered rights next expire (state cleanup)
+            // when buffered rights next expire (state cleanup). A key
+            // holding ONLY the no-tolerance backward carry row has
+            // neither — set NO timeout: the carry is revisited when
+            // new data for the key arrives, instead of timeout-firing
+            // on every watermark advance for the stream's lifetime
+            // (per-batch work would grow with every key ever seen).
             val pendWake =
               if (!fwd) stillPend.map { case (_, t) => t / 1000L + 1 }
               else stillPend.map { case (_, t) =>
@@ -696,9 +701,8 @@ object EventStreams {
               }
             val expiryWake = toleranceUs.toList.flatMap(tol =>
               keptRights.map { case (rt, _) => (rt + tol) / 1000L + 1 })
-            val wake = (pendWake ++ expiryWake).minOption
-              .getOrElse(wmUs / 1000L)
-            state.setTimeoutTimestamp(math.max(wake, wmUs / 1000L + 1))
+            (pendWake ++ expiryWake).minOption.foreach(wake =>
+              state.setTimeoutTimestamp(math.max(wake, wmUs / 1000L + 1)))
           }
           out.iterator
       }

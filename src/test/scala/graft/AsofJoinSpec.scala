@@ -469,42 +469,19 @@ class AsofJoinSpec extends SparkSpec {
     // execs); salted on 1-second buckets, the merge stage's shuffle
     // reads must spread: max task <= 2.5x even share, the DedupSpec
     // hot-block bound. Results pinned identical either way.
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val m = 20000
     val left = (0 until m).map(i => (1L, i * 1000L, i.toLong))
       .toDF("k", "t", "lid")
     val right = (0 until m).map(i => (1L, i * 1000L + 500L, i.toLong))
       .toDF("k_r", "t_r", "rid")
+    def rows(df: DataFrame): Set[(Long, Option[Long])] =
+      df.select("lid", "rid").as[(Long, Option[Long])].collect().toSet
 
-    def measure(df: => DataFrame): (Set[(Long, Option[Long])], Map[Int, Seq[Long]]) = {
-      val perStage = new java.util.concurrent.ConcurrentHashMap[
-        Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-      val listener = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-          val tm = te.taskMetrics
-          if (tm != null) perStage.computeIfAbsent(te.stageId,
-            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-            .add(tm.shuffleReadMetrics.recordsRead)
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      val out = try {
-        val r = df.select("lid", "rid").as[(Long, Option[Long])].collect().toSet
-        org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
-        r
-      } finally spark.sparkContext.removeSparkListener(listener)
-      import scala.jdk.CollectionConverters._
-      (out, perStage.asScala.map { case (s, q) => s -> q.asScala.toSeq }.toMap)
-    }
-
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prev = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
-    try {
+    withoutCoalescing {
       // control: the unsalted shuffled exec concentrates the hot key
-      val (wantRows, ctl) = measure(AsofJoin.joinAsOf(left, right,
-        "t", "t_r", Seq("k"), Seq("k_r"), tiebreak = Seq("rid"),
-        broadcast = Some(false)))
+      val (wantRows, ctl) = measureShuffleReads(rows(
+        AsofJoin.joinAsOf(left, right, "t", "t_r", Seq("k"), Seq("k_r"),
+          tiebreak = Seq("rid"), broadcast = Some(false))))
       val worstCtl = ctl.values
         .filter(ts => ts.sum >= m && ts.size > 1)
         .map(ts => ts.max.toDouble / ts.sum).max
@@ -514,9 +491,9 @@ class AsofJoinSpec extends SparkSpec {
 
       // salted: the heaviest shuffle stage (the salted merge — it
       // reads both sides' 2m rows plus carries) must be balanced
-      val (gotRows, salted) = measure(AsofJoin.joinAsOfSalted(left, right,
-        "t", "t_r", Seq("k"), Seq("k_r"), bucketUs = 1000000L,
-        tiebreak = Seq("rid")))
+      val (gotRows, salted) = measureShuffleReads(rows(
+        AsofJoin.joinAsOfSalted(left, right, "t", "t_r",
+          Seq("k"), Seq("k_r"), bucketUs = 1000000L, tiebreak = Seq("rid"))))
       assert(gotRows === wantRows, "salted rows drifted from unsalted")
       val (heavyStage, reads) = salted.maxBy(_._2.sum)
       val total = reads.sum
@@ -525,9 +502,6 @@ class AsofJoinSpec extends SparkSpec {
       assert(reads.max <= 2.5 * evenShare,
         s"stage $heavyStage skewed: max task ${reads.max} vs even " +
           s"share $evenShare over ${reads.size} tasks")
-    } finally prev match {
-      case Some(v) => spark.conf.set(coalesceKey, v)
-      case None => spark.conf.unset(coalesceKey)
     }
   }
 }

@@ -235,49 +235,26 @@ class BandJoinSpec extends SparkSpec {
   }
 
   test("salted band count: hot key spreads the merge stage (measured task bound)") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import spark.implicits._
     val m = 20000
     val left = (0 until m).map(i => (1L, i * 1000L, i.toLong)).toDF("k", "t", "lid")
     val right = (0 until m).map(i => (1L, i * 1000L + 500L)).toDF("rk", "rt")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("lid", "n").as[(Long, Long)].collect().toMap
 
-    def measure(df: => org.apache.spark.sql.DataFrame)
-        : (Map[Long, Long], Map[Int, Seq[Long]]) = {
-      val perStage = new java.util.concurrent.ConcurrentHashMap[
-        Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-      val listener = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-          val tm = te.taskMetrics
-          if (tm != null) perStage.computeIfAbsent(te.stageId,
-            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-            .add(tm.shuffleReadMetrics.recordsRead)
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      val out = try {
-        val r = df.select("lid", "n").as[(Long, Long)].collect().toMap
-        org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
-        r
-      } finally spark.sparkContext.removeSparkListener(listener)
-      import scala.jdk.CollectionConverters._
-      (out, perStage.asScala.map { case (s, q) => s -> q.asScala.toSeq }.toMap)
-    }
-
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prev = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
-    try {
-      val (wantRows, ctl) = measure(BandJoin.bandCount(left, right,
-        "t", "rt", Seq("k"), Seq("rk"), windowUs = 10000L,
-        countName = "n", broadcast = Some(false)))
+    withoutCoalescing {
+      val (wantRows, ctl) = measureShuffleReads(rows(
+        BandJoin.bandCount(left, right, "t", "rt", Seq("k"), Seq("rk"),
+          windowUs = 10000L, countName = "n", broadcast = Some(false))))
       val worstCtl = ctl.values
         .filter(ts => ts.sum >= m && ts.size > 1)
         .map(ts => ts.max.toDouble / ts.sum).max
       assert(worstCtl >= 0.99,
         s"control lost its hot task (max share $worstCtl)")
-      val (gotRows, salted) = measure(BandJoin.bandCountSalted(left, right,
-        "t", "rt", Seq("k"), Seq("rk"), windowUs = 10000L,
-        bucketUs = 1000000L, countName = "n"))
+      val (gotRows, salted) = measureShuffleReads(rows(
+        BandJoin.bandCountSalted(left, right, "t", "rt",
+          Seq("k"), Seq("rk"), windowUs = 10000L, bucketUs = 1000000L,
+          countName = "n")))
       assert(gotRows === wantRows, "salted counts drifted from unsalted")
       val (heavyStage, reads) = salted.maxBy(_._2.sum)
       val total = reads.sum
@@ -286,9 +263,6 @@ class BandJoinSpec extends SparkSpec {
       assert(reads.max <= 2.5 * evenShare,
         s"stage $heavyStage skewed: max task ${reads.max} vs even " +
           s"share $evenShare over ${reads.size} tasks")
-    } finally prev match {
-      case Some(v) => spark.conf.set(coalesceKey, v)
-      case None => spark.conf.unset(coalesceKey)
     }
   }
 }

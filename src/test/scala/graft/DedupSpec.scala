@@ -154,30 +154,14 @@ class DedupSpec extends SparkSpec {
     // tasks (max task <= 2.5x the even share), where the unbounded
     // design provably concentrates 100% of the block on ONE task —
     // both facts asserted from the same SparkListenerTaskEnd stream.
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val m = 4000
     val rows = (1L to m.toLong).toDF("id")
       .select(lit("hot").as("blk"), struct(col("id").as("doc_id")).as("v"))
 
-    def measure(cap: Int): Map[Int, Seq[Long]] = {
-      val perStage = new java.util.concurrent.ConcurrentHashMap[
-        Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-      val listener = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-          val tm = te.taskMetrics
-          if (tm != null) perStage.computeIfAbsent(te.stageId,
-            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-            .add(tm.shuffleReadMetrics.recordsRead)
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        assert(Dedup.blockPairs(rows, cap).count() === m.toLong * (m - 1) / 2)
-        org.apache.spark.sql.graft.GraftSql.drainListenerBus(spark)
-      } finally spark.sparkContext.removeSparkListener(listener)
-      import scala.jdk.CollectionConverters._
-      perStage.asScala.map { case (sid, q) => sid -> q.asScala.toSeq }.toMap
-    }
+    // shared SparkSpec harness: per-stage shuffle-read records
+    def measure(cap: Int): Map[Int, Seq[Long]] =
+      measureShuffleReads(
+        assert(Dedup.blockPairs(rows, cap).count() === m.toLong * (m - 1) / 2))._2
 
     // AQE partition coalescing would legitimately re-merge small even
     // shares and muddy the balance measurement — scope it off

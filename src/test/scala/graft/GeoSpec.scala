@@ -566,6 +566,45 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("hint residual arm survives the fixed point on NON-NULLABLE bounds") {
+    // SimplifyBinaryComparison rewrites `a = a` to TRUE for a
+    // non-nullable `a` — a single self-equality marker would be erased
+    // inside the optimizer's fixed point and the rule would re-split
+    // the residual arm every iteration (plan accretes nested Unions to
+    // maxIterations). The two-distinct-attribute marker pair must keep
+    // exactly ONE split. spark.range-derived columns are non-nullable,
+    // the exact shape that folds.
+    Geo.ensureRegistered(spark)
+    val key = "spark.graft.grid.maxBoundHint"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "1.0")
+      val a = spark.range(60).select(
+        (col("id") % 7).cast("double").as("x"),
+        ((col("id") * 3) % 11).cast("double").as("y"))
+      val b = spark.range(40).select(
+        ((col("id") * 5) % 13).cast("double").as("bx"),
+        ((col("id") * 7) % 17).cast("double").as("by"),
+        (lit(0.25) + (col("id") % 3).cast("double")).as("br2"))
+      def q = a.crossJoin(b)
+        .where(expr("(x-bx)*(x-bx) + (y-by)*(y-by) <= br2"))
+        .groupBy("bx").agg(count(lit(1)).as("n")).orderBy("bx")
+      val plan = q.queryExecution.optimizedPlan
+      assert(plan.toString.contains("_gridx_h"),
+        "residual marker erased — the guard died in the fixed point")
+      val unions = plan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+      assert(unions.size === 1,
+        s"expected exactly one hint split, found ${unions.size} Unions " +
+          "(re-splitting each fixed-point pass)")
+      // and the dishonest hint (radii reach 2.25 > 1.0) stays exact
+      assert(q.collect().toSeq === withoutHint(withoutRule(q.collect().toSeq)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("zRangesForCells: exact cover, maximal ranges, pruned multi-box scan") {
     // property: for arbitrary cell boxes the decomposition's union is
     // EXACTLY the box's Morton codes — no out-of-box z (tight pruning),
