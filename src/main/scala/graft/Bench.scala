@@ -136,8 +136,34 @@ object Bench {
     val benchStart = System.nanoTime()
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2400").toDouble
     def elapsedSec = (System.nanoTime() - benchStart) / 1e9
-    val p1 = runPass()
-    val p2 = runPass()
+    // CALIBRATION PROBE: a fixed-size synthetic shuffle+agg+sort over
+    // spark.range — zero fixture I/O, identical work every round — run
+    // before and after every pass. Three rounds of "tenant weather"
+    // claims (pass totals 13-25% above min, never converging) were
+    // credible but unfalsifiable; the probe makes them measurable: the
+    // suite total is reported RAW and NORMALIZED by the run's median
+    // probe time, so a cross-round comparison can factor the host's
+    // regime out (a noisy tenant slows the probe and the suite alike;
+    // a plan regression slows only the suite). 20M rows into 1M groups
+    // keeps the probe shuffle-bound for ~1-2 s at local[32] — long
+    // enough to sample contention, short enough to stay untimed noise
+    // in the budget.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id", "(id * 2654435761) % 1000003 AS k")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("id").as("s"),
+          org.apache.spark.sql.functions.count("*").as("c"))
+        .orderBy(org.apache.spark.sql.functions.desc("s")).limit(100)
+        .queryExecution.toRdd.foreach(_ => ())
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // untimed probe warmup (codegen for the probe itself)
+    val probes = scala.collection.mutable.ArrayBuffer(probeOnce())
+    def passWithProbe() = { val p = runPass(); probes += probeOnce(); p }
+    val p1 = passWithProbe()
+    val p2 = passWithProbe()
     // third pass only if it can plausibly FINISH inside the budget:
     // estimate its duration as the slower of the two completed passes
     // (a pessimistic bound — passes only get warmer). Gating on
@@ -145,7 +171,7 @@ object Bench {
     // full pass when the check landed just under the line.
     val estPassSec = math.max(p1.map(_._2).sum, p2.map(_._2).sum)
     val passes =
-      if (elapsedSec + estPassSec < budgetSec) Seq(p1, p2, runPass())
+      if (elapsedSec + estPassSec < budgetSec) Seq(p1, p2, passWithProbe())
       else Seq(p1, p2)
     System.err.println(f"[bench] pass totals: ${passes.map(p => f"${p.map(_._2).sum}%.1f").mkString(", ")} s (min-of-${passes.length} reported)")
     val results = suite.map(_._1).zipWithIndex.map { case (name, i) =>
@@ -185,7 +211,20 @@ object Bench {
     // for ten straight rounds was the tail of the spread map —
     // `parsed: null` every time. With total2/n_queries2/qhash2 as the
     // final keys, the tail alone carries the headline numbers.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"n_queries":$nQueries,"qhash":"$qhash","passes":${passes.length},"failed":$failed,"sf":"$sfDir","queries":$qs,"spread":$spreads,"total2":$total,"n_queries2":$nQueries,"qhash2":"$qhash"}"""
+    // probe stats + normalized total: norm_total is the suite total in
+    // units of the run's MEDIAN probe time (multiples-of-probe, not
+    // seconds) — compare norm_total across rounds to factor host
+    // weather out; probe_spread shows how stable the weather was
+    // WITHIN the run.
+    val probeSorted = probes.toSeq.sorted
+    val probeMed = probeSorted(probeSorted.length / 2)
+    val probeMin = probeSorted.head
+    val probeSpread =
+      if (probeMin > 0) (probeSorted.last - probeMin) / probeMin else 0.0
+    val probesJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val normTotal = if (probeMed > 0) total / probeMed else 0.0
+    val probeFields = f""""probes":$probesJson,"probe_med":$probeMed%.3f,"probe_min":$probeMin%.3f,"probe_spread":${math.rint(probeSpread * 1000) / 1000},"norm_total":$normTotal%.1f"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"n_queries":$nQueries,"qhash":"$qhash","passes":${passes.length},"failed":$failed,$probeFields,"sf":"$sfDir","queries":$qs,"spread":$spreads,"total2":$total,"n_queries2":$nQueries,"qhash2":"$qhash"}"""
     // stdout first — it must carry the result even if the file write
     // fails (an unwritable path must not discard a finished run).
     println(json)
@@ -197,7 +236,7 @@ object Bench {
     // the tail now ends with one complete object the driver can parse
     // on its own. (Full line first, so bench_out.json and stdout both
     // still carry the complete per-query map.)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"n_queries":$nQueries,"qhash":"$qhash","passes":${passes.length},"failed":$failed,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"n_queries":$nQueries,"qhash":"$qhash","passes":${passes.length},"failed":$failed,$probeFields,"sf":"$sfDir"}"""
     println(summary)
     // stdout can also be mangled by a build tool's logger ("[info] "
     // prefixes broke the round-1 parse) — so best-effort persist to a

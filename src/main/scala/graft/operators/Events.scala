@@ -415,6 +415,70 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** The SQL front door over the same native as-of (same oracle as
+    * e_asof_join/e_asof_native): the Spark side is PURE SQL TEXT — the
+    * textbook as-of shape a SQL user actually writes (left-outer
+    * inequality join reduced with `max_by` over a (time, tiebreak)
+    * struct) — and [[graft.plans.SqlAsofRewrite]] replans the
+    * Join-under-Aggregate onto [[graft.plans.AsofJoinExec]]: zero
+    * fan-out instead of |event x same-user orders| candidate rows
+    * feeding the aggregate. AsofJoinSpec plan-pins the native exec
+    * and the rule's equivalence against the rule-stripped run; the
+    * driver's hash gate certifies it against the same DuckDB oracle
+    * as the DataFrame paths every round.
+    */
+  def eAsofSql(s: SparkSession, d: String): DataFrame = {
+    graft.plans.AsofJoin.ensureRegistered(s)
+    load(s, d).createOrReplaceTempView("graft_sql_events")
+    Tables.orders(s, d).createOrReplaceTempView("graft_sql_orders")
+    s.sql(eAsofSqlText)
+  }
+
+  /** The pure SQL text [[eAsofSql]] runs — exposed so AsofJoinSpec can
+    * run the IDENTICAL text with the rewrite stripped (calling
+    * eAsofSql in the control would re-register the rule).
+    */
+  private[graft] val eAsofSqlText: String = """
+      WITH ev AS (SELECT event_id, user_id, unix_micros(ts) AS ts_us
+                  FROM graft_sql_events),
+           ord AS (SELECT o_custkey, o_orderkey,
+                     CAST(unix_timestamp(o_orderdate) AS BIGINT) * 1000000 AS o_us
+                   FROM graft_sql_orders)
+      SELECT ev.event_id, ev.user_id,
+             max_by(ord.o_orderkey, struct(ord.o_us, ord.o_orderkey)) AS o_orderkey,
+             max_by(CAST(ord.o_us / 1000000 AS BIGINT),
+                    struct(ord.o_us, ord.o_orderkey)) AS order_epoch
+      FROM ev LEFT JOIN ord
+        ON ev.user_id = ord.o_custkey AND ord.o_us <= ev.ts_us
+      GROUP BY ev.event_id, ev.user_id
+      ORDER BY ev.event_id
+      """
+
+  /** The AUTO-SKEW front door over the same native as-of (same oracle
+    * as e_asof_join/e_asof_native — detection must be invisible in the
+    * results): [[graft.plans.AsofJoin.joinAsOfAuto]] runs one key-grain
+    * detection aggregate and only reruns as the salted plan when a key
+    * exceeds the skew threshold — at this fixture's key cardinality it
+    * certifies the fall-through (detection finds no hot key, the plain
+    * shuffled exec plans, results hash against the unsalted oracle);
+    * the triggered path's exactness and measured even-share bound are
+    * pinned by AsofJoinSpec's adversarial single-key fixture with no
+    * caller opt-in.
+    */
+  def eAsofAuto(s: SparkSession, d: String): DataFrame = {
+    val ev = load(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) * lit(1000000L)).as("o_us"))
+    graft.plans.AsofJoin.joinAsOfAuto(ev, ord,
+        leftTime = "ts_us", rightTime = "o_us",
+        leftBy = Seq("user_id"), rightBy = Seq("o_custkey"),
+        tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        (col("o_us") / lit(1000000L)).cast("bigint").as("order_epoch"))
+      .orderBy("event_id")
+  }
+
   /** The BROADCAST plan of the same native as-of (same oracle as
     * e_asof_join/e_asof_native): the orders side is broadcast whole and
     * indexed per task; the events side pays NO shuffle and NO sort —
@@ -3551,6 +3615,8 @@ object Events {
     "e_asof_nearest" -> (eAsofNearest _, eAsofNearestSql),
     "e_asof_global" -> (eAsofGlobal _, eAsofGlobalSql),
     "e_asof_salted" -> (eAsofSalted _, eAsofJoinSql),
+    "e_asof_auto"  -> (eAsofAuto _, eAsofJoinSql),
+    "e_asof_sql"   -> (eAsofSql _, eAsofJoinSql),
     "e_range_native" -> (eRangeNative _, eRangeJoinSql),
     "e_band_salted" -> (eBandSalted _, eRangeJoinSql),
     "e_band_broadcast" -> (eBandBroadcast _, eBandBroadcastSql),

@@ -415,13 +415,32 @@ object Geo {
     * reach 0.0025): the rewrite's residual naive arm picks up every
     * row the hint under-covers, so the driver's brute-force oracle
     * certifies each round that exactness never rests on the hint.
-    * (The conf is left set on the session: the hint is only consulted
-    * for bounds nothing else can prove, and the split is exact for any
-    * data, so it cannot perturb another query's results.)
+    *
+    * The hint conf is SCOPED to this query: the previous value is
+    * snapshotted, the hinted Union plan is executed eagerly under
+    * [[Materialize.pin]] (inside the bench timing window — the
+    * builder call is timed), and the conf is restored in the finally
+    * — so no later unproven-bound join in the same session silently
+    * replans through this query's hint (plan shapes stay
+    * order-independent; exactness never depended on it, plan
+    * determinism does).
     */
   def gGridHint(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.graft.grid.maxBoundHint"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "0.001")
+    try Materialize.pin(gGridHintFrame(s, d))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** The un-pinned hinted frame — [[gGridHint]] executes it under the
+    * scoped hint; GeoSpec plan-pins both rewrite arms on it directly.
+    */
+  private[graft] def gGridHintFrame(s: SparkSession, d: String): DataFrame = {
     ensureRegistered(s)
-    s.conf.set("spark.graft.grid.maxBoundHint", "0.001")
     val supp = suppPoints(s, d).withColumn("r2", expr(VarR2))
     custPoints(s, d).crossJoin(supp)
       .where(expr(s"$DIST2 <= r2"))

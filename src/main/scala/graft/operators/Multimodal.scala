@@ -732,7 +732,107 @@ object Multimodal {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ real image decode
+  /** Output of the REAL decoder: dimensions, pixel sum, and the
+    * pixel-domain average hash of the decoded grayscale image.
+    */
+  case class DecodedImage(doc_id: Long, w: Int, h: Int, pix_sum: Long,
+      phash32: Long)
+
+  /** Deterministic tiny PNGs: one 8x4 TYPE_BYTE_GRAY image per
+    * document whose 32 pixels are the doc's md5 hex nibbles scaled to
+    * [0, 240] — a pixel source BOTH engines can derive (DuckDB from
+    * the hex string, the JVM from the same), so the REAL codec round
+    * trip is certifiable without shipping binary fixtures. Encoding
+    * runs in the same per-partition seam shape as decode (ImageIO
+    * writer state amortizes per task).
+    */
+  private[graft] def realPngs(s: SparkSession, d: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, fp) =>
+          val img = new java.awt.image.BufferedImage(
+            8, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < 32) {
+            val nib = java.lang.Character.digit(fp.charAt(i), 16)
+            raster.setSample(i % 8, i / 8, 0, nib * 16)
+            i += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+  }
+
+  /** REAL image decode through the one `mapPartitions` seam
+    * ([[decodeWith]]): `javax.imageio.ImageIO.read` decodes actual PNG
+    * bytes (produced by [[realPngs]] — the container has no external
+    * codecs, but the JDK's PNG codec is a real, lossless one), and the
+    * features come from the DECODED RASTER, not byte statistics: pixel
+    * sum and the average hash (bit k set iff pixel k is above the
+    * image mean; `pix*32 > sum` keeps the compare integer-exact). The
+    * DuckDB oracle recomputes both from the same md5-nibble pixel
+    * definition WITHOUT the codec — hash parity therefore proves the
+    * encode→decode round trip returned exactly the source pixels.
+    * Corrupt payloads fail loudly (ImageIO.read returning null throws
+    * here) rather than producing silent garbage features.
+    */
+  def decodeReal(s: SparkSession, d: String): Dataset[DecodedImage] = {
+    import s.implicits._
+    decodeWith(realPngs(s, d), () => (id: Long, bytes: Array[Byte]) => {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload for doc $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val n = w * h
+      val pix = new Array[Int](n)
+      var i = 0
+      var sum = 0L
+      while (i < n) {
+        pix(i) = raster.getSample(i % w, i / w, 0)
+        sum += pix(i)
+        i += 1
+      }
+      var hash = 0L
+      i = 0
+      while (i < n) {
+        if (pix(i).toLong * n > sum) hash |= 1L << i
+        i += 1
+      }
+      DecodedImage(id, w, h, sum, hash)
+    })
+  }
+
+  def mDecodeReal(s: SparkSession, d: String): DataFrame =
+    decodeReal(s, d).toDF().orderBy("doc_id")
+
+  /** Recomputes [[decodeReal]]'s features from the md5-nibble pixel
+    * definition directly — no codec on the oracle side, so a match
+    * certifies the JVM PNG round trip was pixel-exact.
+    */
+  val mDecodeRealSql: String =
+    """WITH n AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |px AS (SELECT n.doc_id, r.i,
+      |    (strpos('0123456789abcdef', substr(n.fp, CAST(r.i AS INT), 1)) - 1) * 16 AS pix
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, 33)) AS i) r),
+      |t AS (SELECT doc_id, CAST(SUM(pix) AS BIGINT) AS pix_sum FROM px GROUP BY doc_id)
+      |SELECT t.doc_id, 8 AS w, 4 AS h, t.pix_sum,
+      |  CAST(SUM(CASE WHEN px.pix * 32 > t.pix_sum
+      |    THEN (CAST(1 AS BIGINT) << CAST(px.i - 1 AS INT)) ELSE 0 END) AS BIGINT) AS phash32
+      |FROM px JOIN t ON px.doc_id = t.doc_id
+      |GROUP BY t.doc_id, t.pix_sum
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m_decode_real"  -> (mDecodeReal _, Some(mDecodeRealSql)),
     "m_vad_stub"     -> (mVadStub _, Some(mVadStubSql)),
     "m_pair_audit"   -> (mPairAudit _, Some(mPairAuditSql)),
     "m_shard_pack"   -> (mShardPack _, Some(mShardPackSql)),

@@ -539,6 +539,8 @@ object AsofJoin {
       em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
     if (!em.extraOptimizations.contains(PushFilterThroughAsofJoin))
       em.extraOptimizations = em.extraOptimizations :+ PushFilterThroughAsofJoin
+    if (!em.extraOptimizations.contains(SqlAsofRewrite))
+      em.extraOptimizations = em.extraOptimizations :+ SqlAsofRewrite
   }
 
   /** As-of join (left outer). Backward (default): for each `left` row,
@@ -707,5 +709,77 @@ object AsofJoin {
         leftBy :+ Salt, rightBy :+ Salt, tiebreak, toleranceUs,
         direction, broadcast = Some(false))
       .drop(Salt)
+  }
+
+  /** [[joinAsOf]] with AUTOMATIC skew handling — the no-opt-in front
+    * door: the caller does not need to know a key is hot or pick a
+    * bucket width. One key-grain detection aggregate runs over the
+    * join keys + time of BOTH inputs (map-side partial combine, so the
+    * detection pass itself is skew-immune; column-pruned to key +
+    * time); if the hottest key's combined row count stays at or below
+    * `spark.graft.asof.autoSkewThreshold` (default 2,000,000 — a
+    * single merge task's comfortable row budget), the plain
+    * [[joinAsOf]] plan runs untouched. Above it, the join reruns as
+    * [[joinAsOfSalted]] with the bucket width DERIVED from the hot
+    * key itself: enough buckets to hold the hot key at
+    * `spark.graft.asof.targetBucketRows` rows each (default 500,000),
+    * spread over the hot key's observed time span —
+    * `bucketUs = ceil(span / ceil(hotCount / target))`. Exactness is
+    * [[joinAsOfSalted]]'s bucket-carry proof; the salt never reaches
+    * the output, so results are byte-identical to the unsalted plan
+    * either way (AsofJoinSpec pins both the equivalence and the
+    * measured even-share task bound with no caller opt-in).
+    *
+    * Cost of the detection pass: one shuffle of key-grain partial
+    * aggregates — at 100 TB this reads two pruned columns per side and
+    * moves |distinct keys| rows, orders of magnitude below the join
+    * itself. A caller that KNOWS the skew shape can still call
+    * [[joinAsOfSalted]] (fixed bucket) or [[joinAsOf]] (no detection)
+    * directly.
+    */
+  def joinAsOfAuto(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      leftBy: Seq[String],
+      rightBy: Seq[String],
+      tiebreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val s = left.sparkSession
+    val threshold =
+      s.conf.get("spark.graft.asof.autoSkewThreshold", "2000000").toLong
+    val target =
+      s.conf.get("spark.graft.asof.targetBucketRows", "500000").toLong
+    require(threshold > 0 && target > 0,
+      s"joinAsOfAuto: threshold/target must be positive ($threshold/$target)")
+    def proj(df: DataFrame, keys: Seq[String], t: String) =
+      df.select(keys.zipWithIndex.map { case (k, i) =>
+        col(k).as(s"_asof_k$i") } :+ col(t).as("_asof_t"): _*)
+    val kcols = leftBy.indices.map(i => col(s"_asof_k$i"))
+    val hot = proj(left, leftBy, leftTime)
+      .unionByName(proj(right, rightBy, rightTime))
+      .filter(col("_asof_t").isNotNull)
+      .groupBy(kcols: _*)
+      .agg(count(lit(1)).as("_asof_c"),
+        min(col("_asof_t")).as("_asof_min"),
+        max(col("_asof_t")).as("_asof_max"))
+      .orderBy(col("_asof_c").desc)
+      .limit(1).collect()
+    val plain = hot.isEmpty || hot.head.getAs[Long]("_asof_c") <= threshold
+    if (plain)
+      joinAsOf(left, right, leftTime, rightTime, leftBy, rightBy,
+        tiebreak, toleranceUs, direction)
+    else {
+      val cnt = hot.head.getAs[Long]("_asof_c")
+      val span = math.max(1L,
+        hot.head.getAs[Long]("_asof_max") - hot.head.getAs[Long]("_asof_min"))
+      val buckets = (cnt + target - 1) / target
+      val bucketUs = math.max(1L, (span + buckets - 1) / buckets)
+      joinAsOfSalted(left, right, leftTime, rightTime, leftBy, rightBy,
+        bucketUs, tiebreak, toleranceUs, direction)
+    }
   }
 }

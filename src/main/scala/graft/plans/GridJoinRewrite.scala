@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And,
   Attribute, AttributeReference, Cast, EqualTo, Expression, Floor,
   GenericInternalRow, GreaterThan, GreaterThanOrEqual, IntegralDivide,
-  LessThan, LessThanOrEqual, Literal, Multiply, Subtract}
+  LessThan, LessThanOrEqual, Literal, Multiply, Murmur3Hash, Pmod,
+  Subtract}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint,
   LocalRelation, LogicalPlan, Project, RepartitionOperation, Sort,
@@ -633,22 +634,52 @@ object GridJoinRewrite extends Rule[LogicalPlan] {
     * shape over `rhs > hint` rows, guarded against re-splitting by a
     * `_gridx_h` marker pair — one per side, built from the matched
     * comparison's own coordinate attributes exactly like the sliver
-    * markers (`attr * 0`: non-foldable, and a SELF-equality of one
-    * marker would not survive — SimplifyBinaryComparison rewrites
-    * `a = a` to TRUE for a non-nullable `a`, erasing the guard and
-    * re-splitting the residual on every fixed-point pass; two DISTINCT
-    * attributes cannot be folded). NULL coordinates make a NULL marker
-    * and the pair drops — the same rows the NULL-rejecting preserved
-    * predicate dropped in the naive plan.
+    * markers (non-foldable: each references an attribute, and a
+    * SELF-equality of one marker would not survive —
+    * SimplifyBinaryComparison rewrites `a = a` to TRUE for a
+    * non-nullable `a`, erasing the guard and re-splitting the residual
+    * on every fixed-point pass; two DISTINCT attributes cannot be
+    * folded). NULL coordinates make a NULL marker and the pair drops —
+    * the same rows the NULL-rejecting preserved predicate dropped in
+    * the naive plan.
+    *
+    * The marker is SALTED so the arm parallelizes: a constant-valued
+    * marker (`attr * 0` alone) hashes every row to ONE shuffle
+    * partition — with a dishonest or undersized hint the residual
+    * became a single-task naive join, a skew cliff on exactly the
+    * inputs where the hint is wrong. Instead the GUARDED side (empty
+    * under an honest hint, so its replication is free there)
+    * cross-joins a fanout-row salt relation, and the unguarded side
+    * keys on `pmod(hash(coord), fanout)` — every qualifying pair
+    * still matches exactly once (the one guarded copy whose salt
+    * equals the unguarded row's bucket), and the naive work spreads
+    * over fanout tasks. `attr * 0 +` keeps the NULL-drop semantics on
+    * both sides.
     */
   private def residualArm(j: Join, r: Residual): LogicalPlan = {
-    val ml = Alias(Multiply(
-      Cast(r.leftAttr, DoubleType), Literal(0.0, DoubleType)), "_gridx_h")()
-    val mr = Alias(Multiply(
-      Cast(r.rightAttr, DoubleType), Literal(0.0, DoubleType)), "_gridx_h")()
+    val fanout = math.max(1, math.min(conf.numShufflePartitions, 64))
+    val saltAttr =
+      AttributeReference("_gridx_hsalt", IntegerType, nullable = false)()
+    val salts = LocalRelation(Seq(saltAttr),
+      (0 until fanout).map(i => new GenericInternalRow(Array[Any](i))))
+    def nullCarrier(a: Attribute) =
+      Multiply(Cast(a, DoubleType), Literal(0.0, DoubleType))
+    def bucketMarker(a: Attribute) = Add(nullCarrier(a),
+      Cast(new Pmod(new Murmur3Hash(Seq(a)), Literal(fanout)), DoubleType))
+    def saltMarker(a: Attribute) =
+      Add(nullCarrier(a), Cast(saltAttr, DoubleType))
     val guard = GreaterThan(r.rhs, r.lit)
-    val lp0 = if (r.onLeft) Filter(guard, j.left) else j.left
-    val rp0 = if (r.onLeft) j.right else Filter(guard, j.right)
+    val (ml, mr, lp0, rp0) =
+      if (r.onLeft) (
+        Alias(saltMarker(r.leftAttr), "_gridx_h")(),
+        Alias(bucketMarker(r.rightAttr), "_gridx_h")(),
+        Join(Filter(guard, j.left), salts, Cross, None, JoinHint.NONE),
+        j.right)
+      else (
+        Alias(bucketMarker(r.leftAttr), "_gridx_h")(),
+        Alias(saltMarker(r.rightAttr), "_gridx_h")(),
+        j.left,
+        Join(Filter(guard, j.right), salts, Cross, None, JoinHint.NONE))
     val lp = Project(j.left.output :+ ml, lp0)
     val rp = Project(j.right.output :+ mr, rp0)
     Project(j.output, Join(lp, rp, Inner,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, max, when}
 
 /** Persistence for the IVF similarity index — the build-once /
   * serve-many contract every production ANN deployment needs: the fit
@@ -40,6 +40,164 @@ object IndexStore {
 
   private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  // ---- exactly-once streaming appends: the batch partition level
+  //
+  // Every data component carries a SECOND partition level under its
+  // clustering key: `{key}=X/batch=N`. Base saves and compactions
+  // write `batch=-1`; each streaming microbatch lands under its own
+  // `batch={batchId}` leaves AFTER deleting any leaves a prior attempt
+  // of the same batch left behind — so a retried microbatch (Structured
+  // Streaming replays the last uncommitted batch with the same id and
+  // the same rows) is an idempotent overwrite of exactly its own
+  // partition, never a duplicate append. The batch column never
+  // reaches a consumer: every load projects it away. Partition
+  // pruning on the clustering key is untouched (the key stays the
+  // first directory level), and the leaf count only grows by the
+  // number of live batch values — compaction folds every batch except
+  // the maximum back into `-1` (commits are ordered, so the only batch
+  // that can still be retried is the maximum one; folding it would
+  // re-open the duplication hole the batch level closes).
+
+  /** The second-level partition column for idempotent appends. */
+  private[graft] val BatchCol = "batch"
+
+  /** The batch value base saves and compaction-folded rows carry. */
+  private[graft] val BaseBatch = -1L
+
+  private def withBatch(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn(BatchCol, lit(batchId))
+
+  /** Fold every batch except the maximum into [[BaseBatch]] — the
+    * compaction step that keeps leaf-directory growth bounded without
+    * re-opening the retry-duplication hole: microbatch commits are
+    * ordered, so only the MAXIMUM batch id on disk can still be
+    * uncommitted (and hence replayed); its rows keep their partition
+    * so a replay's delete-then-write still targets exactly them.
+    */
+  private def foldSuperseded(df: DataFrame): DataFrame = {
+    val maxB = Option(df.agg(max(col(BatchCol))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(BaseBatch)
+    if (maxB == BaseBatch) df.withColumn(BatchCol, lit(BaseBatch))
+    else df.withColumn(BatchCol,
+      when(col(BatchCol) === lit(maxB), lit(maxB)).otherwise(lit(BaseBatch)))
+  }
+
+  /** Idempotent microbatch append: delete every `batch={batchId}` leaf
+    * a prior attempt of this batch wrote (retry = overwrite of exactly
+    * that partition), then land the batch under fresh
+    * `{key}=X/batch={batchId}` leaves. Refuses to run while a
+    * compaction holds the store's compaction lease — a mid-compaction
+    * append into the superseded version directory would be silently
+    * lost at cleanup.
+    */
+  private def appendBatch(s: SparkSession, dir: String, name: String,
+      clusterCol: String, df: DataFrame, batchId: Long): Unit = {
+    require(batchId >= BaseBatch + 1,
+      s"batchId must be >= 0 (got $batchId); $BaseBatch is the base-save marker")
+    requireNoCompaction(s, dir)
+    val live = resolvePath(s, dir, name)
+    val fs = fsOf(s, new org.apache.hadoop.fs.Path(live))
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$live/*/$BatchCol=$batchId"))).toSeq.flatten
+      .foreach(st => fs.delete(st.getPath, true))
+    withBatch(df, batchId).write.mode(SaveMode.Append)
+      .partitionBy(clusterCol, BatchCol).parquet(live)
+  }
+
+  // ---- upsert/compaction exclusion: lightweight lease markers
+  //
+  // A compaction stages from a snapshot read of the live version and
+  // then reaps the old version dirs — a streaming append that lands in
+  // the superseded dir mid-flight is silently lost. The two sides
+  // exclude each other through two marker files, both created with the
+  // filesystem's atomic create-if-absent:
+  //  - `LEASE_upsert` — written by the upsert-stream starters with the
+  //    query's runId; compaction refuses while the named query is
+  //    still active IN THIS SESSION, and auto-clears a stale lease
+  //    (query no longer active — stopped or crashed). Driver-local
+  //    best-effort: cross-session coordination needs an external lock.
+  //  - `LEASE_compact` — held for the duration of a compaction (always
+  //    released in-JVM via finally); appends refuse while it exists.
+  //    A hard-killed compaction leaves it behind — clear with
+  //    [[clearCompactionLease]] after confirming nothing is running.
+
+  private def leaseP(dir: String, kind: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/LEASE_$kind")
+
+  private def createLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Boolean =
+    try {
+      val out = fs.create(p, false) // atomic create-if-absent
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** Record this store's active upsert stream. Called by the
+    * [[graft.streaming.IndexUpserts]] starters right after
+    * `.start()`; a leftover lease from a query this session no longer
+    * runs is cleared and replaced.
+    */
+  private[graft] def acquireUpsertLease(s: SparkSession, dir: String,
+      runId: String): Unit = {
+    val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    val p = leaseP(dir, "upsert")
+    if (!createLease(fs, p, runId)) {
+      val held = readSmallFile(fs, p).trim
+      if (held != runId && s.streams.active.exists(_.runId.toString == held))
+        throw new IllegalStateException(
+          s"store $dir already has an active upsert stream (runId $held)")
+      fs.delete(p, false)
+      if (!createLease(fs, p, runId))
+        throw new IllegalStateException(s"upsert lease contention on $dir")
+    }
+  }
+
+  /** Drop the upsert lease (idempotent). Call after stopping the
+    * stream; a forgotten release is auto-cleared by the next
+    * compaction once the query is no longer active.
+    */
+  def releaseUpsertLease(s: SparkSession, dir: String): Unit =
+    fsOf(s, new org.apache.hadoop.fs.Path(dir))
+      .delete(leaseP(dir, "upsert"), false)
+
+  /** Clear a compaction lease a hard-killed compaction left behind.
+    * Only after confirming no compaction is actually running.
+    */
+  def clearCompactionLease(s: SparkSession, dir: String): Unit =
+    fsOf(s, new org.apache.hadoop.fs.Path(dir))
+      .delete(leaseP(dir, "compact"), false)
+
+  private def requireNoCompaction(s: SparkSession, dir: String): Unit =
+    if (fsOf(s, new org.apache.hadoop.fs.Path(dir))
+        .exists(leaseP(dir, "compact")))
+      throw new IllegalStateException(
+        s"store $dir is compacting — appends would be lost at version " +
+          "cleanup; retry after the compaction (or clearCompactionLease " +
+          "if one was hard-killed)")
+
+  /** Run `body` under the store's compaction lease, refusing if an
+    * upsert stream is live (stale leases — query no longer active in
+    * this session — are cleared first).
+    */
+  private def withCompactionLease[T](s: SparkSession, dir: String)
+      (body: => T): T = {
+    val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    val up = leaseP(dir, "upsert")
+    if (fs.exists(up)) {
+      val held = readSmallFile(fs, up).trim
+      if (s.streams.active.exists(_.runId.toString == held))
+        throw new IllegalStateException(
+          s"store $dir has an active upsert stream (runId $held) — stop " +
+            "it before compacting; a mid-compaction append would be lost")
+      fs.delete(up, false) // stale: the query is gone
+    }
+    if (!createLease(fs, leaseP(dir, "compact"), "compact"))
+      throw new IllegalStateException(
+        s"store $dir is already compacting (or a hard-killed compaction " +
+          "left its lease — clearCompactionLease)")
+    try body finally fs.delete(leaseP(dir, "compact"), false)
+  }
 
   private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, name: String): Seq[Int] =
@@ -166,9 +324,15 @@ object IndexStore {
   private[graft] def compactComponent(s: SparkSession, dir: String,
       name: String, partCols: Seq[String],
       project: DataFrame => DataFrame,
-      onStep: String => Unit): Unit =
+      onStep: String => Unit): Unit = withCompactionLease(s, dir) {
+    val live0 = s.read.parquet(resolvePath(s, dir, name))
+    // legacy (pre-batch-level) stores read without the column: treat
+    // every row as base content so the compacted copy gains the level
+    val live = if (live0.columns.contains(BatchCol)) live0
+      else live0.withColumn(BatchCol, lit(BaseBatch))
     publishComponent(s, dir, name, partCols,
-      project(s.read.parquet(resolvePath(s, dir, name))), onStep)
+      foldSuperseded(project(live)), onStep)
+  }
 
   /** Publish `df` as the new live content of component `name` via the
     * staging → version → pointer protocol (steps and crash matrix in
@@ -183,6 +347,7 @@ object IndexStore {
       name: String, partCols: Seq[String], df: DataFrame,
       onStep: String => Unit): Unit = {
     val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    val prevServing = resolvePath(s, dir, name) // protect for pinned readers
     val next = stageAndVersion(s, fs, dir, name, partCols, df, onStep)
     // a MANIFESTED store's single source of truth is the manifest —
     // update its entry (one atomic swap, same crash matrix as the
@@ -202,9 +367,21 @@ object IndexStore {
           throw new java.io.IOException(s"compaction: pointer swap failed for $dir/$name")
     }
     onStep("pointer")
-    cleanupComponent(fs, dir, name, next)
+    cleanupComponent(fs, dir, name, next, retainCount(s), Some(prevServing))
     onStep("cleaned")
   }
+
+  /** How many SUPERSEDED copies of a component each publish retains
+    * for still-pinned readers (the previously-serving directory first,
+    * then the highest-numbered others). A reader that resolved the old
+    * version just before a publish keeps a complete directory for at
+    * least this many more publishes — the reader contract: at default
+    * retention 1, a scan must span fewer than 2 publishes of the same
+    * component to be guaranteed its files survive. 0 restores
+    * immediate reaping.
+    */
+  private def retainCount(s: SparkSession): Int =
+    s.conf.get("spark.graft.store.retainVersions", "1").toInt
 
   /** Steps 1–2 of the publish protocol for one component: write the
     * complete staging copy, rename it to `{name}_v{next}`. Returns the
@@ -229,15 +406,29 @@ object IndexStore {
     next
   }
 
-  /** Step 4: reap stale version dirs, the legacy plain dir, and (for
-    * manifested stores) the superseded per-component pointer. Crash
-    * here: extra garbage, reaped by the next publish.
+  /** Step 4: reap stale version dirs and the legacy plain dir — except
+    * the `retain` most-recently-superseded copies (the directory that
+    * was SERVING before this publish first, then the highest-numbered
+    * others, the legacy plain dir last), kept so a reader that resolved
+    * the old path just before the swap finishes its scan instead of
+    * losing files mid-flight. For manifested stores the superseded
+    * per-component pointer is dropped. Crash here: extra garbage,
+    * reaped by the next publish.
     */
   private def cleanupComponent(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, name: String, keep: Int): Unit = {
-    listVersions(fs, dir, name).filter(_ != keep).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${name}_v$v"), true))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+      dir: String, name: String, keep: Int, retain: Int,
+      prevServing: Option[String]): Unit = {
+    val keepPath = s"$dir/${name}_v$keep"
+    val plain = s"$dir/$name"
+    val stale = (listVersions(fs, dir, name).filter(_ != keep)
+        .sorted.reverse.map(v => s"$dir/${name}_v$v") ++
+        (if (fs.exists(new org.apache.hadoop.fs.Path(plain))) Seq(plain)
+         else Nil))
+      .filter(_ != keepPath)
+    val ordered = prevServing.toSeq.filter(stale.contains) ++
+      stale.filterNot(prevServing.contains)
+    ordered.drop(math.max(0, retain)).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
     if (readManifest(fs, dir).exists(_.contains(name)))
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/CURRENT_$name"), false)
   }
@@ -259,6 +450,9 @@ object IndexStore {
       components: Seq[(String, Seq[String], DataFrame)],
       onStep: String => Unit): Unit = {
     val fs = fsOf(s, new org.apache.hadoop.fs.Path(dir))
+    val prev = components.map { case (name, _, _) =>
+      name -> resolvePath(s, dir, name)
+    }.toMap
     val versions = components.map { case (name, partCols, df) =>
       name -> stageAndVersion(s, fs, dir, name, partCols, df, onStep)
     }
@@ -266,7 +460,8 @@ object IndexStore {
       versions.map { case (n, v) => n -> s"v$v" }
     writeManifest(fs, dir, merged)
     onStep("manifest")
-    versions.foreach { case (n, v) => cleanupComponent(fs, dir, n, v) }
+    versions.foreach { case (n, v) =>
+      cleanupComponent(fs, dir, n, v, retainCount(s), prev.get(n)) }
     onStep("cleaned")
   }
 
@@ -285,8 +480,9 @@ object IndexStore {
       assign: DataFrame, onStep: String => Unit): Unit =
     publishStore(cent.sparkSession, dir, Seq(
       ("centroids", Nil, cent),
-      ("postings", Seq("cell"),
-        assign.select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))),
+      ("postings", Seq("cell", BatchCol),
+        withBatch(assign.select(col("vec_id"), col("embedding"),
+          col("nrm"), col("cell")), BaseBatch))),
       onStep)
 
   /** Incremental maintenance: append an already-assigned batch of new
@@ -299,14 +495,23 @@ object IndexStore {
     * against the store's own centroids (the streaming upsert sink in
     * [[graft.streaming.IndexUpserts]] wires the two together).
     *
-    * Delivery note: parquet Append is at-least-once under retried
-    * microbatches — production deployments key files by batch id (the
-    * foreachBatch argument) or land appends in a transactional table
-    * format; the upsert sink documents the same caveat.
+    * Delivery: EXACTLY-ONCE under retried microbatches when called
+    * with the foreachBatch `batchId` — the batch lands under its own
+    * `cell=X/batch={batchId}` leaves after any prior attempt's leaves
+    * are deleted, so a replay overwrites exactly itself (the upsert
+    * sink threads the id through). The id-less overload appends into
+    * the base `batch=-1` partition for caller-managed batch backfills
+    * — NOT idempotent; re-running it duplicates.
     */
+  def appendIvf(dir: String, assigned: DataFrame, batchId: Long): Unit =
+    appendBatch(assigned.sparkSession, dir, "postings", "cell",
+      assigned.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell")), batchId)
+
   def appendIvf(dir: String, assigned: DataFrame): Unit =
-    assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      .write.mode(SaveMode.Append).partitionBy("cell")
+    withBatch(assigned.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell")), BaseBatch)
+      .write.mode(SaveMode.Append).partitionBy("cell", BatchCol)
       .parquet(resolvePath(assigned.sparkSession, dir, "postings"))
 
   /** Compact the postings store: every [[appendIvf]] microbatch lands
@@ -329,8 +534,9 @@ object IndexStore {
 
   private[graft] def compactIvf(s: SparkSession, dir: String,
       onStep: String => Unit): Unit =
-    compactComponent(s, dir, "postings", Seq("cell"),
-      _.select(col("vec_id"), col("embedding"), col("nrm"), col("cell")),
+    compactComponent(s, dir, "postings", Seq("cell", BatchCol),
+      _.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col(BatchCol)),
       onStep)
 
   /** Reload (centroids, postings) for [[graft.operators.Similarity
@@ -368,18 +574,28 @@ object IndexStore {
     publishStore(cent.sparkSession, dir, Seq(
       ("centroids", Nil, cent),
       ("codebook", Nil, codebook),
-      ("codes", Seq("ivf_cell"), codes)), onStep)
+      ("codes", Seq("ivf_cell", BatchCol), withBatch(codes, BaseBatch))),
+      onStep)
 
   /** Incremental IVF-PQ maintenance — the compressed-index twin of
     * [[appendIvf]]: a batch of already-encoded codes
     * ([[graft.operators.Similarity.encodeVectors]] against the store's
     * frozen centroids + codebook) lands in its inverted-list
-    * directories; the model frames never rewrite. Same at-least-once
-    * caveat under retried microbatches.
+    * directories; the model frames never rewrite. Exactly-once under
+    * retried microbatches with the foreachBatch `batchId` (same
+    * delete-then-write of the batch's own leaves as [[appendIvf]]);
+    * the id-less overload is the non-idempotent base-partition
+    * backfill.
     */
+  def appendIvfPq(dir: String, codes: DataFrame, batchId: Long): Unit =
+    appendBatch(codes.sparkSession, dir, "codes", "ivf_cell",
+      codes.select(col("vec_id"), col("m"), col("cell"), col("ivf_cell")),
+      batchId)
+
   def appendIvfPq(dir: String, codes: DataFrame): Unit =
-    codes.select(col("vec_id"), col("m"), col("cell"), col("ivf_cell"))
-      .write.mode(SaveMode.Append).partitionBy("ivf_cell")
+    withBatch(codes.select(col("vec_id"), col("m"), col("cell"),
+        col("ivf_cell")), BaseBatch)
+      .write.mode(SaveMode.Append).partitionBy("ivf_cell", BatchCol)
       .parquet(resolvePath(codes.sparkSession, dir, "codes"))
 
   /** Compact the codes store after upsert fragmentation — one file per
@@ -392,8 +608,9 @@ object IndexStore {
 
   private[graft] def compactIvfPq(s: SparkSession, dir: String,
       onStep: String => Unit): Unit =
-    compactComponent(s, dir, "codes", Seq("ivf_cell"),
-      _.select(col("vec_id"), col("m"), col("cell"), col("ivf_cell")),
+    compactComponent(s, dir, "codes", Seq("ivf_cell", BatchCol),
+      _.select(col("vec_id"), col("m"), col("cell"), col("ivf_cell"),
+        col(BatchCol)),
       onStep)
 
   def loadIvfPq(s: SparkSession, dir: String)
@@ -467,7 +684,8 @@ object IndexStore {
 
   def saveGrid(dir: String, pointsWithCells: DataFrame): Unit =
     saveOrPublish(pointsWithCells.sparkSession, dir, "cells",
-      Seq("cell_z"), withCellZ(pointsWithCells))
+      Seq("cell_z", BatchCol),
+      withBatch(withCellZ(pointsWithCells), BaseBatch))
 
   /** Reload the grid store for [[graft.operators.Geo]] serving; column
     * order restored to the build-time shape (the `cell_z` partition
@@ -477,20 +695,26 @@ object IndexStore {
     */
   def loadGrid(s: SparkSession, dir: String): DataFrame = {
     val df = s.read.parquet(resolvePath(s, dir, "cells"))
-    val dataCols = df.columns
-      .filterNot(c => c == "cell_x" || c == "cell_y" || c == "cell_z")
+    val dataCols = df.columns.filterNot(c =>
+      c == "cell_x" || c == "cell_y" || c == "cell_z" || c == BatchCol)
     df.select((dataCols :+ "cell_x" :+ "cell_y" :+ "cell_z").map(col).toSeq: _*)
   }
 
   /** Incremental grid maintenance — the spatial twin of [[appendIvf]]:
     * new points land in their cell directories, serving sessions pick
     * them up on the next [[loadGrid]], the grid itself never rewrites.
-    * Same at-least-once delivery caveat as appendIvf under retried
-    * microbatches.
+    * Exactly-once under retried microbatches with the foreachBatch
+    * `batchId`, same protocol as [[appendIvf]]; the id-less overload
+    * is the non-idempotent base-partition backfill.
     */
+  def appendGrid(dir: String, pointsWithCells: DataFrame,
+      batchId: Long): Unit =
+    appendBatch(pointsWithCells.sparkSession, dir, "cells", "cell_z",
+      withCellZ(pointsWithCells), batchId)
+
   def appendGrid(dir: String, pointsWithCells: DataFrame): Unit =
-    withCellZ(pointsWithCells).write.mode(SaveMode.Append)
-      .partitionBy("cell_z")
+    withBatch(withCellZ(pointsWithCells), BaseBatch)
+      .write.mode(SaveMode.Append).partitionBy("cell_z", BatchCol)
       .parquet(resolvePath(pointsWithCells.sparkSession, dir, "cells"))
 
   /** Compact the grid store after upsert fragmentation — one file per
@@ -502,5 +726,6 @@ object IndexStore {
 
   private[graft] def compactGrid(s: SparkSession, dir: String,
       onStep: String => Unit): Unit =
-    compactComponent(s, dir, "cells", Seq("cell_z"), identity, onStep)
+    compactComponent(s, dir, "cells", Seq("cell_z", BatchCol), identity,
+      onStep)
 }

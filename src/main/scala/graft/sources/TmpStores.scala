@@ -26,8 +26,20 @@ object TmpStores {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete(): Unit
+    // never traverse THROUGH a symlinked directory: listFiles follows
+    // links, so a symlink planted inside a tmp store would have its
+    // TARGET's contents deleted — delete the link itself only. And
+    // swallow per-entry failures (File.delete already returns false
+    // rather than throwing, but a SecurityException or an executor
+    // still flushing during an abnormal shutdown must not abort the
+    // hook mid-sweep — best-effort cleanup, the OS tmp reaper is the
+    // backstop).
+    try {
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+        val children = f.listFiles()
+        if (children != null) children.foreach(deleteRecursively)
+      }
+      f.delete(): Unit
+    } catch { case _: Exception => () }
   }
 }

@@ -596,6 +596,18 @@ object EventStreams {
     * analog of [[graft.plans.AsofJoinExec]]'s O(1) held-row merge
     * state, and of the salted batch wrapper's bucket carry-over.
     *
+    * WITHOUT a tolerance the backward carry row is kept PER KEY
+    * FOREVER (that is the left-outer guarantee: an event may match an
+    * arbitrarily old right row), so total state grows with distinct
+    * key cardinality for the stream's lifetime. `carryIdleTtlUs`
+    * bounds it: a carry row is dropped once
+    * `watermark − rightTime > carryIdleTtlUs` (state for a key with
+    * nothing else pending is then removed via an event-time timeout),
+    * TRADING the guarantee — an event whose nearest prior right row
+    * went idle longer than the TTL emits null-matched instead of
+    * matched. Backward-only; ignored forward (forward state is already
+    * tolerance-bounded).
+    *
     * FORWARD direction (`direction = "forward"`): the EARLIEST right
     * row at or after the event, ties to the SMALLEST id — the batch
     * operator's forward contract. Forward REQUIRES a tolerance: a
@@ -613,7 +625,8 @@ object EventStreams {
   def streamStreamAsof(left: DataFrame, right: DataFrame,
       delay: String = "10 minutes",
       toleranceUs: Option[Long] = None,
-      direction: String = "backward"): Dataset[AsofSSOut] = {
+      direction: String = "backward",
+      carryIdleTtlUs: Option[Long] = None): Dataset[AsofSSOut] = {
     import left.sparkSession.implicits._
     require(direction == "backward" || direction == "forward",
       s"streamStreamAsof: direction must be backward|forward, got '$direction'")
@@ -656,7 +669,8 @@ object EventStreams {
             // once out of reach of any future event)
             val (fresh, old) = rights.partition { case (rt, _) => rt >= wmUs }
             val keptOld = old.maxOption.toList.filter { case (rt, _) =>
-              toleranceUs.forall(tol => wmUs - rt <= tol) }
+              toleranceUs.forall(tol => wmUs - rt <= tol) &&
+                carryIdleTtlUs.forall(ttl => wmUs - rt <= ttl) }
             (o, still, keptOld ++ fresh)
           } else {
             // FORWARD — a left's candidate is the min (time, id) right
@@ -685,11 +699,11 @@ object EventStreams {
             state.update(AsofSSState(stillPend, keptRights))
             // wake when the earliest pending event can finalize, or
             // when buffered rights next expire (state cleanup). A key
-            // holding ONLY the no-tolerance backward carry row has
-            // neither — set NO timeout: the carry is revisited when
+            // holding ONLY the no-tolerance, no-TTL backward carry row
+            // has neither — set NO timeout: the carry is revisited when
             // new data for the key arrives, instead of timeout-firing
             // on every watermark advance for the stream's lifetime
-            // (per-batch work would grow with every key ever seen).
+        // (per-batch work would grow with every key ever seen).
             val pendWake =
               if (!fwd) stillPend.map { case (_, t) => t / 1000L + 1 }
               else stillPend.map { case (_, t) =>
@@ -699,8 +713,15 @@ object EventStreams {
                 math.min(best.minOption.getOrElse(Long.MaxValue - 1000L),
                   bound) / 1000L + 1
               }
-            val expiryWake = toleranceUs.toList.flatMap(tol =>
-              keptRights.map { case (rt, _) => (rt + tol) / 1000L + 1 })
+            // backward: the carry TTL is a second expiry horizon — the
+            // timeout is what evicts an idle key's state (without it a
+            // TTL'd carry would linger until new key data arrives,
+            // defeating the bound)
+            val expiryHorizon =
+              if (fwd) toleranceUs
+              else (toleranceUs.toList ++ carryIdleTtlUs.toList).minOption
+            val expiryWake = expiryHorizon.toList.flatMap(h =>
+              keptRights.map { case (rt, _) => (rt + h) / 1000L + 1 })
             (pendWake ++ expiryWake).minOption.foreach(wake =>
               state.setTimeoutTimestamp(math.max(wake, wmUs / 1000L + 1)))
           }

@@ -24,12 +24,16 @@ import graft.sources.IndexStore
   * [[IndexStore.loadIvf]]; centroid drift is a REBUILD decision made
   * offline (monitor with s_drift/p_domain_shift), never an online one.
   *
-  * Delivery: foreachBatch re-runs a batch after failure, so the
-  * parquet Append is at-least-once; production lands appends keyed by
-  * `batchId` (exposed to the writer) or in a transactional table
-  * format. The equivalence spec (IndexStoreSpec) covers the happy
-  * path: served top-k after N microbatches == a from-scratch
-  * assignment of the union against the same frozen centroids.
+  * Delivery: EXACTLY-ONCE. foreachBatch re-runs a failed batch with
+  * the same `batchId` and the same rows; every sink here threads that
+  * id into the store's batch-partitioned append, which deletes the
+  * prior attempt's `batch={batchId}` leaves before writing — a replay
+  * is an idempotent overwrite of exactly its own partition
+  * ([[IndexStore.appendIvf]]). IndexStoreSpec replays a batch id
+  * twice and pins the served rows identical; the equivalence spec
+  * covers the happy path (served top-k after N microbatches == a
+  * from-scratch assignment of the union against the frozen
+  * centroids).
   */
 object IndexUpserts {
 
@@ -42,7 +46,8 @@ object IndexUpserts {
       val cent = batch.sparkSession.read
         .parquet(IndexStore.resolvePath(batch.sparkSession, dir, "centroids"))
         .select(col("c_id"), col("c_emb"), col("c_nrm"))
-      IndexStore.appendIvf(dir, Similarity.assignVectors(batch, cent))
+      IndexStore.appendIvf(dir, Similarity.assignVectors(batch, cent),
+        batchId)
     }
   }
 
@@ -52,10 +57,10 @@ object IndexUpserts {
     */
   def startIvfUpserts(vectors: DataFrame, dir: String,
       checkpointDir: String): StreamingQuery =
-    vectors.writeStream
+    leased(vectors.sparkSession, dir, vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertIvfBatch(dir) _)
-      .start()
+      .start())
 
   /** IVF-PQ twin of [[upsertIvfBatch]]: encode one microbatch of raw
     * vectors against the store's FROZEN centroids + codebook
@@ -75,7 +80,7 @@ object IndexUpserts {
         .parquet(IndexStore.resolvePath(s, dir, "codebook"))
         .select(col("m"), col("cell"), col("c_emb"))
       IndexStore.appendIvfPq(dir,
-        Similarity.encodeVectors(batch, cent, codebook))
+        Similarity.encodeVectors(batch, cent, codebook), batchId)
     }
   }
 
@@ -84,10 +89,10 @@ object IndexUpserts {
     */
   def startIvfPqUpserts(vectors: DataFrame, dir: String,
       checkpointDir: String): StreamingQuery =
-    vectors.writeStream
+    leased(vectors.sparkSession, dir, vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertIvfPqBatch(dir) _)
-      .start()
+      .start())
 
   /** Grid-store twin of [[upsertIvfBatch]]: key one microbatch of new
     * points (cx, cy columns) to their home cells and append into the
@@ -97,7 +102,8 @@ object IndexUpserts {
     */
   def upsertGridBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty)
-      IndexStore.appendGrid(dir, graft.operators.Geo.withCells(batch))
+      IndexStore.appendGrid(dir, graft.operators.Geo.withCells(batch),
+        batchId)
 
   /** Start the spatial upsert stream: `points` carries at least
     * (cx, cy) unit-square coordinates plus payload columns matching
@@ -105,8 +111,20 @@ object IndexUpserts {
     */
   def startGridUpserts(points: DataFrame, dir: String,
       checkpointDir: String): StreamingQuery =
-    points.writeStream
+    leased(points.sparkSession, dir, points.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(upsertGridBatch(dir) _)
-      .start()
+      .start())
+
+  /** Record the started query as the store's upsert-lease holder so a
+    * concurrent compaction refuses instead of silently losing the
+    * stream's mid-flight appends at version cleanup. The lease names
+    * the query's runId; once the query stops, the next compaction (or
+    * [[IndexStore.releaseUpsertLease]]) clears it as stale.
+    */
+  private def leased(s: org.apache.spark.sql.SparkSession, dir: String,
+      q: StreamingQuery): StreamingQuery = {
+    IndexStore.acquireUpsertLease(s, dir, q.runId.toString)
+    q
+  }
 }

@@ -261,6 +261,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectOptimizerRule(_ => graft.plans.NativeVectorRewrite)
     e.injectOptimizerRule(_ => graft.plans.GridJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    e.injectOptimizerRule(_ => graft.plans.SqlAsofRewrite)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughBandCount)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)

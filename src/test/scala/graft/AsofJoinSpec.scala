@@ -504,4 +504,160 @@ class AsofJoinSpec extends SparkSpec {
           s"share $evenShare over ${reads.size} tasks")
     }
   }
+  test("auto-skew: hot key detected and balanced with NO caller opt-in; cold path plans plain") {
+    // joinAsOfAuto's contract: the caller names no bucket and makes no
+    // skew decision. Thresholds here are engine conf scaled to the
+    // fixture (production defaults are 2M/500k rows); the derivation
+    // picks the bucket from the hot key's own span and count.
+    val m = 20000
+    val left = (0 until m).map(i => (1L, i * 1000L, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (0 until m).map(i => (1L, i * 1000L + 500L, i.toLong))
+      .toDF("k_r", "t_r", "rid")
+    def rows(df: DataFrame): Set[(Long, Option[Long])] =
+      df.select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    spark.conf.set("spark.graft.asof.autoSkewThreshold", "10000")
+    spark.conf.set("spark.graft.asof.targetBucketRows", "2000")
+    try withoutCoalescing {
+      val (wantRows, ctl) = measureShuffleReads(rows(
+        AsofJoin.joinAsOf(left, right, "t", "t_r", Seq("k"), Seq("k_r"),
+          tiebreak = Seq("rid"), broadcast = Some(false))))
+      val worstCtl = ctl.values
+        .filter(ts => ts.sum >= m && ts.size > 1)
+        .map(ts => ts.max.toDouble / ts.sum).max
+      assert(worstCtl >= 0.99, s"control lost its hot task ($worstCtl)")
+
+      val auto = AsofJoin.joinAsOfAuto(left, right, "t", "t_r",
+        Seq("k"), Seq("k_r"), tiebreak = Seq("rid"))
+      assert(auto.queryExecution.optimizedPlan.toString.contains("_asof_salt"),
+        "detection missed the hot key: auto did not salt")
+      val (gotRows, salted) = measureShuffleReads(rows(auto))
+      assert(gotRows === wantRows, "auto-salted rows drifted from unsalted")
+      val (heavyStage, reads) = salted.maxBy(_._2.sum)
+      val total = reads.sum
+      assert(total >= 2L * m, s"stage $heavyStage read only $total records")
+      val evenShare = total.toDouble / reads.size
+      assert(reads.max <= 2.5 * evenShare,
+        s"stage $heavyStage skewed: max task ${reads.max} vs even " +
+          s"share $evenShare over ${reads.size} tasks")
+
+      // cold path: spread keys under the threshold -> the PLAIN plan
+      // (no salt column anywhere in the optimized plan), same rows as
+      // the explicit unsalted control
+      val leftC = (0 until 3000).map(i =>
+        ((i % 300).toLong, i * 1000L, i.toLong)).toDF("k", "t", "lid")
+      val rightC = (0 until 3000).map(i =>
+        ((i % 300).toLong, i * 1000L + 500L, i.toLong)).toDF("k_r", "t_r", "rid")
+      val cold = AsofJoin.joinAsOfAuto(leftC, rightC, "t", "t_r",
+        Seq("k"), Seq("k_r"), tiebreak = Seq("rid"))
+      assert(!cold.queryExecution.optimizedPlan.toString.contains("_asof_salt"),
+        "cold path salted: detection fired below threshold")
+      assert(rows(cold) === rows(
+        AsofJoin.joinAsOf(leftC, rightC, "t", "t_r", Seq("k"), Seq("k_r"),
+          tiebreak = Seq("rid"), broadcast = Some(false))))
+
+      // keyless global: auto handles the empty-key shape (global stats
+      // row), salts above threshold, stays exact
+      val gotG = AsofJoin.joinAsOfAuto(left.select("t", "lid"),
+          right.select("t_r", "rid"), "t", "t_r", Nil, Nil,
+          tiebreak = Seq("rid"))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+      val wantG = AsofJoin.joinAsOf(left.select("t", "lid"),
+          right.select("t_r", "rid"), "t", "t_r", Nil, Nil,
+          tiebreak = Seq("rid"), broadcast = Some(false))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+      assert(gotG === wantG)
+    } finally {
+      spark.conf.unset("spark.graft.asof.autoSkewThreshold")
+      spark.conf.unset("spark.graft.asof.targetBucketRows")
+    }
+  }
+  test("SQL front door: textbook max_by shape plans the native exec, == rule-stripped") {
+    // the gated e_asof_sql query is PURE SQL text; SqlAsofRewrite must
+    // replan its Join-under-Aggregate onto AsofJoinExec with results
+    // identical to the generic (rule-stripped) plan
+    val sf001 = "/root/testdata/sf0.001"
+    val q = Events.eAsofSql(spark, sf001)
+    val plan = executed(q)
+    // cost-based selection picks the exec: the sf0.001 orders side fits
+    // the broadcast budget, so either native exec certifies the rewrite
+    assert(allNodes(plan).exists(n => n.isInstanceOf[AsofJoinExec] ||
+        n.isInstanceOf[graft.plans.AsofBroadcastJoinExec]),
+      s"SQL as-of shape did not plan a native exec:\n$plan")
+    assert(!allNodes(plan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "generic join survived next to the native exec")
+    val got = q.collect().toSeq
+
+    val em = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    val saved = em.extraOptimizations
+    em.extraOptimizations =
+      saved.filterNot(_ == graft.plans.SqlAsofRewrite)
+    val want = try {
+      // run the IDENTICAL SQL text directly: calling eAsofSql would
+      // re-register the rule inside the stripped window
+      val stripped = spark.sql(Events.eAsofSqlText)
+      assert(!stripped.queryExecution.optimizedPlan.toString
+          .contains("AsofJoinPlan"),
+        "rule-stripped control still rewrote — the A/B proves nothing")
+      stripped.collect().toSeq
+    } finally em.extraOptimizations = saved
+    assert(got === want, "rewrite drifted from the generic plan")
+    assert(got.nonEmpty)
+    // and the SQL path agrees with the DataFrame-API native path
+    assert(got === Events.eAsofNative(spark, sf001).collect().toSeq)
+  }
+
+  test("SQL front door: forward min_by rewrites; non-matching shapes stay generic") {
+    AsofJoin.ensureRegistered(spark)
+    (0 until 200).map(i => ((i % 7).toLong, i * 10L, i.toLong))
+      .toDF("k", "t", "lid").createOrReplaceTempView("sqlasof_l")
+    (0 until 300).map(i => ((i % 7).toLong, i * 7L, i.toLong))
+      .toDF("k_r", "t_r", "rid").createOrReplaceTempView("sqlasof_r")
+    def plan(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    // forward: r.t >= l.t with min_by
+    val fwd = """SELECT l.lid, l.k, min_by(r.rid, struct(r.t_r, r.rid)) AS rid
+      FROM sqlasof_l l LEFT JOIN sqlasof_r r
+        ON l.k = r.k_r AND r.t_r >= l.t
+      GROUP BY l.lid, l.k ORDER BY l.lid"""
+    assert(plan(fwd).contains("AsofJoinPlan"), "forward shape did not rewrite")
+    val em = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    val saved = em.extraOptimizations
+    em.extraOptimizations = saved.filterNot(_ == graft.plans.SqlAsofRewrite)
+    val want = try spark.sql(fwd).collect().toSeq
+      finally em.extraOptimizations = saved
+    assert(spark.sql(fwd).collect().toSeq === want)
+
+    // guards: each near-miss must keep the generic plan
+    val noRewrite = Seq(
+      // max_by ord not keyed on the join time
+      """SELECT l.lid, max_by(r.rid, struct(r.rid)) AS rid
+        FROM sqlasof_l l LEFT JOIN sqlasof_r r
+        ON l.k = r.k_r AND r.t_r <= l.t GROUP BY l.lid""",
+      // a second aggregate that is NOT max_by (count changes under dedup)
+      """SELECT l.lid, max_by(r.rid, struct(r.t_r, r.rid)) AS rid,
+               count(r.rid) AS n
+        FROM sqlasof_l l LEFT JOIN sqlasof_r r
+        ON l.k = r.k_r AND r.t_r <= l.t GROUP BY l.lid""",
+      // extra non-equi conjunct (tolerance band): out of the proven shape
+      """SELECT l.lid, max_by(r.rid, struct(r.t_r, r.rid)) AS rid
+        FROM sqlasof_l l LEFT JOIN sqlasof_r r
+        ON l.k = r.k_r AND r.t_r <= l.t AND l.t - r.t_r <= 50
+        GROUP BY l.lid""",
+      // inner join: drops unmatched lefts, not the as-of contract
+      """SELECT l.lid, max_by(r.rid, struct(r.t_r, r.rid)) AS rid
+        FROM sqlasof_l l JOIN sqlasof_r r
+        ON l.k = r.k_r AND r.t_r <= l.t GROUP BY l.lid""",
+      // direction/aggregate mismatch: forward inequality with max_by
+      """SELECT l.lid, max_by(r.rid, struct(r.t_r, r.rid)) AS rid
+        FROM sqlasof_l l LEFT JOIN sqlasof_r r
+        ON l.k = r.k_r AND r.t_r >= l.t GROUP BY l.lid""")
+    noRewrite.zipWithIndex.foreach { case (sql, i) =>
+      assert(!plan(sql).contains("AsofJoinPlan"),
+        s"guard $i leaked: non-matching shape rewrote")
+    }
+  }
 }

@@ -311,14 +311,29 @@ class GeoSpec extends SparkSpec {
 
       // appends fragmented at least one cell; compaction restores one
       // file per leaf dir and serve results are unchanged
-      def leafDirs = Option(new java.io.File(
+      def cellDirs = Option(new java.io.File(
           IndexStore.resolvePath(spark, dir, "cells")).listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("cell_z="))
-      def files(d: java.io.File) = d.listFiles().filter(_.getName.endsWith(".parquet"))
-      assert(leafDirs.exists(files(_).length > 1), "appends never fragmented a cell")
+      // leaves are cell/batch pairs: each microbatch lands under its
+      // own batch= subdir (the exactly-once layout), so fragmentation
+      // shows as many files per CELL dir counted recursively
+      def files(d: java.io.File): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(d)
+      }
+      assert(cellDirs.exists(files(_).size > 1), "appends never fragmented a cell")
       IndexStore.compactGrid(spark, dir)
-      assert(leafDirs.nonEmpty && leafDirs.forall(files(_).length == 1),
-        "compaction left a multi-file cell directory")
+      def leaves(d: java.io.File) = d.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      assert(cellDirs.nonEmpty && cellDirs.forall(leaves(_).forall(
+          files(_).size == 1)),
+        "compaction left a multi-file leaf")
+      val batchVals = cellDirs.flatMap(leaves).map(
+        _.getName.stripPrefix("batch=").toLong).toSet
+      assert(batchVals.subsetOf(Set(-1L, batchVals.max)),
+        s"compaction left folded batches behind: $batchVals")
       assert(!new java.io.File(s"$dir/cells_staging").exists())
       assert(new java.io.File(s"$dir/CURRENT_cells").exists(),
         "pointer manifest missing after grid compaction")
@@ -542,6 +557,15 @@ class GeoSpec extends SparkSpec {
       // on the hint
       spark.conf.set(key, "0.0015")
       assert(q.collect().toSeq === want)
+      // and the residual arm is SALTED, not a constant-key join: the
+      // guarded side replicates over the _gridx_hsalt relation and the
+      // unguarded side keys on pmod(hash(coord), fanout) — a dishonest
+      // hint degrades to a fanout-way parallel naive join, never a
+      // single-task skew cliff
+      val dishonest = q.queryExecution.optimizedPlan.toString
+      assert(dishonest.contains("_gridx_hsalt") &&
+        dishonest.toLowerCase.contains("pmod"),
+        s"residual arm must carry the salt fanout:\n$dishonest")
       // scalar-subquery bound: `dist <= (SELECT max(...))` — unprovable
       // at plan time, hinted; exact against the rule-stripped run
       sites.select(org.apache.spark.sql.functions.max("br2").as("mr"))
@@ -557,9 +581,16 @@ class GeoSpec extends SparkSpec {
       assert(sq.queryExecution.optimizedPlan.toString.contains("_gridx_"),
         "scalar-subquery bound with a hint must rewrite")
       assert(sq.collect().toSeq === withoutHint(withoutRule(sq.collect().toSeq)))
-      // the gated dishonest-hint query rewrites with both arms
-      val gated = Geo.gGridHint(spark, sf).queryExecution.optimizedPlan.toString
+      // the gated dishonest-hint query rewrites with both arms (the
+      // un-pinned frame: gGridHint itself pins eagerly under a scoped
+      // conf, so its returned plan is a LogicalRDD)
+      val gated = Geo.gGridHintFrame(spark, sf).queryExecution.optimizedPlan.toString
       assert(gated.contains("_gridx_l") && gated.contains("_gridx_h"))
+      // and the gated wrapper leaves the session hint untouched
+      val before = spark.conf.getOption(key)
+      Geo.gGridHint(spark, sf)
+      assert(spark.conf.getOption(key) === before,
+        "gGridHint must restore the session hint conf")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

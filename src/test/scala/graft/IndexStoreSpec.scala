@@ -297,9 +297,18 @@ class IndexStoreSpec extends SparkSpec {
         .exists(_.get("codes").contains("v2")), "manifest not advanced")
       val cellDirs = new java.io.File(codesLive).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("ivf_cell="))
-      assert(cellDirs.nonEmpty && cellDirs.forall(
-        _.listFiles().count(_.getName.endsWith(".parquet")) === 1),
-        "compaction left a multi-file inverted list")
+      // leaves are cell/batch pairs now: compaction folds every batch
+      // except the max (the only replayable one) into -1 and leaves
+      // ONE file per remaining leaf
+      def leaves(d: java.io.File) = d.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      assert(cellDirs.nonEmpty && cellDirs.forall(leaves(_).forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) === 1)),
+        "compaction left a multi-file leaf")
+      val batchVals = cellDirs.flatMap(leaves).map(
+        _.getName.stripPrefix("batch=").toLong).toSet
+      assert(batchVals.subsetOf(Set(-1L, batchVals.max)),
+        s"compaction left folded batches behind: $batchVals")
       assert(spark.read.parquet(codesLive).count() === rowsBefore)
       assert(serve() === got, "compaction drifted serve results")
     } finally {
@@ -326,8 +335,12 @@ class IndexStoreSpec extends SparkSpec {
       def livePostings = IndexStore.resolvePath(spark, dir, "postings")
       def cellDirs = new java.io.File(livePostings).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      def parquetFiles(d: java.io.File) =
-        d.listFiles().filter(_.getName.endsWith(".parquet"))
+      def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(d)
+      }
       assert(cellDirs.exists(parquetFiles(_).length > 1),
         "fixture never fragmented — appends landed in one file?")
 
@@ -429,12 +442,22 @@ class IndexStoreSpec extends SparkSpec {
       val live = IndexStore.resolvePath(spark, dir, "postings")
       assert(live != s"$dir/postings" && new java.io.File(live).exists())
       assert(serve() === before, "completed compaction drifted serve results")
+      // cleanup retains the version that WAS serving (v1, for readers
+      // still pinned on it) and reaps the dormant crash debris (v2)
       val versionDirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("postings_v"))
-      assert(versionDirs.length === 1, s"stale versions left: ${versionDirs.map(_.getName)}")
+        .map(_.getName).sorted
+      assert(versionDirs === Seq("postings_v1", live.split('/').last),
+        s"expected retained v1 + live, got: $versionDirs")
+      def leafFiles(d: java.io.File): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(d)
+      }
       assert(new java.io.File(live).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        .forall(_.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+        .forall(leafFiles(_).size === 1))
 
       // a full REBUILD over the live versioned store also goes through
       // the publish protocol: the version advances (no unlisted window,
@@ -523,6 +546,182 @@ class IndexStoreSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$dir/MANIFEST"), "postings=v42\n")
       assert(IndexStore.resolvePath(spark, dir, "postings") === s"$dir/postings_v7",
         "stale manifest entry must fall back to the highest complete version")
+    } finally rmTree(dir)
+  }
+
+  test("exactly-once upserts: replaying a batchId overwrites, never duplicates") {
+    // The retry contract: foreachBatch replays a FAILED batch with the
+    // same id and the same rows. The sink must converge to the same
+    // store content whether the first attempt wrote nothing, part of
+    // the batch, or all of it. Simulated here by invoking the sink's
+    // own batch function directly: a PARTIAL first attempt (half the
+    // rows — a crash mid-write), then the full replay, then a second
+    // full replay; after each replay the store must hold exactly
+    // base + batch, and serve exactly the from-scratch assignment.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_replay")
+      .toString
+    try {
+      val all = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val base = all.filter(col("vec_id") % 5 =!= 0)
+      val batch = all.filter(col("vec_id") % 5 === 0)
+      val (centFit, _) = Similarity.buildIvfIndex(spark, sf)
+      IndexStore.saveIvf(dir, centFit,
+        Similarity.assignVectors(base, centFit))
+      Materialize.releaseAll(spark)
+      val upsert = graft.streaming.IndexUpserts.upsertIvfBatch(dir) _
+
+      upsert(batch.filter(col("vec_id") % 10 === 0), 0L) // partial attempt
+      upsert(batch, 0L) // the replay: full batch, same id
+      def postings = spark.read
+        .parquet(IndexStore.resolvePath(spark, dir, "postings"))
+      assert(postings.count() === all.count(),
+        "replay after a partial attempt must overwrite, not append")
+      assert(postings.select("vec_id").distinct().count() === all.count())
+      upsert(batch, 0L) // replay of a COMPLETE attempt: still idempotent
+      assert(postings.count() === all.count(),
+        "replay of a complete batch duplicated rows")
+
+      val queries = Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          Vectors.norm(col("embedding")).as("q_nrm"))
+        .filter(col("q_id") < Similarity.NumQueries)
+      def serve(): Seq[(Long, Long, Int, Double)] = {
+        val (c, a) = IndexStore.loadIvf(spark, dir)
+        Similarity.annIvfServe(queries, c, a)
+          .as[(Long, Long, Int, Double)].collect().toSeq
+      }
+      val want = {
+        val (c, _) = IndexStore.loadIvf(spark, dir)
+        Similarity.annIvfServe(queries, c, Similarity.assignVectors(all, c))
+          .as[(Long, Long, Int, Double)].collect().toSeq
+      }
+      assert(serve() === want && want.nonEmpty)
+
+      // compaction preserves the property for the one batch that can
+      // still be replayed (the MAX id — commits are ordered): append
+      // batch 1, compact (folds batch 0 into the base partition,
+      // keeps batch 1 under its own), replay batch 1 — still no dup
+      val batch1 = base.filter(col("vec_id") % 7 === 0)
+      upsert(batch1, 1L) // deliberate re-add of existing ids via a new batch
+      val afterB1 = postings.count()
+      assert(afterB1 === all.count() + batch1.count())
+      IndexStore.compactIvf(spark, dir)
+      assert(postings.count() === afterB1, "compaction changed row count")
+      val batchesOnDisk = postings.select(col("batch")).distinct()
+        .collect().map(_.getAs[Number](0).longValue).toSet
+      assert(batchesOnDisk === Set(-1L, 1L),
+        s"fold should leave base + max batch, got $batchesOnDisk")
+      upsert(batch1, 1L) // the replay, post-compaction
+      assert(postings.count() === afterB1,
+        "post-compaction replay of the max batch duplicated rows")
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir)
+    }
+  }
+
+  test("leases: compaction refuses under a live upsert stream; appends refuse mid-compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lease")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lease_ckpt")
+      .toString
+    try {
+      val all = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val (centFit, _) = Similarity.buildIvfIndex(spark, sf)
+      IndexStore.saveIvf(dir, centFit,
+        Similarity.assignVectors(all.filter(col("vec_id") % 2 === 0), centFit))
+      Materialize.releaseAll(spark)
+
+      val input = MemoryStream[(Long, Array[Float])](spark)
+      val q = graft.streaming.IndexUpserts.startIvfUpserts(
+        input.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+      try {
+        // the stream holds the upsert lease: compaction must refuse
+        // (a mid-compaction append would vanish at version cleanup)
+        val e = intercept[IllegalStateException] {
+          IndexStore.compactIvf(spark, dir)
+        }
+        assert(e.getMessage.contains("active upsert stream"))
+      } finally q.stop()
+      // stopped stream -> stale lease: the next compaction clears it
+      // and proceeds
+      IndexStore.compactIvf(spark, dir)
+      assert(!new java.io.File(s"$dir/LEASE_upsert").exists(),
+        "stale upsert lease survived compaction")
+
+      // a (hard-killed) compaction's lease blocks batch appends
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/LEASE_compact"), "compact")
+      // assign against the store's own persisted centroids (centFit's
+      // localCheckpoint blocks were released above)
+      val centStore = spark.read
+        .parquet(IndexStore.resolvePath(spark, dir, "centroids"))
+        .select(col("c_id"), col("c_emb"), col("c_nrm"))
+      val assigned = Similarity.assignVectors(
+        all.filter(col("vec_id") % 2 === 1), centStore)
+      val e2 = intercept[IllegalStateException] {
+        IndexStore.appendIvf(dir, assigned, 0L)
+      }
+      assert(e2.getMessage.contains("compacting"))
+      IndexStore.clearCompactionLease(spark, dir)
+      IndexStore.appendIvf(dir, assigned, 0L) // now lands
+      assert(spark.read
+        .parquet(IndexStore.resolvePath(spark, dir, "postings"))
+        .count() === all.count())
+    } finally {
+      Materialize.releaseAll(spark)
+      rmTree(dir); rmTree(ckpt)
+    }
+  }
+
+  test("version retention: a reader pinned on the old version survives one publish") {
+    // The reader contract: publish keeps the previously-serving
+    // directory for `spark.graft.store.retainVersions` (default 1)
+    // more publishes, so a scan that resolved just before a publish
+    // completes instead of losing its files mid-flight; the publish
+    // after that reaps it (retention bounded).
+    import spark.implicits._
+    def posts(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array(i.toFloat, 1f), 1.0, i % 2))
+      .toDF("vec_id", "embedding", "nrm", "cell")
+    def cents(k: Int) = (0 until k)
+      .map(i => (i.toLong, Array(i.toFloat, 1f), 1.0))
+      .toDF("c_id", "c_emb", "c_nrm")
+    val dir = java.nio.file.Files.createTempDirectory("graft_retain").toString
+    try {
+      IndexStore.saveIvf(dir, cents(2), posts(4)) // postings_v1 serves
+      val pinnedPath = IndexStore.resolvePath(spark, dir, "postings")
+      assert(pinnedPath.endsWith("postings_v1"))
+      val pinned = spark.read.parquet(pinnedPath) // resolved, not yet run
+      IndexStore.saveIvf(dir, cents(2), posts(6)) // v2 publishes
+      assert(IndexStore.resolvePath(spark, dir, "postings")
+        .endsWith("postings_v2"))
+      // the pinned reader's directory survived the publish: the scan
+      // completes with the OLD content
+      assert(pinned.count() === 4L,
+        "pinned reader lost its version directory across a publish")
+      assert(new java.io.File(s"$dir/postings_v1").exists())
+      // the next publish reaps v1 (bounded retention: newest superseded
+      // only), keeps v2 for ITS pinned readers
+      IndexStore.saveIvf(dir, cents(2), posts(8))
+      assert(!new java.io.File(s"$dir/postings_v1").exists(),
+        "retention unbounded: v1 survived two publishes")
+      assert(new java.io.File(s"$dir/postings_v2").exists(),
+        "previously-serving v2 should be retained")
+      assert(spark.read.parquet(
+        IndexStore.resolvePath(spark, dir, "postings")).count() === 8L)
+      // retainVersions=0 restores immediate reaping
+      spark.conf.set("spark.graft.store.retainVersions", "0")
+      try {
+        IndexStore.saveIvf(dir, cents(2), posts(10))
+        assert(!new java.io.File(s"$dir/postings_v3").exists(),
+          "retainVersions=0 must reap the superseded version immediately")
+      } finally spark.conf.unset("spark.graft.store.retainVersions")
     } finally rmTree(dir)
   }
 

@@ -104,6 +104,46 @@ class MultimodalSpec extends SparkSpec {
     assert(zipped.count(z => z._3 < z._2) > zipped.length / 2)
   }
 
+  test("REAL image decode: ImageIO PNG round trip is pixel-exact; corrupt bytes fail loudly") {
+    // the real-codec path the gated m_decode_real certifies every
+    // round: deterministic md5-nibble pixels -> real PNG encode ->
+    // javax.imageio decode in the seam -> pixel-domain features. Here
+    // pin (a) the decoded features against an independent JVM-side
+    // recomputation from the nibble definition (no codec), proving the
+    // encode->decode round trip returned exactly the source pixels,
+    // and (b) that an undecodable payload throws instead of yielding
+    // silent garbage features.
+    import spark.implicits._
+    val got = Multimodal.decodeReal(spark, sf).collect().sortBy(_.doc_id)
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, fp) =>
+        val pix = fp.take(32).map(c => Character.digit(c, 16) * 16)
+        val sum = pix.map(_.toLong).sum
+        val hash = pix.zipWithIndex.collect {
+          case (p, i) if p.toLong * 32 > sum => 1L << i
+        }.sum
+        Multimodal.DecodedImage(id, 8, 4, sum, hash)
+      }
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    // the hash must not be degenerate (all-zero / all-one everywhere)
+    assert(got.map(_.phash32).distinct.length > 1)
+    // corrupt payload: ImageIO.read returns null -> the seam throws
+    val bad = Seq((1L, Array[Byte](1, 2, 3, 4))).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWith(bad, () => (id: Long, bytes: Array[Byte]) => {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable image payload for doc $id")
+        id
+      }).collect()
+    }
+    assert(ex.getMessage.contains("undecodable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
   test("decode stub: histogram mass equals byte count; deterministic") {
     val feats = Multimodal.decodeStub(spark, sf).collect()
     feats.foreach { f =>

@@ -659,6 +659,43 @@ class StreamingSpec extends SparkSpec {
     assert(batchAll === Set((1L, 1L, Some(20L)), (1L, 2L, Some(20L))))
   }
 
+  test("stream-stream as-of: backward carry TTL evicts the idle carry row") {
+    // the no-tolerance backward carry is per-key-forever by default
+    // (the left-outer guarantee). carryIdleTtlUs trades that guarantee
+    // for bounded state: once the watermark passes rightTime + TTL the
+    // carry drops (via the event-time timeout, so the key's state is
+    // actually removed without new key traffic), and a later event
+    // emits null-matched. The control run WITHOUT the TTL on the
+    // identical sequence still matches — proving the null came from
+    // the TTL, not the fixture.
+    def run(name: String, ttl: Option[Long]): Set[(Long, Long, Option[Long])] = {
+      val lIn = MemoryStream[SSRow](spark)
+      val rIn = MemoryStream[SSRow](spark)
+      val q = EventStreams.streamStreamAsof(lIn.toDF(), rIn.toDF(),
+          carryIdleTtlUs = ttl)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rIn.addData(Seq(SSRow(1, tsUs(50000000L), 10))) // R1 @ 50 s
+        q.processAllAvailable()
+        // watermark to 200 s; second sentinel fires the 150 s TTL
+        // timeout (50 s + 100 s TTL): the idle carry evicts
+        rIn.addData(Seq(SSRow(-1, tsUs(800000000L), -2))); q.processAllAvailable()
+        rIn.addData(Seq(SSRow(-1, tsUs(900000000L), -3))); q.processAllAvailable()
+        // L1 @ 400 s: post-eviction probe (strictly above the 300 s
+        // watermark the 900 s sentinel set — ts == wm drops as late)
+        lIn.addData(Seq(SSRow(1, tsUs(400000000L), 1)))
+        rIn.addData(Seq(SSRow(-1, tsUs(1200000000L), -4))); q.processAllAvailable()
+        rIn.addData(Seq(SSRow(-1, tsUs(1300000000L), -5))); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).where(col("user_id") =!= -1L)
+        .select("user_id", "event_id", "matched_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+    }
+    assert(run("t_ssasof_ttl", Some(100000000L)) === Set((1L, 1L, None)))
+    assert(run("t_ssasof_nottl", None) === Set((1L, 1L, Some(10L))))
+  }
+
   test("stream-stream as-of == batch under the RocksDB state store") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
