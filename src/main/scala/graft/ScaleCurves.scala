@@ -60,6 +60,19 @@ object ScaleCurves {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed global warmup: one full flagship pass over the x1 dir so
+    // JIT/codegen/store-build code paths are hot BEFORE any timed run —
+    // without it the first factor absorbs the cold-JVM cost and the
+    // ratios invert (the first harness run measured x1 g_grid_served
+    // 2.4x SLOWER than x16 purely from compilation warmth)
+    {
+      val wdir = s"$scratch/x${factors.head}"
+      blowUp(spark, sfDir, wdir, factors.head)
+      Flagships.foreach { q =>
+        SparkEntry.queries(q)(spark, wdir).queryExecution.toRdd.foreach(_ => ())
+      }
+      graft.operators.Materialize.releaseAll(spark)
+    }
     val results = factors.map { n =>
       val dir = s"$scratch/x$n"
       blowUp(spark, sfDir, dir, n)
@@ -68,10 +81,14 @@ object ScaleCurves {
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // untimed, BETWEEN runs: run2 must not execute against run1's
+          // resident pinned blocks (at x16 the leaked pins made run2 up
+          // to 18x slower than run1 from memory pressure)
+          graft.operators.Materialize.releaseAll(spark)
+          t
         }
         val r1 = once(); val r2 = once()
-        graft.operators.Materialize.releaseAll(spark)
         val t = math.min(r1, r2)
         println(f"""{"factor":$n,"query":"$q","sec":$t%.3f,"runs":[$r1%.3f,$r2%.3f]}""")
         q -> t
@@ -114,10 +131,17 @@ object ScaleCurves {
     }
     copies("documents") { (df, c) =>
       val s = shifted(df, "doc_id", c)
+      // the interleave token must be PER DOC, not per copy: a shared
+      // per-copy token halves shingle diversity inside the copy and
+      // manufactures giant LSH buckets (cross-doc min-shingle
+      // collisions) — the first harness run measured d_minhash_lsh
+      // 24x slower on 4x data purely from that artifact (the pair
+      // stage stayed even-share and completed; the quadratic was in
+      // the fixture, not the plan)
       if (c == 0) s
       else s
-        .withColumn("text",
-          regexp_replace(col("text"), lit(" "), lit(s" sc$c ")))
+        .withColumn("text", regexp_replace(col("text"), lit(" "),
+          concat(lit(s" sc${c}x"), pmod(col("doc_id"), lit(9973)), lit(" "))))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     copies("embeddings") { (df, c) =>

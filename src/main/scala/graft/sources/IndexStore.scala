@@ -394,7 +394,7 @@ object IndexStore {
     val next = (listVersions(fs, dir, name) :+ 0).max + 1
     val staging = s"$dir/${name}_staging"
     val clustered =
-      if (partCols.isEmpty) df else df.repartition(partCols.map(col): _*)
+      if (partCols.isEmpty) df else clusterForWrite(df, partCols)
     val writer = clustered.write.mode(SaveMode.Overwrite)
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
@@ -677,10 +677,27 @@ object IndexStore {
       fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name")) ||
       listVersions(fs, dir, name).nonEmpty
     if (exists) publishComponent(s, dir, name, partCols, df, _ => ())
-    else df.repartition(partCols.map(col): _*)
+    else clusterForWrite(df, partCols)
       .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(s"$dir/$name")
   }
+
+  /** Cluster a component frame for its dynamic-partitioned write: hash
+    * on the partition columns at a PINNED partition count. The pinning
+    * is load-bearing: an unpinned `repartition(cols)` is
+    * REPARTITION_BY_COL, which AQE freely coalesces by byte size — at
+    * store-build sizes it coalesces to ONE partition, and the dynamic
+    * partition writer then creates every `cell=` directory from a
+    * single task serially (measured: 7.9 s of g_grid_served's 9.5 s
+    * was one task writing ~400 cell dirs; a 16x LARGER input was
+    * FASTER because its extra input splits dodged the coalesce).
+    * Bytes are the wrong coalesce signal for a write whose cost is
+    * dir/file creation count, so pin the count and keep the write
+    * parallel.
+    */
+  private def clusterForWrite(df: DataFrame, partCols: Seq[String]): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      partCols.map(col): _*)
 
   def saveGrid(dir: String, pointsWithCells: DataFrame): Unit =
     saveOrPublish(pointsWithCells.sparkSession, dir, "cells",

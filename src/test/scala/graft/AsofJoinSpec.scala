@@ -660,4 +660,62 @@ class AsofJoinSpec extends SparkSpec {
         s"guard $i leaked: non-matching shape rewrote")
     }
   }
+
+  test("SQL front door property: rewrite == stripped on randomized NULL-heavy fixtures (3 seeds)") {
+    // the differential net for the rule's soundness proof: random keys
+    // and times with NULLs on BOTH columns and sides, coarse lid so
+    // groups collapse MULTIPLE left rows (argmax-of-union case), tied
+    // right times (tiebreak case), both operand orders of the time
+    // inequality, and two max_bys sharing one ordering struct. The
+    // rewrite and the rule-stripped identical text must agree as
+    // multisets on every seed.
+    AsofJoin.ensureRegistered(spark)
+    val em = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    def plan(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.toString
+    def rows(sql: String): Seq[String] =
+      spark.sql(sql).collect().toSeq.map(_.toString).sorted
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      def time(): Option[Long] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(50) * 10L)
+      def key(): Option[Long] =
+        if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(5).toLong)
+      Seq.fill(300)((key(), time(), rnd.nextInt(40).toLong))
+        .toDF("k", "t", "lid").createOrReplaceTempView("sqlasof_pl")
+      Seq.fill(300)((key(), time(), rnd.nextInt(1000).toLong))
+        .toDF("k_r", "t_r", "rid").createOrReplaceTempView("sqlasof_pr")
+      val sqls = Seq(
+        // backward, textbook operand order, two max_bys on one ord
+        """SELECT l.lid, l.k,
+             max_by(r.rid, struct(r.t_r, r.rid)) AS rid,
+             max_by(r.t_r * 2 + r.rid, struct(r.t_r, r.rid)) AS mexpr
+           FROM sqlasof_pl l LEFT JOIN sqlasof_pr r
+             ON l.k = r.k_r AND r.t_r <= l.t
+           GROUP BY l.lid, l.k""",
+        // backward, BOTH conjuncts flipped (EqualTo(right,left) branch
+        // and GreaterThanOrEqual(lt, rt) branch)
+        """SELECT l.lid, l.k, max_by(r.rid, struct(r.t_r, r.rid)) AS rid
+           FROM sqlasof_pl l LEFT JOIN sqlasof_pr r
+             ON r.k_r = l.k AND l.t >= r.t_r
+           GROUP BY l.lid, l.k""",
+        // forward, flipped inequality (LessThanOrEqual(lt, rt))
+        """SELECT l.lid, l.k, min_by(r.rid, struct(r.t_r, r.rid)) AS rid
+           FROM sqlasof_pl l LEFT JOIN sqlasof_pr r
+             ON l.k = r.k_r AND l.t <= r.t_r
+           GROUP BY l.lid, l.k""")
+      sqls.zipWithIndex.foreach { case (sql, i) =>
+        assert(plan(sql).contains("AsofJoinPlan"),
+          s"seed=$seed shape $i did not rewrite")
+        val got = rows(sql)
+        val saved = em.extraOptimizations
+        em.extraOptimizations =
+          saved.filterNot(_ == graft.plans.SqlAsofRewrite)
+        val want = try rows(sql) finally em.extraOptimizations = saved
+        assert(got === want, s"seed=$seed shape $i drifted: " +
+          s"extra=${got.diff(want).take(3)} missing=${want.diff(got).take(3)}")
+      }
+    }
+  }
 }
