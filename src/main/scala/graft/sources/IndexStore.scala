@@ -695,7 +695,7 @@ object IndexStore {
     * dir/file creation count, so pin the count and keep the write
     * parallel.
     */
-  private def clusterForWrite(df: DataFrame, partCols: Seq[String]): DataFrame =
+  private[graft] def clusterForWrite(df: DataFrame, partCols: Seq[String]): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
       partCols.map(col): _*)
 

@@ -679,6 +679,30 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("store writes cluster at a PINNED partition count (AQE must not coalesce)") {
+    // the load-bearing property behind the round-13 fix: an unpinned
+    // repartition(cols) is REPARTITION_BY_COL, which AQE coalesces by
+    // byte size — at store sizes down to ONE partition, serializing a
+    // ~400-directory dynamic-partition write into a single task. The
+    // pinned form must survive as a user-specified numPartitions
+    // shuffle (AQE leaves those alone) at exactly the session's
+    // shuffle-partition count.
+    import spark.implicits._
+    val df = spark.range(1000).select((col("id") % 37).as("cell"),
+      col("id").as("v")).toDF()
+    val clustered = IndexStore.clusterForWrite(df, Seq("cell"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    assert(clustered.rdd.getNumPartitions === n,
+      s"clustered write frame must hold $n pinned partitions")
+    // and the logical shuffle carries an explicit numPartitions (the
+    // REPARTITION_BY_NUM shape), not the coalescible by-col form
+    val rep = clustered.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(rep.exists(_.optNumPartitions.contains(n)),
+      s"repartition lost its pinned partition count: $rep")
+  }
+
   test("version retention: a reader pinned on the old version survives one publish") {
     // The reader contract: publish keeps the previously-serving
     // directory for `spark.graft.store.retainVersions` (default 1)
