@@ -765,7 +765,16 @@ object Multimodal {
             i += 1
           }
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
+          // MemoryCacheImageOutputStream, NOT ImageIO.write(_, _, OutputStream):
+          // the OutputStream overload consults ImageIO.getUseCache() (true by
+          // default) and backs every encode with a FileCacheImageOutputStream —
+          // one temp file created+deleted PER IMAGE. At 5k docs × 3 passes ×
+          // 32 threads contending on one tmpdir that file churn was ~9s of the
+          // query's 10.3s (measured, OPTIMIZATION_r13.md); the in-memory
+          // stream produces byte-identical PNGs with zero filesystem traffic.
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          javax.imageio.ImageIO.write(img, "png", ios)
+          ios.close()
           (id, out.toByteArray)
         }
       }
@@ -787,8 +796,13 @@ object Multimodal {
   def decodeReal(s: SparkSession, d: String): Dataset[DecodedImage] = {
     import s.implicits._
     decodeWith(realPngs(s, d), () => (id: Long, bytes: Array[Byte]) => {
+      // read(ImageInputStream) with an explicit memory-cached stream: the
+      // read(InputStream) overload routes through createImageInputStream,
+      // which (useCache=true default) spools the payload to a temp FILE
+      // before decoding — the same per-image file churn as the encode side.
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       require(img != null, s"undecodable image payload for doc $id")
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
