@@ -1590,16 +1590,37 @@ object Dedup {
   def dDupCurve(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("toks", graft.functions.Text.tokens(col("text")))
-    val perN = Seq(1, 2, 3, 5, 8).map { n =>
-      docs.select(explode(graft.functions.Text.shingles(col("toks"), n))
-          .as("g"))
-        .agg(count(lit(1)).as("total"),
-          countDistinct(col("g")).as("n_distinct"))
-        .select(lit(n).as("n"), col("total"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("total"), 6)
-            .as("dup_rate"))
-    }
-    perN.reduce(_.unionAll(_)).orderBy("n")
+    // ONE corpus pass for all five widths (the scaladoc's own 100 TB
+    // advice, now the shipped shape): tokenize once, tag every gram
+    // with its width, and fold COUNT DISTINCT into the standard
+    // two-level aggregate — groupBy (n, gram) count, then groupBy n.
+    // 5 independent subplans (5 tokenize passes, 10 exchanges, 5
+    // single-partition finals) become one explode + 2 exchanges;
+    // per-width results are identical because the tagged gram sets are
+    // disjoint unions of the per-width gram streams.
+    val widths = Seq(1, 2, 3, 5, 8)
+    val perWidth = docs.select(explode(flatten(array(widths.map { n =>
+        transform(graft.functions.Text.shingles(col("toks"), n),
+          g => struct(lit(n).as("n"), g.as("g")))
+      }: _*))).as("ng"))
+      .groupBy(col("ng.n").as("n"), col("ng.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
+    // a width with ZERO grams corpus-wide must still emit its row
+    // (total 0, n_distinct 0, null rate) exactly like the old per-arm
+    // agg-over-empty and the oracle's UNION ALL do — right-join the
+    // 5-row width list back in
+    val widthRows = s.range(1).select(explode(
+      array(widths.map(n => lit(n)): _*)).as("n"))
+    widthRows.join(broadcast(perWidth), Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .select(col("n"), col("total"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("total"), 6)
+          .as("dup_rate"))
+      .orderBy("n")
   }
 
   val dDupCurveSql: String = {
@@ -1691,32 +1712,55 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
     val sigExpr = org.apache.spark.sql.graft.GraftSql.shingleMinHash(
       col("toks"), 3, (0 until MinhashK).map(j => s"$j|"))
-    val sigs = Materialize.pin(base.select(col("doc_id"), sigExpr.as("sig")))
     val configs = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2))
-    configs.map { case (bands, rows) =>
-      val bArr = element_at(transform(array(col("sig")), sig =>
+    // ONE pass for all five factorizations: every (config, band) bucket
+    // is exploded from the one let-bound signature with the config
+    // prefixed into the block key, so blockPairs sees the same
+    // per-config block memberships as five separate runs (keys from
+    // different configs can never collide), one shuffle instead of
+    // five arms × (pin + two counting actions) of orchestration. The
+    // per-config candidate sets — and therefore n_cand/n_hit — are
+    // identical to the old sequential arms; a config with zero
+    // candidates still emits its row via the right-join of the literal
+    // config list, matching the old agg-over-empty and the oracle.
+    val bandAll = element_at(transform(array(sigExpr), sig =>
+      flatten(array(configs.map { case (bands, rows) =>
         transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat(b.cast("string"), lit("|"),
-            md5(array_join(slice(sig, b * rows + 1, lit(rows)), "|")
-              .cast("binary"))))), 1)
-      val banded = sigs.select(col("doc_id"), explode(bArr).as("bucket"))
-        .select(col("bucket").as("blk"), struct(col("doc_id")).as("v"))
-      val cand = Materialize.pin(blockPairs(banded)
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
-        .distinct())
-      val nc = cand.agg(count(lit(1)).as("n_cand"))
-      val nh = cand.join(truth, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
-      nc.crossJoin(nh).crossJoin(nTruth)
-        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
-          col("n_cand"), col("n_hit"), col("n_truth"),
-          when(col("n_truth") > 0,
-            col("n_hit").cast("double") / col("n_truth"))
-            .otherwise(lit(0.0)).as("recall"),
-          when(col("n_cand") > 0,
-            col("n_hit").cast("double") / col("n_cand"))
-            .otherwise(lit(0.0)).as("prec"))
-    }.reduce(_.unionAll(_)).orderBy("bands")
+          struct(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+            concat(lit(s"$bands:$rows:"), b.cast("string"), lit("|"),
+              md5(array_join(slice(sig, b * rows + 1, lit(rows)), "|")
+                .cast("binary"))).as("bucket")))
+      }: _*))), 1)
+    val banded = base.select(col("doc_id"), explode(bandAll).as("bb"))
+      .select(col("bb.bucket").as("blk"),
+        struct(col("doc_id"), col("bb.bands").as("bands"),
+          col("bb.rows_per_band").as("rows_per_band")).as("v"))
+    val cand = blockPairs(banded)
+      .select(col("x.bands").as("bands"), col("x.rows_per_band").as("rows_per_band"),
+        least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    val perCfg = cand
+      .join(broadcast(truth.withColumn("hit", lit(1))), Seq("a", "b"), "left")
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+    val cfgRows = s.range(1).select(explode(array(configs.map {
+      case (bands, rows) => struct(lit(bands).as("bands"),
+        lit(rows).as("rows_per_band"))
+    }: _*)).as("c")).select(col("c.bands"), col("c.rows_per_band"))
+    cfgRows.join(broadcast(perCfg), Seq("bands", "rows_per_band"), "left")
+      .crossJoin(nTruth)
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_truth"),
+        when(col("n_truth") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth"))
+          .otherwise(lit(0.0)).as("recall"),
+        when(coalesce(col("n_cand"), lit(0L)) > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double")
+            / col("n_cand")).otherwise(lit(0.0)).as("prec"))
+      .orderBy("bands")
   }
 
   val dBandCurveSql: String = {

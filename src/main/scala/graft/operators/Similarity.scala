@@ -2684,22 +2684,69 @@ object Similarity {
     * cost is the chain cost, as it should be.
     */
   def sProbeCurve(s: SparkSession, d: String): DataFrame = {
-    val exact = Materialize.pin(sCosineTopK(s, d).select(col("q_id"), col("n_id")))
-    // hoist the index out of the arm loop: the Lloyd fit and the
-    // corpus assignment are nProbe-independent, so the three arms
-    // share one pinned copy instead of re-fitting per arm
+    val exact = sCosineTopK(s, d).select(col("q_id"), col("n_id"))
     val base = withNorm(s, d)
     val cent = fittedCentroids(base, LloydIters)
-    val assign = Materialize.pin(ivfAssignment(base, cent))
-    Seq(1, 2, 3).map { p =>
-      val approx = annIvfFrom(base, cent, assign, p)
-        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
-      exact.join(approx, Seq("q_id", "n_id"), "left")
-        .agg(count(lit(1)).as("k_total"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_match"))
-        .select(lit(p).as("nprobe"), col("k_total"), col("n_match"),
-          (col("n_match").cast("double") / col("k_total")).as("recall"))
-    }.reduce(_.unionAll(_)).orderBy("nprobe")
+    val assign = ivfAssignment(base, cent)
+    // ONE pass for all three probe depths instead of three sequential
+    // annIvf arms (each with its own probe window, driver-side
+    // probed-cell collect, corpus join and rank window): probe ranks
+    // are computed once to depth 3, and a candidate reached through
+    // its query's rank-r cell participates in every arm p >= r (cells
+    // are disjoint — a corpus vector has exactly one cell — so the
+    // explode can never duplicate a (q, n) pair within an arm). The
+    // per-arm rank window and recall join then key on the arm column.
+    // Per-arm shortlists are provably the old ones: arm p's candidate
+    // set {prn <= p} and rank order (cos desc, n_id) are unchanged.
+    // The former exact/assign pins are dropped, not moved: each frame
+    // is consumed exactly once in the fused plan.
+    val maxP = 3
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .toDF("q_id", "q_emb", "q_nrm")
+    val wProbe = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"),
+        round(Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= maxP)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("c_id").as("cell"), col("prn"))
+    // static partition-filter plant, same contract as annIvfServe: the
+    // depth-3 cell set is a superset of every arm's; arm membership is
+    // enforced exactly by the prn-derived arm column below
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq
+    val cos = round(
+      Vectors.cosineWithNorms(Vectors.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm")), 6)
+    val wRank = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("cos").desc, col("n_id"))
+    val approx = assign.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"),
+        explode(sequence(col("prn"), lit(maxP))).as("nprobe"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= TopK)
+      .select(col("nprobe"), col("q_id"), col("n_id"), lit(1).as("hit"))
+    val exactArms = exact.select(col("q_id"), col("n_id"),
+      explode(sequence(lit(1), lit(maxP))).as("nprobe"))
+    val perArm = exactArms.join(approx, Seq("nprobe", "q_id", "n_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("k_total"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_match"))
+    // an arm over an EMPTY exact set must still emit its zero row,
+    // exactly like the old agg-over-empty per arm
+    val armRows = s.range(1)
+      .select(explode(sequence(lit(1), lit(maxP))).as("nprobe"))
+    armRows.join(broadcast(perArm), Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("k_total"), lit(0L)).as("k_total"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (coalesce(col("n_match"), lit(0L)).cast("double") / col("k_total"))
+          .as("recall"))
+      .orderBy("nprobe")
   }
 
   val sProbeCurveSql: String = {
