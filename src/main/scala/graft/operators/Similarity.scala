@@ -135,20 +135,21 @@ object Similarity {
     val ccos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("c_emb")),
         col("nrm"), col("c_nrm")), 6)
-    // argmax as a partial-aggregable max(struct): picks max ccos, ties
-    // by LOWEST c_id (the negated field) — identical to the previous
-    // row_number(ccos DESC, c_id ASC)==1 window, but the map-side
-    // partial max collapses each vector's K candidate rows to 1 BEFORE
-    // the exchange (the crossJoin leaves all K on the vector's own
-    // partition), so the shuffle carries n rows instead of n·K and no
-    // per-vector sort runs at all. embedding/nrm are group-constant, so
-    // first() is value-deterministic.
+    // argmax as a partial-aggregable argMinDL(-ccos, c_id): picks max
+    // ccos, ties by LOWEST c_id — identical selection to the previous
+    // max(struct)/rank-1 window forms (IEEE negation inverts double
+    // order exactly), but the (double, long) buffer is MUTABLE, so the
+    // aggregate plans as whole-stage-codegen'd HashAggregate instead of
+    // the SortAggregate a struct-typed buffer forces (profiled: ~1/3 of
+    // executor CPU across the similarity suite was SortAggregateExec).
+    // embedding/nrm ride as grouping keys (group-constant per vec_id)
+    // so no array-buffered first() drags the aggregate back to sort.
     val assigned = base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"), ccos.as("ccos"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("ccos"), (-col("c_id")).as("nc"))).as("m"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-      .select((-col("m.nc")).as("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .groupBy("vec_id", "embedding", "nrm")
+      .agg(org.apache.spark.sql.graft.GraftSql
+        .argMinDL(-col("ccos"), col("c_id")).as("m"))
+      .select(col("m.v").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val means = assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
@@ -164,17 +165,23 @@ object Similarity {
     val mnrm = sqrt(aggregate(transform(col("m_emb"), x => x * x),
       lit(0.0), (a, x) => a + x))
     val mcos = round(mdot / (col("nrm") * mnrm), 6)
-    // medoid pick: same max(struct) argmax (ties by lowest vec_id —
-    // unique, so the trailing payload fields never drive the compare);
-    // map-side partials shrink each cell's member rows before the
-    // K-row exchange
-    assigned.join(meanVec, "cell")
-      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"), mcos.as("mcos"))
+    // medoid pick: same argmax (max mcos, ties by lowest vec_id) via
+    // the hash-aggregable argMinDL; the winner's embedding/nrm are
+    // recovered by a K-row broadcast join back to base (vec_id is
+    // unique there, so the payload is exactly the winning row's) —
+    // carrying arrays inside a max(struct) payload forced the whole
+    // aggregate into SortAggregate
+    val winners = assigned.join(meanVec, "cell")
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"),
+        mcos.as("mcos"))
       .groupBy("cell")
-      .agg(max(struct(col("mcos"), (-col("vec_id")).as("nv"),
-        col("embedding").as("e"), col("nrm").as("n"))).as("m"))
-      .select(col("cell").as("c_id"), col("m.e").as("c_emb"),
-        col("m.n").as("c_nrm"))
+      .agg(org.apache.spark.sql.graft.GraftSql
+        .argMinDL(-col("mcos"), col("vec_id")).as("m"))
+      .select(col("cell").as("c_id"), col("m.v").as("w_id"))
+    base.select(col("vec_id").as("w_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      .join(broadcast(winners), "w_id")
+      .select(col("c_id"), col("c_emb"), col("c_nrm"))
   }
 
   def sAnnIvf(s: SparkSession, d: String): DataFrame = annIvf(s, d, LloydIters)
@@ -202,15 +209,16 @@ object Similarity {
     val centCos = round(
       Vectors.cosineWithNorms(Vectors.dot(col("embedding"), col("c_emb")),
         col("nrm"), col("c_nrm")), 6)
-    // same partial-aggregable argmax as lloydStep: n rows shuffle
-    // instead of n·K, no per-vector sort (semantics pinned equal to the
-    // old row_number window by the fit's unchanged oracle hashes)
+    // same hash-aggregable argmax as lloydStep: n rows shuffle instead
+    // of n·K, no per-vector sort, and no SortAggregate (mutable
+    // argMinDL buffer + payload-as-grouping-keys; semantics pinned
+    // equal to the old forms by the fit's unchanged oracle hashes)
     base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"), centCos.as("ccos"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("ccos"), (-col("c_id")).as("nc"))).as("m"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), (-col("m.nc")).as("cell"))
+      .groupBy("vec_id", "embedding", "nrm")
+      .agg(org.apache.spark.sql.graft.GraftSql
+        .argMinDL(-col("ccos"), col("c_id")).as("m"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("m.v").as("cell"))
   }
 
   /** Assign raw (vec_id, embedding) vectors to their nearest FITTED
@@ -248,11 +256,10 @@ object Similarity {
     // reduce before any exchange, where a rank window would shuffle
     // and sort them all — this is the streaming-upsert hot path
     sub.join(broadcast(codebook), "m")
-      .select(col("m"), col("vec_id"),
-        struct(pqDist(col("sub"), col("c_emb")).as("d"), col("cell")).as("dc"))
       .groupBy("m", "vec_id")
-      .agg(min(col("dc")).as("b"))
-      .select(col("vec_id"), col("m"), col("b.cell").as("cell"))
+      .agg(org.apache.spark.sql.graft.GraftSql
+        .argMinDL(pqDist(col("sub"), col("c_emb")), col("cell")).as("b"))
+      .select(col("vec_id"), col("m"), col("b.v").as("cell"))
       .join(broadcast(ivf), "vec_id")
   }
 
@@ -789,13 +796,20 @@ object Similarity {
   private def pqModelOf(sub: DataFrame): (DataFrame, DataFrame) = {
     val seeds = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("c_id"), col("sub").as("c_sub"))
-    val w0 = Window.partitionBy("m", "vec_id").orderBy(col("d0").asc, col("c_id"))
+    // argmin as a hash-aggregable argMinDL(d, id) — identical tie rule
+    // to the old rank-1 window (smallest d, then smallest id), but
+    // map-side combinable AND HashAggregate-plannable: the |n|·M·K
+    // candidate rows reduce before any exchange where the window
+    // shuffled and sorted them all, and the mutable (double, long)
+    // buffer keeps whole-stage codegen (a struct-typed min() fell back
+    // to SortAggregateExec). `sub` is functionally determined by
+    // (m, vec_id) — it rides as a grouping key rather than through an
+    // array-buffered first(), which would force the sort fallback back.
     val assign0 = sub.join(broadcast(seeds), "m")
-      .select(col("m"), col("vec_id"), col("sub"), col("c_id"),
-        pqDist(col("sub"), col("c_sub")).as("d0"))
-      .withColumn("rn", row_number().over(w0))
-      .filter(col("rn") === 1)
-      .select(col("m"), col("vec_id"), col("sub"), col("c_id").as("cell"))
+      .groupBy("m", "vec_id", "sub")
+      .agg(org.apache.spark.sql.graft.GraftSql
+        .argMinDL(pqDist(col("sub"), col("c_sub")), col("c_id")).as("b"))
+      .select(col("m"), col("vec_id"), col("sub"), col("b.v").as("cell"))
     // codebook update: exact-decimal component means per (m, cell)
     val means = assign0
       .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("pos", "v")))
@@ -805,13 +819,11 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
       .select(col("m"), col("cell"),
         transform(col("pm"), p => p.getField("mv")).as("c_emb")))
-    val wF = Window.partitionBy("m", "vec_id").orderBy(col("d").asc, col("cell"))
     val codes = sub.join(broadcast(codebook), "m")
-      .select(col("m"), col("vec_id"), col("cell"),
-        pqDist(col("sub"), col("c_emb")).as("d"))
-      .withColumn("rn", row_number().over(wF))
-      .filter(col("rn") === 1)
-      .select(col("m"), col("vec_id"), col("cell"), col("d"))
+      .groupBy("m", "vec_id")
+      .agg(org.apache.spark.sql.graft.GraftSql
+        .argMinDL(pqDist(col("sub"), col("c_emb")), col("cell")).as("b"))
+      .select(col("m"), col("vec_id"), col("b.v").as("cell"), col("b.k").as("d"))
     (codebook, codes)
   }
 
@@ -1122,7 +1134,12 @@ object Similarity {
   def sPqResidual(s: SparkSession, d: String): DataFrame = {
     val base = withNorm(s, d)
     val cent = fittedCentroids(base, LloydIters)
-    val assign = ivfAssignment(base, cent)
+    // pin the assignment: it feeds the residual map (which pqModelOf
+    // consumes TWICE — seed assignment and final coding) and the final
+    // per-cell rollup; unpinned, the n·K broadcast-argmax subplan
+    // re-ran three times (no reuse fires across lambda-bearing
+    // subplans). n rows — free to materialize at any scale.
+    val assign = Materialize.pin(ivfAssignment(base, cent))
     val resid = assign.join(broadcast(cent), col("cell") === col("c_id"))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("c_emb"),

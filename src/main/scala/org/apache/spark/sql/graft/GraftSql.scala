@@ -52,6 +52,15 @@ object GraftSql {
   def fdSqDist(a: Column, b: Column): Column =
     column(FloatDoubleSqDist(expression(a), expression(b)))
 
+  /** Hash-aggregable argmin over (key ASC, id ASC) returning struct
+    * (k, v) — the mutable-buffer replacement for the SortAggregate-
+    * forcing `min(struct(key, id))` idiom (see graft.plans.ArgMinDL).
+    * For argmax-with-smallest-id ties, pass a negated key.
+    */
+  def argMinDL(key: Column, id: Column): Column =
+    column(graft.plans.ArgMinDL(expression(key.cast("double")),
+      expression(id.cast("long"))).toAggregateExpression())
+
   /** Native MinHash signature mins (see graft.plans.ShingleMinHash). */
   def shingleMinHash(toks: Column, n: Int, salts: Seq[String]): Column =
     column(ShingleMinHash(expression(toks), n, salts))
