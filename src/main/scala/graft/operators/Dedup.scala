@@ -877,12 +877,27 @@ object Dedup {
     val pairs = sizedShinglePairs(docs
         .select(col("doc_id"), Text.tokens(col("text")).as("toks")))
       .select("a", "b").distinct()
+    // bounded Levenshtein (r13, guide §1.2 per-task work): the filter
+    // only keeps sim >= 0.8, i.e. dist <= ~0.2·mx — so the DP never
+    // needs to run past that band. k = floor(mx·0.2000006)+1 over-
+    // covers the 6-dp HALF_UP rounding margin (round(1−d/mx,6) can
+    // reach 0.8 only while 1−d/mx >= 0.7999995 − ulp, i.e. d <=
+    // mx·0.2000005 + ulp < k), so every pair the unbounded query kept
+    // is computed EXACTLY and kept here, and every -1 (dist > k) pair
+    // is one the old sim filter discarded anyway — same rows, same
+    // values, ~5x less DP work per far pair (banded O(len·k) vs
+    // O(len²), plus early exit). The -1 guard must precede the sim
+    // filter: 1 − (−1)/mx > 0.8 would otherwise pass.
+    val mx = greatest(length(col("ta")), length(col("tb")))
+    val bound = (floor(mx.cast("double") * lit(0.2000006)) + lit(1)).cast("int")
     pairs
       .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
       .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
       .select(col("a"), col("b"),
-        levenshtein(col("ta"), col("tb")).as("dist"),
-        greatest(length(col("ta")), length(col("tb"))).as("mx"))
+        org.apache.spark.sql.graft.GraftSql
+          .levenshteinBounded(col("ta"), col("tb"), bound).as("dist"),
+        mx.as("mx"))
+      .filter(col("dist") >= 0)
       .select(col("a"), col("b"), col("dist"),
         round(lit(1.0) - col("dist").cast("double") / col("mx"), 6).as("sim"))
       .filter(col("sim") >= 0.8)

@@ -2407,27 +2407,72 @@ object Similarity {
     * corpus otherwise.
     */
   def sPca(s: SparkSession, d: String): DataFrame = {
+    // Array-native power iteration (r13, guide §2.4 remove shuffles /
+    // §1.2 algorithm first). The previous shape exploded the corpus to
+    // (vec_id, dim, x) grain — n·64 rows — pinned THAT, and each of the
+    // three power steps ran TWO corpus-grain joins (c ⋈ v by dim, then
+    // c ⋈ sv by vec_id — a full shuffle of the exploded matrix per
+    // step). Here the centered matrix stays one 64-double array per
+    // vector (n rows pinned), v rides as a ONE-ROW array frame
+    // (crossJoin(broadcast) — no key, no shuffle), sv is an in-row
+    // zip_with fold, and the only per-step aggregate is the 64-group
+    // (pos) partial-aggregating sum — each step is ONE map-side corpus
+    // pass. Exactness is unchanged term-for-term: every per-term
+    // DECIMAL cast is identical and decimal addition is exact and
+    // order-free, so regrouping the same terms (by row instead of by
+    // (vec,dim) cell) cannot change any sum; the oracle SQL is
+    // untouched. 10 corpus passes → 4 (pin, trace, 3 steps share the
+    // pin), 26 jobs → ~14, no corpus-grain join anywhere.
     val ex = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
     val mu = ex.groupBy("dim")
       .agg((sum(col("x").cast("decimal(20,8)")).cast("double")
         / count(lit(1))).as("mu"))
+    // one-row (dim-ordered) array form of a 64-row (dim, v) frame
+    def asArr(f: DataFrame, vc: String): DataFrame = f
+      .agg(array_sort(collect_list(struct(col("dim"), col(vc)))).as("p"))
+      .select(transform(col("p"), x => x.getField(vc)).as("varr"))
+    val muArr = asArr(mu, "mu")
     val c = graft.operators.Materialize.pin(
-      ex.join(broadcast(mu), Seq("dim"))
-        .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("xc")))
-    val trace = c.agg(
-      sum((col("xc") * col("xc")).cast("decimal(30,15)")).cast("double")
+      Tables.embeddings(s, d).crossJoin(broadcast(muArr))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("varr"),
+            (x, m) => x.cast("double") - m).as("xc")))
+    val trace = c
+      .select(explode(col("xc")).as("xcv"))
+      .agg(sum((col("xcv") * col("xcv")).cast("decimal(30,15)")).cast("double")
         .as("trace"))
-    // one power-iteration step: v (64 rows: dim, v) -> (raw r, norm nm)
-    def step(v: DataFrame): DataFrame = {
-      val sv = c.join(broadcast(v), Seq("dim"))
-        .groupBy("vec_id")
-        .agg(sum((col("xc") * col("v")).cast("decimal(30,15)")).cast("double")
-          .as("sv"))
-      c.join(sv, Seq("vec_id"))
+    // one power-iteration step: v (one-row array) -> (dim, rv) 64 rows;
+    // sv = Σ_dim DECIMAL(30,15)(xc·v) folds in-row (decimal-exact, so
+    // regrouping the old per-(vec)-group sum into a per-row fold is
+    // value-identical), rv = Σ_vec DECIMAL(30,15)(sv·xc) partial-
+    // aggregates map-side into 64 groups
+    def step(vArr: DataFrame): DataFrame = {
+      // fold accumulator: decimal(31,15) with an explicit same-scale
+      // cast per merge. Add(dec(31,15), dec(30,15)) = dec(32,15) —
+      // inside the 38 cap, so the add is EXACT at scale 15, and the
+      // cast back to (31,15) only drops precision headroom (16 integer
+      // digits remain — unreachable at these magnitudes), never a
+      // digit. A wider accumulator would be WRONG: Add(dec(38,15), x)
+      // overflows the cap and Spark re-scales the result to 14 —
+      // silently truncating the 15th decimal the oracle's
+      // SUM(DECIMAL(30,15)) keeps.
+      val sv = aggregate(
+        zip_with(col("xc"), col("varr"), (x, vv) => (x * vv).cast("decimal(30,15)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(31,15)"),
+        (a, x) => (a + x).cast("decimal(31,15)")).cast("double")
+      // sv MUST be a plain attribute before the explode: a generator
+      // select plans the other expressions in the Project ABOVE
+      // Generate, re-running the 64-term fold once per EXPLODED row
+      // (64x per vector — measured +19% instead of a win). Computing it
+      // in the Generate's child evaluates it once per vector and the
+      // explode replicates the value.
+      c.crossJoin(broadcast(vArr))
+        .select(col("xc"), sv.as("sv"))
+        .select(posexplode(col("xc")).as(Seq("dim", "xcv")), col("sv"))
         .groupBy("dim")
-        .agg(sum((col("sv") * col("xc")).cast("decimal(30,15)")).cast("double")
+        .agg(sum((col("sv") * col("xcv")).cast("decimal(30,15)")).cast("double")
           .as("rv"))
     }
     def normalize(r: DataFrame): DataFrame = {
@@ -2437,9 +2482,9 @@ object Similarity {
       r.crossJoin(broadcast(nm)).select(col("dim"),
         (col("rv") / col("nm")).as("v"), col("nm"))
     }
-    val v0 = mu.select(col("dim"), lit(0.125).as("v"))
-    val v1 = normalize(step(v0)).select("dim", "v")
-    val v2 = normalize(step(v1)).select("dim", "v")
+    val v0 = muArr.select(transform(col("varr"), _ => lit(0.125)).as("varr"))
+    val v1 = asArr(normalize(step(v0)), "v")
+    val v2 = asArr(normalize(step(v1)), "v")
     val v3 = normalize(step(v2))
     val w = Window.orderBy(abs(col("v")).desc, col("dim"))
     v3.crossJoin(broadcast(trace))

@@ -61,6 +61,17 @@ object GraftSql {
     column(graft.plans.ArgMinDL(expression(key.cast("double")),
       expression(id.cast("long"))).toAggregateExpression())
 
+  /** Spark's own banded threshold Levenshtein with a PER-ROW bound —
+    * `functions.levenshtein(l, r, threshold)` only accepts an Int
+    * literal, but the underlying Catalyst expression takes the
+    * threshold as a normal child. Returns -1 when the true distance
+    * exceeds the bound (and computes O(len·bound) instead of
+    * O(len²) to find out); exact distance otherwise.
+    */
+  def levenshteinBounded(l: Column, r: Column, threshold: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.Levenshtein(
+      expression(l), expression(r), Some(expression(threshold))))
+
   /** Native MinHash signature mins (see graft.plans.ShingleMinHash). */
   def shingleMinHash(toks: Column, n: Int, salts: Seq[String]): Column =
     column(ShingleMinHash(expression(toks), n, salts))

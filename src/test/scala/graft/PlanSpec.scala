@@ -467,16 +467,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pca: iteration vectors broadcast; the corpus never outer-products") {
-    // each power step joins the 64-row v onto the centered corpus — a
-    // lost broadcast stages a corpus shuffle per iteration; and no step
-    // may degenerate into a cartesian (the 4096·n outer-product shape
-    // this implementation exists to avoid)
+    // each power step attaches v as a ONE-ROW array frame via
+    // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin over a
+    // single-row build side (r13: the per-dim BroadcastHashJoin of the
+    // exploded shape is gone along with the explode-grain corpus
+    // joins). A lost broadcast would stage the corpus; and no step may
+    // degenerate into a cartesian (the 4096·n outer-product shape this
+    // implementation exists to avoid). The corpus itself must never
+    // shuffle through a join: no SortMergeJoin / ShuffledHashJoin
+    // anywhere in the plan.
     val p = plan(Similarity.sPca(spark, sf))
     val finalSection = p.split("== Initial Plan ==").head
-    assert(finalSection.contains("BroadcastHashJoin"),
-      "v-vector join no longer broadcast:\n" + finalSection.take(1200))
+    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+      "v-vector one-row frame no longer broadcast:\n" + finalSection.take(1200))
     assert(!finalSection.contains("CartesianProduct"),
       "pca staged a cartesian:\n" + finalSection.take(1200))
+    assert(!finalSection.contains("SortMergeJoin") &&
+      !finalSection.contains("ShuffledHashJoin"),
+      "pca shuffled the corpus through a join:\n" + finalSection.take(1200))
   }
 
   test("rake: the vocabulary degree table broadcasts onto phrase members") {
